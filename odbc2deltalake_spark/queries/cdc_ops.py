@@ -1,0 +1,375 @@
+"""CDC/SCD2 operator queries — each SURVEY.md §2 operator expressed as a
+standalone DataFrame query over the driver testdata, with a DuckDB oracle.
+
+The `events` table plays the role of a CDC change feed: `user_id` is the
+primary key, `ts` the monotonic delta column, `event_type='error'` stands
+in for a delete marker. The engine lifecycle itself (writes, versions,
+locks) is exercised in tests/; these queries pin the *relational algebra*
+of each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from odbc2deltalake_spark.queries.registry import load_table, register
+
+# ---------------------------------------------------------------- W1 ----
+
+_W1_ORACLE = """
+SELECT user_id, ts, event_type, round(value, 2) AS value
+FROM (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("w1_latest_per_key", _W1_ORACLE, tags=("cdc", "window"))
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ROW_NUMBER() OVER (PARTITION BY pk ORDER BY __timestamp DESC) = 1
+    — latest version per key, the restore-latest-pk pattern
+    (reference:odbc2deltalake/write_utils/restore_pk.py:97-118).
+
+    Scale: one shuffle on the pk; at 100 TB this is the unavoidable
+    repartition-by-key, and AQE handles skewed keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------- J1 ----
+
+_J1_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("j1_anti_join", _J1_ORACLE, tags=("cdc", "join"))
+def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: LEFT ANTI join on key equality — the "keys not already covered"
+    primitive (reference:odbc2deltalake/db_to_delta.py:338-356,380-419)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(orders, on="c_custkey", how="left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------- J2 ----
+
+_J2_ORACLE = """
+WITH latest AS (
+  SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.ts, e.event_type, e.event_id
+FROM events e
+JOIN latest l ON e.user_id = l.user_id AND e.ts = l.ts
+"""
+
+
+@register("j2_pk_ts_join", _J2_ORACLE, tags=("cdc", "join"))
+def j2_pk_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: inner equi-join on (pk, delta_col) — current-row reconstruction
+    `latest_pk ⨝ scd2 ON pk AND delta_col`
+    (reference:odbc2deltalake/consistency.py:33-51)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(F.max("ts").alias("ts"))
+    return ev.join(latest, on=["user_id", "ts"], how="inner").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+
+
+# ---------------------------------------------------------------- J3 ----
+
+_J3_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987]
+
+_J3_ORACLE = f"""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey IN ({", ".join(str(k) for k in _J3_KEYS)})
+"""
+
+
+@register("j3_keylist_semi_join", _J3_ORACLE, tags=("cdc", "join"))
+def j3_keylist_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: fetch full rows for an explicit PK list. The reference inlines
+    the list as OPENJSON/JSON_TABLE SQL pushed to the source
+    (reference:odbc2deltalake/db_to_delta.py:907-992); Spark-native this is
+    a broadcast semi join of a literal key DataFrame — no 7000-char SQL
+    cap, and the same plan scales to millions of keys (it just stops
+    broadcasting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = spark.createDataFrame(
+        [(k,) for k in _J3_KEYS], T.StructType([T.StructField("o_orderkey", T.LongType())])
+    )
+    return orders.join(F.broadcast(keys), on="o_orderkey", how="left_semi").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+
+
+# ---------------------------------------------------------------- U1 ----
+
+_U1_ORACLE = """
+WITH delta_2 AS (
+  SELECT user_id, max(ts) AS ts FROM events WHERE event_type = 'error' GROUP BY user_id
+), delta_1 AS (
+  SELECT user_id, max(ts) AS ts FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), pk_ts AS (
+  SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id
+)
+SELECT user_id, ts FROM delta_2
+UNION ALL
+SELECT d1.user_id, d1.ts FROM delta_1 d1
+WHERE NOT EXISTS (SELECT 1 FROM delta_2 d2 WHERE d2.user_id = d1.user_id)
+UNION ALL
+SELECT p.user_id, p.ts FROM pk_ts p
+WHERE NOT EXISTS (SELECT 1 FROM delta_2 d2 WHERE d2.user_id = p.user_id)
+  AND NOT EXISTS (SELECT 1 FROM delta_1 d1 WHERE d1.user_id = p.user_id)
+"""
+
+
+@register("u1_latest_pk_union", _U1_ORACLE, tags=("cdc", "setop"))
+def u1_latest_pk_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the three-source latest-pk assembly with anti-join precedence —
+    latest_pk = delta_2 ∪ (delta_1 ∖ delta_2) ∪ (pk_ts ∖ delta_2 ∖ delta_1)
+    (reference:odbc2deltalake/db_to_delta.py:316-427). This is the heart of
+    the reference's current-rows index rebuild."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def max_ts(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(F.max("ts").alias("ts"))
+
+    delta_2 = max_ts(ev.filter(F.col("event_type") == "error"))
+    delta_1 = max_ts(ev.filter(F.col("event_type") == "purchase"))
+    pk_ts = max_ts(ev)
+    d2_keys = delta_2.select("user_id")
+    d1_keys = delta_1.select("user_id")
+    return delta_2.unionByName(
+        delta_1.join(d2_keys, on="user_id", how="left_anti")
+    ).unionByName(
+        pk_ts.join(d2_keys, on="user_id", how="left_anti").join(
+            d1_keys, on="user_id", how="left_anti"
+        )
+    )
+
+
+# ---------------------------------------------------------------- U2 ----
+
+_U2_ORACLE = """
+SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+EXCEPT
+SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+"""
+
+
+@register("u2_except_deletes", _U2_ORACLE, tags=("cdc", "setop"))
+def u2_except_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: delete detection — old key set EXCEPT current key set
+    (reference:odbc2deltalake/db_to_delta.py:773-792). Spark `subtract`
+    is EXCEPT DISTINCT, matching the reference's set semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    old = ev.filter(F.col("ts") < mid).select("user_id")
+    cur = ev.filter(F.col("ts") >= mid).select("user_id")
+    return old.subtract(cur)
+
+
+# ------------------------------------------------------------- P2/P1 ----
+
+_P2_ORACLE = """
+SELECT s_suppkey AS supplier_key,
+       trim(s_name) AS supplier_name,
+       upper(trim(s_name)) AS supplier_name_upper,
+       CAST(s_nationkey AS BIGINT) AS nation_key,
+       round(s_acctbal, 2) AS acctbal
+FROM supplier
+"""
+
+
+@register("p2_cast_trim_projection", _P2_ORACLE, tags=("cdc", "projection"))
+def p2_cast_trim_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: rename/compat projection with TRIM on strings and type-map
+    casts (reference:odbc2deltalake/db_to_delta.py:54-88,104-164)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("supplier_key"),
+        F.trim("s_name").alias("supplier_name"),
+        F.upper(F.trim("s_name")).alias("supplier_name_upper"),
+        F.col("s_nationkey").cast("bigint").alias("nation_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------- A1 ----
+
+_A1_ORACLE = """
+SELECT max(ts) AS max_delta, count(*) AS cnt FROM events
+"""
+
+
+@register("a1_watermark_probe", _A1_ORACLE, tags=("cdc", "agg"))
+def a1_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: MAX(delta_col), COUNT(*) — the source/target watermark probe
+    (reference:odbc2deltalake/load_infos.py:11-70). On a real source this
+    is pushed down via the JDBC query; here it is a scalar agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("max_delta"), F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------- P6 ----
+
+_P6_ORACLE = """
+SELECT event_id, user_id, ts, event_type, round(value, 2) AS value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+@register("p6_delta_filter", _P6_ORACLE, tags=("cdc", "filter"))
+def p6_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the delta criterion `WHERE delta_col > watermark`
+    (reference:odbc2deltalake/db_to_delta.py:584-610) — pushed to the
+    parquet scan (PushedFilters in explain)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ).select("event_id", "user_id", "ts", "event_type", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------- P9 ----
+
+_P9_ORACLE = """
+WITH latest AS (
+  SELECT user_id, max(ts) AS ts
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+  GROUP BY user_id
+)
+SELECT user_id, ts FROM latest
+"""
+
+
+@register("p9_watermark_cap", _P9_ORACLE, tags=("cdc", "filter"))
+def p9_watermark_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: `delta_col <= delta_load_value` cap — excludes rows inserted
+    mid-load from the latest-pk rebuild
+    (reference:odbc2deltalake/db_to_delta.py:369-379; pinned by
+    tests/test_12_insert_while_load.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") <= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+    )
+
+
+# --------------------------------------------------------------- P10 ----
+
+_P10_ORACLE = """
+SELECT e.event_id, e.event_type, e.ts
+FROM events e
+JOIN (SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type) m
+  ON e.event_type = m.event_type AND e.ts = m.max_ts
+"""
+
+
+@register("p10_full_load_snapshot", _P10_ORACLE, tags=("cdc", "filter", "window"))
+def p10_full_load_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: rows of the latest full load — `WHERE __timestamp =
+    (SELECT MAX(__timestamp)…)` per group
+    (reference:odbc2deltalake/db_to_delta.py:1292-1319), via a window max
+    (no second scan, single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    return (
+        ev.withColumn("max_ts", F.max("ts").over(w))
+        .filter(F.col("ts") == F.col("max_ts"))
+        .select("event_id", "event_type", "ts")
+    )
+
+
+# ------------------------------------------------------- SCD2 shapes ----
+
+_SCD2_HISTORY_ORACLE = """
+SELECT user_id,
+       ts AS __timestamp,
+       CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS value,
+       (event_type = 'error') AS __is_deleted,
+       FALSE AS __is_full_load
+FROM events
+"""
+
+
+@register("scd2_history_shape", _SCD2_HISTORY_ORACLE, tags=("cdc", "scd2"))
+def scd2_history_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4: SCD2 history row shape — system columns plus NULLed non-pk
+    columns on delete tombstones
+    (reference:odbc2deltalake/db_to_delta.py:794-843,91-101)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("__timestamp"),
+        F.when(is_del, F.lit(None).cast("double"))
+        .otherwise(F.round("value", 2))
+        .alias("value"),
+        is_del.alias("__is_deleted"),
+        F.lit(False).alias("__is_full_load"),
+    )
+
+
+_SCD2_CURRENT_ORACLE = """
+SELECT user_id, ts, round(value, 2) AS value
+FROM (
+  SELECT user_id, ts, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("scd2_current_rows", _SCD2_CURRENT_ORACLE, tags=("cdc", "scd2", "flagship"))
+def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: current (non-deleted) rows from an SCD2 history — W1
+    latest-version window + tombstone filter, the read-side contract of
+    the whole engine (reference:odbc2deltalake/write_utils/restore_pk.py:97-118
+    + consistency.py:17-56)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select("user_id", "ts", F.round("value", 2).alias("value"))
+    )
+
+
+# ------------------------------------------------------- A4 emptiness ----
+
+_A4_ORACLE = """
+SELECT count(*) AS has_rows FROM (SELECT 1 FROM events LIMIT 1)
+"""
+
+
+@register("a4_emptiness_probe", _A4_ORACLE, tags=("cdc", "agg"))
+def a4_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: `count_limit_one` cheap emptiness probe
+    (reference:odbc2deltalake/sql_glot_utils.py:19-22)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.limit(1).agg(F.count(F.lit(1)).alias("has_rows"))

@@ -1,0 +1,328 @@
+r"""Deduplication operators over `documents` — exact, n-gram Jaccard,
+MinHash+LSH, and SimHash.
+
+Shared building block: 3-word shingles, built portably (posexplode + lead
+window in Spark; parallel unnest + lead in the DuckDB oracle) so both
+engines see byte-identical shingle sets. All hashes are md5-hex (identical
+across engines); min/lexicographic comparisons on hex strings stand in for
+integer minhash values.
+
+Scale notes:
+- Exact dedup is a hash-groupBy: one shuffle on the 128-bit digest, no
+  skew (uniform hash keys).
+- MinHash LSH: signature build is a per-doc aggregation (shuffle on
+  doc_id), banding re-keys by (band, band_key) — candidate generation
+  never goes quadratic; only same-bucket docs meet. That is the 100 TB
+  path: bucket sizes stay bounded because identical band keys mean
+  near-identical content.
+- The brute-force n-gram Jaccard pair join is the *verification* step;
+  it runs only on LSH candidates at scale (here also standalone, to pin
+  its algebra on the small oracle set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from odbc2deltalake_spark.queries.registry import load_table, register
+
+# --------------------------------------------------------- exact dedup ----
+
+_EXACT_ORACLE = r"""
+SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, tags=("dedup",))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by normalized-content hash; keeps the lowest
+    doc_id as canonical. Hash-groupBy → uniformly distributed shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------------------ shingles ----
+
+# DuckDB shingle CTE (3-word shingles, DISTINCT per doc)
+_SHINGLE_CTE = r"""
+words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+"""
+
+
+def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per document: (doc_id, shingle).
+
+    Spark-side: split → posexplode → lead window. The window shuffles on
+    doc_id once; everything after stays partitioned by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        words.withColumn("w1", F.lead("w", 1).over(w))
+        .withColumn("w2", F.lead("w", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w", "w1", "w2").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard pairs ----
+
+_JACCARD_THRESHOLD = 0.4
+
+_NGRAM_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard ≥ 0.4: join docs on
+    shared shingles, count common, divide by union size. The shingle join
+    is the candidate generator; at 100 TB this exact step runs only on
+    LSH candidates (see dedup_minhash_lsh)."""
+    sh = shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------- MinHash LSH ----
+
+_N_HASHES = 8
+_BAND_SIZE = 2  # => 4 bands; P(candidate) ≈ 1-(1-j^2)^4
+
+
+def _minhash_cols_sql() -> str:
+    return ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASHES)
+    )
+
+
+def _band_rows_sql() -> str:
+    rows = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = " || ".join(f"h{b * _BAND_SIZE + i}" for i in range(_BAND_SIZE))
+        rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sigs")
+    return " UNION ALL ".join(rows)
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_minhash_cols_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({_band_rows_sql()}),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT v.doc_a, v.doc_b,
+       round(v.n_common * 1.0 / (sa.n + sb.n - v.n_common), 4) AS jaccard
+FROM verified v
+JOIN sizes sa ON v.doc_a = sa.doc_id
+JOIN sizes sb ON v.doc_b = sb.doc_id
+WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: 8 minhashes per doc (min of
+    seeded md5 over shingles), 4 bands of 2, candidate pairs share a band
+    key, then exact-Jaccard verification of candidates only.
+
+    This is the scale path: candidate generation is groupBy(band_key) —
+    linear in corpus size — instead of the quadratic shingle self-join."""
+    sh = shingle_df(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band_parts = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = [F.col(f"h{b * _BAND_SIZE + i}") for i in range(_BAND_SIZE)]
+        band_parts.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_key"),
+            )
+        )
+    bands = band_parts[0]
+    for p in band_parts[1:]:
+        bands = bands.unionByName(p)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    verified = (
+        candidates.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("shb.doc_id"))
+            & (F.col("shb.shingle") == F.col("sha.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------- SimHash ----
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
+
+
+def _simhash_bitsum_sql() -> str:
+    # per-word 60-bit hash; bit j contributes +1/-1 to bit-sum j
+    return ", ".join(
+        f"sum(CASE WHEN (wh // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS bs{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+
+
+_SIMHASH_ORACLE = rf"""
+WITH words AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS wh FROM words
+),
+bitsums AS (
+  SELECT doc_id, {_simhash_bitsum_sql()}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN bs{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM bitsums
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: 60-bit hash per distinct word
+    (md5-hex → bigint), each bit votes +1/-1, fingerprint bit = sign of
+    the vote sum. Near-dups then differ in few bits (hamming); pairing is
+    a 4-chunk LSH regroup, linear like MinHash banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).distinct()
+    wh = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    hashed = words.select("doc_id", wh.alias("wh"))
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("wh").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+            ).alias(f"bs{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    fingerprint = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"bs{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bitsums.select("doc_id", fingerprint.cast("long").alias("simhash"))

@@ -1,0 +1,82 @@
+"""Query registry: every operator the engine claims in SURVEY.md §2 gets a
+named (spark_fn, oracle_sql) pair here.
+
+The driver contract (`__spark_entry__.py`) runs each spark_fn at sf0.01 and
+compares row-count + schema + order-insensitive value hash against the
+oracle SQL executed by DuckDB on the same parquet files. Column names are
+aliased identically on both sides; float-valued aggregates are rounded
+identically on both sides so the hashes are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns surface as long under
+    # spark.sql.legacy.parquet.nanosAsLong; convert to micro timestamps
+    # (truncation — matches DuckDB's ns→µs datetime truncation).
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events":
+        for fname, dtype in df.dtypes:
+            if fname == "ts" and dtype == "bigint":
+                # integer division — double math would lose precision on
+                # ~1.7e18 nanosecond values (> 2^53)
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # keep original column order
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL over pre-registered views; None => rows-only check
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: Optional[str],
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (side effect: registration)."""
+    import odbc2deltalake_spark.queries.analytics  # noqa: F401
+    import odbc2deltalake_spark.queries.cdc_ops  # noqa: F401
+    import odbc2deltalake_spark.queries.text_ops  # noqa: F401
+    import odbc2deltalake_spark.queries.dedup_ops  # noqa: F401
+    import odbc2deltalake_spark.queries.similarity_ops  # noqa: F401

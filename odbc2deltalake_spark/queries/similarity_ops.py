@@ -1,0 +1,212 @@
+"""Similarity search over the `embeddings` table (64-dim float vectors).
+
+Numerics discipline: both engines cast the float32 vectors to float64 and
+reduce the dot product in index order (Spark `zip_with`+`aggregate`;
+DuckDB `list_dot_product` on DOUBLE[]), so the doubles are bit-identical;
+outputs are additionally rounded.
+
+Scale notes:
+- Brute-force top-k is the correctness baseline: |query| × |corpus| dot
+  products, embarrassingly parallel, no shuffle until the final top-k
+  (TakeOrdered, no global sort).
+- The LSH-bucketed variant (random-hyperplane signs) is the 100 TB path:
+  corpus is re-keyed once by bucket; queries probe only their bucket —
+  candidate count per query is corpus/2^bits on average. Recall<1 by
+  construction; the oracle pins the *bucketing algebra*, not recall.
+- A cluster deployment would persist the bucketed corpus sorted/bucketed
+  by `bucket` so probes prune partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.queries.registry import load_table, register
+
+_QUERY_VEC_ID = 0  # the fixed probe vector for deterministic oracles
+_TOP_K = 10
+
+
+def _dot(a, b):
+    """Index-ordered float64 dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label,
+       round(
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cosine DESC, e.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@register("sim_ann_topk", _ANN_ORACLE, tags=("similarity",))
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one probe vector: broadcast the query,
+    score every corpus vector, TakeOrdered(k). Ties broken by vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", "label", dbl.alias("v"))
+    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    return (
+        corpus.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(_TOP_K)
+    )
+
+
+_NEARDUP_THRESHOLD = 0.92
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= {_NEARDUP_THRESHOLD}
+"""
+
+
+_NEARDUP_BLOCKS = 16  # vectors per task ≈ N/16; on a cluster scale with corpus
+
+
+@register("sim_embedding_neardup", _NEARDUP_ORACLE, tags=("similarity", "dedup"))
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.92) via blocked
+    matrix multiply: corpus is split into NB blocks, each of the
+    NB*(NB+1)/2 block pairs scores its cross product with one vectorized
+    numpy matmul inside mapInPandas (Arrow-batched — never a per-pair
+    interpreted expression). At 100 TB the same kernel runs on LSH bucket
+    candidates (sim_lsh_buckets) instead of all block pairs."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("v"))
+    blocked = base.groupBy((F.col("vec_id") % _NEARDUP_BLOCKS).alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("vecs")
+    )
+    pa = blocked.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    pb = blocked.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    # NB^2/2 block pairs — tiny driver-free cross join; each row carries
+    # two vector blocks and scores them in one numpy matmul
+    pairs = pa.join(pb, F.col("blk_a") <= F.col("blk_b")).repartition(
+        _NEARDUP_BLOCKS * (_NEARDUP_BLOCKS + 1) // 2
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["vec_id"] for r in row["vecs_a"]], dtype=np.int64)
+                ma = np.array([r["v"] for r in row["vecs_a"]], dtype=np.float64)
+                ids_b = np.array([r["vec_id"] for r in row["vecs_b"]], dtype=np.int64)
+                mb = np.array([r["v"] for r in row["vecs_b"]], dtype=np.float64)
+                cos = (ma @ mb.T) / np.outer(
+                    np.sqrt((ma * ma).sum(axis=1)), np.sqrt((mb * mb).sum(axis=1))
+                )
+                if row["blk_a"] == row["blk_b"]:
+                    mask = ids_a[:, None] < ids_b[None, :]
+                else:
+                    # cross-block: every (i,j) pair belongs to exactly this
+                    # block pair; orient ids afterwards
+                    mask = np.ones_like(cos, dtype=bool)
+                mask &= cos >= _NEARDUP_THRESHOLD
+                ii, jj = np.nonzero(mask)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_c.extend(np.round(cos[ii, jj], 4).tolist())
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    return pairs.mapInPandas(score, "vec_a long, vec_b long, cosine double")
+
+
+# Random-hyperplane LSH: 4 fixed pseudo-random hyperplanes; bucket id =
+# sign bits. The "hyperplanes" are deterministic ±1 patterns derived from
+# dimension index so both engines compute identical buckets without a
+# random source: plane p uses sign = +1 if bit p of the dimension index is
+# set else -1.
+_N_PLANES = 4
+
+
+def _plane_dot_sql(p: int) -> str:
+    terms = []
+    for d in range(64):
+        sign = "+" if (d >> p) & 1 else "-"
+        terms.append(f"{sign} embedding[{d + 1}]::DOUBLE")
+    return " ".join(terms)
+
+
+_LSH_ORACLE = f"""
+SELECT
+  {" + ".join(f"(CASE WHEN ({_plane_dot_sql(p)}) >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_N_PLANES))} AS bucket,
+  count(*) AS n_vectors,
+  min(vec_id) AS min_vec_id
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("sim_lsh_buckets", _LSH_ORACLE, tags=("similarity",))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 4 sign bits → 16 buckets. This is
+    the ANN scale path — probes compare only within their bucket. The
+    oracle pins bucket assignment + occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # one zip_with+aggregate per plane (index-ordered sum — bit-matches the
+    # oracle's left-to-right ± chain; x * ±1.0 is an exact IEEE sign flip)
+    bucket = None
+    for p in range(_N_PLANES):
+        signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
+        dot = F.aggregate(
+            F.zip_with(dbl, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.select(bucket.alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Text-analysis operators for training-data pipelines, over `documents`.
+
+All hot-path logic is JVM-side built-ins (regexp/split/length/md5) — no
+Python UDFs — so the plans stay inside whole-stage codegen and scale
+linearly with a parquet scan. Library-backed implementations live in
+odbc2deltalake_spark/operators/text.py; these registry entries pin the
+cross-engine-deterministic forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.queries.registry import load_table, register
+
+# ------------------------------------------------------- token count ----
+
+_TOKENS_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+@register("text_token_count", _TOKENS_ORACLE, tags=("text",))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the cheap-token-estimate stage of a
+    data pipeline. Pure codegen (split+size), no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# ----------------------------------------------------- quality score ----
+
+_QUALITY_ORACLE = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             / length(text), 4) AS alpha_ratio,
+       round(len(regexp_split_to_array(trim(text), '\s+')) * 1.0
+             / length(text), 4) AS tokens_per_char,
+       (length(text) >= 100 AND
+        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+          / length(text) > 0.6) AS passes_quality
+FROM documents
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE, tags=("text",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length / alphabetic ratio /
+    token density) with a boolean keep-gate — the C4-style filter shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = F.round(n_alpha * F.lit(1.0) / n_chars, 4)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        F.round(n_tokens * F.lit(1.0) / n_chars, 4).alias("tokens_per_char"),
+        ((n_chars >= 100) & (n_alpha * F.lit(1.0) / n_chars > 0.6)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+# ---------------------------------------------------------- lang id ----
+
+# Deterministic n-gram/stopword heuristic: score = count of language-marker
+# tokens; predicted language = argmax with a fixed tie order. The marker
+# lists are tiny on purpose — the operator shape (N counters + argmax over
+# a scan, no shuffle) is what scales, and swapping in real marker tables
+# is a constant-factor change.
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "que"],
+    "zh": ["的", "了", "是", "我"],
+}
+
+
+def _count_token_sql(marker: str) -> str:
+    # occurrences of marker as a whole token, portable SQL
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        f" t -> t = '{marker}'))"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_count_token_sql(m) for m in _LANG_MARKERS[lang])
+
+
+_LANGID_ORACLE = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {", ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in _LANG_MARKERS)}
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE
+         {"".join(f"WHEN score_{lg} >= greatest(score_en, score_de, score_fr, score_es, score_zh) AND score_{lg} > 0 THEN '{lg}' " for lg in _LANG_MARKERS)}
+         ELSE 'und' END AS predicted_lang
+FROM scores
+"""
+
+
+@register("text_lang_id", _LANGID_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-marker voting: per-language token counts +
+    argmax, fixed tie order (en,de,fr,es,zh), 'und' when no marker hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+
+    # single-arg closure: a 2-arg lambda would be treated as (element, index)
+    def count_token(m: str):
+        return F.size(F.filter(tokens, lambda t: t == F.lit(m)))
+
+    scores = {
+        lg: sum((count_token(m) for m in markers), F.lit(0))
+        for lg, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build the CASE in reverse so earlier languages win ties
+    for lg in reversed(list(_LANG_MARKERS)):
+        pred = F.when((scores[lg] >= best) & (scores[lg] > 0), F.lit(lg)).otherwise(
+            pred
+        )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+# ------------------------------------------------------ fingerprint ----
+
+_FP_ORACLE = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE, tags=("text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 over lowercased alnum text) —
+    the key for exact dedup; identical hex output in Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))).alias(
+            "fingerprint"
+        ),
+    )

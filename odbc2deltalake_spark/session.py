@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on
+(runtime re-plan, skew-join handling, partition coalescing), UTC session
+timezone (the reference stamps ``__timestamp`` in UTC,
+reference:odbc2deltalake/db_to_delta.py:91-101), Arrow for the
+Python<->JVM boundary, and ZSTD parquet compression
+(reference:odbc2deltalake/reader/odbc_reader.py:33).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "odbc2deltalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster callers pass ``None`` after spark-submit has set the master.
+    ``shuffle_partitions`` defaults to the core count locally — on a
+    1000-executor cluster you would size it to ~2-3x total cores instead
+    (AQE coalesces down, so erring high is safe).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark has
+        # no native type for: read as long and convert at load
+        # (odbc2deltalake_spark/queries/registry.py:load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

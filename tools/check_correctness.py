@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` on DuckDB at
+the given sf dir, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+canonicalized to strings). Use while iterating:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from odbc2deltalake_spark.session import get_spark
+from odbc2deltalake_spark.queries.registry import TABLE_NAMES
+
+
+def canon(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sh = table_hash(scols, srows)
+            dh = table_hash(dcols, drows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                # show first differing canonical line for debugging
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sl = sorted("\x01".join(canon(r[i]) for i in so) for r in srows)
+                dl = sorted("\x01".join(canon(r[i]) for i in do) for r in drows)
+                for a, b in zip(sl, dl):
+                    if a != b:
+                        problems.append(f"  spark : {a[:200]}")
+                        problems.append(f"  duckdb: {b[:200]}")
+                        break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries pass")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
