@@ -1,0 +1,80 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. Run with `python bench.py`.
+
+One SparkSession for the whole run (JVM startup excluded from timings, as
+on a long-lived cluster); a warm-up pass touches every table and spins up
+the Python worker pool so per-query numbers measure the plan, not process
+cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod
+from odbc2deltalake_spark.session import get_spark
+from odbc2deltalake_spark.queries.registry import TABLE_NAMES, load_table
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "ev_hourly_rollup",
+    "ev_sessionize",
+    "scd2_current_rows",
+    "u1_latest_pk_union",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "sim_ann_topk",
+    "sim_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm-up: table scans + python worker pool (not timed)
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+    warm = spark.range(0, 64, 1, 64)
+    warm.mapInPandas(lambda it: it, "id long").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

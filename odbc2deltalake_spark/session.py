@@ -45,7 +45,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # modest heap: testdata is small and huge heaps (90g) caused
+        # erratic multi-10s GC/heap-growth pauses on tiny queries
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # whole-stage codegen emits huge methods; with the default C2
+        # compiler-thread count the JIT queue backs up and hot query loops
+        # run interpreted for 30-50s (measured: single thread pegged at 1
+        # core for 40s on a 1s query). More C2 threads fix it outright.
+        .config("spark.driver.extraJavaOptions", "-XX:CICompilerCount=16")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark has
