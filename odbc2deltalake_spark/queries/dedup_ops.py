@@ -126,7 +126,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared shingles, count common, divide by union size. The shingle join
     is the candidate generator; at 100 TB this exact step runs only on
     LSH candidates (see dedup_minhash_lsh)."""
-    sh = shingle_df(spark, sf_dir)
+    # localCheckpoint: shingles feed the self-join twice plus sizes
+    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -161,15 +162,20 @@ _BAND_SIZE = 2  # => 4 bands; P(candidate) ≈ 1-(1-j^2)^4
 
 
 def _minhash_cols_sql() -> str:
+    # numeric minhash: 60-bit integer from the md5 prefix — keeps the
+    # signature aggregation fixed-width (hash agg, not sort agg)
     return ", ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_N_HASHES)
+        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT) AS h{i}"
+        for i in range(_N_HASHES)
     )
 
 
 def _band_rows_sql() -> str:
     rows = []
     for b in range(_N_HASHES // _BAND_SIZE):
-        cols = " || ".join(f"h{b * _BAND_SIZE + i}" for i in range(_BAND_SIZE))
+        cols = " || '|' || ".join(
+            f"h{b * _BAND_SIZE + i}::VARCHAR" for i in range(_BAND_SIZE)
+        )
         rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sigs")
     return " UNION ALL ".join(rows)
 
@@ -210,22 +216,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, then exact-Jaccard verification of candidates only.
 
     This is the scale path: candidate generation is groupBy(band_key) —
-    linear in corpus size — instead of the quadratic shingle self-join."""
-    sh = shingle_df(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
+    linear in corpus size — instead of the quadratic shingle self-join.
+
+    Perf: shingles are localCheckpoint'ed (the lineage is otherwise
+    recomputed 4x: signatures, both verify sides, sizes); minhash values
+    are 60-bit bigints (md5-prefix) so the 8-way min() aggregation stays
+    fixed-width and uses hash aggregation, not a sort."""
+    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
+    mh = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mh)
     band_parts = []
     for b in range(_N_HASHES // _BAND_SIZE):
-        cols = [F.col(f"h{b * _BAND_SIZE + i}") for i in range(_BAND_SIZE)]
+        cols = [
+            F.col(f"h{b * _BAND_SIZE + i}").cast("string")
+            for i in range(_BAND_SIZE)
+        ]
         band_parts.append(
             sigs.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_key"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
         )
     bands = band_parts[0]
