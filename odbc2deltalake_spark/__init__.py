@@ -21,6 +21,14 @@ from odbc2deltalake_spark.metadata import ColInfo, compat_name
 from odbc2deltalake_spark.config import WriteConfig, WriteConfigAndInfos
 from odbc2deltalake_spark.session import get_spark
 from odbc2deltalake_spark.tablestore import VersionedParquetTable
+from odbc2deltalake_spark.sources import DataFrameSource, ParquetTableSource, Source
+from odbc2deltalake_spark.plans import (
+    DeltaDestination,
+    check_delta_consistency,
+    check_latest_pk,
+    write_db_to_delta,
+)
+from odbc2deltalake_spark.plans.db_to_delta import make_writer
 
 __version__ = "0.1.0"
 
@@ -31,4 +39,12 @@ __all__ = [
     "WriteConfigAndInfos",
     "get_spark",
     "VersionedParquetTable",
+    "Source",
+    "DataFrameSource",
+    "ParquetTableSource",
+    "DeltaDestination",
+    "write_db_to_delta",
+    "make_writer",
+    "check_latest_pk",
+    "check_delta_consistency",
 ]

@@ -1,0 +1,615 @@
+"""The CDC → SCD2 load lifecycle — the engine's core plan.
+
+Implements the reference's algorithm (SURVEY.md §3) Spark-first: every
+"local SQL" becomes a DataFrame plan over the destination tables, every
+"source SQL" a pushdown-friendly Source read. Stage structure, side-table
+contract, and failure semantics mirror
+reference:odbc2deltalake/db_to_delta.py:178-286 (dispatch), 483-691
+(delta load), 995-1184 (strange updates), 749-859 (deletes), 1254-1326
+(full load), 708-743 (append inserts).
+
+Scale design (100 TB):
+- The history table is append-only; per-load writes touch only change
+  sets. Nothing ever rewrites history.
+- ``latest_pk_version`` / ``primary_keys_ts`` are keys-only — the widest
+  shuffle in a load is the PK-key anti-join cascade over those narrow
+  tables, broadcast when small, AQE-planned otherwise.
+- Watermark probes are scalar aggregates pushed to the source.
+- The strange-update key fetch is a broadcast semi join against the
+  source (no 7000-char SQL cap, reference:db_to_delta.py:960-992); above
+  ``max_complex_entries`` keys it degrades to the same watermark-rewind
+  re-extraction the reference uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import traceback
+from pathlib import Path
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.config import WriteConfig, WriteConfigAndInfos
+from odbc2deltalake_spark.functions.projection import (
+    convert_projection,
+    tombstone_projection,
+    with_system_cols,
+)
+from odbc2deltalake_spark.metadata import SYS, ColInfo, resolve_type
+from odbc2deltalake_spark.operators.scd2 import (
+    deletes_keys,
+    derive_latest_pk_from_history,
+    latest_pk_union,
+)
+from odbc2deltalake_spark.plans.destination import DeltaDestination, DeltaLogger
+from odbc2deltalake_spark.sources.base import Source
+
+
+# ---------------------------------------------------------------- results --
+
+
+@dataclasses.dataclass
+class LoadResult:
+    executed: bool = True
+    dirty: bool = False
+
+
+class NoLoadResult(LoadResult):
+    def __init__(self):
+        super().__init__(executed=False)
+
+
+class FullLoadResult(LoadResult):
+    pass
+
+
+class AppendOnlyLoadResult(LoadResult):
+    pass
+
+
+@dataclasses.dataclass
+class DeltaLoadResult(LoadResult):
+    starting_local_state: Optional[tuple] = None
+    starting_source_state: Optional[tuple] = None
+    end_source_state: Optional[tuple] = None
+
+
+# ----------------------------------------------------------------- helpers --
+
+
+@dataclasses.dataclass
+class _Ctx:
+    """Resolved load context passed between stages."""
+
+    spark: SparkSession
+    source: Source
+    dest: DeltaDestination
+    cols: list[ColInfo]
+    pk_names: list[str]  # target (compat) names
+    delta_name: Optional[str]  # target name of the delta col
+    cfg: WriteConfig
+    logger: DeltaLogger
+    load_ts: datetime.datetime
+
+    def target_name(self, c: ColInfo) -> str:
+        return self.cfg.target_name(c)
+
+    @property
+    def all_target_names(self) -> list[str]:
+        return [self.target_name(c) for c in self.cols]
+
+    def extract(self, df: DataFrame) -> DataFrame:
+        """Source rows → converted/renamed projection + user hook."""
+        out = convert_projection(df, self.cols, self.target_name, self.cfg.no_trim)
+        return self.cfg.transformation_hook(out, "sql2delta")
+
+    def append_history(self, df: DataFrame) -> None:
+        """Append to the SCD2 history with drift-aware schema merging
+        (type widening flows through; reference Delta equivalent:
+        mergeSchema + delta.enableTypeWidening,
+        reference:odbc2deltalake/reader/spark_reader.py:154-162)."""
+        self.dest.delta.write(
+            df,
+            mode="append",
+            merge_schema=self.cfg.allow_schema_drift in (True, "new_only"),
+        )
+
+
+def _resolve_cols(cfg: WriteConfig, raw: list[ColInfo]) -> list[ColInfo]:
+    """Apply the user+default type map to the introspected columns
+    (reference:odbc2deltalake/write_init.py:29-38; user override
+    tests/test_05_conversion.py:29-36)."""
+    out = []
+    for c in raw:
+        mapped = resolve_type(c.data_type_str, cfg.data_type_map or None)
+        if mapped is not None and mapped != c.data_type:
+            c = dataclasses.replace(c, data_type=mapped)
+        out.append(c)
+    return out
+
+
+def make_writer(
+    spark: SparkSession,
+    source: Source,
+    destination: str | Path,
+    write_config: Optional[WriteConfig] = None,
+) -> WriteConfigAndInfos:
+    """Analyze phase — resolve columns, PKs and the delta column into a
+    frozen plan (reference:odbc2deltalake/write_init.py:170-303)."""
+    cfg = write_config or WriteConfig()
+    cols = _resolve_cols(cfg, source.col_infos(spark))
+    by_name = {c.column_name: c for c in cols}
+
+    pk_names = cfg.primary_keys if cfg.primary_keys is not None else source.primary_keys(spark)
+    pk_cols = [by_name[p] for p in pk_names if p in by_name]
+
+    delta_col: Optional[ColInfo] = None
+    if cfg.delta_col is not None:
+        delta_col = by_name.get(cfg.delta_col)
+        if delta_col is None:
+            raise ValueError(f"delta_col {cfg.delta_col!r} not in source columns")
+    else:
+        auto = source.default_delta_col(spark)
+        if auto is not None:
+            delta_col = by_name.get(auto)
+
+    return WriteConfigAndInfos(
+        spark=spark,
+        source=source,
+        destination=Path(destination),
+        col_infos=cols,
+        pk_cols=pk_cols,
+        delta_col=delta_col,
+        write_config=cfg,
+    )
+
+
+def write_db_to_delta(
+    spark: SparkSession,
+    source: Source,
+    destination: str | Path,
+    write_config: Optional[WriteConfig] = None,
+) -> LoadResult:
+    """Top-level entry point (reference:odbc2deltalake/__init__.py:14-25)."""
+    return make_writer(spark, source, destination, write_config).execute()
+
+
+# ------------------------------------------------------------ entry point --
+
+
+def exec_write_db_to_delta(infos: WriteConfigAndInfos) -> LoadResult:
+    """Lifecycle driver: schema.json, rollback point, lock, dispatch,
+    vacuum, failure restore (reference:odbc2deltalake/db_to_delta.py:178-286)."""
+    spark = infos.spark
+    cfg = infos.write_config
+    dest = DeltaDestination(infos.destination)
+    logger = DeltaLogger(spark, dest)
+    ctx = _Ctx(
+        spark=spark,
+        source=infos.source,
+        dest=dest,
+        cols=infos.col_infos,
+        pk_names=[cfg.target_name(c) for c in infos.pk_cols],
+        delta_name=cfg.target_name(infos.delta_col) if infos.delta_col else None,
+        cfg=cfg,
+        logger=logger,
+        load_ts=datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+    )
+
+    dest.write_schema_json(infos.col_infos)
+    last_pk_version = (
+        dest.latest_pk_version.version() if dest.latest_pk_version.exists() else None
+    )
+
+    dest.acquire_lock()
+    try:
+        if not dest.delta.exists() or cfg.load_mode == "overwrite":
+            result = do_full_load(ctx, mode="overwrite")
+        elif cfg.load_mode == "append_inserts":
+            if ctx.delta_name is None and len(infos.pk_cols) == 1 and infos.pk_cols[0].is_identity:
+                # identity pk promoted to delta col
+                # (reference:odbc2deltalake/db_to_delta.py:237-239)
+                ctx.delta_name = ctx.pk_names[0]
+            assert ctx.delta_name is not None, (
+                "Must provide delta column for append_inserts load"
+            )
+            result = do_append_inserts_load(ctx)
+        elif ctx.delta_name is None or not ctx.pk_names or cfg.load_mode == "force_full":
+            result = do_full_load(ctx, mode="append")
+        else:
+            result = do_delta_load(
+                ctx,
+                simple=cfg.load_mode in ("simple_delta", "simple_delta_check"),
+                simple_check=cfg.load_mode == "simple_delta_check",
+            )
+        dest.release_lock()
+        dest.vacuum_side_tables()
+        return result
+    except Exception:
+        # restore the current-rows index to its pre-load version
+        # (reference:odbc2deltalake/db_to_delta.py:269-282)
+        if last_pk_version is not None and dest.latest_pk_version.exists():
+            if dest.latest_pk_version.version() > last_pk_version:
+                dest.latest_pk_version.restore(last_pk_version)
+        logger.error("Error during load", error_trackback=traceback.format_exc())
+        raise
+    finally:
+        dest.release_lock()
+        logger.flush()
+
+
+# -------------------------------------------------------------- full load --
+
+
+def do_full_load(ctx: _Ctx, mode: str) -> FullLoadResult:
+    """One full snapshot extraction → history append/overwrite, then derive
+    ``latest_pk_version`` from the rows just written
+    (reference:odbc2deltalake/db_to_delta.py:1254-1326)."""
+    ctx.logger.info("Start Full Load", load="full")
+    src = ctx.extract(ctx.source.read(ctx.spark))
+    rows = with_system_cols(src, ctx.load_ts, is_deleted=False, is_full_load=True)
+    ctx.dest.delta.write(
+        rows, mode=mode, merge_schema=ctx.cfg.allow_schema_drift in (True, "new_only")
+    )
+    if ctx.delta_name is None:
+        ctx.logger.info("Full Load done", load="full")
+        return FullLoadResult()
+
+    # latest_pk = pk+delta cols of rows at MAX(__timestamp) among full loads
+    # (reference:odbc2deltalake/db_to_delta.py:1289-1325)
+    hist = ctx.dest.delta.read(ctx.spark)
+    full_rows = hist.filter(F.col(SYS.is_full_load))
+    max_ts = full_rows.agg(F.max(SYS.timestamp).alias("m")).first()["m"]
+    latest = full_rows.filter(F.col(SYS.timestamp) == F.lit(max_ts)).select(
+        *ctx.pk_names, ctx.delta_name
+    )
+    ctx.dest.latest_pk_version.write(latest, mode="overwrite")
+    ctx.logger.info("Full Load done, wrote meta for delta load", load="full")
+    return FullLoadResult()
+
+
+# --------------------------------------------------------- append inserts --
+
+
+def do_append_inserts_load(ctx: _Ctx) -> AppendOnlyLoadResult:
+    """Append-only mode: extract rows past the watermark, append, no delete
+    detection (reference:odbc2deltalake/db_to_delta.py:708-743)."""
+    ctx.logger.info("Start Append Only Load", load="append_inserts")
+    wm, _ = _local_value_and_count(ctx, from_history=True)
+    if wm is None:
+        changed = ctx.source.read(ctx.spark)
+    else:
+        changed = ctx.source.read_where_gt(ctx.spark, _source_delta_name(ctx), wm)
+    rows = with_system_cols(
+        ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
+    )
+    ctx.dest.delta_1.write(rows, mode="overwrite")
+    d1 = ctx.dest.delta_1.read(ctx.spark)
+    if not d1.isEmpty():
+        ctx.append_history(d1)
+    ctx.logger.info("Done Append only load", load="append_inserts")
+    return AppendOnlyLoadResult()
+
+
+# ------------------------------------------------------------- delta load --
+
+
+def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -> LoadResult:
+    """The incremental algorithm (reference:odbc2deltalake/db_to_delta.py:483-691)."""
+    res = DeltaLoadResult()
+    dest = ctx.dest
+    logger = ctx.logger
+    assert ctx.delta_name is not None
+
+    # drift gate: new source columns ⇒ full load
+    # (reference:odbc2deltalake/db_to_delta.py:496-508)
+    existing = {c.lower() for c in dest.delta.schema().fieldNames()}
+    missing = [n for n in ctx.all_target_names if n.lower() not in existing]
+    if missing and ctx.cfg.allow_schema_drift:
+        logger.warning(f"New columns from source: {missing}. Do a full load")
+        return do_full_load(ctx, mode="append")
+
+    if not simple and not dest.latest_pk_version.exists():
+        # try restore from history (reference:db_to_delta.py:519-532)
+        logger.warning("Primary keys missing, try to restore")
+        if not _restore_last_pk(ctx):
+            logger.warning("No primary keys found, do a full load")
+            return do_full_load(ctx, mode="append")
+    elif not simple:
+        have = {c.lower() for c in dest.latest_pk_version.schema().fieldNames()}
+        if not have.issuperset({p.lower() for p in ctx.pk_names}):
+            logger.warning("Primary keys do not match. Do a full load")
+            return do_full_load(ctx, mode="append")
+
+    old_pk_version = dest.latest_pk_version.version() if not simple else None
+
+    wm, local_count = _local_value_and_count(ctx)
+    res.starting_local_state = (wm, local_count)
+    src_wm, src_count = ctx.source.max_and_count(ctx.spark, _source_delta_name(ctx))
+    src_wm = _normalize_wm(src_wm)
+    res.starting_source_state = (src_wm, src_count)
+    if wm is not None and src_wm is not None and (wm, local_count) == (src_wm, src_count):
+        logger.info("No updates, done")
+        return NoLoadResult()
+    if wm is None:
+        logger.warning("No delta load value, do a full load")
+        return do_full_load(ctx, mode="append")
+    delta_load_value = wm
+
+    # step 1 — source key snapshot (reference:db_to_delta.py:575-579,862-890)
+    if not simple:
+        logger.info("Delta step 1: snapshot source PK/TS")
+        keys = ctx.source.read_keys(
+            ctx.spark, [_source_name(ctx, n) for n in ctx.pk_names + [ctx.delta_name]]
+        )
+        keys = convert_projection(
+            keys,
+            [c for c in ctx.cols if ctx.target_name(c) in ctx.pk_names + [ctx.delta_name]],
+            ctx.target_name,
+            ctx.cfg.no_trim,
+        )
+        dest.primary_keys_ts.write(keys, mode="overwrite")
+
+    # step 2 — changed rows past the watermark (reference:db_to_delta.py:584-610)
+    logger.info(f"Delta step 2: load updates WHERE {ctx.delta_name} > {delta_load_value}")
+    changed = ctx.source.read_where_gt(ctx.spark, _source_delta_name(ctx), delta_load_value)
+    d1_rows = with_system_cols(
+        ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
+    )
+    dest.delta_1.write(d1_rows, mode="overwrite")
+    d1 = dest.delta_1.read(ctx.spark)
+    if not d1.isEmpty():
+        ctx.append_history(d1)
+
+    if simple:
+        return _finish_simple(ctx, res, src_count, simple_check)
+
+    # step 3 — strange updates (reference:db_to_delta.py:995-1184)
+    assert old_pk_version is not None
+    new_wm = _handle_additional_updates(ctx, old_pk_version)
+    delta_load_value = new_wm if new_wm is not None else delta_load_value
+
+    # step 3.5 — deletes (reference:db_to_delta.py:749-859)
+    logger.info("Delta step 3.5: write deletes")
+    _do_deletes(ctx, old_pk_version)
+
+    # step 4 — persist the new current-rows index (reference:db_to_delta.py:631-639)
+    logger.info("Delta step 4: write latest_pk_version")
+    latest = latest_pk_union(
+        dest.delta_2.read(ctx.spark) if dest.delta_2.exists() else None,
+        dest.delta_1.read(ctx.spark),
+        dest.primary_keys_ts.read(ctx.spark),
+        ctx.pk_names,
+        ctx.delta_name,
+        delta_load_value=delta_load_value,
+    )
+    dest.latest_pk_version.write(latest, mode="overwrite")
+
+    # reconcile (reference:db_to_delta.py:641-658)
+    target_count = dest.latest_pk_version.read(ctx.spark).count()
+    res.dirty = src_count != target_count
+    if res.dirty:
+        logger.warning(
+            f"Source and target count do not match. Source: {src_count}, Target: {target_count}"
+        )
+        end_wm, end_cnt = ctx.source.max_and_count(ctx.spark, _source_delta_name(ctx))
+        res.end_source_state = (_normalize_wm(end_wm), end_cnt)
+        if res.end_source_state != res.starting_source_state:
+            logger.warning(
+                f"Source state changed during load: {res.starting_source_state} -> {res.end_source_state}"
+            )
+    else:
+        logger.info(f"Source and target count match: {src_count}")
+    return res
+
+
+def _finish_simple(
+    ctx: _Ctx, res: DeltaLoadResult, src_count: int, simple_check: bool
+) -> LoadResult:
+    """Simple-delta tail: merge delta_1 keys into latest_pk, drop the
+    snapshot, count-check, optionally escalate
+    (reference:odbc2deltalake/db_to_delta.py:659-691)."""
+    dest = ctx.dest
+    assert ctx.delta_name is not None
+    if not dest.delta_2.exists():
+        dest.delta_2.write_empty(ctx.spark, dest.delta_1.schema())
+    else:
+        dest.delta_2.write(
+            ctx.spark.createDataFrame([], dest.delta_1.schema()), mode="overwrite"
+        )
+    if dest.primary_keys_ts.exists():
+        dest.primary_keys_ts.delete_table()
+    merged = latest_pk_union(
+        None,
+        dest.delta_1.read(ctx.spark),
+        None,
+        ctx.pk_names,
+        ctx.delta_name,
+    )
+    dest.latest_pk_version.merge_upsert(ctx.spark, merged, ctx.pk_names)
+    target_count = dest.latest_pk_version.read(ctx.spark).count()
+    res.dirty = src_count != target_count
+    if res.dirty:
+        ctx.logger.warning(
+            f"Source and target count do not match. Source: {src_count}, Target: {target_count}"
+        )
+        if simple_check:
+            # escalate to a full delta load (reference:db_to_delta.py:676-680)
+            return do_delta_load(ctx, simple=False)
+    return res
+
+
+# -------------------------------------------------------- strange updates --
+
+
+def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
+    """Timestamp-inconsistent updates — e.g. a restore-from-backup rewound
+    rows below the watermark (reference:odbc2deltalake/db_to_delta.py:995-1184).
+
+    additional = (pk, ts) in primary_keys_ts EXCEPT (pk, ts) in latest_pk@old
+    real_additional = additional.pks EXCEPT delta_1.pks
+
+    - 0 keys → empty delta_2
+    - > max_complex_entries (or no_complex_entries_load) → rewind: new
+      watermark = MIN(ts of additional); re-extract WHERE ts > that value
+      into the history; return the rewound watermark (it caps step 4)
+    - else → fetch exactly those rows via broadcast semi join → delta_2
+    """
+    dest = ctx.dest
+    assert ctx.delta_name is not None
+    sel = ctx.pk_names + [ctx.delta_name]
+    pk_ts = dest.primary_keys_ts.read(ctx.spark).select(*sel)
+    old_lpk = dest.latest_pk_version.read(ctx.spark, version=old_pk_version).select(*sel)
+    additional = pk_ts.exceptAll(old_lpk)
+    d1_keys = dest.delta_1.read(ctx.spark).select(*ctx.pk_names)
+    real_additional = (
+        additional.select(*ctx.pk_names).join(d1_keys, on=ctx.pk_names, how="left_anti").distinct()
+    )
+    # cache: counted then re-used for the fetch / min()
+    additional = additional.localCheckpoint(eager=False)
+    real_additional = real_additional.localCheckpoint(eager=False)
+    update_count = real_additional.count()
+
+    d1_schema = dest.delta_1.schema()
+    if update_count == 0:
+        dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
+        return None
+
+    if update_count > ctx.cfg.max_complex_entries or ctx.cfg.no_complex_entries_load:
+        dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
+        ctx.logger.warning(
+            f"Delta step 3: load {update_count} strange updates via normal delta load"
+        )
+        rewind_wm = additional.agg(F.min(ctx.delta_name).alias("m")).first()["m"]
+        # >= (not the reference's strict >): the min-ts strange row itself
+        # must reach the history or step 4 indexes a phantom key
+        changed = ctx.source.read_where_ge(ctx.spark, _source_delta_name(ctx), rewind_wm)
+        rows = with_system_cols(
+            ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
+        )
+        # overwrite the delta_1 TABLE with the wider re-extraction (step 4's
+        # union reads these keys from the delta_1 branch; the pk_ts branch
+        # is capped at the rewound watermark) — matches the reference's
+        # _load_updates_to_delta(delta_name="delta_1")
+        # (reference:odbc2deltalake/db_to_delta.py:1137-1146,1223-1251)
+        dest.delta_1.write(rows, mode="overwrite")
+        d1 = dest.delta_1.read(ctx.spark)
+        if not d1.isEmpty():
+            ctx.append_history(d1)
+        return rewind_wm
+
+    ctx.logger.warning(
+        f"Delta step 3: load {update_count} strange updates via key-set join"
+    )
+    src_keys = real_additional.select(
+        *[F.col(n).alias(_source_name(ctx, n)) for n in ctx.pk_names]
+    )
+    fetched = ctx.source.read_for_keys(
+        ctx.spark, src_keys, [_source_name(ctx, n) for n in ctx.pk_names]
+    )
+    rows = with_system_cols(
+        ctx.extract(fetched), ctx.load_ts, is_deleted=False, is_full_load=False
+    )
+    dest.delta_2.write(rows, mode="overwrite")
+    d2 = dest.delta_2.read(ctx.spark)
+    if not d2.isEmpty():
+        ctx.append_history(d2)
+    return None
+
+
+# ----------------------------------------------------------------- deletes --
+
+
+def _do_deletes(ctx: _Ctx, old_pk_version: int) -> None:
+    """Deletes = latest_pk@old ∖ currently-expected keys → tombstones
+    (reference:odbc2deltalake/db_to_delta.py:749-859)."""
+    dest = ctx.dest
+    assert ctx.delta_name is not None
+    current = latest_pk_union(
+        dest.delta_2.read(ctx.spark) if dest.delta_2.exists() else None,
+        dest.delta_1.read(ctx.spark),
+        dest.primary_keys_ts.read(ctx.spark),
+        ctx.pk_names,
+        ctx.delta_name,
+    )
+    old_lpk = dest.latest_pk_version.read(ctx.spark, version=old_pk_version)
+    dels = deletes_keys(old_lpk, current, ctx.pk_names)
+    if dels.isEmpty():
+        return
+    schema = {f.name: f.dataType for f in dest.delta_1.schema().fields}
+    tombs = tombstone_projection(
+        dels,
+        [n for n in ctx.all_target_names],
+        ctx.pk_names,
+        schema,
+        ctx.load_ts,
+    )
+    ctx.append_history(tombs)
+
+
+# ------------------------------------------------------------- watermarks --
+
+
+def _local_value_and_count(ctx: _Ctx, from_history: bool = False) -> tuple[Any, int]:
+    """Local watermark: MAX(delta_col), COUNT(*).
+
+    Deliberate deviation from the reference, which prefers the
+    ``primary_keys_ts`` snapshot (reference:odbc2deltalake/load_infos.py:11-41).
+    That snapshot is taken *before* a load commits: a failed load leaves it
+    matching the source exactly, so the retry short-circuits as "no
+    change" and silently drops the interrupted load's rows. The committed
+    ``latest_pk_version`` index is the correct local state — its MAX is
+    the highest ingested delta value and its count the live-row count.
+    ``from_history`` (append_inserts, which keeps no key index) falls back
+    to the history table like the reference does."""
+    if not from_history and ctx.dest.latest_pk_version.exists():
+        df = ctx.dest.latest_pk_version.read(ctx.spark)
+    elif ctx.dest.delta.exists():
+        df = ctx.dest.delta.read(ctx.spark)
+    else:
+        return None, 0
+    agg_max = (
+        F.max(F.col(ctx.delta_name)).alias("m")
+        if ctx.delta_name
+        else F.lit(None).alias("m")
+    )
+    row = df.agg(agg_max, F.count(F.lit(1)).alias("c")).first()
+    return _normalize_wm(row["m"]), row["c"]
+
+
+def _normalize_wm(v: Any) -> Any:
+    """rowversion bytes → int so watermark values compare across engines
+    (reference:odbc2deltalake/load_infos.py:39-41)."""
+    if isinstance(v, (bytes, bytearray)):
+        return int.from_bytes(bytes(v), "big")
+    return v
+
+
+def _source_name(ctx: _Ctx, target: str) -> str:
+    """Map a target (compat) column name back to the source column name."""
+    for c in ctx.cols:
+        if ctx.target_name(c) == target:
+            return c.column_name
+    return target
+
+
+def _source_delta_name(ctx: _Ctx) -> Optional[str]:
+    return _source_name(ctx, ctx.delta_name) if ctx.delta_name else None
+
+
+# ---------------------------------------------------------------- restore --
+
+
+def _restore_last_pk(ctx: _Ctx) -> bool:
+    """Rebuild latest_pk_version from the SCD2 history
+    (reference:odbc2deltalake/write_utils/restore_pk.py:206-228)."""
+    assert ctx.delta_name is not None
+    hist = ctx.dest.delta.read(ctx.spark)
+    derived = derive_latest_pk_from_history(hist, ctx.pk_names, ctx.delta_name)
+    if derived is None or derived.isEmpty():
+        return False
+    ctx.dest.latest_pk_version.write(derived, mode="overwrite")
+    return True

@@ -1,0 +1,466 @@
+"""End-to-end CDC/SCD2 lifecycle scenarios, mirroring the reference's test
+files one-to-one (SURVEY.md §5; reference:tests/test_01..test_12)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odbc2deltalake_spark import (
+    ColInfo,
+    DataFrameSource,
+    DeltaDestination,
+    WriteConfig,
+    check_delta_consistency,
+    check_latest_pk,
+)
+from odbc2deltalake_spark.plans.consistency import InconsistentPrimaryKeyError
+from odbc2deltalake_spark.plans.db_to_delta import (
+    DeltaLoadResult,
+    NoLoadResult,
+)
+
+from tests.cdc_utils import (
+    ROWS_V1,
+    USER_COLS,
+    USER_SCHEMA,
+    current_rows,
+    history_rows,
+    make_source,
+    run_load,
+)
+
+
+# ------------------------------------------------ test_01: first full load --
+
+
+def test_first_full_load(spark, dest):
+    src = make_source(spark)
+    infos, result = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+
+    hist = d.delta.read(spark)
+    rows = hist.collect()
+    assert len(rows) == 3
+    assert all(r["__is_full_load"] for r in rows)
+    assert all(not r["__is_deleted"] for r in rows)
+    # compat rename: "User - iD" -> "User_-_iD", "time stamp" -> "time_stamp"
+    assert "User_-_iD" in hist.columns and "time_stamp" in hist.columns
+    # trim: trailing space removed (reference:tests/test_01_first_full.py:73)
+    comp = {r["companyid"] for r in rows}
+    assert "c2" in comp and "c2 " not in comp
+
+    lpk = d.latest_pk_version.read(spark)
+    assert sorted(tuple(r) for r in lpk.collect()) == [(1, 1000), (2, 1001), (3, 1002)]
+    # meta written
+    assert (dest / "meta" / "schema.json").exists()
+    assert not (dest / "meta" / "lock.txt").exists()
+
+
+# -------------------------------------------- test_02: no pks => full loads --
+
+
+def test_full_load_without_pks_appends(spark, dest):
+    df = spark.createDataFrame(ROWS_V1, USER_SCHEMA)
+    src = DataFrameSource(df, USER_COLS, primary_keys=[])
+    _, r1 = run_load(spark, src, dest, check=False)
+    _, r2 = run_load(spark, src, dest, check=False)
+    d = DeltaDestination(dest)
+    assert d.delta.read(spark).count() == 6  # repeated full loads append
+
+
+# ---------------------------------------- test_03: insert / update / delete --
+
+
+def test_delta_load_insert_update_delete(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+
+    # no change => NoLoadResult short-circuit (reference:db_to_delta.py:560-566)
+    _, r = run_load(spark, src, dest, check=False)
+    assert isinstance(r, NoLoadResult)
+
+    # mutate: update row 2, delete row 3, insert row 4 (monotonic rowversion)
+    rows2 = [
+        (1, "John", "Anders", 32.0, "c1", 1000),
+        (2, "Peter", "Johniingham", 42.0, "c1", 1003),
+        (4, "Marie", "Curie", 66.0, "c3", 1004),
+    ]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    infos, r = run_load(spark, src, dest)
+    assert isinstance(r, DeltaLoadResult) and not r.dirty
+
+    d = DeltaDestination(dest)
+    hist = d.delta.read(spark)
+    # history: 3 full + 2 delta_1 (id2 updated, id4 new) + 1 tombstone (id3)
+    assert hist.count() == 6
+    tomb = hist.filter("__is_deleted").collect()
+    assert len(tomb) == 1 and tomb[0]["User_-_iD"] == 3
+    assert tomb[0]["FirstName"] is None  # non-pk cols nulled (P4)
+
+    assert current_rows(spark, dest) == [
+        (1, "John", "Anders", 32.0),
+        (2, "Peter", "Johniingham", 42.0),
+        (4, "Marie", "Curie", 66.0),
+    ]
+
+
+# -------------------------------- test_04: strange (backdated) updates ------
+
+
+def _strange_setup(spark, dest, n_extra=0):
+    """Full load at rv<=1002, then an update whose rowversion goes BACKWARD
+    (backup-restore shape: same key, new value, rv below the watermark)."""
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    rows = [
+        (1, "John", "Anders", 32.0, "c1", 1000),
+        (2, "Pietro", "Johniingham", 41.0, "c1", 900),  # backdated update!
+        (3, "Petra", "wayne", 28.0, "c2 ", 1002),
+        (4, "Marie", "Curie", 66.0, "c3", 1003),  # normal insert — makes the
+        # source state differ so the no-change short-circuit doesn't fire
+    ]
+    extra = [
+        (100 + i, f"Extra{i}", "Strange", 1.0 * i, "cx", 500 + i) for i in range(n_extra)
+    ]
+    src.set_df(spark.createDataFrame(rows + extra, USER_SCHEMA))
+    return src
+
+
+def test_strange_updates_keyset_path(spark, dest):
+    src = _strange_setup(spark, dest)
+    infos, r = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    # the backdated row was fetched via the key-set join into delta_2
+    d2 = d.delta_2.read(spark).collect()
+    assert [x["User_-_iD"] for x in d2] == [2]
+    assert d2[0]["FirstName"] == "Pietro"
+    cur = current_rows(spark, dest)
+    assert (2, "Pietro", "Johniingham", 41.0) in cur
+    assert len(cur) == 4
+
+
+def test_strange_updates_rewind_path(spark, dest):
+    # cutoff forces the watermark-rewind strategy
+    # (reference:odbc2deltalake/db_to_delta.py:1105-1146)
+    src = _strange_setup(spark, dest, n_extra=3)
+    cfg = WriteConfig(max_complex_entries=2)
+    infos, r = run_load(spark, src, dest, cfg)
+    cur = current_rows(spark, dest)
+    assert (2, "Pietro", "Johniingham", 41.0) in cur
+    assert len(cur) == 7  # 4 current + 3 extra
+    d = DeltaDestination(dest)
+    assert d.delta_2.read(spark).count() == 0  # rewind path leaves delta_2 empty
+
+
+# -------------------------------------------- test_06: append inserts mode --
+
+
+def test_append_inserts(spark, dest):
+    src = make_source(spark)
+    cfg = WriteConfig(load_mode="append_inserts")
+    run_load(spark, src, dest, cfg, check=False)  # first load = full
+    rows2 = ROWS_V1 + [(4, "Marie", "Curie", 66.0, "c3", 1004)]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    run_load(spark, src, dest, cfg, check=False)
+    d = DeltaDestination(dest)
+    hist = d.delta.read(spark)
+    assert hist.count() == 4  # 3 full + 1 appended insert, no tombstones
+    assert hist.filter("__is_deleted").count() == 0
+
+
+# ----------------------------------- test_07/08: simple delta + escalation --
+
+
+def test_simple_delta(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    rows2 = [
+        (1, "John", "Anders", 32.0, "c1", 1000),
+        (2, "Peter", "Johniingham", 42.0, "c1", 1003),
+        (3, "Petra", "wayne", 28.0, "c2 ", 1002),
+        (4, "Marie", "Curie", 66.0, "c3", 1004),
+    ]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    cfg = WriteConfig(load_mode="simple_delta")
+    infos, r = run_load(spark, src, dest, cfg)
+    assert not r.dirty
+    assert current_rows(spark, dest) == [
+        (1, "John", "Anders", 32.0),
+        (2, "Peter", "Johniingham", 42.0),
+        (3, "Petra", "wayne", 28.0),
+        (4, "Marie", "Curie", 66.0),
+    ]
+
+
+def test_simple_delta_check_escalates_on_delete(spark, dest):
+    """simple_delta misses deletes; simple_delta_check count-mismatch
+    escalates to a full delta load which tombstones them
+    (reference:tests/test_08_simple_delta_check.py:80-110)."""
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    rows2 = [
+        (1, "John", "Anders", 32.0, "c1", 1000),
+        (2, "Peter", "Johniingham", 42.0, "c1", 1003),
+    ]  # row 3 deleted
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+
+    infos, r = run_load(spark, src, dest, WriteConfig(load_mode="simple_delta_check"))
+    assert current_rows(spark, dest) == [
+        (1, "John", "Anders", 32.0),
+        (2, "Peter", "Johniingham", 42.0),
+    ]
+    d = DeltaDestination(dest)
+    assert d.delta.read(spark).filter("__is_deleted").count() == 1
+
+    # plain simple_delta would NOT have caught it: dirty flag set instead
+    dest2 = dest.parent / "dest2"
+    src2 = make_source(spark)
+    run_load(spark, src2, dest2)
+    src2.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    _, r2 = run_load(spark, src2, dest2, WriteConfig(load_mode="simple_delta"), check=False)
+    assert r2.dirty
+
+
+# --------------------------------------------- test_09: query-as-source -----
+
+
+def test_query_source_with_explicit_pks(spark, dest, tmp_path):
+    """Query sources can't be introspected — pks/delta col come from config
+    (reference:tests/test_09_query.py:25-43)."""
+    p = str(tmp_path / "users.parquet")
+    spark.createDataFrame(ROWS_V1, USER_SCHEMA).write.parquet(p)
+
+    from odbc2deltalake_spark import ParquetTableSource
+
+    src = ParquetTableSource(p, type_strs={"time stamp": "rowversion"})
+    cfg = WriteConfig(primary_keys=["User - iD"], delta_col="time stamp")
+    infos, r = run_load(spark, src, dest, cfg)
+    assert infos.delta_col is not None and infos.delta_col.column_name == "time stamp"
+    assert len(current_rows(spark, dest)) == 3
+
+
+# ------------------------------------- test_10: consistency check + fix -----
+
+
+def test_consistency_check_and_auto_fix(spark, dest):
+    src = make_source(spark)
+    infos, _ = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    # corrupt latest_pk: drop a key
+    lpk = d.latest_pk_version.read(spark)
+    d.latest_pk_version.write(lpk.filter("`User_-_iD` <> 2"), mode="overwrite")
+
+    with pytest.raises(InconsistentPrimaryKeyError):
+        check_latest_pk(infos)
+    issues = check_delta_consistency(infos, auto_fix=True)
+    assert issues  # reported the corruption
+    check_latest_pk(infos)  # now consistent
+
+
+# ------------------------------------------- test_restore: latest_pk loss ---
+
+
+def test_restore_latest_pk_from_history(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    rows2 = ROWS_V1 + [(4, "Marie", "Curie", 66.0, "c3", 1004)]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    run_load(spark, src, dest)
+
+    d = DeltaDestination(dest)
+    d.latest_pk_version.delete_table()  # lose the index entirely
+
+    rows3 = rows2 + [(5, "Ada", "Lovelace", 36.0, "c3", 1005)]
+    src.set_df(spark.createDataFrame(rows3, USER_SCHEMA))
+    infos, r = run_load(spark, src, dest)  # restores from history, then delta
+    assert len(current_rows(spark, dest)) == 5
+
+
+# ------------------------------------------- test_11: schema drift ----------
+
+
+def test_schema_drift_new_column_full_load(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+
+    schema2 = T.StructType(USER_SCHEMA.fields + [T.StructField("email", T.StringType())])
+    rows2 = [r + (f"u{r[0]}@x.io",) for r in ROWS_V1]
+    cols2 = USER_COLS + [ColInfo("email", T.StringType(), "varchar(100)")]
+    src.set_df(spark.createDataFrame(rows2, schema2), infos=cols2)
+
+    infos, r = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    hist = d.delta.read(spark)
+    assert "email" in hist.columns
+    # drift triggered a second FULL load (append)
+    assert hist.filter("__is_full_load").count() == 6
+    # old rows read back with NULL email
+    olds = hist.filter(F.col("email").isNull()).count()
+    assert olds == 3
+
+
+def test_schema_drift_type_widening_keeps_delta(spark, dest):
+    """decimal widening: delta loads continue
+    (reference:tests/test_11_schema_drift.py:71-102)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("amount", T.DecimalType(15, 3), True),
+            T.StructField("rv", T.LongType(), False),
+        ]
+    )
+    cols = [
+        ColInfo("id", T.LongType(), "bigint", False),
+        ColInfo("amount", T.DecimalType(15, 3), "decimal(15,3)"),
+        ColInfo("rv", T.LongType(), "rowversion", False),
+    ]
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(1, Decimal("1.5"), 10)], schema)
+    src = DataFrameSource(df, cols, primary_keys=["id"])
+    run_load(spark, src, dest)
+
+    schema2 = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("amount", T.DecimalType(20, 3), True),
+            T.StructField("rv", T.LongType(), False),
+        ]
+    )
+    cols2 = [
+        ColInfo("id", T.LongType(), "bigint", False),
+        ColInfo("amount", T.DecimalType(20, 3), "decimal(20,3)"),
+        ColInfo("rv", T.LongType(), "rowversion", False),
+    ]
+    df2 = spark.createDataFrame(
+        [(1, Decimal("1.5"), 10), (2, Decimal("12345678901234567.25"), 11)], schema2
+    )
+    src.set_df(df2, infos=cols2)
+    infos, r = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    assert isinstance(r, DeltaLoadResult)
+    hist = d.delta.read(spark)
+    assert dict(hist.dtypes)["amount"] == "decimal(20,3)"
+    assert hist.count() == 2
+
+
+# ----------------------------------- test_05: type conversion map -----------
+
+
+def test_type_map_decimal_to_double(spark, dest):
+    """User type map decimal->double (reference:tests/test_05_conversion.py:29-36)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("amount", T.DecimalType(15, 3), True),
+            T.StructField("rv", T.LongType(), False),
+        ]
+    )
+    cols = [
+        ColInfo("id", T.LongType(), "bigint", False),
+        ColInfo("amount", T.DecimalType(15, 3), "decimal(15,3)"),
+        ColInfo("rv", T.LongType(), "rowversion", False),
+    ]
+    from decimal import Decimal
+    from pyspark.sql import types as TT
+
+    df = spark.createDataFrame([(1, Decimal("1.5"), 10)], schema)
+    src = DataFrameSource(df, cols, primary_keys=["id"])
+    cfg = WriteConfig(data_type_map={"decimal": TT.DoubleType()})
+    run_load(spark, src, dest, cfg)
+    d = DeltaDestination(dest)
+    assert dict(d.delta.read(spark).dtypes)["amount"] == "double"
+
+
+# ----------------------------- test_12: concurrent mutation mid-load --------
+
+
+def test_insert_while_load_capped(spark, dest):
+    """A row deleted between the PK snapshot and later stages must not leave
+    a phantom in latest_pk; a row inserted mid-load (ts > delta_load_value)
+    must not enter latest_pk this round (P9 cap;
+    reference:tests/test_12_insert_while_load.py:43-87)."""
+    src = make_source(spark)
+    run_load(spark, src, dest)
+
+    rows2 = ROWS_V1 + [(4, "Marie", "Curie", 66.0, "c3", 1004)]
+    rows_mid = rows2 + [(5, "Late", "Arrival", 1.0, "c9", 2000)]
+    # when id 5 is *really* inserted later it gets a fresh rowversion
+    # (monotonic) — re-inserting at the old rv would be indistinguishable
+    # from the stale snapshot
+    rows3 = rows2 + [(5, "Late", "Arrival", 1.0, "c9", 2001)]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+
+    def hook(tag, df):
+        # id=5 is inserted after the watermark probe and visible to the
+        # PK/TS snapshot, then deleted again before the delta_1 extraction
+        # — without the P9 cap it would become a phantom key in latest_pk
+        # with no history row
+        if tag == "read_keys":
+            return spark.createDataFrame(rows_mid, USER_SCHEMA)
+        return spark.createDataFrame(rows2, USER_SCHEMA)
+
+    src.between_stages = hook
+    infos, r = run_load(spark, src, dest, check=False)
+    d = DeltaDestination(dest)
+    lpk_keys = {r["User_-_iD"] for r in d.latest_pk_version.read(spark).collect()}
+    assert 4 in lpk_keys
+    assert 5 not in lpk_keys  # the vanished mid-load key is not indexed
+    check_latest_pk(infos)  # and the invariant holds
+
+    # a later load (id 5 now really present) picks it up cleanly
+    src.between_stages = None
+    src.set_df(spark.createDataFrame(rows3, USER_SCHEMA))
+    infos, r = run_load(spark, src, dest)
+    lpk_keys = {r["User_-_iD"] for r in d.latest_pk_version.read(spark).collect()}
+    assert 5 in lpk_keys
+
+
+# --------------------------------------------------- lock + rollback --------
+
+
+def test_lock_blocks_concurrent_load(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    d.lock_path.parent.mkdir(parents=True, exist_ok=True)
+    d.lock_path.write_text("")
+    from odbc2deltalake_spark.plans.destination import LockHeldError
+
+    with pytest.raises(LockHeldError):
+        run_load(spark, src, dest, check=False)
+    d.release_lock()
+
+
+def test_failure_restores_latest_pk(spark, dest):
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    v_before = d.latest_pk_version.version()
+
+    rows2 = ROWS_V1 + [(4, "Marie", "Curie", 66.0, "c3", 1004)]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+
+    boom = {"armed": True}
+
+    def hook(df, tag):
+        if boom["armed"] and tag == "sql2delta" and not df.isEmpty():
+            raise RuntimeError("injected failure")
+        return df
+
+    cfg = WriteConfig(transformation_hook=hook)
+    with pytest.raises(RuntimeError):
+        run_load(spark, src, dest, cfg, check=False)
+    # the index was rolled back to its pre-load version and the lock released
+    assert d.latest_pk_version.version() >= v_before
+    assert (
+        d.latest_pk_version.read(spark).count()
+        == d.latest_pk_version.read(spark, version=v_before).count()
+    )
+    assert not d.lock_path.exists()
+
+    boom["armed"] = False
+    infos, r = run_load(spark, src, dest)
+    assert len(current_rows(spark, dest)) == 4
