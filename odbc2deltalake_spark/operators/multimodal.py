@@ -1,0 +1,165 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Design: media payloads are opaque ``binary`` columns plus typed metadata;
+all per-item compute (decode, feature extraction, resize, frame sampling)
+runs as Arrow-batched ``mapInPandas`` kernels so the Spark-side plumbing —
+schema, partitioning, batch shape — is identical whether the kernel is a
+real codec or a stub. The decode libraries (Pillow / soundfile / av) are
+not in this container, so the codec step is gated behind a try-import with
+a deterministic fake fallback; swapping in the real library changes ONE
+function, not the plan.
+
+Scale: kernels are per-row independent → linear scans, no shuffle; media
+tables should be written with payloads in their own parquet column so
+metadata-only queries never read the bytes (column pruning), and
+``spark.sql.files.maxPartitionBytes`` sized so one task's batch of
+payloads fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def _try_real_image_decode(payload: bytes):
+    """Real decode path — active when Pillow is installed."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    im = Image.open(io.BytesIO(payload))
+    return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+def _stub_image_decode(payload: bytes) -> dict:
+    """Deterministic fake decode: reads a tiny fake header (two uint16 at
+    offset 0) exactly as the synthetic test fixtures write it. Clearly a
+    STUB — raises on payloads without the fake magic."""
+    if len(payload) < 6 or payload[:2] != b"FK":
+        raise NotImplementedError(
+            "real image decoding requires Pillow; payload lacks the FK stub header"
+        )
+    w, h = struct.unpack(">HH", payload[2:6])
+    return {"width": w, "height": h, "mode": "STUB"}
+
+
+DECODE_RESULT_SCHEMA = "media_id long, width int, height int, mode string, n_bytes int"
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """Decode → (media_id, width, height, mode, n_bytes), Arrow-batched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = _try_real_image_decode(b) or _stub_image_decode(b)
+                out.append((mid, d["width"], d["height"], d["mode"], len(b)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "mode", "n_bytes"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, DECODE_RESULT_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic byte-level feature vector (stand-in for an embedding
+    model): sha256-seeded floats in [0,1). The vector column has the same
+    array<float> shape the similarity operators consume, so the ANN path
+    (sim_ann_topk / sim_lsh_buckets) runs unchanged on media features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.sha256(bytes(payload)).digest()
+                # expand digest deterministically to `dim` floats
+                raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+                v = np.frombuffer(raw, dtype=">u4").astype("float64") / 2**32
+                ids.append(mid)
+                vecs.append(v.astype("float32").tolist())
+            yield pd.DataFrame({"media_id": ids, "feature": vecs})
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, f"media_id long, feature array<float>"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling (stub): the fake payload is a sequence of
+    fixed-size 'frames' after the header; emit every Nth frame's offset +
+    digest. Plumbing (one input row → many output rows via mapInPandas)
+    matches what a real ffmpeg/av kernel produces."""
+    FRAME = 32
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, digests = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)[6:]  # skip stub header
+                for i in range(0, len(b) // FRAME, every_n):
+                    frame = b[i * FRAME : (i + 1) * FRAME]
+                    mids.append(mid)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_index": idxs, "frame_md5": digests}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, frame_index int, frame_md5 string"
+    )
+
+
+def make_fake_media(docs: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents fixture: the
+    payload is the FK stub header (width/height derived from doc_id) plus
+    the UTF-8 text bytes — JVM-side expressions only, so both engines can
+    reproduce it bit-for-bit."""
+    w = (F.col("doc_id") % 640 + 16).cast("int")
+    h = (F.col("doc_id") % 480 + 16).cast("int")
+    header = F.concat(
+        F.lit(b"FK"),
+        _be16(w),
+        _be16(h),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+        F.lit("image/x-stub").alias("mime"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def _be16(col):
+    """Two big-endian bytes from an int column (JVM-side)."""
+    hi = F.floor(col / 256).cast("int")
+    lo = (col % 256).cast("int")
+    return F.concat(_byte(hi), _byte(lo))
+
+
+def _byte(col):
+    return F.unhex(F.lpad(F.hex(col), 2, "0"))

@@ -80,3 +80,4 @@ def load_all() -> None:
     import odbc2deltalake_spark.queries.text_ops  # noqa: F401
     import odbc2deltalake_spark.queries.dedup_ops  # noqa: F401
     import odbc2deltalake_spark.queries.similarity_ops  # noqa: F401
+    import odbc2deltalake_spark.queries.multimodal_ops  # noqa: F401

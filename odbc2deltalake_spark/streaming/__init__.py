@@ -1,0 +1,15 @@
+from odbc2deltalake_spark.streaming.driver import (
+    stream_db_to_delta,
+    foreach_batch_scd2,
+)
+from odbc2deltalake_spark.streaming.events import (
+    windowed_rollup_stream,
+    deduped_stream,
+)
+
+__all__ = [
+    "stream_db_to_delta",
+    "foreach_batch_scd2",
+    "windowed_rollup_stream",
+    "deduped_stream",
+]
