@@ -31,6 +31,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "q17_small_quantity",
     "ev_hourly_rollup",
     "ev_sessionize",
     "scd2_current_rows",

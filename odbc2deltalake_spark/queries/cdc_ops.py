@@ -244,11 +244,26 @@ WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
 def p6_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: the delta criterion `WHERE delta_col > watermark`
     (reference:odbc2deltalake/db_to_delta.py:584-610) — pushed to the
-    parquet scan (PushedFilters in explain)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp")
-    ).select("event_id", "user_id", "ts", "event_type", F.round("value", 2).alias("value"))
+    parquet scan (PushedFilters in explain).
+
+    The events table stores nanosecond bigints; filtering the *converted*
+    timestamp would hide the predicate from the scan (only IsNotNull gets
+    pushed). Transposing the watermark into the raw nanos domain keeps a
+    GreaterThan on the stored column — at 100 TB that is row-group/page
+    pruning instead of a full scan."""
+    import datetime
+
+    wm = datetime.datetime(2024, 1, 25)
+    wm_nanos = int(wm.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000_000
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    filtered = raw.filter(F.col("ts") > F.lit(wm_nanos))
+    return filtered.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
 
 
 # ---------------------------------------------------------------- P9 ----
