@@ -47,6 +47,60 @@ HEADLINE = [
 ]
 
 
+def _bench_cdc_engine(spark, sf_dir: str) -> dict[str, float]:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark import ColInfo, DataFrameSource, WriteConfig, write_db_to_delta
+
+    ev = load_table(spark, sf_dir, "events").drop("props").withColumn(
+        "rv", F.col("event_id")
+    )
+    infos = [
+        ColInfo(
+            f.name,
+            f.dataType,
+            "rowversion" if f.name == "rv" else f.dataType.simpleString(),
+            True,
+        )
+        for f in ev.schema.fields
+    ]
+    src = DataFrameSource(ev, infos, primary_keys=["event_id"])
+    cfg = WriteConfig(delta_col="rv")
+    dest = tempfile.mkdtemp(prefix="bench_cdc_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        write_db_to_delta(spark, src, dest, cfg)
+        out["cdc_full_load"] = round(time.time() - t0, 3)
+
+        upd = ev.filter(F.col("event_id") % 100 == 0).withColumn(
+            "rv", F.col("rv") + 10_000_000
+        )
+        base = ev.filter(F.col("event_id") % 100 != 0)
+        new = ev.limit(1000).select(
+            (F.col("event_id") + 20_000_000).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("rv") + 20_000_000).alias("rv"),
+        )
+        src.set_df(base.unionByName(upd).unionByName(new))
+        t0 = time.time()
+        write_db_to_delta(spark, src, dest, cfg)
+        out["cdc_delta_load"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        write_db_to_delta(spark, src, dest, cfg)
+        out["cdc_noop_load"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +119,13 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
         dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    # CDC engine lifecycle at this scale factor (events as source table):
+    # full load, an incremental load (1% updates + 1k inserts), and the
+    # no-change short-circuit — the engine's write-side throughput.
+    for name, dt in _bench_cdc_engine(spark, sf_dir).items():
         timings[name] = dt
         total += dt
     print(

@@ -48,11 +48,25 @@ def get_spark(
         # modest heap: testdata is small and huge heaps (90g) caused
         # erratic multi-10s GC/heap-growth pauses on tiny queries
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
-        # whole-stage codegen emits huge methods; with the default C2
-        # compiler-thread count the JIT queue backs up and hot query loops
-        # run interpreted for 30-50s (measured: single thread pegged at 1
-        # core for 40s on a 1s query). More C2 threads fix it outright.
-        .config("spark.driver.extraJavaOptions", "-XX:CICompilerCount=16")
+        # whole-stage codegen emits huge methods whose C2 compiles take
+        # tens of seconds; while a compile is in flight the query runs
+        # INTERPRETED (measured: 1 thread pegged at 1.0 cores for 40s on a
+        # 1s query, ~0 GC). C1-only compiles are fast and predictable —
+        # right for short-lived sessions with heavy codegen churn; on a
+        # long-running cluster where C2 peak throughput amortizes, override
+        # via SPARK_GRAFT_JVM_OPTS="".
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                # the large code cache matters most: C1-only defaults to
+                # 48m, which Spark's codegen churn fills ("CodeCache is
+                # full. Compiler has been disabled" => everything runs
+                # interpreted)
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m"
+                " -XX:CICompilerCount=16",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark has
