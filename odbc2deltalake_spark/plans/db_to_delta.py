@@ -286,10 +286,9 @@ def do_append_inserts_load(ctx: _Ctx) -> AppendOnlyLoadResult:
     rows = with_system_cols(
         ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
     )
-    ctx.dest.delta_1.write(rows, mode="overwrite")
-    d1 = ctx.dest.delta_1.read(ctx.spark)
-    if not d1.isEmpty():
-        ctx.append_history(d1)
+    _, n = ctx.dest.delta_1.write_counted(rows, mode="overwrite")
+    if n:
+        ctx.append_history(ctx.dest.delta_1.read(ctx.spark))
     ctx.logger.info("Done Append only load", load="append_inserts")
     return AppendOnlyLoadResult()
 
@@ -359,10 +358,10 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
     d1_rows = with_system_cols(
         ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
     )
-    dest.delta_1.write(d1_rows, mode="overwrite")
-    d1 = dest.delta_1.read(ctx.spark)
-    if not d1.isEmpty():
-        ctx.append_history(d1)
+    # count observed during the write — no read-back emptiness job
+    _, n1 = dest.delta_1.write_counted(d1_rows, mode="overwrite")
+    if n1:
+        ctx.append_history(dest.delta_1.read(ctx.spark))
 
     if simple:
         return _finish_simple(ctx, res, src_count, simple_check)
@@ -386,10 +385,10 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
         ctx.delta_name,
         delta_load_value=delta_load_value,
     )
-    dest.latest_pk_version.write(latest, mode="overwrite")
+    _, target_count = dest.latest_pk_version.write_counted(latest, mode="overwrite")
 
-    # reconcile (reference:db_to_delta.py:641-658)
-    target_count = dest.latest_pk_version.read(ctx.spark).count()
+    # reconcile (reference:db_to_delta.py:641-658) — the target count is
+    # observed during the write itself, no second scan
     res.dirty = src_count != target_count
     if res.dirty:
         logger.warning(
@@ -495,10 +494,9 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
         # is capped at the rewound watermark) — matches the reference's
         # _load_updates_to_delta(delta_name="delta_1")
         # (reference:odbc2deltalake/db_to_delta.py:1137-1146,1223-1251)
-        dest.delta_1.write(rows, mode="overwrite")
-        d1 = dest.delta_1.read(ctx.spark)
-        if not d1.isEmpty():
-            ctx.append_history(d1)
+        _, n = dest.delta_1.write_counted(rows, mode="overwrite")
+        if n:
+            ctx.append_history(dest.delta_1.read(ctx.spark))
         return rewind_wm
 
     ctx.logger.warning(
@@ -513,10 +511,9 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
     rows = with_system_cols(
         ctx.extract(fetched), ctx.load_ts, is_deleted=False, is_full_load=False
     )
-    dest.delta_2.write(rows, mode="overwrite")
-    d2 = dest.delta_2.read(ctx.spark)
-    if not d2.isEmpty():
-        ctx.append_history(d2)
+    _, n = dest.delta_2.write_counted(rows, mode="overwrite")
+    if n:
+        ctx.append_history(dest.delta_2.read(ctx.spark))
     return None
 
 

@@ -219,6 +219,22 @@ class VersionedParquetTable:
         )
         return new_version
 
+    def write_counted(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+    ) -> tuple[int, int]:
+        """Write and return (version, rows_written) in ONE pass: an
+        Observation on the write plan counts rows as they stream to
+        parquet — no separate isEmpty/count job over the written table."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        v = self.write(df, mode=mode, merge_schema=merge_schema)
+        return v, int(obs.get["rows"])
+
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""
         return self.write(spark.createDataFrame([], schema), mode="overwrite")
