@@ -64,6 +64,8 @@ class JDBCSource(Source):
         dialect: str = "tsql",
         options: Optional[dict[str, str]] = None,
         primary_keys: Optional[list[str]] = None,
+        partition_column: Optional[str] = None,
+        num_partitions: int = 16,
     ):
         assert (table is None) != (query is None), "exactly one of table/query"
         self.url = url
@@ -73,6 +75,11 @@ class JDBCSource(Source):
         self.options = options or {}
         self._pks = primary_keys or []
         self._col_cache: Optional[list[ColInfo]] = None
+        # parallel extraction: numeric/ts column to range-split the read on
+        # (executors each pull one split — the scale path for big source
+        # tables; a single-stream read is the reference's ODBC behavior)
+        self.partition_column = partition_column
+        self.num_partitions = num_partitions
 
     # ---------------------------------------------------------- SQL gen --
 
@@ -179,12 +186,37 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
 
     # -------------------------------------------------------------- reads --
 
-    def _jdbc(self, spark: SparkSession, sql: str) -> DataFrame:
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("query", sql)
-        )
+    def _jdbc(
+        self, spark: SparkSession, sql: str, partitioned: bool = False
+    ) -> DataFrame:
+        reader = spark.read.format("jdbc").option("url", self.url)
+        if partitioned and self.partition_column is not None:
+            # range-partitioned parallel read: `query` and partition options
+            # are mutually exclusive in the JDBC source, so wrap the SQL as
+            # a dbtable subquery and probe the column bounds server-side
+            bounds = (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option(
+                    "query",
+                    f"SELECT MIN(pc) AS lo, MAX(pc) AS hi FROM ("
+                    f"SELECT {self._q(self.partition_column)} AS pc FROM ({sql}) q) b",
+                )
+                .load()
+                .first()
+            )
+            if bounds and bounds["lo"] is not None and bounds["lo"] != bounds["hi"]:
+                reader = (
+                    reader.option("dbtable", f"({sql}) spark_split")
+                    .option("partitionColumn", self.partition_column)
+                    .option("lowerBound", str(bounds["lo"]))
+                    .option("upperBound", str(bounds["hi"]))
+                    .option("numPartitions", str(self.num_partitions))
+                )
+            else:
+                reader = reader.option("query", sql)
+        else:
+            reader = reader.option("query", sql)
         for k, v in self.options.items():
             reader = reader.option(k, v)
         return reader.load()
@@ -230,12 +262,14 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
         return [r[0] for r in self._jdbc(spark, self.primary_keys_sql()).collect()]
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return self._jdbc(spark, self.select_sql())
+        return self._jdbc(spark, self.select_sql(), partitioned=True)
 
     def read_where_gt(self, spark: SparkSession, column: str, value: Any) -> DataFrame:
         self.col_infos(spark)
         return self._jdbc(
-            spark, self.select_sql(where=self.delta_criterion_sql(column, value))
+            spark,
+            self.select_sql(where=self.delta_criterion_sql(column, value)),
+            partitioned=True,
         )
 
     def read_keys(self, spark: SparkSession, columns: list[str]) -> DataFrame:

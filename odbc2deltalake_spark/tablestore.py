@@ -179,6 +179,7 @@ class VersionedParquetTable:
         mode: str = "append",
         merge_schema: bool = False,
         overwrite_schema: bool = False,
+        partition_by: Optional[list[str]] = None,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink)."""
@@ -207,7 +208,13 @@ class VersionedParquetTable:
                 )
                 new_schema = old_schema
         dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(str(self.root / dir_name))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style subdirs inside this commit's dir; reads prune on
+            # the partition column (each commit is already one load, so the
+            # history table is implicitly load-partitioned on top of this)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(self.root / dir_name))
         self._write_commit(
             {
                 "version": new_version,

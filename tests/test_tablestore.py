@@ -66,3 +66,16 @@ def test_properties(spark, tmp_path):
     t.set_properties({"k": "v"})
     assert t.get_property("k") == "v"
     assert t.get_property("nope") is None
+
+
+def test_partitioned_write_reads_back(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "id long, v string, pt string"
+    )
+    t.write(df, mode="overwrite", partition_by=["pt"])
+    out = t.read(spark)
+    assert out.count() == 3
+    assert sorted(r["pt"] for r in out.collect()) == ["x", "x", "y"]
+    # partition pruning: filter on the partition column reads only that subdir
+    assert t.read(spark).filter("pt = 'y'").count() == 1
