@@ -103,3 +103,29 @@ def test_windowed_rollup_stream_matches_batch(spark, tmp_path):
     assert all(r[0] >= max_start or r not in missing for r in batch_expected) or len(
         missing
     ) <= len({r for r in batch_expected if r[0] == max_start}) + 8
+
+
+def test_deduped_stream(spark, tmp_path):
+    from odbc2deltalake_spark.streaming import deduped_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    dup = events.unionByName(events.limit(50))  # at-least-once input
+    out = deduped_stream(dup, ["event_id"])
+    assert out.count() == events.count()
+
+    # streaming form: duplicates within the watermark are dropped
+    src_dir = tmp_path / "dd"
+    dup.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    q = (
+        deduped_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) c FROM dedup_test").first()["c"]
+    assert got == events.count()
