@@ -162,10 +162,13 @@ _BAND_SIZE = 2  # => 4 bands; P(candidate) ≈ 1-(1-j^2)^4
 
 
 def _minhash_cols_sql() -> str:
-    # numeric minhash: 60-bit integer from the md5 prefix — keeps the
-    # signature aggregation fixed-width (hash agg, not sort agg)
+    # ONE md5 per shingle; the 8 hash functions are xor/shift mixes of the
+    # two 60-bit halves of the digest. JVM MessageDigest.getInstance runs
+    # per md5() call, so 8 seeded digests per shingle was 8x the cost for
+    # no extra independence a min-sketch needs.
     return ", ".join(
-        f"min(('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT) AS h{i}"
+        f"min(xor(('0x' || substr(md5(shingle), 1, 15))::BIGINT, "
+        f"('0x' || substr(md5(shingle), 17, 15))::BIGINT >> {i})) AS h{i}"
         for i in range(_N_HASHES)
     )
 
@@ -223,17 +226,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 60-bit bigints (md5-prefix) so the 8-way min() aggregation stays
     fixed-width and uses hash aggregation, not a sort."""
     sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
+    dig = F.md5(F.col("shingle"))
+    v = F.conv(F.substring(dig, 1, 15), 16, 10).cast("long")
+    w = F.conv(F.substring(dig, 17, 15), 16, 10).cast("long")
+    hashed = sh.select(
+        "doc_id", v.alias("__v"), w.alias("__w")
+    )
     mh = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"h{i}")
+        F.min(F.col("__v").bitwiseXOR(F.shiftright(F.col("__w"), i))).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    sigs = sh.groupBy("doc_id").agg(*mh)
+    # localCheckpoint: the 4 band projections would otherwise recompute
+    # this aggregation (and all its hashing) once each
+    sigs = hashed.groupBy("doc_id").agg(*mh).localCheckpoint(eager=False)
     band_parts = []
     for b in range(_N_HASHES // _BAND_SIZE):
         cols = [

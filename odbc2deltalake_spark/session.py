@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # straggler mitigation: re-launch tasks that run far beyond their
+        # stage's norm (observed here: a vCPU occasionally stalls and a
+        # normally-1s single task takes 30-40s; on a 1000-executor cluster
+        # the same guard covers slow/hot nodes). The duration threshold
+        # covers single-task stages that have no quantile baseline.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "2s")
+        .config("spark.speculation.multiplier", "3")
+        .config("spark.speculation.quantile", "0.9")
+        .config("spark.speculation.task.duration.threshold", "15s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         # modest heap: testdata is small and huge heaps (90g) caused
