@@ -87,24 +87,37 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic byte-level feature vector (stand-in for an embedding
     model): sha256-seeded floats in [0,1). The vector column has the same
     array<float> shape the similarity operators consume, so the ANN path
-    (sim_ann_topk / sim_lsh_buckets) runs unchanged on media features."""
+    (sim_ann_topk / sim_lsh_buckets) runs unchanged on media features.
+
+    The seed hashes the payload's lowercase-hex string (not the raw
+    bytes): DuckDB's sha256/md5 are VARCHAR-only, and seeding in the hex
+    domain lets the oracle reproduce the whole expansion bit-for-bit.
+    ``feature_digest`` (md5 over the comma-joined uint32 expansion) is the
+    scalar the correctness harness canonicalizes — bare array<float>
+    columns are unhashable in the driver's pandas-based comparator."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            ids, vecs = [], []
+            ids, vecs, digs = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                h = hashlib.sha256(bytes(payload)).digest()
-                # expand digest deterministically to `dim` floats
+                h = hashlib.sha256(bytes(payload).hex().encode()).digest()
+                # expand digest deterministically to `dim` uint32s
                 raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
-                v = np.frombuffer(raw, dtype=">u4").astype("float64") / 2**32
+                u = np.frombuffer(raw, dtype=">u4")
+                v = u.astype("float64") / 2**32
                 ids.append(mid)
                 vecs.append(v.astype("float32").tolist())
-            yield pd.DataFrame({"media_id": ids, "feature": vecs})
+                digs.append(
+                    hashlib.md5(",".join(str(int(x)) for x in u).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "feature": vecs, "feature_digest": digs}
+            )
 
     return df.select("media_id", "payload").mapInPandas(
-        kernel, f"media_id long, feature array<float>"
+        kernel, "media_id long, feature array<float>, feature_digest string"
     )
 
 
@@ -112,7 +125,9 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling (stub): the fake payload is a sequence of
     fixed-size 'frames' after the header; emit every Nth frame's offset +
     digest. Plumbing (one input row → many output rows via mapInPandas)
-    matches what a real ffmpeg/av kernel produces."""
+    matches what a real ffmpeg/av kernel produces. Frame digests hash the
+    frame's lowercase-hex string (DuckDB md5 is VARCHAR-only — keeps the
+    oracle byte-exact)."""
     FRAME = 32
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +139,7 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                     frame = b[i * FRAME : (i + 1) * FRAME]
                     mids.append(mid)
                     idxs.append(i)
-                    digests.append(hashlib.md5(frame).hexdigest())
+                    digests.append(hashlib.md5(frame.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {"media_id": mids, "frame_index": idxs, "frame_md5": digests}
             )

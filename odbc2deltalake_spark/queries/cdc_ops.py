@@ -255,6 +255,9 @@ def p6_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wm = datetime.datetime(2024, 1, 25)
     wm_nanos = int(wm.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000_000
+    from odbc2deltalake_spark.queries.registry import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     filtered = raw.filter(F.col("ts") > F.lit(wm_nanos))
     return filtered.select(

@@ -71,22 +71,56 @@ def mm_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_vectors", None, tags=("multimodal", "similarity"))
+# feature expansion in DuckDB: seed = sha256 of payload hex string; the
+# 16 uint32s are the 64-byte (seed||seed) stream read big-endian
+_FEATURE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS media_id,
+         sha256(lower(hex({_PAYLOAD_SQL}))) AS hx
+  FROM documents
+)
+SELECT media_id,
+       16 AS dim,
+       md5(array_to_string(list_transform(generate_series(0, 15),
+           i -> CAST(('0x' || substr(hx || hx, i*8 + 1, 8))::UBIGINT AS VARCHAR)
+       ), ',')) AS feature_digest
+FROM s
+"""
+
+
+@register("mm_feature_vectors", _FEATURE_ORACLE, tags=("multimodal", "similarity"))
 def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction (deterministic sha-seeded stand-in for an
-    embedding model) — returns (media_id, array<float>); feeds the same
-    ANN operators as the embeddings table. Rows-only check: the float
-    construction is non-SQL-expressible bit-exactly."""
+    embedding model). The kernel emits (media_id, feature array<float>,
+    feature_digest); downstream ANN consumes `feature`, while the
+    correctness gate compares the scalar digest — the oracle reproduces
+    the sha-seed → uint32 expansion exactly, so a wrong kernel fails."""
     media = make_fake_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    return feats.select("media_id", F.size("feature").alias("dim")).join(
-        feats.select("media_id", "feature"), on="media_id"
-    ).select("media_id", "dim", "feature")
+    return feats.select(
+        "media_id", F.size("feature").cast("int").alias("dim"), "feature_digest"
+    )
 
 
-@register("mm_frame_sample", None, tags=("multimodal",))
+_FRAME_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         lower(hex(encode(text))) AS body_hex,
+         octet_length(encode(text)) // 32 AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_index,
+       md5(substr(body_hex, i*64 + 1, 64)) AS frame_md5
+FROM p, unnest(generate_series(0, n_frames - 1, 10)) AS t(i)
+WHERE n_frames > 0
+"""
+
+
+@register("mm_frame_sample", _FRAME_ORACLE, tags=("multimodal",))
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling (stub): one input row → many frame rows
-    through mapInPandas; rows-only check pins the fan-out plumbing."""
+    through mapInPandas; the oracle re-derives every sampled frame's
+    byte-range digest, pinning the fan-out AND the chunk boundaries."""
     media = make_fake_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_n=10)

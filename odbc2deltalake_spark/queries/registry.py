@@ -29,7 +29,22 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make parquet TIMESTAMP(NANOS) readable on ANY session.
+
+    The engine's own ``get_spark()`` sets this at build time, but the
+    driver's correctness harness supplies its own vanilla SparkSession.
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set
+    it defensively before every fixture read.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already set / immutable on some builds — reads will tell
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns surface as long under
     # spark.sql.legacy.parquet.nanosAsLong; convert to micro timestamps
