@@ -58,18 +58,26 @@ class ColInfo:
         return T.StructField(self.compat_name, self.data_type, self.is_nullable)
 
 
-# Default source-type map, tsql flavor
-# (reference:odbc2deltalake/write_init.py:29-38):
+# Default source-type map (reference:odbc2deltalake/write_init.py:29-38):
 #   datetime/datetime2 -> datetime2(6)   => TimestampType (micros)
-#   rowversion/timestamp(binary) -> bigint
+#   rowversion -> bigint
 #   tinyint -> smallint (T-SQL tinyint is unsigned; ShortType holds 0..255)
 DEFAULT_TYPE_MAP_STR: dict[str, T.DataType] = {
     "rowversion": T.LongType(),
-    "timestamp": T.LongType(),  # tsql rowversion alias, not a time type
     "tinyint": T.ShortType(),
     "datetime": T.TimestampType(),
     "datetime2": T.TimestampType(),
     "xid": T.LongType(),  # postgres xmin (reference:odbc2deltalake/db_to_delta.py:73-77)
+}
+
+# Dialect-scoped aliases. On T-SQL, bare ``timestamp`` is the legacy alias
+# for rowversion (a BINARY(8) row-change counter, NOT a time type) — but a
+# Spark/parquet source's ``TimestampType().simpleString()`` is also
+# ``"timestamp"``. Applying the alias unscoped silently turned every real
+# timestamp data column into bigint epoch values in the SCD2 history, so
+# the alias only exists for dialect="tsql".
+DIALECT_TYPE_MAP_STR: dict[str, dict[str, T.DataType]] = {
+    "tsql": {"timestamp": T.LongType()},
 }
 
 # Source type strings that must never be trimmed even though they surface as
@@ -78,17 +86,26 @@ NO_TRIM_TYPES = {"xml", "uniqueidentifier", "uuid", "oid", "xid"}
 
 
 def resolve_type(
-    source_type_str: str, type_map: dict[str, T.DataType] | None = None
+    source_type_str: str,
+    type_map: dict[str, T.DataType] | None = None,
+    dialect: str = "spark",
 ) -> T.DataType | None:
-    """Resolve a source type string through user map then default map.
+    """Resolve a source type string through user map, dialect aliases, then
+    the default map.
 
     Returns None when the source type needs no remapping (keep as read).
+    ``dialect`` gates type-string aliases that collide with Spark-native
+    type strings (tsql ``timestamp`` == rowversion vs Spark ``timestamp``
+    == TimestampType).
     """
     base = source_type_str.split("(")[0].strip().lower()
     if type_map and base in type_map:
         return type_map[base]
     if type_map and source_type_str in type_map:
         return type_map[source_type_str]
+    dialect_map = DIALECT_TYPE_MAP_STR.get(dialect)
+    if dialect_map and base in dialect_map:
+        return dialect_map[base]
     return DEFAULT_TYPE_MAP_STR.get(base)
 
 

@@ -118,13 +118,17 @@ class _Ctx:
         )
 
 
-def _resolve_cols(cfg: WriteConfig, raw: list[ColInfo]) -> list[ColInfo]:
+def _resolve_cols(
+    cfg: WriteConfig, raw: list[ColInfo], dialect: str = "spark"
+) -> list[ColInfo]:
     """Apply the user+default type map to the introspected columns
     (reference:odbc2deltalake/write_init.py:29-38; user override
-    tests/test_05_conversion.py:29-36)."""
+    tests/test_05_conversion.py:29-36). The dialect scopes type-string
+    aliases (tsql "timestamp" = rowversion) so Spark-native timestamp
+    columns are never remapped to bigint."""
     out = []
     for c in raw:
-        mapped = resolve_type(c.data_type_str, cfg.data_type_map or None)
+        mapped = resolve_type(c.data_type_str, cfg.data_type_map or None, dialect)
         if mapped is not None and mapped != c.data_type:
             c = dataclasses.replace(c, data_type=mapped)
         out.append(c)
@@ -140,7 +144,7 @@ def make_writer(
     """Analyze phase — resolve columns, PKs and the delta column into a
     frozen plan (reference:odbc2deltalake/write_init.py:170-303)."""
     cfg = write_config or WriteConfig()
-    cols = _resolve_cols(cfg, source.col_infos(spark))
+    cols = _resolve_cols(cfg, source.col_infos(spark), getattr(source, "dialect", "spark"))
     by_name = {c.column_name: c for c in cols}
 
     pk_names = cfg.primary_keys if cfg.primary_keys is not None else source.primary_keys(spark)
@@ -155,6 +159,16 @@ def make_writer(
         auto = source.default_delta_col(spark)
         if auto is not None:
             delta_col = by_name.get(auto)
+            if delta_col is None:
+                # hidden column injected by the source (postgres xmin):
+                # re-read col_infos — detection appended it to the cache —
+                # and carry it in the plan's column list so extraction
+                # selects it (reference:odbc2deltalake/write_init.py:255-261)
+                cols = _resolve_cols(
+                    cfg, source.col_infos(spark), getattr(source, "dialect", "spark")
+                )
+                by_name = {c.column_name: c for c in cols}
+                delta_col = by_name.get(auto)
 
     return WriteConfigAndInfos(
         spark=spark,
@@ -486,8 +500,16 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
         # >= (not the reference's strict >): the min-ts strange row itself
         # must reach the history or step 4 indexes a phantom key
         changed = ctx.source.read_where_ge(ctx.spark, _source_delta_name(ctx), rewind_wm)
+        # +1µs on the re-extraction's __timestamp: step 2 already appended
+        # some of these keys under ctx.load_ts; if the source row mutated
+        # between the two extractions, two different versions with an
+        # identical __timestamp would make latest_per_key's ROW_NUMBER
+        # tie-break nondeterministic. The reference avoids ties via
+        # per-statement server timestamps; a strictly later in-load stamp
+        # restores the same total order.
+        rewind_ts = ctx.load_ts + datetime.timedelta(microseconds=1)
         rows = with_system_cols(
-            ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
+            ctx.extract(changed), rewind_ts, is_deleted=False, is_full_load=False
         )
         # overwrite the delta_1 TABLE with the wider re-extraction (step 4's
         # union reads these keys from the delta_1 branch; the pk_ts branch

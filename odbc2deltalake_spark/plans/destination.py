@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import os
 import time
 from dataclasses import asdict
 from pathlib import Path
@@ -90,16 +91,30 @@ class DeltaDestination:
         return self.root / "meta" / "lock.txt"
 
     def acquire_lock(self) -> None:
+        # O_CREAT|O_EXCL makes creation atomic: two concurrent loaders can
+        # never both win (a check-then-create gap would let both proceed
+        # and race on the side tables this lock protects)
         p = self.lock_path
         p.parent.mkdir(parents=True, exist_ok=True)
-        if p.exists():
-            age = time.time() - p.stat().st_mtime
-            if age <= LOCK_LEASE_SECONDS:
-                raise LockHeldError(
-                    f"{p} held for {age:.0f}s (lease {LOCK_LEASE_SECONDS}s)"
-                )
-            p.unlink()  # stale (>1h) — expire the lease
-        p.write_text("")
+        for _ in range(2):  # second attempt after expiring a stale lease
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    age = time.time() - p.stat().st_mtime
+                except FileNotFoundError:
+                    continue  # holder released between open and stat — retry
+                if age <= LOCK_LEASE_SECONDS:
+                    raise LockHeldError(
+                        f"{p} held for {age:.0f}s (lease {LOCK_LEASE_SECONDS}s)"
+                    )
+                try:
+                    p.unlink()  # stale (>1h) — expire the lease, then re-race
+                except FileNotFoundError:
+                    pass
+        raise LockHeldError(f"{p}: lost the lock race twice")
 
     def release_lock(self) -> None:
         if self.lock_path.exists():

@@ -26,6 +26,12 @@ from odbc2deltalake_spark.metadata import ColInfo
 class Source(ABC):
     """A table/view/query the engine ingests."""
 
+    #: SQL dialect of the source's type strings. Gates dialect-scoped type
+    #: aliases — on "tsql", bare ``timestamp`` means rowversion; on "spark"
+    #: (parquet/DataFrame sources) it is a real TimestampType and must NOT
+    #: be treated as a row-change counter.
+    dialect: str = "spark"
+
     @abstractmethod
     def col_infos(self, spark: SparkSession) -> list[ColInfo]:
         """Column descriptors, in source order
@@ -44,7 +50,9 @@ class Source(ABC):
         (reference:odbc2deltalake/write_init.py:144-167)."""
         for c in self.col_infos(spark):
             base = c.data_type_str.split("(")[0].strip().lower()
-            if base in ("rowversion", "timestamp") and base != "datetime":
+            # "timestamp" is the rowversion alias only on tsql; on a Spark
+            # dialect source it is a real time column, never a rowversion
+            if base == "rowversion" or (base == "timestamp" and self.dialect == "tsql"):
                 return c.column_name
         for c in self.col_infos(spark):
             if c.generated_always_type_desc == "AS_ROW_START":

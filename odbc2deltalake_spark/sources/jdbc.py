@@ -66,6 +66,7 @@ class JDBCSource(Source):
         primary_keys: Optional[list[str]] = None,
         partition_column: Optional[str] = None,
         num_partitions: int = 16,
+        linked_server_proxy: Optional[str] = None,
     ):
         assert (table is None) != (query is None), "exactly one of table/query"
         self.url = url
@@ -80,6 +81,10 @@ class JDBCSource(Source):
         # tables; a single-stream read is the reference's ODBC behavior)
         self.partition_column = partition_column
         self.num_partitions = num_partitions
+        # name of a tsql linked server: every statement is wrapped in
+        # ``openquery([proxy], '...')`` so the proxy forwards it
+        # (reference:odbc2deltalake/reader/spark_reader.py:190-195)
+        self.linked_server_proxy = linked_server_proxy
 
     # ---------------------------------------------------------- SQL gen --
 
@@ -94,35 +99,63 @@ class JDBCSource(Source):
         schema, table = self.table  # type: ignore[misc]
         return f"{self._q(schema)}.{self._q(table)} t"
 
+    def _hidden_convert_expr(self, column: str) -> Optional[str]:
+        """Server-side conversion expression for hidden-typed columns, or
+        None when the column reads as-is.
+
+        tsql rowversion/timestamp is BINARY(8) on the wire and Spark cannot
+        cast BINARY→BIGINT, so the conversion MUST happen in the generated
+        SQL (reference emits it in its extraction SELECT,
+        reference:odbc2deltalake/db_to_delta.py:73-87); postgres ``xmin`` is
+        xid, convertible only via the text round-trip."""
+        info = next(
+            (c for c in (self._col_cache or []) if c.column_name == column), None
+        )
+        ts = (info.data_type_str if info else "").split("(")[0].lower()
+        if self.dialect == "tsql" and ts in ("rowversion", "timestamp"):
+            return f"CAST(t.{self._q(column)} AS BIGINT)"
+        if self.dialect == "postgres" and ts == "xid":
+            return f"CAST(CAST(t.{self._q(column)} AS TEXT) AS BIGINT)"
+        return None
+
+    def _select_item(self, column: str) -> str:
+        conv = self._hidden_convert_expr(column)
+        if conv is not None:
+            return f"{conv} AS {self._q(column)}"
+        return f"t.{self._q(column)}"
+
+    def _select_list(self, columns: Optional[list[str]] = None) -> str:
+        """Explicit select list with hidden-type conversions applied.
+
+        Falls back to ``t.*`` only when columns are unknown (no cache, no
+        explicit list) — in that case there is nothing to convert anyway.
+        A converted column arrives in Spark already BIGINT, so the
+        Spark-side cast in convert_projection degenerates to a no-op."""
+        names = columns
+        if names is None and self._col_cache is not None:
+            names = [c.column_name for c in self._col_cache]
+        if names is None:
+            return "t.*"
+        return ", ".join(self._select_item(c) for c in names)
+
     def select_sql(
         self,
         columns: Optional[list[str]] = None,
         where: Optional[str] = None,
     ) -> str:
-        cols = (
-            ", ".join(f"t.{self._q(c)}" for c in columns) if columns else "t.*"
-        )
-        sql = f"SELECT {cols} FROM {self.from_clause()}"
+        sql = f"SELECT {self._select_list(columns)} FROM {self.from_clause()}"
         if where:
             sql += f" WHERE {where}"
         return sql
 
-    def delta_criterion_sql(self, column: str, value: Any) -> str:
-        """``converted(delta_col) > literal`` pushed to the server
+    def delta_criterion_sql(self, column: str, value: Any, op: str = ">") -> str:
+        """``converted(delta_col) <op> literal`` pushed to the server
         (reference:odbc2deltalake/db_to_delta.py:584-610). tsql rowversion
-        compares as binary against its bigint watermark via CAST; postgres
-        xmin needs the xid→text→bigint double cast
+        compares via CAST to bigint; postgres xmin needs the
+        xid→text→bigint double cast
         (reference:odbc2deltalake/db_to_delta.py:73-77)."""
-        info = next(
-            (c for c in (self._col_cache or []) if c.column_name == column), None
-        )
-        expr = f"t.{self._q(column)}"
-        ts = (info.data_type_str if info else "").split("(")[0].lower()
-        if self.dialect == "tsql" and ts in ("rowversion", "timestamp"):
-            expr = f"CAST(t.{self._q(column)} AS BIGINT)"
-        if self.dialect == "postgres" and ts == "xid":
-            expr = f"CAST(CAST(t.{self._q(column)} AS TEXT) AS BIGINT)"
-        return f"{expr} > {sql_quote_value(value)}"
+        expr = self._hidden_convert_expr(column) or f"t.{self._q(column)}"
+        return f"{expr} {op} {sql_quote_value(value)}"
 
     def keyset_join_sql(self, keys: list[dict[str, Any]], key_cols: list[str]) -> str:
         """VALUES-derived-table semi join for an explicit key list — the
@@ -136,9 +169,24 @@ class JDBCSource(Source):
         klist = ", ".join(self._q(c) for c in key_cols)
         cond = " AND ".join(f"t.{self._q(c)} = k.{self._q(c)}" for c in key_cols)
         return (
-            f"SELECT t.* FROM {self.from_clause()} "
+            f"SELECT {self._select_list()} FROM {self.from_clause()} "
             f"INNER JOIN (VALUES {rows}) AS k ({klist}) ON {cond}"
         )
+
+    def keyset_join_sqls(
+        self, keys: list[dict[str, Any]], key_cols: list[str], max_len: int = 7000
+    ) -> list[str]:
+        """Chunked form of :meth:`keyset_join_sql`: recursively halves the
+        key list until every statement is under ``max_len`` chars — the
+        reference's 7000-char split (Spark's JDBC layer dislikes longer
+        statements; reference:odbc2deltalake/db_to_delta.py:966-983)."""
+        sql = self.keyset_join_sql(keys, key_cols)
+        if len(sql) <= max_len or len(keys) <= 1:
+            return [sql]
+        half = len(keys) // 2
+        return self.keyset_join_sqls(
+            keys[:half], key_cols, max_len
+        ) + self.keyset_join_sqls(keys[half:], key_cols, max_len)
 
     def information_schema_sql(self) -> str:
         """Column introspection (reference:odbc2deltalake/metadata.py:74-127):
@@ -184,11 +232,36 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
   AND tc.TABLE_SCHEMA = {sql_quote_value(schema)}
   AND tc.TABLE_NAME = {sql_quote_value(table)}"""
 
+    def physical_table_sql(self) -> str:
+        """table_type probe — BASE TABLE vs view — used for the postgres
+        ``xmin`` fallback (views have no xmin;
+        reference:odbc2deltalake/write_init.py:222-250)."""
+        schema, table = self.table  # type: ignore[misc]
+        return (
+            "SELECT table_type FROM information_schema.tables "
+            f"WHERE LOWER(table_schema) = LOWER({sql_quote_value(schema)}) "
+            f"AND LOWER(table_name) = LOWER({sql_quote_value(table)})"
+        )
+
     # -------------------------------------------------------------- reads --
+
+    def _proxy(self, sql: str) -> str:
+        """Wrap in openquery() for linked-server forwarding
+        (reference:odbc2deltalake/reader/spark_reader.py:190-195)."""
+        if not self.linked_server_proxy:
+            return sql
+        assert "--" not in self.linked_server_proxy
+        assert "/*" not in self.linked_server_proxy
+        assert "*/" not in self.linked_server_proxy
+        escaped = sql.replace("'", "''")
+        return (
+            f"select * from openquery([{self.linked_server_proxy}], '{escaped}')"
+        )
 
     def _jdbc(
         self, spark: SparkSession, sql: str, partitioned: bool = False
     ) -> DataFrame:
+        sql = self._proxy(sql)
         reader = spark.read.format("jdbc").option("url", self.url)
         if partitioned and self.partition_column is not None:
             # range-partitioned parallel read: `query` and partition options
@@ -230,7 +303,7 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
             for r in rows:
                 d = {k.lower(): v for k, v in r.asDict().items()}
                 ts = _rebuild_type_str(d)
-                dtype = resolve_type(ts) or _sql_type_to_spark(ts)
+                dtype = resolve_type(ts, dialect=self.dialect) or _sql_type_to_spark(ts)
                 infos.append(
                     ColInfo(
                         column_name=d["column_name"],
@@ -261,22 +334,84 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
             return []
         return [r[0] for r in self._jdbc(spark, self.primary_keys_sql()).collect()]
 
+    def is_physical_table(self, spark: SparkSession) -> bool:
+        if self.table is None:
+            return False
+        row = self._jdbc(spark, self.physical_table_sql()).first()
+        return bool(row) and str(row[0]).upper() == "BASE TABLE"
+
+    def default_delta_col(self, spark: SparkSession) -> Optional[str]:
+        """Adds the postgres fallback to the base detection: a *physical*
+        pg table always has the hidden ``xmin`` xid column; inject it into
+        the column list as a hidden column so extraction selects it
+        (reference:odbc2deltalake/write_init.py:159-167 + 255-261)."""
+        found = super().default_delta_col(spark)
+        if found is not None:
+            return found
+        if self.dialect == "postgres" and self.is_physical_table(spark):
+            cache = self._col_cache or []
+            if not any(c.column_name.lower() == "xmin" for c in cache):
+                self._col_cache = cache + [
+                    ColInfo(
+                        column_name="xmin",
+                        data_type=T.LongType(),
+                        data_type_str="xid",
+                        is_nullable=False,
+                    )
+                ]
+            return "xmin"
+        return None
+
     def read(self, spark: SparkSession) -> DataFrame:
+        self.col_infos(spark)
         return self._jdbc(spark, self.select_sql(), partitioned=True)
 
     def read_where_gt(self, spark: SparkSession, column: str, value: Any) -> DataFrame:
         self.col_infos(spark)
         return self._jdbc(
             spark,
-            self.select_sql(where=self.delta_criterion_sql(column, value)),
+            self.select_sql(where=self.delta_criterion_sql(column, value, ">")),
+            partitioned=True,
+        )
+
+    def read_where_ge(self, spark: SparkSession, column: str, value: Any) -> DataFrame:
+        """>= criterion for the strange-update watermark rewind — same
+        server pushdown + dialect CASTs as read_where_gt (the base-class
+        fallback would full-scan and then fail the BINARY→BIGINT cast
+        Spark-side on rowversion/xid columns)."""
+        self.col_infos(spark)
+        return self._jdbc(
+            spark,
+            self.select_sql(where=self.delta_criterion_sql(column, value, ">=")),
             partitioned=True,
         )
 
     def read_keys(self, spark: SparkSession, columns: list[str]) -> DataFrame:
+        self.col_infos(spark)
         return self._jdbc(spark, self.select_sql(columns=columns))
 
+    def read_for_keys_pushdown(
+        self, spark: SparkSession, keys: list[dict[str, Any]], key_cols: list[str]
+    ) -> DataFrame:
+        """Server-side keyset retrieval: chunked VALUES-join statements,
+        unioned Spark-side. The broadcast-join default
+        (:meth:`Source.read_for_keys`) is preferred at scale; this is the
+        pushdown variant for sources where a full scan is prohibitive."""
+        self.col_infos(spark)
+        from functools import reduce
+
+        dfs = [
+            self._jdbc(spark, sql) for sql in self.keyset_join_sqls(keys, key_cols)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
     def max_and_count(self, spark: SparkSession, delta_col):
-        expr = f"MAX(t.{self._q(delta_col)})" if delta_col else "NULL"
+        if delta_col:
+            self.col_infos(spark)
+            inner = self._hidden_convert_expr(delta_col) or f"t.{self._q(delta_col)}"
+            expr = f"MAX({inner})"
+        else:
+            expr = "NULL"
         row = self._jdbc(
             spark,
             f"SELECT {expr} AS max_ts, COUNT(*) AS cnt FROM {self.from_clause()}",

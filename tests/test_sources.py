@@ -82,3 +82,108 @@ def test_sql_type_to_spark():
     assert _sql_type_to_spark("decimal(15,3)") == T.DecimalType(15, 3)
     assert _sql_type_to_spark("bit") == T.BooleanType()
     assert _sql_type_to_spark("uniqueidentifier") == T.StringType()
+
+
+def test_select_sql_emits_rowversion_cast():
+    """tsql rowversion is BINARY(8) on the wire; Spark cannot cast
+    BINARY->BIGINT, so the conversion must be in the generated SELECT
+    (reference:odbc2deltalake/db_to_delta.py:73-87)."""
+    s = _tsql()
+    s._col_cache = [
+        ColInfo("id", T.IntegerType(), "int"),
+        ColInfo("rv", T.LongType(), "rowversion"),
+    ]
+    sql = s.select_sql()
+    assert "CAST(t.[rv] AS BIGINT) AS [rv]" in sql
+    assert "t.[id]" in sql and "t.*" not in sql
+    # explicit column list too (read_keys path)
+    sql_keys = s.select_sql(columns=["id", "rv"])
+    assert "CAST(t.[rv] AS BIGINT) AS [rv]" in sql_keys
+
+
+def test_select_sql_emits_xmin_cast():
+    s = _pg()
+    s._col_cache = [
+        ColInfo("id", T.IntegerType(), "integer"),
+        ColInfo("xmin", T.LongType(), "xid"),
+    ]
+    sql = s.select_sql()
+    assert 'CAST(CAST(t."xmin" AS TEXT) AS BIGINT) AS "xmin"' in sql
+
+
+def test_select_sql_star_when_unknown():
+    s = _tsql()
+    assert s.select_sql() == "SELECT t.* FROM [dbo].[user2$] t"
+
+
+def test_max_and_count_converts_rowversion():
+    """MAX() over the raw rowversion is binary-max; the watermark must be
+    the converted bigint (ADVICE r1, high)."""
+    s = _tsql()
+    s._col_cache = [ColInfo("rv", T.LongType(), "rowversion")]
+    inner = s._hidden_convert_expr("rv")
+    assert inner == "CAST(t.[rv] AS BIGINT)"
+
+
+def test_delta_criterion_ge_operator():
+    s = _tsql()
+    s._col_cache = [ColInfo("rv", T.LongType(), "rowversion")]
+    assert s.delta_criterion_sql("rv", 5, ">=") == "CAST(t.[rv] AS BIGINT) >= 5"
+
+
+def test_keyset_join_sqls_chunking():
+    """Statements stay under the 7000-char cap by recursive halving
+    (reference:odbc2deltalake/db_to_delta.py:966-983)."""
+    s = _tsql()
+    keys = [{"k": f"some-rather-long-key-value-{i:06d}"} for i in range(500)]
+    sqls = s.keyset_join_sqls(keys, ["k"], max_len=2000)
+    assert len(sqls) > 1
+    assert all(len(q) <= 2000 for q in sqls)
+    # every key appears in exactly one chunk
+    total = sum(q.count("some-rather-long-key-value-") for q in sqls)
+    assert total == 500
+
+
+def test_linked_server_openquery_wrap():
+    """Linked-server proxy wraps statements in openquery with quote
+    escaping (reference:odbc2deltalake/reader/spark_reader.py:190-195)."""
+    s = JDBCSource(
+        "jdbc:sqlserver://h",
+        table=("dbo", "tbl"),
+        dialect="tsql",
+        linked_server_proxy="REMOTESRV",
+    )
+    wrapped = s._proxy("SELECT * FROM [dbo].[tbl] t WHERE name = 'x'")
+    assert wrapped.startswith("select * from openquery([REMOTESRV], '")
+    assert "''x''" in wrapped
+
+
+def test_physical_table_probe_sql():
+    sql = _pg().physical_table_sql()
+    assert "information_schema.tables" in sql
+    assert "LOWER(table_schema) = LOWER('public')" in sql
+    assert "LOWER(table_name) = LOWER('user')" in sql
+
+
+def test_xmin_hidden_col_injection():
+    """postgres physical tables fall back to the hidden xmin column and
+    inject it into the column list
+    (reference:odbc2deltalake/write_init.py:159-167,255-261)."""
+    s = _pg()
+    s._col_cache = [ColInfo("id", T.IntegerType(), "integer")]
+    s.is_physical_table = lambda spark: True  # no DB in sandbox
+    assert s.default_delta_col(None) == "xmin"
+    names = [c.column_name for c in s._col_cache]
+    assert names == ["id", "xmin"]
+    xmin = s._col_cache[-1]
+    assert xmin.data_type_str == "xid" and xmin.data_type == T.LongType()
+    # the extraction SELECT now includes the converted hidden column
+    assert 'CAST(CAST(t."xmin" AS TEXT) AS BIGINT) AS "xmin"' in s.select_sql()
+
+
+def test_xmin_not_injected_for_view():
+    s = _pg()
+    s._col_cache = [ColInfo("id", T.IntegerType(), "integer")]
+    s.is_physical_table = lambda spark: False
+    assert s.default_delta_col(None) is None
+    assert [c.column_name for c in s._col_cache] == ["id"]
