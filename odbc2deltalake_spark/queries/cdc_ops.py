@@ -50,10 +50,19 @@ def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- J1 ----
 
+# Right side restricted to recent orders: in the fixture every customer
+# has at least one order, so the unrestricted anti-join matched on zero
+# rows (round-1 VERDICT: a check that cannot fail). "Customers with no
+# order since mid-1997" keeps the same keys-not-covered algebra with a
+# non-empty, falsifiable result set.
 _J1_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+)
 """
 
 
@@ -62,8 +71,12 @@ def j1_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: LEFT ANTI join on key equality — the "keys not already covered"
     primitive (reference:odbc2deltalake/db_to_delta.py:338-356,380-419)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust.join(orders, on="c_custkey", how="left_anti").select(
         "c_custkey", "c_name"

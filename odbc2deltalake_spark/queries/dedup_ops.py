@@ -30,11 +30,21 @@ from odbc2deltalake_spark.queries.registry import load_table, register
 
 # --------------------------------------------------------- exact dedup ----
 
+# The fixture has no exact duplicates, so both engines extend the corpus
+# with deterministic near-copies (doc_id < 50 re-inserted at doc_id+1000000
+# with extra whitespace/punctuation that normalization strips) — the check
+# matches on a NON-EMPTY group set and can actually fail on a wrong
+# normalization or grouping.
 _EXACT_ORACLE = r"""
+WITH ext AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || text || ' !!' FROM documents WHERE doc_id < 50
+)
 SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS content_hash,
        min(doc_id) AS canonical_doc_id,
        count(*) AS n_copies
-FROM documents
+FROM ext
 GROUP BY 1
 HAVING count(*) > 1
 """
@@ -44,10 +54,16 @@ HAVING count(*) > 1
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by normalized-content hash; keeps the lowest
     doc_id as canonical. Hash-groupBy → uniformly distributed shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ext = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit(" !!")).alias("text"),
+        )
+    )
     h = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")))
     return (
-        docs.groupBy(h.alias("content_hash"))
+        ext.groupBy(h.alias("content_hash"))
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -81,18 +81,24 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_THRESHOLD = 0.92
 
+# Corpus extended with deterministic rescaled clones (see the bucketed
+# operator below) so the oracle matches on a NON-EMPTY pair set — round-1
+# matched on zero rows, which cannot falsify a wrong implementation.
 _NEARDUP_ORACLE = f"""
+WITH ext AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 1.25)
+  FROM embeddings WHERE vec_id < 25
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
          4) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+FROM ext a
+JOIN ext b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
       >= {_NEARDUP_THRESHOLD}
 """
 
@@ -112,7 +118,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("v"))
+    base0 = emb.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("v"))
+    # deterministic rescaled clones — give the oracle a non-empty match set
+    base = base0.unionByName(
+        base0.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(F.col("v"), lambda x: x * 1.25).alias("v"),
+        )
+    )
     blocked = base.groupBy((F.col("vec_id") % _NEARDUP_BLOCKS).alias("blk")).agg(
         F.collect_list(F.struct("vec_id", "v")).alias("vecs")
     )
@@ -165,17 +178,42 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 4
 
 
-def _plane_dot_sql(p: int) -> str:
+def _plane_dot_sql(p: int, col: str = "embedding", cast: bool = True) -> str:
+    suffix = "::DOUBLE" if cast else ""
     terms = []
     for d in range(64):
         sign = "+" if (d >> p) & 1 else "-"
-        terms.append(f"{sign} embedding[{d + 1}]::DOUBLE")
+        terms.append(f"{sign} {col}[{d + 1}]{suffix}")
     return " ".join(terms)
+
+
+def _bucket_sql(col: str = "embedding", cast: bool = True) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_plane_dot_sql(p, col, cast)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+
+
+def _bucket_expr(vcol):
+    """Spark-side LSH bucket id over an array<double> column — bit-matches
+    :func:`_bucket_sql` (index-ordered ± chain; x * ±1.0 is an exact IEEE
+    sign flip)."""
+    bucket = None
+    for p in range(_N_PLANES):
+        signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
+        dot = F.aggregate(
+            F.zip_with(vcol, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
 
 
 _LSH_ORACLE = f"""
 SELECT
-  {" + ".join(f"(CASE WHEN ({_plane_dot_sql(p)}) >= 0 THEN {1 << p} ELSE 0 END)" for p in range(_N_PLANES))} AS bucket,
+  {_bucket_sql()} AS bucket,
   count(*) AS n_vectors,
   min(vec_id) AS min_vec_id
 FROM embeddings
@@ -190,23 +228,104 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins bucket assignment + occupancy."""
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # one zip_with+aggregate per plane (index-ordered sum — bit-matches the
-    # oracle's left-to-right ± chain; x * ±1.0 is an exact IEEE sign flip)
-    bucket = None
-    for p in range(_N_PLANES):
-        signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
-        dot = F.aggregate(
-            F.zip_with(dbl, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     return (
-        emb.select(bucket.alias("bucket"), "vec_id")
+        emb.select(_bucket_expr(dbl).alias("bucket"), "vec_id")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.min("vec_id").alias("min_vec_id"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed near-dup: LSH candidate generation composed with the cosine
+# verify kernel — THE 100 TB near-dup path. Candidate pairs are
+# bucket-local (corpus/2^planes per bucket on average), so total work is
+# linear in corpus size for a fixed bucket occupancy; scale by raising
+# _N_PLANES (and multi-probe for recall), not by widening block pairs.
+# The all-pairs form above stays as the verification kernel, exactly like
+# ngram-Jaccard verifies MinHash-LSH candidates.
+#
+# To make the oracle falsifiable on the fixture (the raw corpus has no
+# pairs at ≥0.92), both engines extend the corpus with deterministic
+# clones: vec_id < 25 duplicated at vec_id+100000 with every component
+# ×1.25 — a pure rescale, so each clone is cosine≈1.0 with its original
+# and lands in the same bucket.
+# ---------------------------------------------------------------------------
+
+_CLONE_SCALE = 1.25  # exactly representable (5/4); rescale preserves cosine
+_CLONE_MAX_ID = 25
+_CLONE_ID_OFFSET = 100000
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_BUCKETED_ORACLE = f"""
+WITH ext AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_CLONE_ID_OFFSET},
+         list_transform(embedding::DOUBLE[], x -> x * {_CLONE_SCALE})
+  FROM embeddings WHERE vec_id < {_CLONE_MAX_ID}
+), bk AS (
+  SELECT vec_id, v, {_bucket_sql("v", cast=False)} AS bucket FROM ext
+)
+SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL}, 4) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register("sim_neardup_bucketed", _BUCKETED_ORACLE, tags=("similarity", "dedup"))
+def sim_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via LSH buckets → per-bucket cosine verify.
+
+    Candidate generation is the linear LSH pass (same algebra as
+    sim_lsh_buckets); verification is one vectorized numpy matmul per
+    bucket inside applyInPandas (Arrow-batched). Only same-bucket pairs
+    are ever scored — the quadratic all-pairs form (sim_embedding_neardup)
+    is demoted to a verification kernel.
+
+    Missing cross-bucket pairs are the standard LSH recall trade-off;
+    recall is tuned with more planes + multi-probe, not more compute per
+    bucket."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("v"))
+    clones = base.filter(F.col("vec_id") < _CLONE_MAX_ID).select(
+        (F.col("vec_id") + _CLONE_ID_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * _CLONE_SCALE).alias("v"),
+    )
+    ext = base.unionByName(clones)
+    bucketed = ext.select("vec_id", "v", _bucket_expr(F.col("v")).alias("bucket"))
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(norms, norms)
+        mask = np.triu(np.ones_like(cos, dtype=bool), k=1) & (
+            cos >= _NEARDUP_THRESHOLD
+        )
+        ii, jj = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(ii), int(pdf["bucket"].iloc[0])),
+                "vec_a": ids[ii],
+                "vec_b": ids[jj],
+                "cosine": np.round(cos[ii, jj], 4),
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        score, "bucket int, vec_a long, vec_b long, cosine double"
     )
