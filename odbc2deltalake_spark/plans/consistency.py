@@ -52,7 +52,10 @@ def check_latest_pk(
     missing = derived.exceptAll(persisted).withColumn(
         "issue", F.lit("missing in persisted data")
     )
-    rows = [r.asDict() for r in added.unionByName(missing).collect()]
+    # cap the driver-side sample: a corrupted index at 100 TB could emit
+    # millions of inconsistent rows — 1000 examples diagnose it without
+    # OOMing the driver (the boolean outcome is unchanged)
+    rows = [r.asDict() for r in added.unionByName(missing).limit(1000).collect()]
     if rows and raise_if_not_consistent:
         raise InconsistentPrimaryKeyError("Primary keys are not consistent", rows)
     return rows

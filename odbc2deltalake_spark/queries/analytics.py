@@ -268,7 +268,7 @@ GROUP BY event_type, date_trunc('hour', ts)
 @register("ev_hourly_rollup", _EV_HOURLY_ORACLE, tags=("bench", "agg", "events"))
 def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event rollup — the batch form of the streaming windowed agg
-    (streaming variant: odbc2deltalake_spark/streaming/pipeline.py)."""
+    (streaming variant: odbc2deltalake_spark/streaming/events.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")

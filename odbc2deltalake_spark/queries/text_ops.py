@@ -2,8 +2,7 @@
 
 All hot-path logic is JVM-side built-ins (regexp/split/length/md5) — no
 Python UDFs — so the plans stay inside whole-stage codegen and scale
-linearly with a parquet scan. Library-backed implementations live in
-odbc2deltalake_spark/operators/text.py; these registry entries pin the
+linearly with a parquet scan. These registry entries pin the
 cross-engine-deterministic forms.
 """
 
