@@ -31,14 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in _registry.QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Emitted in curated order (registry.ordered_specs): the core set —
+    every §2 operator plus every LLM-pipeline operator — first, overflow
+    entries (priority>=100) last, so a harness that enumerates a bounded
+    prefix always sees the core coverage."""
+    return {spec.name: spec.fn for spec in _registry.ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each query (omitted => rows-only)."""
     return {
-        name: spec.oracle
-        for name, spec in _registry.QUERIES.items()
+        spec.name: spec.oracle
+        for spec in _registry.ordered_specs()
         if spec.oracle is not None
     }

@@ -294,7 +294,8 @@ WITH ordered AS (
   FROM ordered
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -303,7 +304,13 @@ GROUP BY user_id, session_id
 @register("ev_sessionize", _EV_SESSION_ORACLE, tags=("bench", "window", "events"))
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
-    one shuffle on user_id, both windows share the partitioning."""
+    one shuffle on user_id, both windows share the partitioning.
+
+    Session bounds are emitted as integer epoch-microseconds (unix_micros /
+    epoch_us) rather than raw timestamps so the result hashes identically
+    regardless of how the comparing engine canonicalizes timestamp
+    precision (TIMESTAMP vs TIMESTAMP_NS) — the same discipline
+    ev_interevent_gaps uses."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision to match the oracle's exact INTERVAL compare
@@ -318,7 +325,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
         )
     )

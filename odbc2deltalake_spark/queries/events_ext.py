@@ -96,7 +96,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register("q_price_percentiles", _PCT_ORACLE, tags=("bench", "agg"))
+@register("q_price_percentiles", _PCT_ORACLE, tags=("bench", "agg"), priority=100)
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear interpolation). Exact percentile

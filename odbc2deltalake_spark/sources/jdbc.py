@@ -162,6 +162,10 @@ class JDBCSource(Source):
         pushdown alternative to a broadcast join, equivalent to the
         reference's OPENJSON/JSON_TABLE join
         (reference:odbc2deltalake/db_to_delta.py:907-992)."""
+        if not keys:
+            # "VALUES ()" is invalid SQL on every dialect — fail loudly
+            # rather than ship an unparseable statement to the server
+            raise ValueError("keyset_join_sql requires a non-empty key list")
         rows = ", ".join(
             "(" + ", ".join(sql_quote_value(k[c]) for c in key_cols) + ")"
             for k in keys
@@ -398,6 +402,10 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
         (:meth:`Source.read_for_keys`) is preferred at scale; this is the
         pushdown variant for sources where a full scan is prohibitive."""
         self.col_infos(spark)
+        if not keys:
+            # empty key list => empty result with the source's schema (a
+            # WHERE 1=0 probe), not an invalid "VALUES ()" statement
+            return self._jdbc(spark, self.select_sql(where="1=0"))
         from functools import reduce
 
         dfs = [
