@@ -20,7 +20,12 @@ Reference behaviors are cited in docstrings as ``reference:<file>:<lines>``
 from odbc2deltalake_spark.metadata import ColInfo, compat_name
 from odbc2deltalake_spark.config import WriteConfig, WriteConfigAndInfos
 from odbc2deltalake_spark.session import get_spark
-from odbc2deltalake_spark.tablestore import VersionedParquetTable
+from odbc2deltalake_spark.tablestore import (
+    CommitConflictError,
+    SchemaDriftError,
+    TableStore,
+    VersionedParquetTable,
+)
 from odbc2deltalake_spark.sources import DataFrameSource, ParquetTableSource, Source
 from odbc2deltalake_spark.plans import (
     DeltaDestination,
@@ -38,7 +43,10 @@ __all__ = [
     "WriteConfig",
     "WriteConfigAndInfos",
     "get_spark",
+    "TableStore",
     "VersionedParquetTable",
+    "CommitConflictError",
+    "SchemaDriftError",
     "Source",
     "DataFrameSource",
     "ParquetTableSource",

@@ -1,0 +1,188 @@
+"""Real Delta Lake implementation of :class:`~odbc2deltalake_spark.tablestore.TableStore`.
+
+A thin pass-through to ``delta-spark``'s ``DeltaTable`` API, so the engine
+can write standard Delta tables — readable by duckdb's delta extension,
+delta-rs, and any other Spark — exactly the output format of the reference
+(reference:odbc2deltalake/reader/spark_reader.py:144-162 writes
+``format("delta")``; 329-350 merges via ``DeltaTable.merge``).
+
+Import-gated: ``delta-spark`` is not present in this build environment, so
+the class raises ``ImportError`` at construction when the package is
+missing. The interface-conformance test
+(tests/test_tablestore.py::TestStoreInterface) parameterizes over both
+stores and skip-marks this one when the import fails; everything here is
+plain public delta-spark API, no environment-specific behavior.
+
+Session note: the SparkSession must be built with the Delta catalog
+extensions (``delta.enable_spark_session`` /
+``configure_spark_with_delta_pip``) — that is deployment configuration,
+not engine logic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odbc2deltalake_spark.tablestore import TableStore
+
+
+def _delta_table_cls():
+    from delta.tables import DeltaTable  # raises ImportError when absent
+
+    return DeltaTable
+
+
+class DeltaTableStore(TableStore):
+    """``TableStore`` backed by a path-addressed Delta Lake table."""
+
+    def __init__(self, root: str | Path, spark: Optional[SparkSession] = None):
+        self._DeltaTable = _delta_table_cls()
+        self.root = str(root)
+        self._spark = spark
+
+    # ---------- session plumbing ----------
+
+    def _session(self, spark: Optional[SparkSession] = None) -> SparkSession:
+        s = spark or self._spark or SparkSession.getActiveSession()
+        if s is None:
+            raise RuntimeError("no active SparkSession for DeltaTableStore")
+        self._spark = s
+        return s
+
+    def _dt(self, spark: Optional[SparkSession] = None):
+        return self._DeltaTable.forPath(self._session(spark), self.root)
+
+    # ---------- interface ----------
+
+    def exists(self) -> bool:
+        return bool(self._DeltaTable.isDeltaTable(self._session(), self.root))
+
+    def version(self) -> int:
+        row = self._dt().history(1).select("version").first()
+        return int(row["version"])
+
+    def schema(self, version: Optional[int] = None) -> T.StructType:
+        return self.read(self._session(), version=version).schema
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        buckets: Optional[Iterable[int]] = None,
+    ) -> DataFrame:
+        # `buckets` is a physical-layout pruning hint for the parquet
+        # store; Delta does its own file skipping (stats + Z-order), so
+        # the hint is intentionally ignored here — correctness never
+        # depends on it.
+        reader = self._session(spark).read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(self.root)
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+        overwrite_schema: bool = False,
+        partition_by: Optional[list[str]] = None,
+    ) -> int:
+        assert mode in ("append", "overwrite"), mode
+        writer = df.write.format("delta").mode(mode)
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
+        if overwrite_schema:
+            writer = writer.option("overwriteSchema", "true")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.root)
+        return self.version()
+
+    def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
+        return self.write(
+            self._session(spark).createDataFrame([], schema), mode="overwrite"
+        )
+
+    def restore(self, version: int) -> int:
+        self._dt().restoreToVersion(version)
+        return self.version()
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        kv = ", ".join(
+            f"'{k}' = '{str(v).replace(chr(39), chr(39) * 2)}'"
+            for k, v in props.items()
+        )
+        self._session().sql(
+            f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES ({kv})"
+        )
+        return self.version()
+
+    def get_property(self, name: str) -> Optional[str]:
+        row = self._dt().detail().select("properties").first()
+        return (row["properties"] or {}).get(name)
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delta vacuums by file age, not version count — translate by
+        looking up the commit timestamp of the oldest retained version and
+        vacuuming files older than that. Delta's own retention-duration
+        check still applies (deployments lower
+        ``delta.deletedFileRetentionDuration`` per table to vacuum more
+        aggressively, same knob the reference's maintenance relies on)."""
+        import datetime
+
+        hist = self._dt().history().select("version", "timestamp")
+        latest = self.version()
+        first = max(0, latest - max(1, retain_versions) + 1)
+        row = hist.filter(F.col("version") == first).first()
+        if row is None:
+            return []
+        age_hours = max(
+            0.0,
+            (
+                datetime.datetime.now(datetime.timezone.utc)
+                - row["timestamp"].replace(tzinfo=datetime.timezone.utc)
+            ).total_seconds()
+            / 3600.0,
+        )
+        self._dt().vacuum(age_hours)
+        return []  # Delta does not report the reclaimed file list
+
+    def delete_table(self) -> None:
+        # path-addressed table: drop = remove the directory. Go through
+        # Hadoop FS so object-store URIs work identically.
+        spark = self._session()
+        jvm = spark._jvm  # standard pyspark escape hatch for FS ops
+        jsc = spark._jsc
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        fs.delete(path, True)
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        num_buckets: Optional[int] = None,
+        target_bucket_rows: Optional[int] = None,
+    ) -> int:
+        """Delta MERGE (reference:odbc2deltalake/reader/spark_reader.py:329-350):
+        Delta rewrites only files containing matched keys — the same
+        asymptotics the parquet store gets from hash bucketing, so the
+        bucketing params are ignored here."""
+        if not self.exists():
+            return self.write(source, mode="overwrite")
+        cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in key_cols)
+        (
+            self._dt(spark)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return self.version()

@@ -28,7 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from odbc2deltalake_spark.metadata import ColInfo
-from odbc2deltalake_spark.tablestore import VersionedParquetTable
+from odbc2deltalake_spark.tablestore import TableStore, VersionedParquetTable
 
 LOCK_LEASE_SECONDS = 3600  # reference:odbc2deltalake/db_to_delta.py:221-228
 
@@ -38,33 +38,43 @@ class LockHeldError(Exception):
 
 
 class DeltaDestination:
-    def __init__(self, root: str | Path):
+    """Destination layout over a pluggable :class:`TableStore`.
+
+    ``store_factory(path) -> TableStore`` selects the physical table
+    format: the default commit-log parquet store, or
+    ``DeltaTableStore`` (odbc2deltalake_spark/delta_store.py) for
+    standard Delta Lake output where delta-spark is installed —
+    ``DeltaDestination(root, store_factory=DeltaTableStore)``.
+    """
+
+    def __init__(self, root: str | Path, store_factory=VersionedParquetTable):
         self.root = Path(root)
+        self._store = store_factory
 
     # tables
     @property
-    def delta(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "delta")
+    def delta(self) -> TableStore:
+        return self._store(self.root / "delta")
 
     @property
-    def delta_1(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "delta_load" / "delta_1")
+    def delta_1(self) -> TableStore:
+        return self._store(self.root / "delta_load" / "delta_1")
 
     @property
-    def delta_2(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "delta_load" / "delta_2")
+    def delta_2(self) -> TableStore:
+        return self._store(self.root / "delta_load" / "delta_2")
 
     @property
-    def primary_keys_ts(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "delta_load" / "primary_keys_ts")
+    def primary_keys_ts(self) -> TableStore:
+        return self._store(self.root / "delta_load" / "primary_keys_ts")
 
     @property
-    def latest_pk_version(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "delta_load" / "latest_pk_version")
+    def latest_pk_version(self) -> TableStore:
+        return self._store(self.root / "delta_load" / "latest_pk_version")
 
     @property
-    def log_table(self) -> VersionedParquetTable:
-        return VersionedParquetTable(self.root / "log")
+    def log_table(self) -> TableStore:
+        return self._store(self.root / "log")
 
     # meta
     def write_schema_json(self, cols: list[ColInfo]) -> None:

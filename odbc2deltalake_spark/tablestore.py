@@ -55,6 +55,13 @@ class TableNotFoundError(Exception):
     pass
 
 
+class CommitConflictError(Exception):
+    """Another writer committed the same version first. The losing writer's
+    data dir is orphaned (reclaimed by vacuum); retry by recomputing the
+    version from the refreshed log — same contract as Delta Lake's
+    ConcurrentModificationException family."""
+
+
 class SchemaDriftError(Exception):
     """Incompatible source schema change (e.g. string→binary,
     timestamp→int). Widening changes flow through; incompatible ones must
@@ -74,10 +81,12 @@ class StorageBackend(ABC):
     Only the metadata plane goes through this interface — parquet data is
     written/read by Spark through Hadoop FS, which already speaks s3a/abfss/
     gs URIs. An object-store backend therefore only needs small-file ops;
-    ``write_text_exclusive`` must be *atomic create-if-absent* (local:
-    O_CREAT|O_EXCL rename; S3: If-None-Match PUT; ABFS/GCS: etag-conditional
-    create) — that single primitive makes commits linearizable, exactly the
-    trick Delta Lake's LogStore uses.
+    ``write_text_exclusive`` is the *atomic create-if-absent* primitive
+    (local: hard-link from a fully-written temp file; S3: conditional PUT
+    with ``If-None-Match: *``; ABFS/GCS: etag-conditional create) — that
+    single primitive makes commits linearizable, exactly the trick Delta
+    Lake's LogStore uses: two writers racing on version N+1 produce exactly
+    one winner, the loser gets :class:`CommitConflictError`.
     (Shape mirrors reference:odbc2deltalake/destination/destination.py:11-53,
     with local + Azure implementations behind one interface.)
     """
@@ -97,7 +106,15 @@ class StorageBackend(ABC):
     @abstractmethod
     def write_text_atomic(self, path: str, text: str) -> None:
         """Write with all-or-nothing visibility (readers never observe a
-        partial file). Creates parent dirs as needed."""
+        partial file); silently replaces an existing file. Creates parent
+        dirs as needed. NOT safe for commit files — use
+        :meth:`write_text_exclusive` there."""
+
+    @abstractmethod
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        """Atomic create-if-absent with all-or-nothing content visibility.
+        Raises :class:`CommitConflictError` if ``path`` already exists —
+        the linearization point for the commit log."""
 
     @abstractmethod
     def exists(self, path: str) -> bool: ...
@@ -125,6 +142,22 @@ class LocalStorageBackend(StorageBackend):
         tmp.write_text(text)
         os.rename(tmp, p)
 
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        # hard-link from a fully-written temp file: link(2) fails with
+        # EEXIST if the target exists (the atomic create-if-absent), and
+        # the content is complete before the name appears (no torn reads —
+        # plain O_CREAT|O_EXCL + write would expose a partial file)
+        p = Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.parent / f".{p.name}.tmp{uuid.uuid4().hex[:8]}"
+        tmp.write_text(text)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            raise CommitConflictError(path) from None
+        finally:
+            tmp.unlink(missing_ok=True)
+
     def exists(self, path: str) -> bool:
         return Path(path).exists()
 
@@ -142,14 +175,19 @@ class FsspecStorageBackend(StorageBackend):
     container for this build has no object-store driver, so this class is
     exercised only through the interface tests with a memory filesystem.
 
-    NOTE on atomicity: plain object PUT is last-writer-wins. For a
-    multi-writer deployment, pair this backend with the table-level lease
-    lock (plans/destination.py) or swap ``write_text_atomic`` for a
-    conditional PUT (S3 ``If-None-Match: *``; ABFS etag preconditions).
+    Atomicity: ``write_text_exclusive`` tries fsspec's exclusive-create
+    mode (``"x"``), which maps to the store's native conditional create
+    where the driver supports it (S3 ``If-None-Match: *`` in s3fs >= 2024.6,
+    local/memory O_EXCL semantics). Drivers that reject ``"x"`` fall back
+    to a check-then-put, which is NOT linearizable — deployments on such
+    stores must keep the table-level lease lock (plans/destination.py)
+    enabled; the fallback is recorded on the instance as
+    ``exclusive_is_native = False`` so callers can refuse to run lockless.
     """
 
     def __init__(self, fs: Any):  # fs: fsspec.AbstractFileSystem
         self.fs = fs
+        self.exclusive_is_native: Optional[bool] = None  # unknown until first use
 
     def list_dir(self, path: str) -> list[str]:
         if not self.fs.exists(path):
@@ -165,6 +203,25 @@ class FsspecStorageBackend(StorageBackend):
         # never a torn write (multi-writer races need the lease lock — see
         # class docstring)
         with self.fs.open(path, "w") as fh:
+            fh.write(text)
+
+    def write_text_exclusive(self, path: str, text: str) -> None:
+        try:
+            fh = self.fs.open(path, "x")
+        except FileExistsError:
+            self.exclusive_is_native = True
+            raise CommitConflictError(path) from None
+        except ValueError:
+            # driver has no exclusive-create mode: degraded check-then-put
+            # (see class docstring — lease lock required on such stores)
+            self.exclusive_is_native = False
+            if self.fs.exists(path):
+                raise CommitConflictError(path) from None
+            with self.fs.open(path, "w") as fh:
+                fh.write(text)
+            return
+        self.exclusive_is_native = True
+        with fh:
             fh.write(text)
 
     def exists(self, path: str) -> bool:
@@ -248,13 +305,107 @@ def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
 
 
 # ------------------------------------------------------------------------
+# table-store interface
+# ------------------------------------------------------------------------
+
+
+class TableStore(ABC):
+    """The exact table surface the engine uses — extracted so the
+    commit-log store here and a real Delta Lake store
+    (:class:`odbc2deltalake_spark.delta_store.DeltaTableStore`) are
+    drop-in interchangeable. Mirrors the reference's ``DeltaOps``
+    abstraction (reference:odbc2deltalake/reader/reader.py:13-32); the
+    plans layer (plans/destination.py, plans/db_to_delta.py) talks only to
+    this interface.
+    """
+
+    @abstractmethod
+    def exists(self) -> bool: ...
+
+    @abstractmethod
+    def version(self) -> int:
+        """Latest committed version number."""
+
+    @abstractmethod
+    def schema(self, version: Optional[int] = None) -> T.StructType: ...
+
+    @abstractmethod
+    def read(
+        self,
+        spark: SparkSession,
+        version: Optional[int] = None,
+        buckets: Optional[Iterable[int]] = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally time-traveled to ``version``.
+        ``buckets`` is an optional file-pruning hint; stores without
+        bucket layout may ignore it (correctness never depends on it)."""
+
+    @abstractmethod
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+        overwrite_schema: bool = False,
+        partition_by: Optional[list[str]] = None,
+    ) -> int: ...
+
+    @abstractmethod
+    def write_empty(self, spark: SparkSession, schema: T.StructType) -> int: ...
+
+    @abstractmethod
+    def restore(self, version: int) -> int: ...
+
+    @abstractmethod
+    def set_properties(self, props: dict[str, str]) -> int: ...
+
+    @abstractmethod
+    def get_property(self, name: str) -> Optional[str]: ...
+
+    @abstractmethod
+    def vacuum(self, retain_versions: int = 1) -> list[str]: ...
+
+    @abstractmethod
+    def delete_table(self) -> None: ...
+
+    @abstractmethod
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        num_buckets: Optional[int] = None,
+        target_bucket_rows: Optional[int] = None,
+    ) -> int:
+        """Upsert on key equality (whenMatchedUpdateAll /
+        whenNotMatchedInsertAll). Bucketing params are physical-layout
+        hints for stores that implement their own file pruning."""
+
+    def write_counted(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        merge_schema: bool = False,
+    ) -> tuple[int, int]:
+        """Write and return (version, rows_written) in ONE pass: an
+        Observation on the write plan counts rows as they stream out — no
+        separate count job over the written table."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        v = self.write(df, mode=mode, merge_schema=merge_schema)
+        return v, int(obs.get["rows"])
+
+
+# ------------------------------------------------------------------------
 # table
 # ------------------------------------------------------------------------
 
 _BUCKET_COL = "__bucket"
 
 
-class VersionedParquetTable:
+class VersionedParquetTable(TableStore):
     def __init__(self, root: str | Path, backend: Optional[StorageBackend] = None):
         self.root = Path(root) if not isinstance(root, Path) else root
         self._root_str = str(root)
@@ -291,8 +442,12 @@ class VersionedParquetTable:
         )
 
     def _write_commit(self, commit: dict[str, Any]) -> None:
+        """Publish a commit via atomic create-if-absent: racing writers of
+        the same version get :class:`CommitConflictError` for all but one —
+        the log itself is the serialization point (Delta LogStore model),
+        independent of the plans-layer lease lock."""
         version = commit["version"]
-        self.backend.write_text_atomic(
+        self.backend.write_text_exclusive(
             self.backend.join(self._commits_dir, f"{version:010d}.json"),
             json.dumps(commit),
         )
@@ -309,6 +464,9 @@ class VersionedParquetTable:
         schema_json: str | None = None
         props: dict[str, str] = {}
         num_buckets: Optional[int] = None
+        bucket_cols: Optional[list[str]] = None
+        bucket_key_types: Optional[dict[str, Any]] = None
+        bucket_rows: dict[str, int] = {}
         last = -1
         for name in names:
             v = int(name.split(".")[0])
@@ -319,20 +477,30 @@ class VersionedParquetTable:
             mode = c["mode"]
             if mode == "overwrite":
                 live = []
+                bucket_rows = {}
             if mode == "restore":
                 live = list(c["dirs"])
+                bucket_rows = dict(c.get("bucket_rows") or {})
             elif mode == "merge":
                 replaced = set(c.get("buckets_replaced") or [])
                 live = [d for d in live if d.get("bucket") not in replaced]
                 live.extend(c.get("dirs_added") or [])
+                for b in replaced:
+                    bucket_rows.pop(str(b), None)
+                bucket_rows.update(c.get("bucket_rows") or {})
             elif c.get("dirs_added"):
                 live.extend(c["dirs_added"])
+                bucket_rows.update(c.get("bucket_rows") or {})
             elif c.get("dir"):
                 live.append({"dir": c["dir"], "schema": c["schema"]})
             if c.get("schema"):
                 schema_json = c["schema"]
             if c.get("num_buckets"):
                 num_buckets = c["num_buckets"]
+            if c.get("bucket_cols"):
+                bucket_cols = c["bucket_cols"]
+            if c.get("bucket_key_types"):
+                bucket_key_types = c["bucket_key_types"]
             props.update(c.get("set_props", {}))
         if version is not None and last < version:
             raise ValueError(f"version {version} does not exist for {self._root_str}")
@@ -342,6 +510,9 @@ class VersionedParquetTable:
             "props": props,
             "version": last,
             "num_buckets": num_buckets,
+            "bucket_cols": bucket_cols,
+            "bucket_key_types": bucket_key_types,
+            "bucket_rows": bucket_rows,
         }
 
     # ---------- reads ----------
@@ -454,22 +625,6 @@ class VersionedParquetTable:
         )
         return new_version
 
-    def write_counted(
-        self,
-        df: DataFrame,
-        mode: str = "append",
-        merge_schema: bool = False,
-    ) -> tuple[int, int]:
-        """Write and return (version, rows_written) in ONE pass: an
-        Observation on the write plan counts rows as they stream to
-        parquet — no separate isEmpty/count job over the written table."""
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        v = self.write(df, mode=mode, merge_schema=merge_schema)
-        return v, int(obs.get["rows"])
-
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""
         return self.write(spark.createDataFrame([], schema), mode="overwrite")
@@ -486,6 +641,9 @@ class VersionedParquetTable:
                 "dirs": st["dirs"],
                 "schema": st["schema"],
                 "num_buckets": st["num_buckets"],
+                "bucket_cols": st["bucket_cols"],
+                "bucket_key_types": st["bucket_key_types"],
+                "bucket_rows": st["bucket_rows"],
                 "restored_from": version,
             }
         )
@@ -509,18 +667,50 @@ class VersionedParquetTable:
         return self._state_at()["props"].get(name)
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
-        """Delete data dirs unreferenced by the latest state
-        (reference:odbc2deltalake/db_to_delta.py:261-267 vacuums side tables)."""
+        """Delete data dirs unreferenced by any of the last
+        ``retain_versions`` versions — time travel and ``restore`` to those
+        versions keep working after a vacuum, matching Delta's
+        retention-checked VACUUM (the reference relies on Delta semantics;
+        reference:odbc2deltalake/db_to_delta.py:261-267 vacuums side tables).
+
+        Two levels of reclamation:
+
+        - whole top-level ``d<version>-*`` dirs with no retained reference
+          (failed/conflicted writes, overwritten generations);
+        - ``__bucket=<i>`` children inside kept top-level dirs whose entry
+          is not retained — buckets superseded by later merges would
+          otherwise leak for as long as any sibling bucket stays live,
+          unbounded growth on exactly the frequently-merged tables
+          bucketing targets.
+        """
         if not self.exists():
             return []
-        # per-bucket dirs live inside a commit's top-level dir — keep any
-        # top-level dir with at least one live child
-        live_top = {d["dir"].split("/", 1)[0] for d in self._state_at()["dirs"]}
+        retain_versions = max(1, retain_versions)
+        latest = self.version()
+        first = max(0, latest - retain_versions + 1)
+        live_entries: set[str] = set()
+        for v in range(first, latest + 1):
+            try:
+                st = self._state_at(v)
+            except ValueError:
+                continue  # version numbers need not be dense
+            live_entries.update(d["dir"] for d in st["dirs"])
+        live_top = {e.split("/", 1)[0] for e in live_entries}
         removed = []
         for name in self.backend.list_dir(self._root_str):
-            if name.startswith("d") and name != "_commits" and name not in live_top:
+            if not name.startswith("d") or name == "_commits":
+                continue
+            if name not in live_top:
                 self.backend.remove_recursive(self._path(name))
                 removed.append(name)
+                continue
+            for child in self.backend.list_dir(self._path(name)):
+                if (
+                    child.startswith(f"{_BUCKET_COL}=")
+                    and f"{name}/{child}" not in live_entries
+                ):
+                    self.backend.remove_recursive(self._path(name, child))
+                    removed.append(f"{name}/{child}")
         return removed
 
     def delete_table(self) -> None:
@@ -528,12 +718,39 @@ class VersionedParquetTable:
 
     # ---------- merge ----------
 
+    # default target rows per bucket: ~2M keys-only rows ≈ tens of MB of
+    # parquet — one comfortable task per bucket rewrite at any table size
+    DEFAULT_TARGET_BUCKET_ROWS = 2_000_000
+    # rebucket when average bucket exceeds 2x target (doubling NB halves it)
+    REBUCKET_FACTOR = 2
+
+    @staticmethod
+    def _derive_num_buckets(n_rows: int, target_rows: int) -> int:
+        """Power-of-two bucket count sized so avg rows/bucket <= target
+        (min 4). Powers of two keep rebucketing a clean doubling."""
+        need = max(1, -(-max(0, n_rows) // max(1, target_rows)))  # ceil div
+        return max(4, 1 << (need - 1).bit_length())
+
+    def _bucket_key_schema(self, st: dict[str, Any], key_cols: list[str]) -> Optional[T.StructType]:
+        """Key-column types the live buckets were hashed with. Prefer the
+        pinned ``bucket_key_types`` commit field; fall back to the table
+        schema for tables bucketized before the field existed."""
+        if st.get("bucket_key_types"):
+            return T.StructType.fromJson(json.loads(st["bucket_key_types"]))
+        if st.get("schema"):
+            tbl = T.StructType.fromJson(json.loads(st["schema"]))
+            have = {f.name: f for f in tbl.fields}
+            if all(c in have for c in key_cols):
+                return T.StructType([have[c] for c in key_cols])
+        return None
+
     def merge_upsert(
         self,
         spark: SparkSession,
         source: DataFrame,
         key_cols: list[str],
-        num_buckets: int = 16,
+        num_buckets: Optional[int] = None,
+        target_bucket_rows: Optional[int] = None,
     ) -> int:
         """MERGE on key equality: whenMatchedUpdateAll /
         whenNotMatchedInsertAll (reference:odbc2deltalake/reader/spark_reader.py:329-350).
@@ -541,31 +758,117 @@ class VersionedParquetTable:
         Hash-bucketed: rows are stored in ``pmod(xxhash64(keys), NB)``
         buckets (one parquet dir each), and a merge rewrites ONLY the
         buckets that contain changed keys — same asymptotics as Delta
-        MERGE's matched-file rewrite. Round 1 rewrote the whole table per
-        merge, which at 100 TB turns every small delta load into a
-        full-index rewrite; now a delta touching k of NB buckets rewrites
-        k/NB of the index.
+        MERGE's matched-file rewrite; a delta touching k of NB buckets
+        rewrites k/NB of the index.
+
+        Scale properties (each with a test in tests/test_tablestore.py):
+
+        - **NB is size-derived** at first bucketization (``n /
+          target_bucket_rows`` rounded up to a power of two), overridable
+          via ``num_buckets``; a fixed constant would make every bucket a
+          monolith at 100 TB.
+        - **Rebucketing**: per-bucket row counts ride along in each commit
+          (read back from parquet footers of just-written buckets, a
+          metadata-only job); when the average bucket exceeds 2x target the
+          next merge rewrites once at the doubled NB.
+        - **Key types are pinned** in the commit (``bucket_key_types``):
+          xxhash64 output depends on the Spark type (int 5 != bigint 5
+          hashes), so both the touched-bucket probe and the write-side
+          bucket expression cast source keys to the pinned types. A
+          widening key-type drift (int → long) triggers one full
+          conversion rewrite that re-pins the wider type — without this a
+          widened key would hash to the wrong bucket and leave a stale
+          duplicate live in the index.
 
         The first merge after a (full-load) overwrite converts the table
         to bucketed layout in one rewrite; subsequent merges are partial.
         Used on the keys-only ``latest_pk_version`` index; the SCD2
         history table is append-only.
         """
+        target_rows = target_bucket_rows or self.DEFAULT_TARGET_BUCKET_ROWS
         if not self.exists():
-            return self._write_bucketized(source, key_cols, num_buckets, replace=None)
+            return self._bucketize_full(source, key_cols, num_buckets, target_rows)
         st = self._state_at()
-        nb = st["num_buckets"] or num_buckets
         tagged = bool(st["dirs"]) and all(
             d.get("bucket") is not None for d in st["dirs"]
         )
-        if not tagged:
-            # one-time conversion: full merge, written bucketized so every
-            # later merge is partial
-            target = self.read(spark)
-            keep = target.join(source.select(*key_cols), on=key_cols, how="left_anti")
-            merged = source.unionByName(keep, allowMissingColumns=True)
-            return self._write_bucketized(merged, key_cols, nb, replace=None)
-        bexpr = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(nb)).cast("int")
+        if tagged:
+            stored_kt = self._bucket_key_schema(st, key_cols)
+            src_kt = {f.name: f.dataType for f in source.schema.fields}
+            drift = stored_kt is None or any(
+                f.name not in src_kt
+                or (
+                    src_kt[f.name] != f.dataType
+                    and not is_type_widening(src_kt[f.name], f.dataType)
+                )
+                for f in stored_kt.fields
+            )
+            rows = st["bucket_rows"] or {}
+            nb = st["num_buckets"]
+            oversize = (
+                nb
+                and rows
+                and sum(rows.values()) / nb > self.REBUCKET_FACTOR * target_rows
+            )
+            if not drift and not oversize:
+                return self._merge_partial(spark, source, key_cols, st, stored_kt)
+            # key-type drift or grown table: one full rewrite re-pins
+            # types / doubles NB, then merges go back to partial
+            if oversize and num_buckets is None:
+                num_buckets = self._derive_num_buckets(
+                    sum(rows.values()), target_rows
+                )
+        # unbucketed table (or drift/rebucket fall-through): full conversion
+        target = self.read(spark)
+        keep = target.join(source.select(*key_cols), on=key_cols, how="left_anti")
+        merged = source.unionByName(keep, allowMissingColumns=True)
+        return self._bucketize_full(
+            merged, key_cols, num_buckets or st["num_buckets"], target_rows
+        )
+
+    def _bucketize_full(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        num_buckets: Optional[int],
+        target_rows: int,
+    ) -> int:
+        """Full bucketized (re)write. When NB isn't pinned, the frame is
+        persisted, counted, and NB derived from the count — one extra
+        metadata pass, paid only at (re)bucketization, never per merge."""
+        from pyspark import StorageLevel
+
+        key_types = {
+            f.name: f.dataType for f in df.schema.fields if f.name in key_cols
+        }
+        if num_buckets is None:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                num_buckets = self._derive_num_buckets(df.count(), target_rows)
+                return self._write_bucketized(
+                    df, key_cols, num_buckets, replace=None, key_types=key_types
+                )
+            finally:
+                df.unpersist()
+        return self._write_bucketized(
+            df, key_cols, num_buckets, replace=None, key_types=key_types
+        )
+
+    def _merge_partial(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        st: dict[str, Any],
+        stored_kt: T.StructType,
+    ) -> int:
+        """Partial merge: rewrite only buckets containing source keys."""
+        nb = st["num_buckets"]
+        key_types = {f.name: f.dataType for f in stored_kt.fields}
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
+            F.lit(nb),
+        ).cast("int")
         touched = sorted(
             r[0]
             for r in source.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
@@ -576,7 +879,9 @@ class VersionedParquetTable:
             source.select(*key_cols), on=key_cols, how="left_anti"
         )
         merged = source.unionByName(keep, allowMissingColumns=True)
-        return self._write_bucketized(merged, key_cols, nb, replace=touched)
+        return self._write_bucketized(
+            merged, key_cols, nb, replace=touched, key_types=key_types
+        )
 
     def _write_bucketized(
         self,
@@ -584,20 +889,34 @@ class VersionedParquetTable:
         key_cols: list[str],
         num_buckets: int,
         replace: Optional[list[int]],
+        key_types: dict[str, T.DataType],
     ) -> int:
         """Write ``df`` partitioned into hash buckets; commit either as a
         full overwrite (``replace=None``) or as a merge replacing only the
-        named buckets."""
+        named buckets. Keys are cast to ``key_types`` (the pinned bucket
+        types) before hashing so routing is stable across loads."""
         new_version = (self.version() + 1) if self.exists() else 0
         dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
         bexpr = F.pmod(
-            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)
+            F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
+            F.lit(num_buckets),
         ).cast("int")
         schema_json = df.schema.json()  # without the bucket col
         out_path = self._path(dir_name)
         df.withColumn(_BUCKET_COL, bexpr).write.mode("overwrite").partitionBy(
             _BUCKET_COL
         ).parquet(out_path)
+        # per-bucket row counts for the rebucket heuristic: count(*) over
+        # the just-written dirs projects zero data columns — parquet
+        # row-group metadata only, ≤NB result rows
+        spark = df.sparkSession
+        bucket_rows = {
+            str(r[_BUCKET_COL]): r["count"]
+            for r in spark.read.parquet(out_path)
+            .groupBy(_BUCKET_COL)
+            .count()
+            .collect()
+        }
         dirs_added = []
         for child in sorted(self.backend.list_dir(out_path)):
             if child.startswith(f"{_BUCKET_COL}="):
@@ -618,6 +937,10 @@ class VersionedParquetTable:
                 "written_schema": schema_json,
                 "num_buckets": num_buckets,
                 "bucket_cols": key_cols,
+                "bucket_key_types": T.StructType(
+                    [T.StructField(c, key_types[c], True) for c in key_cols]
+                ).json(),
+                "bucket_rows": bucket_rows,
             }
         )
         return new_version

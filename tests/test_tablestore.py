@@ -197,9 +197,9 @@ def test_storage_backend_interface(spark, tmp_path):
     calls = []
 
     class SpyBackend(LocalStorageBackend):
-        def write_text_atomic(self, path, text):
+        def write_text_exclusive(self, path, text):
             calls.append(("write", path))
-            super().write_text_atomic(path, text)
+            super().write_text_exclusive(path, text)
 
         def read_text(self, path):
             calls.append(("read", path))
@@ -210,3 +210,333 @@ def test_storage_backend_interface(spark, tmp_path):
     assert t.read(spark).count() == 1
     assert any(op == "write" and "_commits" in p for op, p in calls)
     assert any(op == "read" and "_commits" in p for op, p in calls)
+
+
+# ---------------------------------------------------------------- round 3 --
+
+
+def test_write_text_exclusive_single_winner(tmp_path):
+    """Two concurrent commits of the same version: exactly one wins, the
+    loser gets CommitConflictError — the commit log is its own
+    serialization point, no lease lock required."""
+    import threading
+
+    from odbc2deltalake_spark.tablestore import (
+        CommitConflictError,
+        LocalStorageBackend,
+    )
+
+    be = LocalStorageBackend()
+    target = str(tmp_path / "_commits" / "0000000001.json")
+    results: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def attempt(i: int):
+        barrier.wait()
+        try:
+            be.write_text_exclusive(target, f"writer-{i}")
+            results.append("won")
+        except CommitConflictError:
+            results.append("lost")
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert results.count("won") == 1 and results.count("lost") == 7
+    # winner's content is complete (no torn write), and no temp litter
+    content = be.read_text(target)
+    assert content.startswith("writer-")
+    assert [n for n in be.list_dir(str(tmp_path / "_commits")) if n.startswith(".")] == []
+
+
+class _FakeFS:
+    """Minimal fsspec-like filesystem (fsspec itself is not installed):
+    dict-backed, supports exclusive-create mode 'x' atomically."""
+
+    def __init__(self, support_x: bool = True):
+        import io
+        import threading
+
+        self.blobs: dict[str, str] = {}
+        self.support_x = support_x
+        self._lock = threading.Lock()
+        self._io = io
+
+    def open(self, path, mode="r"):
+        io = self._io
+        if mode == "x":
+            if not self.support_x:
+                raise ValueError("mode 'x' not supported")
+            with self._lock:
+                if path in self.blobs:
+                    raise FileExistsError(path)
+                self.blobs[path] = ""
+
+            class _W(io.StringIO):
+                def __exit__(inner, *a):
+                    self.blobs[path] = inner.getvalue()
+                    return False
+
+            return _W()
+        if mode == "w":
+
+            class _W(io.StringIO):
+                def __exit__(inner, *a):
+                    self.blobs[path] = inner.getvalue()
+                    return False
+
+            return _W()
+        return io.StringIO(self.blobs[path])
+
+    def exists(self, path):
+        return path in self.blobs or any(
+            k.startswith(path.rstrip("/") + "/") for k in self.blobs
+        )
+
+    def ls(self, path, detail=False):
+        prefix = path.rstrip("/") + "/"
+        return sorted({prefix + k[len(prefix):].split("/", 1)[0] for k in self.blobs if k.startswith(prefix)})
+
+    def rm(self, path, recursive=False):
+        for k in [k for k in self.blobs if k == path or k.startswith(path.rstrip("/") + "/")]:
+            del self.blobs[k]
+
+
+def test_fsspec_exclusive_native_and_fallback():
+    from odbc2deltalake_spark.tablestore import CommitConflictError, FsspecStorageBackend
+    import pytest
+
+    # native 'x' support: conflict detected atomically
+    be = FsspecStorageBackend(_FakeFS(support_x=True))
+    be.write_text_exclusive("/t/_commits/0000000000.json", "a")
+    assert be.exclusive_is_native is True
+    with pytest.raises(CommitConflictError):
+        be.write_text_exclusive("/t/_commits/0000000000.json", "b")
+    assert be.read_text("/t/_commits/0000000000.json") == "a"
+
+    # degraded store without 'x': falls back to check-then-put and says so
+    be2 = FsspecStorageBackend(_FakeFS(support_x=False))
+    be2.write_text_exclusive("/t/_commits/0000000000.json", "a")
+    assert be2.exclusive_is_native is False
+    with pytest.raises(CommitConflictError):
+        be2.write_text_exclusive("/t/_commits/0000000000.json", "b")
+
+
+def test_concurrent_table_commit_one_winner(spark, tmp_path):
+    """End-to-end: two VersionedParquetTable writers (no lease lock)
+    appending concurrently-computed same-numbered commits — one succeeds,
+    the other raises CommitConflictError and no commit is lost."""
+    import pytest
+
+    from odbc2deltalake_spark.tablestore import CommitConflictError
+
+    t1 = VersionedParquetTable(tmp_path / "t")
+    t2 = VersionedParquetTable(tmp_path / "t")
+    t1.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # both see version 0 and target version 1; t2 commits first
+    st = t1._state_at()
+    t2.write(_df(spark, [(2, "b")]), mode="append")
+    with pytest.raises(CommitConflictError):
+        t1._write_commit({"version": st["version"] + 1, "mode": "append", "dir": None, "schema": st["schema"]})
+    assert t1.read(spark).count() == 2  # t2's commit intact
+
+
+def test_vacuum_honors_retain_versions(spark, tmp_path):
+    """After vacuum(retain_versions=2), read(version=v-1) and restore(v-1)
+    still work; dirs only referenced by older versions are reclaimed."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")  # v0
+    t.write(_df(spark, [(2, "b")]), mode="overwrite")  # v1
+    t.write(_df(spark, [(3, "c")]), mode="overwrite")  # v2
+    removed = t.vacuum(retain_versions=2)
+    assert len(removed) == 1  # v0's dir only
+    assert {r["id"] for r in t.read(spark, version=1).collect()} == {2}
+    assert {r["id"] for r in t.read(spark, version=2).collect()} == {3}
+    t.restore(1)
+    assert {r["id"] for r in t.read(spark).collect()} == {2}
+
+
+def test_vacuum_reclaims_superseded_buckets(spark, tmp_path):
+    """Bucket dirs replaced by later merges are reclaimed even though a
+    sibling bucket in the same top-level dir stays live (the round-2
+    unbounded-leak case), while retained-version buckets survive."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(64)]), mode="overwrite")
+    t.merge_upsert(spark, _df(spark, [(0, "A")]), ["id"], num_buckets=8)  # v1: full bucketize
+    conv_top = {d["dir"].split("/", 1)[0] for d in t._state_at()["dirs"]}
+    # repeatedly rewrite the same key -> same bucket superseded many times
+    for i in range(3):
+        t.merge_upsert(spark, _df(spark, [(0, f"A{i}")]), ["id"])  # v2..v4
+    removed = t.vacuum(retain_versions=1)
+    # the conversion top dir is still live (7 untouched buckets) but its
+    # superseded bucket child, plus the two older merge generations, go
+    assert any(r.startswith(tuple(conv_top)) and "__bucket=" in r for r in removed)
+    assert {r["v"] for r in t.read(spark).collect()} >= {"A2"}
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[0] == "A2" and len(got) == 64
+
+
+def test_merge_adaptive_bucket_count(spark, tmp_path):
+    """NB is derived from table size / target_bucket_rows (power of two),
+    not a constant: 300 rows at target 40 -> 8 buckets."""
+    t = VersionedParquetTable(tmp_path / "t")
+    src = spark.createDataFrame([(i, "x") for i in range(300)], "id long, v string")
+    t.merge_upsert(spark, src, ["id"], target_bucket_rows=40)
+    st = t._state_at()
+    assert st["num_buckets"] == 8
+    assert sum(st["bucket_rows"].values()) == 300
+    assert t.read(spark).count() == 300
+
+
+def test_merge_rebuckets_on_growth(spark, tmp_path):
+    """When the average bucket outgrows 2x target, the next merge does ONE
+    full rewrite at a doubled NB, then goes back to partial merges."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, "x") for i in range(100)], "id long, v string"),
+        ["id"],
+        target_bucket_rows=25,
+    )
+    nb0 = t._state_at()["num_buckets"]
+    assert nb0 == 4
+    # grow the table past 2x target per bucket (100 -> 300 rows, avg 75).
+    # Detection is lazy: the growth merge itself still runs at the old NB
+    # (the oversize state is only known from the commit it writes)...
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, "y") for i in range(100, 300)], "id long, v string"),
+        ["id"],
+        target_bucket_rows=25,
+    )
+    st = t._state_at()
+    assert st["num_buckets"] == nb0
+    assert sum(st["bucket_rows"].values()) == 300
+    # ...and the NEXT merge pays one full rewrite at the re-derived NB
+    t.merge_upsert(spark, _df(spark, [(0, "z")]), ["id"], target_bucket_rows=25)
+    st2 = t._state_at()
+    assert st2["num_buckets"] == 16  # ceil(300/25)=12 -> next pow2
+    assert sum(st2["bucket_rows"].values()) == 300
+    assert {r["v"] for r in t.read(spark).filter("id = 0").collect()} == {"z"}
+    # subsequent small merge is partial again at the new NB
+    dirs_before = {d["dir"] for d in st2["dirs"]}
+    t.merge_upsert(spark, _df(spark, [(1, "w")]), ["id"], target_bucket_rows=25)
+    st3 = t._state_at()
+    assert st3["num_buckets"] == 16
+    assert {d["dir"] for d in st3["dirs"]} & dirs_before
+    assert t.read(spark).count() == 300
+
+
+def test_merge_key_type_pinned_across_loads(spark, tmp_path):
+    """xxhash64 routing is type-sensitive: a narrower-typed source (int
+    keys into a bigint-keyed table) must cast to the pinned type before
+    hashing, or the merge scans the wrong bucket and duplicates the key."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, "x") for i in range(64)], "id long, v string"),
+        ["id"],
+        num_buckets=8,
+    )
+    src = spark.createDataFrame([(0, "updated")], "id int, v string")  # int keys
+    t.merge_upsert(spark, src, ["id"])
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[0] == "updated"
+    assert len(got) == 64  # no stale duplicate of key 0
+    assert t.read(spark).count() == t.read(spark).select("id").distinct().count()
+
+
+def test_merge_key_type_widening_rebucketizes(spark, tmp_path):
+    """Key column widens int->long between loads: one full conversion
+    rewrite re-pins the wider type; no stale duplicates, later merges
+    route correctly at the new types."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, "x") for i in range(64)], "id int, v string"),
+        ["id"],
+        num_buckets=8,
+    )
+    st0 = t._state_at()
+    kt0 = T.StructType.fromJson(_json.loads(st0["bucket_key_types"]))
+    assert kt0["id"].dataType == T.IntegerType()
+    # widened source (bigint keys), touching an existing key + a new one
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, "wide"), (6_000_000_000, "big")], "id long, v string"),
+        ["id"],
+    )
+    st1 = t._state_at()
+    kt1 = T.StructType.fromJson(_json.loads(st1["bucket_key_types"]))
+    assert kt1["id"].dataType == T.LongType()
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got[0] == "wide" and got[6_000_000_000] == "big" and len(got) == 65
+    # partial merge at the new pinned type still routes correctly
+    t.merge_upsert(spark, _df(spark, [(0, "again")]), ["id"])
+    got2 = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got2[0] == "again" and len(got2) == 65
+
+
+# ------------------------------------------------- interface conformance --
+
+
+def _store_factories():
+    import pytest
+
+    factories = [pytest.param(VersionedParquetTable, id="parquet-commitlog")]
+    try:
+        from odbc2deltalake_spark.delta_store import DeltaTableStore
+
+        DeltaTableStore.__init__  # touch
+        import delta  # noqa: F401
+
+        factories.append(pytest.param(DeltaTableStore, id="delta-spark"))
+    except ImportError:
+        factories.append(
+            pytest.param(
+                None,
+                id="delta-spark",
+                marks=pytest.mark.skip(reason="delta-spark not installed"),
+            )
+        )
+    return factories
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("factory", _store_factories())
+def test_table_store_interface_conformance(spark, tmp_path, factory):
+    """The full TableStore surface the plans layer relies on, run
+    identically against the commit-log parquet store and (where installed)
+    the real Delta Lake store — the drop-in guarantee."""
+    from odbc2deltalake_spark.tablestore import TableStore
+
+    t: TableStore = factory(tmp_path / "t")
+    assert not t.exists()
+    v0 = t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    assert t.exists() and t.version() == v0
+    v1, n = t.write_counted(_df(spark, [(3, "c")]), mode="append")
+    assert n == 1 and v1 > v0
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=v0).count() == 2
+    assert set(t.schema().fieldNames()) == {"id", "v"}
+    t.merge_upsert(spark, _df(spark, [(3, "C"), (4, "d")]), ["id"])
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
+    t.set_properties({"engine.check": "1"})
+    assert t.get_property("engine.check") == "1"
+    v_before = t.version()
+    t.restore(v0)
+    assert t.version() > v_before
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    t.vacuum(retain_versions=2)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    t.delete_table()
+    assert not t.exists()
