@@ -192,6 +192,32 @@ class JDBCSource(Source):
             keys[:half], key_cols, max_len
         ) + self.keyset_join_sqls(keys[half:], key_cols, max_len)
 
+    def describe_first_result_set_sql(self, as_proc: bool = False) -> str:
+        """tsql schema probe for *query* sources
+        (reference:odbc2deltalake/metadata.py:155-177 uses
+        ``sp_describe_first_result_set``): exact server-side type names
+        (``system_type_name`` carries length/precision, e.g.
+        ``varchar(50)``), nullability, identity and hidden flags — richer
+        than the WHERE-1=0 probe, which only sees JDBC-mapped types.
+
+        Two equivalent server forms: ``as_proc=True`` renders the
+        ``EXEC sp_describe_first_result_set`` call (for ODBC-style clients
+        that can execute procedures); the default renders the
+        ``sys.dm_exec_describe_first_result_set`` TVF as a SELECT, which
+        survives the JDBC layer's subquery wrapping. Embedded quotes are
+        escaped by doubling."""
+        if self.dialect != "tsql":
+            raise ValueError("describe_first_result_set is tsql-only")
+        q = (self.query or "").replace("'", "''")
+        if as_proc:
+            return f"EXEC sp_describe_first_result_set N'{q}', NULL, 0"
+        return (
+            "SELECT name, system_type_name, is_nullable, is_identity_column, "
+            "is_hidden, column_ordinal "
+            f"FROM sys.dm_exec_describe_first_result_set(N'{q}', NULL, 0) "
+            "ORDER BY column_ordinal"
+        )
+
     def information_schema_sql(self) -> str:
         """Column introspection (reference:odbc2deltalake/metadata.py:74-127):
         INFORMATION_SCHEMA.COLUMNS, left-joined to sys.columns on tsql for
@@ -321,8 +347,17 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
                 )
             self._col_cache = infos
             return infos
-        # query source: LIMIT-0 schema probe
-        # (reference:odbc2deltalake/metadata.py:155-199, spark_reader.py:198-212)
+        # query source: sp_describe_first_result_set on tsql (exact server
+        # types; reference:odbc2deltalake/metadata.py:155-177), WHERE-1=0
+        # probe elsewhere or when the DMV is unavailable
+        if self.dialect == "tsql":
+            try:
+                infos = self._describe_first_result_set(spark)
+                if infos:
+                    self._col_cache = infos
+                    return infos
+            except Exception:
+                pass  # no VIEW SERVER STATE / pre-2012 server: fall back
         probe = f"SELECT * FROM ({self.query}) t WHERE 1=0"
         schema = self._jdbc(spark, probe).schema
         self._col_cache = [
@@ -330,6 +365,28 @@ WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
             for f in schema.fields
         ]
         return self._col_cache
+
+    def _describe_first_result_set(self, spark: SparkSession) -> list[ColInfo]:
+        """Run the DMV probe and map its rows to ColInfos (hidden columns
+        dropped — e.g. the rowversion a FOR SYSTEM_TIME query carries)."""
+        rows = self._jdbc(spark, self.describe_first_result_set_sql()).collect()
+        infos = []
+        for r in rows:
+            d = {k.lower(): v for k, v in r.asDict().items()}
+            if d.get("is_hidden"):
+                continue
+            ts = str(d.get("system_type_name") or "")
+            dtype = resolve_type(ts, dialect=self.dialect) or _sql_type_to_spark(ts)
+            infos.append(
+                ColInfo(
+                    column_name=d["name"],
+                    data_type=dtype,
+                    data_type_str=ts,
+                    is_nullable=bool(d.get("is_nullable", True)),
+                    is_identity=bool(d.get("is_identity_column")),
+                )
+            )
+        return infos
 
     def primary_keys(self, spark: SparkSession) -> list[str]:
         if self._pks:

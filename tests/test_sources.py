@@ -187,3 +187,85 @@ def test_xmin_not_injected_for_view():
     s.is_physical_table = lambda spark: False
     assert s.default_delta_col(None) is None
     assert [c.column_name for c in s._col_cache] == ["id"]
+
+
+def test_describe_first_result_set_sql():
+    """tsql query-source schema probe (reference:odbc2deltalake/metadata.py:155-177):
+    TVF form for the JDBC subquery wrapper, EXEC form for ODBC-style
+    clients; embedded single quotes doubled."""
+    s = JDBCSource(
+        "jdbc:sqlserver://h",
+        query="select id, name from dbo.t where tag = 'x'",
+        dialect="tsql",
+    )
+    tvf = s.describe_first_result_set_sql()
+    assert "sys.dm_exec_describe_first_result_set(N'select id, name from dbo.t where tag = ''x''', NULL, 0)" in tvf
+    assert tvf.startswith("SELECT name, system_type_name")
+    assert "ORDER BY column_ordinal" in tvf
+    proc = s.describe_first_result_set_sql(as_proc=True)
+    assert proc == (
+        "EXEC sp_describe_first_result_set "
+        "N'select id, name from dbo.t where tag = ''x''', NULL, 0"
+    )
+
+
+def test_describe_first_result_set_tsql_only():
+    import pytest
+
+    s = JDBCSource("jdbc:postgresql://h/x", query="select 1", dialect="postgres")
+    with pytest.raises(ValueError):
+        s.describe_first_result_set_sql()
+
+
+def test_query_source_probe_falls_back_to_limit0(spark):
+    """When the DMV probe errors (no VIEW SERVER STATE, pre-2012 server),
+    col_infos silently falls back to the WHERE-1=0 probe."""
+    probes = []
+
+    class FakeJdbc(JDBCSource):
+        def _jdbc(self, spark_, sql, partitioned=False):
+            probes.append(sql)
+            if "dm_exec_describe_first_result_set" in sql:
+                raise RuntimeError("VIEW SERVER STATE permission denied")
+            assert "WHERE 1=0" in sql
+            return spark_.createDataFrame([], "id long, name string")
+
+    s = FakeJdbc("jdbc:sqlserver://h", query="select * from dbo.t", dialect="tsql")
+    infos = s.col_infos(spark)
+    assert [c.column_name for c in infos] == ["id", "name"]
+    assert any("dm_exec_describe_first_result_set" in p for p in probes)
+    assert any("WHERE 1=0" in p for p in probes)
+
+
+def test_query_source_probe_uses_dmv_rows(spark):
+    """DMV rows map to ColInfos: exact server type strings resolve through
+    the tsql type map; hidden columns are dropped; identity flag carried."""
+
+    class FakeJdbc(JDBCSource):
+        def _jdbc(self, spark_, sql, partitioned=False):
+            assert "dm_exec_describe_first_result_set" in sql
+            return spark_.createDataFrame(
+                [
+                    ("id", "bigint", False, True, False, 1),
+                    ("name", "nvarchar(50)", True, False, False, 2),
+                    ("__rv", "timestamp", False, False, True, 3),  # hidden
+                ],
+                "name string, system_type_name string, is_nullable boolean, "
+                "is_identity_column boolean, is_hidden boolean, column_ordinal int",
+            )
+
+    s = FakeJdbc("jdbc:sqlserver://h", query="select * from dbo.t", dialect="tsql")
+    infos = s.col_infos(spark)
+    assert [c.column_name for c in infos] == ["id", "name"]
+    byname = {c.column_name: c for c in infos}
+    assert byname["id"].is_identity and not byname["id"].is_nullable
+    assert isinstance(byname["id"].data_type, T.LongType)
+    assert isinstance(byname["name"].data_type, T.StringType)
+    assert byname["name"].data_type_str == "nvarchar(50)"
+
+
+def test_keyset_join_sql_rejects_empty_keys():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _tsql().keyset_join_sql([], ["id"])
