@@ -194,19 +194,25 @@ def _bucket_sql(col: str = "embedding", cast: bool = True) -> str:
     )
 
 
+def _plane_dot_col(vcol, p: int):
+    """Spark-side dot of an array<double> column with plane ``p``'s ±1
+    pattern — bit-matches :func:`_plane_dot_sql` (index-ordered ± chain;
+    x * ±1.0 is an exact IEEE sign flip). The patterns are Walsh
+    functions: mutually orthogonal, each with squared norm 64."""
+    signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
+    return F.aggregate(
+        F.zip_with(vcol, signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _bucket_expr(vcol):
     """Spark-side LSH bucket id over an array<double> column — bit-matches
-    :func:`_bucket_sql` (index-ordered ± chain; x * ±1.0 is an exact IEEE
-    sign flip)."""
+    :func:`_bucket_sql`."""
     bucket = None
     for p in range(_N_PLANES):
-        signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
-        dot = F.aggregate(
-            F.zip_with(vcol, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bit = F.when(_plane_dot_col(vcol, p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket
 
@@ -328,4 +334,145 @@ def sim_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bucketed.groupBy("bucket").applyInPandas(
         score, "bucket int, vec_a long, vec_b long, cosine double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH near-dup: probe the home bucket AND the bucket reached by
+# flipping the lowest-|margin| plane (the hyperplane the vector sits
+# closest to — the most likely boundary a near-duplicate crossed). Lifts
+# recall without quadratic work: candidate generation stays bucket-local,
+# each vector just appears in 2 of 2^planes buckets (cost x2, recall way
+# up for boundary pairs).
+#
+# Falsifiable fixture: the raw corpus has no >=0.92 pairs, and a pure
+# rescale clone (sim_neardup_bucketed) lands in its original's bucket — a
+# single-probe implementation would find it. Here the clones are *plane-0
+# reflections*: v' = v - (2*d0/64) * s0, where d0 is the plane-0 dot and
+# s0 its ±1 pattern. Because the plane patterns are orthogonal Walsh
+# functions, this flips ONLY plane 0's dot (d0 -> -d0), preserves the
+# norm, and gives cosine(v, v') = 1 - d0^2/(32*||v||^2) — mostly above
+# the 0.92 threshold, and ALWAYS one bucket-bit away. Single-probe
+# provably misses every such pair; only the multi-probe join can see
+# them, so the oracle refutes any implementation that skips the probe.
+# ---------------------------------------------------------------------------
+
+_MP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({_plane_dot_sql(0, "embedding")}) AS d0
+  FROM embeddings
+), ext AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_CLONE_ID_OFFSET},
+         [v[i] - ((2 * d0) / 64) * (CASE WHEN (i - 1) % 2 = 1 THEN 1 ELSE -1 END)
+          FOR i IN range(1, 65)]
+  FROM base WHERE vec_id < {_CLONE_MAX_ID}
+), pl AS (
+  SELECT vec_id, v,
+         ({_plane_dot_sql(0, "v", cast=False)}) AS d0,
+         ({_plane_dot_sql(1, "v", cast=False)}) AS d1,
+         ({_plane_dot_sql(2, "v", cast=False)}) AS d2,
+         ({_plane_dot_sql(3, "v", cast=False)}) AS d3
+  FROM ext
+), bk AS (
+  SELECT vec_id, v,
+         (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) AS bucket,
+         (CASE WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2) AND abs(d0) <= abs(d3) THEN 1
+               WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2
+               WHEN abs(d2) <= abs(d3) THEN 4
+               ELSE 8 END) AS flip
+  FROM pl
+), probes AS (
+  SELECT vec_id, v, bucket FROM bk
+  UNION ALL
+  SELECT vec_id, v, xor(bucket, flip) AS bucket FROM bk
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL}, 4) AS cosine
+FROM probes a JOIN probes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register(
+    "sim_neardup_multiprobe",
+    _MP_ORACLE,
+    tags=("similarity", "dedup"),
+    priority=100,  # overflow entry: pytest-gated (tests/test_correctness_extras.py)
+)
+def sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH near-dup: each vector probes its home bucket plus
+    the one across its weakest (lowest-|margin|) hyperplane. Pure
+    DataFrame composition — probe union, bucket-local self-join for
+    candidates, then ONE JVM-side cosine per distinct pair (the same
+    index-ordered `_dot` algebra sim_ann_topk pins) — so every pair is
+    scored exactly once regardless of how many buckets surfaced it.
+
+    Scale: the self-join shuffles on bucket only; candidates stay
+    bucket-local (2x single-probe volume). At 100 TB raise _N_PLANES and
+    keep probing the single weakest plane — recall concentrates exactly
+    where near-dups live, on bucket boundaries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").cast("long").alias("vec_id"), dbl.alias("v"))
+    # plane-0 reflection clones (cross-bucket near-dups by construction)
+    refl = (
+        base.filter(F.col("vec_id") < _CLONE_MAX_ID)
+        .withColumn("d0", _plane_dot_col(F.col("v"), 0))
+        .select(
+            (F.col("vec_id") + _CLONE_ID_OFFSET).alias("vec_id"),
+            F.transform(
+                F.col("v"),
+                lambda x, i: x
+                - ((F.lit(2.0) * F.col("d0")) / F.lit(64.0))
+                * F.when(i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ).alias("v"),
+        )
+    )
+    ext = base.unionByName(refl)
+    pl = ext
+    for p in range(_N_PLANES):
+        pl = pl.withColumn(f"d{p}", _plane_dot_col(F.col("v"), p))
+    bucket = None
+    for p in range(_N_PLANES):
+        bit = F.when(F.col(f"d{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    ad = [F.abs(F.col(f"d{p}")) for p in range(_N_PLANES)]
+    flip = (
+        F.when((ad[0] <= ad[1]) & (ad[0] <= ad[2]) & (ad[0] <= ad[3]), F.lit(1))
+        .when((ad[1] <= ad[2]) & (ad[1] <= ad[3]), F.lit(2))
+        .when(ad[2] <= ad[3], F.lit(4))
+        .otherwise(F.lit(8))
+    )
+    bk = pl.select(
+        "vec_id", "v", bucket.alias("bucket"), flip.alias("flip")
+    )
+    probes = bk.select("vec_id", "v", "bucket").unionByName(
+        bk.select(
+            "vec_id", "v", F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket")
+        )
+    )
+    a = probes.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = probes.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # pair seen via 1 or 2 buckets
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= _NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
