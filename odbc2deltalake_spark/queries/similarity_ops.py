@@ -476,3 +476,117 @@ def sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine_raw") >= _NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantize the corpus into centroid cells,
+# probe only the query's nprobe nearest cells. The second scale path next
+# to LSH bucketing — IVF gives data-adaptive cells where LSH gives
+# data-oblivious ones. Here the coarse quantizer is pinned to fixed seed
+# centroids (vec_id < _IVF_CENTROIDS) so both engines build the identical
+# index without a random source; a 100 TB deployment would fit centroids
+# with sampled k-means (e.g. Spark ML KMeans on a 0.1% sample) and keep
+# everything below identical.
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < {_IVF_CENTROIDS}
+), corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT corpus.vec_id, cent.cid,
+         list_dot_product(corpus.v, cent.cv)
+         / (sqrt(list_dot_product(corpus.v, corpus.v))
+            * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+  FROM corpus, cent
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), probe AS (
+  SELECT cid FROM scored WHERE vec_id = {_QUERY_VEC_ID}
+  ORDER BY cos DESC, cid LIMIT {_IVF_NPROBE}
+), q AS (
+  SELECT v AS qv FROM corpus WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT c.vec_id, c.label,
+       round(list_dot_product(c.v, q.qv)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+         4) AS cosine
+FROM corpus c
+JOIN assigned a ON a.vec_id = c.vec_id
+JOIN probe p ON p.cid = a.cid
+CROSS JOIN q
+WHERE c.vec_id <> {_QUERY_VEC_ID}
+ORDER BY list_dot_product(c.v, q.qv)
+         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+         DESC, c.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    _IVF_ORACLE,
+    tags=("similarity",),
+    priority=100,  # overflow entry: pytest-gated (tests/test_correctness_extras.py)
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: assign every corpus vector to its nearest centroid
+    (argmax cosine, ties to the lowest centroid id), probe the query's
+    {nprobe} nearest cells, brute-force only inside them.
+
+    Plan shape at scale: centroids broadcast to the assignment scan (one
+    pass over the corpus, persisted as the index); the probe side is a
+    {nprobe}-row broadcast semi-join, so a query reads only its cells'
+    partitions (partition the stored index by cell id) and finishes with
+    TakeOrdered — no global shuffle of the corpus at query time."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", "label", dbl.alias("v"))
+    cent = corpus.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_c = _dot(F.col("v"), F.col("cv")) / (
+        _norm(F.col("v")) * _norm(F.col("cv"))
+    )
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "v", "cid", cos_c.alias("cos")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    )
+    assigned = (
+        scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    probe = (
+        scored.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .orderBy(F.col("cos").desc(), "cid")
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    cos_q = _dot(F.col("v"), F.col("qv")) / (
+        _norm(F.col("v")) * _norm(F.col("qv"))
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos_q.alias("cos_raw"))
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )

@@ -5,6 +5,8 @@ from odbc2deltalake_spark.streaming.driver import (
 from odbc2deltalake_spark.streaming.events import (
     windowed_rollup_stream,
     deduped_stream,
+    sessionize_batch,
+    sessionize_stream,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "foreach_batch_scd2",
     "windowed_rollup_stream",
     "deduped_stream",
+    "sessionize_batch",
+    "sessionize_stream",
 ]

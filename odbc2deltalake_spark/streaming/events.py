@@ -62,3 +62,125 @@ def deduped_stream(
         df = df.withWatermark(ts_col, watermark_delay)
         return df.dropDuplicatesWithinWatermark(key_cols)
     return df.dropDuplicates(key_cols)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Batch gap-sessionization (lag + running sum) — the same algebra the
+    registry's ev_sessionize query pins against DuckDB; bounds emitted as
+    integer epoch-micros."""
+    from pyspark.sql import Window as W
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w))
+    return (
+        events.withColumn(
+            "__new", F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.unix_micros(F.min(ts_col)).alias("session_start_us"),
+            F.unix_micros(F.max(ts_col)).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("session_id")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the construct for operators Structured
+    Streaming lacks natively — session windows with per-key state and
+    event-time timeouts).
+
+    Watermark-correct by construction: a session is emitted ONLY when the
+    watermark has passed ``session_end + gap`` — at that point no
+    non-late event can extend or bridge it. Until then candidate sessions
+    (merged event intervals) wait in state; late events within the
+    watermark land in, extend, or bridge them. State per key is a handful
+    of interval triples bounded by the watermark delay, and the event-time
+    timeout flushes closed sessions even if the key never sees another
+    event — both state growth and emission latency are bounded.
+
+    On a batch frame this dispatches to :func:`sessionize_batch` (same
+    output schema/semantics; a batch has no open tail).
+    """
+    if not events.isStreaming:
+        return sessionize_batch(events, gap_minutes, ts_col, user_col)
+
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        f"{user_col} long, session_start_us long, session_end_us long, "
+        "n_events long"
+    )
+    state_schema = "starts array<long>, ends array<long>, counts array<long>"
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        intervals: list[list[int]] = []
+        if state.exists:
+            starts, ends, counts = state.get
+            intervals = [[s, e, n] for s, e, n in zip(starts, ends, counts)]
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf[ts_col])
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            intervals.extend([int(t), int(t), 1] for t in ts_us)
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s, e, n in intervals:
+            if merged and s - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
+            else:
+                merged.append([s, e, n])
+        closed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        still_open = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if still_open:
+            state.update((
+                [iv[0] for iv in still_open],
+                [iv[1] for iv in still_open],
+                [iv[2] for iv in still_open],
+            ))
+            # fire when the watermark passes the earliest possible close
+            next_close_ms = min(iv[1] for iv in still_open) // 1000 + gap_minutes * 60_000
+            state.setTimeoutTimestamp(max(next_close_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start_us": [iv[0] for iv in closed],
+                    "session_end_us": [iv[1] for iv in closed],
+                    "n_events": [iv[2] for iv in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )

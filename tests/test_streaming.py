@@ -129,3 +129,56 @@ def test_deduped_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) c FROM dedup_test").first()["c"]
     assert got == events.count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streamed
+    gap-sessionization emits exactly the sessions the final watermark has
+    closed, with values identical to the batch algebra."""
+    from odbc2deltalake_spark.streaming import sessionize_batch, sessionize_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts"
+    )
+    batch_rows = {tuple(r) for r in sessionize_batch(events).collect()}
+    assert batch_rows
+
+    src = tmp_path / "sess"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream, watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got, "watermark-closed sessions must be emitted"
+    # every emitted session is exactly a batch session (same bounds/counts)
+    assert got.issubset(batch_rows)
+    # and the emitted set is exactly the watermark-closed subset: final
+    # watermark = max event time - 1 minute; a session is closed once
+    # watermark passes end + gap
+    from pyspark.sql import functions as F_
+
+    max_us = events.agg(F_.max(F_.unix_micros("ts"))).first()[0]
+    wm_us = max_us - 60_000_000
+    gap_us = 30 * 60 * 1_000_000
+    expected_closed = {r for r in batch_rows if r[2] + gap_us < wm_us}
+    assert got == expected_closed
+    # sessions still inside the gap window stay in state, not output
+    assert (batch_rows - got) == {r for r in batch_rows if r[2] + gap_us >= wm_us}
+
+
+def test_sessionize_batch_fallback(spark):
+    """sessionize_stream on a batch frame dispatches to the batch algebra."""
+    from odbc2deltalake_spark.streaming import sessionize_batch, sessionize_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = {tuple(r) for r in sessionize_stream(events).collect()}
+    b = {tuple(r) for r in sessionize_batch(events).collect()}
+    assert a == b
