@@ -443,7 +443,9 @@ def _finish_simple(
         ctx.delta_name,
     )
     dest.latest_pk_version.merge_upsert(ctx.spark, merged, ctx.pk_names)
-    target_count = dest.latest_pk_version.read(ctx.spark).count()
+    # metadata-backed count: the merge just recorded exact per-bucket row
+    # counts in its commit, so the reconcile costs zero jobs
+    target_count = dest.latest_pk_version.count_rows(ctx.spark)
     res.dirty = src_count != target_count
     if res.dirty:
         ctx.logger.warning(

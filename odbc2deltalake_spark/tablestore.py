@@ -397,6 +397,11 @@ class TableStore(ABC):
         v = self.write(df, mode=mode, merge_schema=merge_schema)
         return v, int(obs.get["rows"])
 
+    def count_rows(self, spark: SparkSession) -> int:
+        """Current row count. Stores that track counts in commit metadata
+        override this to answer without a scan."""
+        return self.read(spark).count()
+
 
 # ------------------------------------------------------------------------
 # table
@@ -715,6 +720,22 @@ class VersionedParquetTable(TableStore):
 
     def delete_table(self) -> None:
         self.backend.remove_recursive(self._root_str)
+
+    def count_rows(self, spark: SparkSession) -> int:
+        """Row count from commit metadata when the live layout is fully
+        bucketized (per-bucket counts are exact parquet-footer numbers
+        recorded at write time) — zero jobs; otherwise one count scan."""
+        st = self._state_at()
+        dirs = st["dirs"]
+        if (
+            dirs
+            and all(d.get("bucket") is not None for d in dirs)
+            and st["bucket_rows"]
+            and {d["bucket"] for d in dirs}
+            == {int(b) for b in st["bucket_rows"]}
+        ):
+            return int(sum(st["bucket_rows"].values()))
+        return self.read(spark).count()
 
     # ---------- merge ----------
 

@@ -540,3 +540,17 @@ def test_table_store_interface_conformance(spark, tmp_path, factory):
     assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
     t.delete_table()
     assert not t.exists()
+
+
+def test_count_rows_metadata_backed(spark, tmp_path):
+    """After merges the row count comes from commit metadata (exact
+    parquet-footer counts) and matches a real scan."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(spark, _df(spark, [(i, "x") for i in range(57)]), ["id"], num_buckets=4)
+    t.merge_upsert(spark, _df(spark, [(0, "y"), (99, "new")]), ["id"])
+    assert t.count_rows(spark) == 58
+    assert t.count_rows(spark) == t.read(spark).count()
+    # unbucketed table falls back to a scan
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(_df(spark, [(1, "a")]), mode="overwrite")
+    assert t2.count_rows(spark) == 1
