@@ -449,9 +449,12 @@ def sim_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ad[2] <= ad[3], F.lit(4))
         .otherwise(F.lit(8))
     )
+    # localCheckpoint: bk feeds 4 plan branches (2 probe-union arms x 2
+    # self-join sides) — without it the scan + 4 plane-dot aggregations
+    # recompute 8x (explain_audit showed 8 parquet scans)
     bk = pl.select(
         "vec_id", "v", bucket.alias("bucket"), flip.alias("flip")
-    )
+    ).localCheckpoint(eager=False)
     probes = bk.select("vec_id", "v", "bucket").unionByName(
         bk.select(
             "vec_id", "v", F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket")

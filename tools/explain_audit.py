@@ -1,0 +1,120 @@
+"""Physical-plan audit for the headline queries.
+
+Captures `explain(formatted)` for each audited query at the given sf dir,
+writes the full plan to docs/plans/<name>.txt, and checks the physical
+properties the engine claims:
+
+- **no_row_python**: no `BatchEvalPython` (row-at-a-time Python UDF) —
+  and no `ArrowEvalPython` either; the only Python in any plan is the
+  intended Arrow-batched `MapInPandas`/`FlatMapGroupsInPandas` kernels.
+- **pushdown**: queries that filter fact-table scan columns show
+  non-empty `PushedFilters` on the parquet scan (AQE formatted mode; the
+  filters named per query below).
+- **broadcast**: queries with dimension joins use `BroadcastHashJoin`
+  exclusively — a `SortMergeJoin` appearing where a broadcast is claimed
+  is a regression.
+- **no_cartesian**: no `CartesianProduct` outside the intended
+  single-row broadcast-probe cross joins.
+
+(`WholeStageCodegen` spans are not visible in pre-execution AQE formatted
+plans, so codegen coverage is not asserted here; the no-Python checks
+cover the part of that claim the engine controls.)
+
+    python tools/explain_audit.py [sf_dir] [extra_query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod
+from odbc2deltalake_spark.session import get_spark
+
+# queries where a cross join IS the plan (single-row broadcast probe)
+CROSS_JOIN_OK = {"sim_ann_topk", "sim_ann_ivf", "sim_embedding_neardup"}
+# queries whose scans must show pushed filters (they filter scan columns)
+PUSHDOWN_EXPECTED = {
+    "q1_pricing_summary",   # l_shipdate <=
+    "q3_shipping_priority", # segment / date bounds
+    "q5_local_supplier",    # region name, order date range
+    "q6_forecast_revenue",  # date + discount + quantity range
+    "q10_returned_items",   # returnflag, date range
+    "sim_ann_ivf",          # vec_id < centroids / = query id
+    "sim_ann_topk",         # vec_id = query id
+}
+# queries with dimension joins that must all be broadcast
+BROADCAST_EXPECTED = {
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q18_large_orders",
+}
+
+AUDIT = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "ev_sessionize",
+    "scd2_current_rows",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_ann_topk",
+    "sim_ann_ivf",
+    "sim_neardup_multiprobe",
+    "text_quality_score",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    extra = sys.argv[2:]
+    spark = get_spark("explain_audit")
+    qs = entrymod.queries()
+    outdir = REPO / "docs" / "plans"
+    outdir.mkdir(parents=True, exist_ok=True)
+    failures: list[str] = []
+    for name in AUDIT + extra:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        (outdir / f"{name}.txt").write_text(plan)
+        checks: dict[str, bool] = {}
+        checks["no_row_python"] = (
+            "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        )
+        checks["no_cartesian"] = (
+            "CartesianProduct" not in plan or name in CROSS_JOIN_OK
+        )
+        if name in PUSHDOWN_EXPECTED:
+            checks["pushdown"] = bool(re.search(r"PushedFilters: \[[^\]]", plan))
+        bhj = plan.count("BroadcastHashJoin")
+        smj = plan.count("SortMergeJoin")
+        if name in BROADCAST_EXPECTED:
+            checks["broadcast"] = bhj >= 1 and smj == 0
+        n_scans = len(re.findall(r"ReadSchema: struct<", plan))
+        bad = [k for k, v in checks.items() if not v]
+        status = "OK  " if not bad else "FAIL"
+        if bad:
+            failures.append(name)
+        print(
+            f"{status} {name}: scans={n_scans} bhj={bhj} smj={smj}"
+            + (f"  failed: {','.join(bad)}" if bad else "")
+        )
+    print(f"plans written to {outdir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
