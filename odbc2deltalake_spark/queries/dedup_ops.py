@@ -96,7 +96,16 @@ def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per document: (doc_id, shingle).
 
     Spark-side: split → posexplode → lead window. The window shuffles on
-    doc_id once; everything after stays partitioned by doc_id."""
+    doc_id once; everything after stays partitioned by doc_id.
+
+    Measured alternative (kept for the record): a fully map-side build —
+    words array + ``transform(sequence(...))`` 3-gram slide +
+    ``array_distinct`` + explode — removes both shuffles, but benchmarked
+    *slower* at sf0.1 (array/lambda eval overhead dominates on these
+    ~55-word docs; and NB: referencing the split expr inside the lambda
+    re-evaluates it per gram, 5x worse — materialize the array first).
+    For long-document corpora where the word-stream shuffle dominates,
+    the array-side form is the right swap."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
