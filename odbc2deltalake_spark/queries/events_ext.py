@@ -109,3 +109,139 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
+
+
+# ------------------------------------------------------------ as-of join --
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, round(max(value), 2) AS ref_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(p.ts) AS ref_ts_us, p.ref_value
+FROM clicks c ASOF JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("ev_asof_join", _ASOF_ORACLE, tags=("events", "join"), priority=100)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively (DuckDB: ASOF JOIN):
+    each 'click' gets the most recent same-user 'purchase' at or before
+    its timestamp.
+
+    Implemented as the SCALABLE union-and-carry pattern, not an
+    inequality join: tag both streams, sort each user's merged timeline
+    once (ts, then reference-before-probe so equal timestamps are
+    inclusive), and carry the last seen reference values forward with
+    last(ignorenulls) — ONE shuffle on user_id, O(n log n) per user,
+    where a naive `a.ts >= b.ts` theta-join explodes quadratically and a
+    per-probe subquery never distributes. The reference stream is deduped
+    per (user, ts) first so ties are deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us"),
+        F.lit(None).cast("long").alias("p_ts_us"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("kind"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", us.alias("ts_us"))
+        .agg(F.round(F.max("value"), 2).alias("p_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts_us",
+            F.col("ts_us").alias("p_ts_us"),
+            "p_value",
+            F.lit(0).alias("kind"),
+        )
+    )
+    merged = clicks.unionByName(purch)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("ref_ts_us", F.last("p_ts_us", ignorenulls=True).over(w))
+        .withColumn("ref_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("ref_ts_us").isNotNull())
+        .select("event_id", "user_id", "ts_us", "ref_ts_us", "ref_value")
+    )
+
+
+# ------------------------------------------------------------ range join --
+
+_RANGE_WINDOW_US = 5 * 60 * 1_000_000  # ±5 minutes
+
+_RANGE_ORACLE = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       count(c.ts) AS n_nearby,
+       round(coalesce(sum(c.value), 0), 2) AS sum_nearby_value
+FROM err e LEFT JOIN clk c
+  ON e.user_id = c.user_id
+ AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= {_RANGE_WINDOW_US}
+GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
+"""
+
+
+@register("ev_range_join", _RANGE_ORACLE, tags=("events", "join"), priority=100)
+def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per 'error' event, count/sum same-user
+    'click' events within ±5 minutes.
+
+    A raw `abs(a.ts - b.ts) <= w` predicate gives Spark no equi-key and
+    degenerates to a broadcast-nested-loop; the scalable form buckets
+    time at the window width and probes the 3 adjacent buckets — the
+    equi-join on (user_id, bucket) hash-partitions, every true match is
+    within one bucket of the probe, and the exact |dt| filter runs only
+    on bucket-local candidates. Errors with no nearby click are restored
+    by a left join against the probe side (LEFT-join semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        us.alias("c_ts_us"),
+        "value",
+        F.floor(us / _RANGE_WINDOW_US).alias("bucket"),
+    )
+    probes = err.select(
+        "event_id", "user_id", "ts_us",
+        F.explode(
+            F.array(
+                F.floor(F.col("ts_us") / _RANGE_WINDOW_US) - 1,
+                F.floor(F.col("ts_us") / _RANGE_WINDOW_US),
+                F.floor(F.col("ts_us") / _RANGE_WINDOW_US) + 1,
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        probes.join(
+            clk,
+            (probes.user_id == clk.c_user) & (probes.bucket == clk.bucket),
+        )
+        .filter(F.abs(F.col("ts_us") - F.col("c_ts_us")) <= _RANGE_WINDOW_US)
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+        )
+    )
+    return err.join(matched, "event_id", "left").select(
+        "event_id", "user_id", "ts_us",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby"),
+        F.round(F.coalesce(F.col("s"), F.lit(0.0)), 2).alias("sum_nearby_value"),
+    )
