@@ -375,3 +375,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"bs{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return bitsums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------ dedup clustering (CC) ----
+# The step after pair detection in a real dedup pipeline: group near-dup
+# pairs into connected components and elect a canonical doc per component
+# (keep-one-drop-rest). Iterative min-label propagation in Spark — the
+# Pregel pattern expressed in DataFrame algebra — pinned against a
+# recursive-CTE transitive closure in DuckDB.
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u
+)
+SELECT u AS doc_id, min(v) AS canonical_id,
+       count(DISTINCT v) AS cluster_size
+FROM walk GROUP BY u
+"""
+# (walk reaches u itself via the 2-cycle every undirected edge forms, so
+# v ranges over the FULL component including u: min(v) is the canonical
+# id and count(DISTINCT v) the component size.)
+
+
+@register("dedup_cluster", _CLUSTER_ORACLE, tags=("dedup",), priority=100)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH verified near-dup pairs:
+    every clustered doc with its canonical (minimum) doc_id and component
+    size.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels; converged when no label
+    changes. Rounds = component diameter (near-dup clusters are shallow —
+    a handful of rounds in practice). Each round is one shuffle of the
+    label table on node id; labels are localCheckpoint'ed per round so
+    the lineage (and its recomputation) does not grow with iteration
+    count — the standard driver-coordinated iterative pattern (the loop
+    moves no data through the driver; the convergence check is a count).
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):  # diameter bound; near-dup clusters converge in ~3
+        nb_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.node == nb_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("canonical_id"),
+        F.col("cluster_size"),
+    )
