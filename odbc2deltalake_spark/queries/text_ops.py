@@ -162,3 +162,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+# --------------------------------------------------------------- PII scrub --
+# The fixture corpus contains no PII, so both engines extend it with
+# deterministic synthetic contacts (doc_id < 25): an email and a 555-
+# phone derived from the doc_id — the redaction result is non-empty and
+# a wrong pattern or non-global replace fails the hash.
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"555-[0-9]{3,4}"
+
+_PII_ORACLE = f"""
+WITH ext AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000,
+         text || ' contact user' || doc_id || '@example.com or 555-01' || doc_id
+  FROM documents WHERE doc_id < 25
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))
+       + len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_redactions,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM ext
+"""
+
+
+@register("text_pii_scrub", _PII_ORACLE, tags=("text",), priority=100)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and phone-shaped tokens replaced with typed
+    placeholders, plus a per-doc redaction count. Pure JVM regexp built-ins
+    (regexp_extract_all / regexp_replace — Spark replaces globally by
+    default, matching the oracle's 'g' flag), so the scrub is a linear
+    whole-stage-codegen scan — the shape a 100 TB corpus pass needs. The
+    patterns are RE2-and-Java-regex-compatible by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ext = docs.unionByName(
+        docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-01"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    n_red = F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))) + F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return ext.select(
+        "doc_id",
+        n_red.cast("long").alias("n_redactions"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
