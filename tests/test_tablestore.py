@@ -554,3 +554,40 @@ def test_count_rows_metadata_backed(spark, tmp_path):
     t2 = VersionedParquetTable(tmp_path / "t2")
     t2.write(_df(spark, [(1, "a")]), mode="overwrite")
     assert t2.count_rows(spark) == 1
+
+
+def test_merge_schema_evolution_new_column(spark, tmp_path):
+    """A merge source carrying a NEW column: untouched buckets (old
+    written schema) read back with NULLs for it, touched buckets carry
+    the values — schema evolution without rewriting old buckets."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(spark, _df(spark, [(i, "x") for i in range(32)]), ["id"], num_buckets=8)
+    src = spark.createDataFrame([(0, "upd", 9.5)], "id long, v string, score double")
+    t.merge_upsert(spark, src, ["id"])
+    out = t.read(spark)
+    assert set(out.columns) == {"id", "v", "score"}
+    got = {r["id"]: (r["v"], r["score"]) for r in out.collect()}
+    assert got[0] == ("upd", 9.5)
+    assert len(got) == 32
+    others = [v for k, v in got.items() if k != 0]
+    assert all(s is None for _, s in others)
+
+
+def test_merge_schema_evolution_widened_value_column(spark, tmp_path):
+    """A merge source with a widened NON-key column (int -> long): the
+    table schema widens, old buckets cast up on read, key routing is
+    unaffected."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, i) for i in range(32)], "id long, n int"),
+        ["id"],
+        num_buckets=8,
+    )
+    src = spark.createDataFrame([(0, 6_000_000_000)], "id long, n long")
+    t.merge_upsert(spark, src, ["id"])
+    out = t.read(spark)
+    assert dict(out.dtypes)["n"] == "bigint"
+    got = {r["id"]: r["n"] for r in out.collect()}
+    assert got[0] == 6_000_000_000 and got[5] == 5 and len(got) == 32
+    assert out.count() == out.select("id").distinct().count()
