@@ -64,14 +64,37 @@ AUDIT = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q22_global_sales",
+    "ev_hourly_rollup",
     "ev_sessionize",
+    "ev_rollup",
+    "ev_interevent_gaps",
+    "ev_asof_join",
+    "ev_range_join",
     "scd2_current_rows",
+    "w1_latest_per_key",
+    "u1_latest_pk_union",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_ann_topk",
     "sim_ann_ivf",
     "sim_neardup_multiprobe",
+    "sim_lsh_buckets",
     "text_quality_score",
+    "text_pii_scrub",
+    "mm_decode_meta",
+    # dedup_cluster excluded: building its DataFrame executes the
+    # label-propagation loop (driver-coordinated iterations)
 ]
 
 
