@@ -7,6 +7,7 @@ from odbc2deltalake_spark.streaming.events import (
     deduped_stream,
     sessionize_batch,
     sessionize_stream,
+    clicks_purchases_join_stream,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "deduped_stream",
     "sessionize_batch",
     "sessionize_stream",
+    "clicks_purchases_join_stream",
 ]

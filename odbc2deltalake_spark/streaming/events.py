@@ -184,3 +184,47 @@ def sessionize_stream(
             fn, out_schema, state_schema, "append", "EventTimeTimeout"
         )
     )
+
+
+def clicks_purchases_join_stream(
+    events: DataFrame,
+    join_window: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each 'click' inner-joined to
+    same-user 'purchase' events in the preceding ``join_window``.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    purchase_ts to [click_ts - window, click_ts], so Spark can expire
+    buffered rows once the watermark passes their reach — state stays
+    bounded by window + delay instead of growing with the stream. Inner
+    join: matches emit as soon as both sides have arrived (the watermark
+    only gates state cleanup), so the streamed result equals the batch
+    join exactly. On a batch frame the same plan is a plain
+    condition join."""
+    is_stream = events.isStreaming
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if is_stream:
+        clicks = clicks.withWatermark("c_ts", watermark_delay)
+        purch = purch.withWatermark("p_ts", watermark_delay)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") <= F.col("c_ts"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {join_window}"))
+    )
+    return clicks.join(purch, cond).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros(F.col("c_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
+        "purchase_value",
+    )

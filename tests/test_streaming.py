@@ -182,3 +182,30 @@ def test_sessionize_batch_fallback(spark):
     a = {tuple(r) for r in sessionize_stream(events).collect()}
     b = {tuple(r) for r in sessionize_batch(events).collect()}
     assert a == b
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream self-join (clicks x preceding purchases):
+    inner-join results equal the batch join exactly — the watermark only
+    bounds state, not emission."""
+    from odbc2deltalake_spark.streaming import clicks_purchases_join_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch = {tuple(r) for r in clicks_purchases_join_stream(events).collect()}
+    assert batch, "fixture must produce click-purchase matches"
+
+    src = tmp_path / "ssj"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        clicks_purchases_join_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()}
+    assert got == batch
