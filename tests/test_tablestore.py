@@ -591,3 +591,23 @@ def test_merge_schema_evolution_widened_value_column(spark, tmp_path):
     got = {r["id"]: r["n"] for r in out.collect()}
     assert got[0] == 6_000_000_000 and got[5] == 5 and len(got) == 32
     assert out.count() == out.select("id").distinct().count()
+
+
+def test_delta_store_module_imports_and_gates():
+    """delta_store.py must be importable (it is never executed in this
+    container otherwise) and must raise ImportError only at construction
+    when delta-spark is absent."""
+    import importlib
+
+    import pytest
+
+    mod = importlib.import_module("odbc2deltalake_spark.delta_store")
+    try:
+        import delta  # noqa: F401
+
+        has_delta = True
+    except ImportError:
+        has_delta = False
+    if not has_delta:
+        with pytest.raises(ImportError):
+            mod.DeltaTableStore("/tmp/nope")
