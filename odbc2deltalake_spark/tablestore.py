@@ -924,9 +924,17 @@ class VersionedParquetTable(TableStore):
         ).cast("int")
         schema_json = df.schema.json()  # without the bucket col
         out_path = self._path(dir_name)
-        df.withColumn(_BUCKET_COL, bexpr).write.mode("overwrite").partitionBy(
-            _BUCKET_COL
-        ).parquet(out_path)
+        # sort within each write partition by (bucket, keys): parquet
+        # row-group min/max stats on the key columns become tight ranges,
+        # so point/range key reads inside a bucket skip row groups — the
+        # same reason Delta recommends OPTIMIZE ZORDER on merge keys
+        (
+            df.withColumn(_BUCKET_COL, bexpr)
+            .sortWithinPartitions(_BUCKET_COL, *key_cols)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(out_path)
+        )
         # per-bucket row counts for the rebucket heuristic: count(*) over
         # the just-written dirs projects zero data columns — parquet
         # row-group metadata only, ≤NB result rows
