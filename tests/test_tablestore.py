@@ -611,3 +611,23 @@ def test_delta_store_module_imports_and_gates():
     if not has_delta:
         with pytest.raises(ImportError):
             mod.DeltaTableStore("/tmp/nope")
+
+
+def test_aborted_write_invisible_and_vacuumed(spark, tmp_path):
+    """A data dir without a commit file (writer died before publishing) is
+    ignored by readers and reclaimed by vacuum — the commit-format.md
+    contract that makes data-then-commit crash-safe."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(1, "a")]), mode="overwrite")
+    # simulate a crashed writer: orphan data dir, no commit published
+    orphan = tmp_path / "t" / "d0000000001-deadbeef"
+    _df(spark, [(99, "ghost")]).write.parquet(str(orphan))
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    assert t.version() == 0
+    removed = t.vacuum()
+    assert "d0000000001-deadbeef" in removed
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    # the next real commit takes version 1 cleanly
+    t.write(_df(spark, [(2, "b")]), mode="append")
+    assert t.version() == 1
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
