@@ -1,0 +1,83 @@
+"""Persisted ANN index lifecycle: the similarity operators' scale story
+("probe reads only its cells' partitions") exercised through the table
+store, not just claimed in docstrings.
+
+Build the IVF cell assignment once, store it hive-partitioned by cell id,
+then answer a query by reading ONLY the probe cells — results must equal
+the direct (unstored) IVF query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stored_ivf_index_probe_matches_direct(spark, tmp_path):
+    from odbc2deltalake_spark.queries import similarity_ops as S
+    from odbc2deltalake_spark.queries.registry import load_table
+
+    # direct (unstored) result
+    direct = {tuple(r) for r in S.sim_ann_ivf(spark, SF_DIR).collect()}
+    assert direct
+
+    # build + store the index: corpus with its assigned cell, partitioned
+    # by cell so cell filters prune at file level
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", "label", dbl.alias("v"))
+    cent = corpus.filter(F.col("vec_id") < S._IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos_c = S._dot(F.col("v"), F.col("cv")) / (
+        S._norm(F.col("v")) * S._norm(F.col("cv"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "v", "cid", cos_c.alias("cos")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    )
+    assigned = (
+        scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    index = VersionedParquetTable(tmp_path / "ivf_index")
+    index.write(assigned, mode="overwrite", partition_by=["cid"])
+
+    # probe cells for the fixed query vector
+    probe_cids = [
+        r["cid"]
+        for r in scored.filter(F.col("vec_id") == S._QUERY_VEC_ID)
+        .orderBy(F.col("cos").desc(), "cid")
+        .limit(S._IVF_NPROBE)
+        .collect()
+    ]
+    q = corpus.filter(F.col("vec_id") == S._QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    stored = index.read(spark).filter(F.col("cid").isin(probe_cids))
+    # partition pruning: the cid filter must reach the scan as a
+    # partition filter, not a post-scan predicate
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+
+    cos_q = S._dot(F.col("v"), F.col("qv")) / (
+        S._norm(F.col("v")) * S._norm(F.col("qv"))
+    )
+    got = {
+        tuple(r)
+        for r in (
+            stored.filter(F.col("vec_id") != S._QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", "label", cos_q.alias("cos_raw"))
+            .orderBy(F.col("cos_raw").desc(), "vec_id")
+            .limit(S._TOP_K)
+            .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+        ).collect()
+    }
+    assert got == direct
