@@ -178,3 +178,49 @@ def _be16(col):
 
 def _byte(col):
     return F.unhex(F.lpad(F.hex(col), 2, "0"))
+
+
+RESIZE_RESULT_SCHEMA = (
+    "media_id long, width int, height int, n_bytes int, resized_md5 string"
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """Resize (stub codec): emit the resized payload's metadata + digest.
+
+    The stub 'resize' rewrites the FK header to the target dims and keeps
+    a proportional byte budget of the body (``width*height // 8`` bytes)
+    — obviously not a real resample, but the plumbing is exactly what a
+    Pillow ``Image.resize`` kernel produces: per-row payload in, per-row
+    smaller payload out, Arrow-batched, no shuffle. Swapping in the real
+    codec changes only the bytes computed here; digests hash the payload's
+    lowercase-hex (DuckDB md5 is VARCHAR-only) so the oracle stays
+    byte-exact."""
+    budget = (width * height) // 8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < 6 or b[:2] != b"FK":
+                    raise NotImplementedError(
+                        "real image resizing requires Pillow; payload lacks the FK stub header"
+                    )
+                body = b[6 : 6 + budget]
+                resized = b"FK" + struct.pack(">HH", width, height) + body
+                out.append(
+                    (
+                        mid,
+                        width,
+                        height,
+                        len(resized),
+                        hashlib.md5(resized.hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "n_bytes", "resized_md5"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(kernel, RESIZE_RESULT_SCHEMA)

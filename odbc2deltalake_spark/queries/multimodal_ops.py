@@ -124,3 +124,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-range digest, pinning the fan-out AND the chunk boundaries."""
     media = make_fake_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, every_n=10)
+
+
+# stub resize: header rewritten to 64x48, body truncated to 384 bytes;
+# oracle reproduces the same bytes in the hex domain (no BLOB substring
+# in DuckDB 1.0: skip 12 hex chars of header, keep 768 hex chars)
+_RESIZE_ORACLE = f"""
+WITH p AS (SELECT doc_id, {_PAYLOAD_SQL} AS payload FROM documents)
+SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+       (6 + least(octet_length(payload) - 6, 384))::INT AS n_bytes,
+       md5('464b00400030' || substr(lower(hex(payload)), 13, 768)) AS resized_md5
+FROM p
+"""
+
+
+@register("mm_resize", _RESIZE_ORACLE, tags=("multimodal",), priority=100)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-codec resize over binary payloads (mapInPandas) — completes
+    the decode / feature-extract / resize / frame-sample kernel set. The
+    oracle pins the resized payload bytes (header + truncated body)
+    digest-exactly."""
+    from odbc2deltalake_spark.operators.multimodal import resize_images
+
+    media = make_fake_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media)

@@ -45,3 +45,23 @@ def test_frame_sample_fanout(spark):
     for r in per_doc:
         expected = len(range(0, (ln[r["media_id"]] - 6) // 32, 5))
         assert r["count"] == expected
+
+
+def test_resize_budget_and_header(spark):
+    """Stub resize: rewritten header dims, proportional byte budget, and
+    the no-stub-header payload raises the documented codec gate."""
+    import pytest
+
+    from odbc2deltalake_spark.operators.multimodal import make_fake_media, resize_images
+    from odbc2deltalake_spark.queries.registry import load_table
+
+    media = make_fake_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    out = resize_images(media, width=64, height=48).collect()
+    assert out
+    for r in out:
+        assert r["width"] == 64 and r["height"] == 48
+        assert r["n_bytes"] <= 6 + (64 * 48) // 8
+
+    bad = spark.createDataFrame([(1, bytearray(b"NOTFK123"))], "media_id long, payload binary")
+    with pytest.raises(Exception):
+        resize_images(bad).collect()
