@@ -1,0 +1,48 @@
+"""Physical-plan quality as a test gate: the explain audit (pushdown,
+broadcast-only dimension joins, no row-at-a-time Python, no stray
+cartesian products) must hold for every audited query — a regression in
+any of these silently costs orders of magnitude at scale."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.explain_audit import (
+    AUDIT,
+    BROADCAST_EXPECTED,
+    CROSS_JOIN_OK,
+    PUSHDOWN_EXPECTED,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entrymod.queries()
+    out = {}
+    for name in AUDIT:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            qs[name](spark, SF_DIR).explain("formatted")
+        out[name] = buf.getvalue()
+    return out
+
+
+@pytest.mark.parametrize("name", AUDIT)
+def test_plan_properties(plans, name):
+    plan = plans[name]
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
+    assert "ArrowEvalPython" not in plan, "scalar Python UDF in plan"
+    if name not in CROSS_JOIN_OK:
+        assert "CartesianProduct" not in plan
+    if name in PUSHDOWN_EXPECTED:
+        assert re.search(r"PushedFilters: \[[^\]]", plan), "filters not pushed to scan"
+    if name in BROADCAST_EXPECTED:
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ"
