@@ -245,3 +245,43 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_nearby"),
         F.round(F.coalesce(F.col("s"), F.lit(0.0)), 2).alias("sum_nearby_value"),
     )
+
+
+# -------------------------------------------------- salted aggregation ----
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ev_salted_agg", _SALTED_ORACLE, tags=("events", "agg"), priority=100)
+def ev_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: `event_type` has ~5 distinct values over
+    the whole stream — the canonical hot-key case where a single-stage
+    groupBy lands each key's entire volume on one reducer. Two-stage
+    salted form: stage 1 partially aggregates on (key, salt) — 16-way
+    fan-out of each hot key — stage 2 combines the 5x16 partials. Spark's
+    own partial aggregation usually covers this; explicit salting is the
+    pattern for when it can't (e.g. count-distinct-style aggregates or
+    skewed join keys). Sums run in the integer domain (floor to cents) so
+    the re-association is exact and the result matches the plain
+    single-stage oracle bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    salt = F.pmod(F.xxhash64(F.col("event_id")), F.lit(16))
+    partial = (
+        ev.select("event_type", salt.alias("__salt"), cents.alias("cents"))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("cents").alias("pc"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pc").alias("value_cents"),
+    )
