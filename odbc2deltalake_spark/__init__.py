@@ -34,6 +34,7 @@ from odbc2deltalake_spark.plans import (
     write_db_to_delta,
 )
 from odbc2deltalake_spark.plans.db_to_delta import make_writer
+from odbc2deltalake_spark.operators.corpus import prepare_training_corpus
 
 __version__ = "0.1.0"
 
@@ -55,4 +56,5 @@ __all__ = [
     "make_writer",
     "check_latest_pk",
     "check_delta_consistency",
+    "prepare_training_corpus",
 ]
