@@ -261,6 +261,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("__v").bitwiseXOR(F.shiftright(F.col("__w"), i))).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
+    # shingle-set size rides along in the SAME per-doc aggregation the
+    # signatures need (sh is already distinct), replacing a separate
+    # scan+shuffle of the shingle table for `sizes` — and making the
+    # final size joins broadcasts of a docs-sized frame
+    mh.append(F.count(F.lit(1)).alias("n"))
     # localCheckpoint: the 4 band projections would otherwise recompute
     # this aggregation (and all its hashing) once each
     sigs = hashed.groupBy("doc_id").agg(*mh).localCheckpoint(eager=False)
@@ -304,15 +309,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sigs.select("doc_id", "n")
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("n_common") * F.lit(1.0) / (
         F.col("sa.n") + F.col("sb.n") - F.col("n_common")
     )
     return (
-        verified.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        verified.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
