@@ -288,9 +288,12 @@ WITH ordered AS (
               THEN 1 ELSE 0 END AS is_new
   FROM events
 ), sessions AS (
+  -- CAST: DuckDB types sum(int) OVER (...) as HUGEINT, which its pandas
+  -- conversion renders as float64 ("5.0" vs Spark's "5") — the cast pins
+  -- the column to BIGINT so value hashes agree across engines.
   SELECT user_id, ts, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id, count(*) AS n_events,

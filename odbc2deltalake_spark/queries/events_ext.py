@@ -252,7 +252,7 @@ def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY event_type
 """

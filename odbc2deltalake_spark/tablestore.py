@@ -937,25 +937,36 @@ class VersionedParquetTable(TableStore):
         )
         # per-bucket row counts for the rebucket heuristic: count(*) over
         # the just-written dirs projects zero data columns — parquet
-        # row-group metadata only, ≤NB result rows
+        # row-group metadata only, ≤NB result rows. An empty source writes
+        # zero partition dirs (only _SUCCESS), so guard on the listing and
+        # pass the known schema — schema inference over an empty dir throws
+        # UNABLE_TO_INFER_SCHEMA.
         spark = df.sparkSession
-        bucket_rows = {
-            str(r[_BUCKET_COL]): r["count"]
-            for r in spark.read.parquet(out_path)
-            .groupBy(_BUCKET_COL)
-            .count()
-            .collect()
-        }
-        dirs_added = []
-        for child in sorted(self.backend.list_dir(out_path)):
-            if child.startswith(f"{_BUCKET_COL}="):
-                dirs_added.append(
-                    {
-                        "dir": f"{dir_name}/{child}",
-                        "schema": schema_json,
-                        "bucket": int(child.split("=", 1)[1]),
-                    }
-                )
+        bucket_children = sorted(
+            c
+            for c in self.backend.list_dir(out_path)
+            if c.startswith(f"{_BUCKET_COL}=")
+        )
+        if bucket_children:
+            read_schema = df.withColumn(_BUCKET_COL, bexpr).schema
+            bucket_rows = {
+                str(r[_BUCKET_COL]): r["count"]
+                for r in spark.read.schema(read_schema)
+                .parquet(out_path)
+                .groupBy(_BUCKET_COL)
+                .count()
+                .collect()
+            }
+        else:
+            bucket_rows = {}
+        dirs_added = [
+            {
+                "dir": f"{dir_name}/{child}",
+                "schema": schema_json,
+                "bucket": int(child.split("=", 1)[1]),
+            }
+            for child in bucket_children
+        ]
         self._write_commit(
             {
                 "version": new_version,

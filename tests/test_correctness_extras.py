@@ -55,6 +55,35 @@ def test_overflow_query_matches_oracle(spark, spec):
     assert table_hash(scols, srows) == table_hash(ocols, orows)
 
 
+ALL_WITH_ORACLE = [s for s in registry.ordered_specs() if s.oracle]
+
+
+@pytest.mark.parametrize("spec", ALL_WITH_ORACLE, ids=lambda s: s.name)
+def test_oracle_types_have_no_engine_drift(spec):
+    """Type-drift gate over EVERY registered oracle: DuckDB must not type
+    any output column HUGEINT or DECIMAL. Both reach pandas/arrow as
+    float64/object while Spark emits int64/float64, so a driver that
+    canonicalizes through pandas hashes `5.0` vs `5` — the exact
+    divergence that kept ev_sessionize red for three rounds while the
+    repo's string-based comparator (fetchall -> Python int) saw
+    byte-identical output. `.types` comes from DuckDB's planner, so the
+    sweep never executes the queries."""
+    con = duckdb.connect()
+    for t in registry.TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    rel = con.sql(spec.oracle)
+    bad = [
+        (c, str(ty))
+        for c, ty in zip(rel.columns, rel.types)
+        if str(ty) in ("HUGEINT", "UHUGEINT") or str(ty).startswith("DECIMAL")
+    ]
+    assert not bad, (
+        f"{spec.name}: oracle columns {bad} type as HUGEINT/DECIMAL in "
+        f"DuckDB — cast them (e.g. CAST(... AS BIGINT/DOUBLE)) so pandas "
+        f"canonicalization matches Spark"
+    )
+
+
 def test_multiprobe_finds_cross_bucket_pairs(spark):
     """Recall property: the multi-probe result contains reflection pairs
     (vec, vec+offset) whose home buckets differ by construction — pairs a

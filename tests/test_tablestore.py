@@ -60,6 +60,26 @@ def test_merge_upsert(spark, tmp_path):
     assert got == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_empty_merge_on_bucketized_table_is_noop(spark, tmp_path):
+    """Zero-change CDC cycle: merging an EMPTY source into a bucketized
+    table must commit a no-op, not crash — an empty partitionBy write
+    leaves zero part files, so the per-bucket count read-back cannot
+    infer a schema (regression: UNABLE_TO_INFER_SCHEMA)."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(i, f"v{i}") for i in range(20)]), mode="overwrite")
+    t.merge_upsert(spark, _df(spark, [(0, "V0")]), ["id"], num_buckets=4)
+    v_before = t.version()
+    rows_before = sorted(tuple(r) for r in t.read(spark).collect())
+    empty = spark.createDataFrame([], "id long, v string")
+    t.merge_upsert(spark, empty, ["id"])
+    assert t.version() == v_before + 1
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == rows_before
+    # and a normal merge still works afterwards
+    t.merge_upsert(spark, _df(spark, [(1, "V1")]), ["id"])
+    byid = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert byid[1] == "V1" and byid[0] == "V0"
+
+
 def test_properties(spark, tmp_path):
     t = VersionedParquetTable(tmp_path / "t")
     t.write(_df(spark, [(1, "a")]), mode="overwrite")
