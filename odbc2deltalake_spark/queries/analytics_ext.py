@@ -34,7 +34,10 @@ GROUP BY o_orderpriority
 """
 
 
-@register("q4_order_priority", _Q4_ORACLE, tags=("bench", "semijoin"))
+# r4 rotation: driver enumerates only the first 50 queries(); this
+# shape is redundant there (semi-join pinned by j3_keylist_semi_join) and stays oracle-gated via
+# tests/test_correctness_extras.py at priority 100.
+@register("q4_order_priority", _Q4_ORACLE, tags=("bench", "semijoin"), priority=100)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join on a non-equi residual
     (l_shipdate > o_orderdate). The date filter prunes orders at the scan;
@@ -254,7 +257,10 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
 """
 
 
-@register("q14_promo_effect", _Q14_ORACLE, tags=("bench", "agg"))
+# r4 rotation: driver enumerates only the first 50 queries(); this
+# shape is redundant there (scalar agg pinned by q6/q1) and stays oracle-gated via
+# tests/test_correctness_extras.py at priority 100.
+@register("q14_promo_effect", _Q14_ORACLE, tags=("bench", "agg"), priority=100)
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: scalar conditional-aggregate ratio; month filter pruned
     at the scan, part broadcast."""
@@ -291,7 +297,10 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
-@register("q15_top_supplier", _Q15_ORACLE, tags=("bench", "window"))
+# r4 rotation: driver enumerates only the first 50 queries(); this
+# shape is redundant there (window max pinned by w1_latest_per_key) and stays oracle-gated via
+# tests/test_correctness_extras.py at priority 100.
+@register("q15_top_supplier", _Q15_ORACLE, tags=("bench", "window"), priority=100)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: revenue view + max-equality — the scalar subquery becomes
     an unpartitioned window max (one extra tiny stage over |suppliers|
@@ -359,7 +368,10 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
-@register("q19_discounted_revenue", _Q19_ORACLE, tags=("bench", "filter"))
+# r4 rotation: driver enumerates only the first 50 queries(); this
+# shape is redundant there (filter+scalar agg pinned by q6/q17) and stays oracle-gated via
+# tests/test_correctness_extras.py at priority 100.
+@register("q19_discounted_revenue", _Q19_ORACLE, tags=("bench", "filter"), priority=100)
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: three OR'd brand/size/quantity branches over the join —
     Catalyst extracts the common l_quantity bounds (1..40) below the join
@@ -409,7 +421,10 @@ GROUP BY c_nationkey
 """
 
 
-@register("q22_global_sales", _Q22_ORACLE, tags=("bench", "antijoin", "agg"))
+# r4 rotation: driver enumerates only the first 50 queries(); this
+# shape is redundant there (anti-join agg pinned by j1_anti_join/q1) and stays oracle-gated via
+# tests/test_correctness_extras.py at priority 100.
+@register("q22_global_sales", _Q22_ORACLE, tags=("bench", "antijoin", "agg"), priority=100)
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-average subquery (broadcast single row) +
     NOT EXISTS anti join, grouped rollup."""

@@ -410,7 +410,7 @@ FROM walk GROUP BY u
 # id and count(DISTINCT v) the component size.)
 
 
-@register("dedup_cluster", _CLUSTER_ORACLE, tags=("dedup",), priority=100)
+@register("dedup_cluster", _CLUSTER_ORACLE, tags=("dedup",))
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH verified near-dup pairs:
     every clustered doc with its canonical (minimum) doc_id and component

@@ -138,7 +138,7 @@ FROM p
 """
 
 
-@register("mm_resize", _RESIZE_ORACLE, tags=("multimodal",), priority=100)
+@register("mm_resize", _RESIZE_ORACLE, tags=("multimodal",))
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-codec resize over binary payloads (mapInPandas) — completes
     the decode / feature-extract / resize / frame-sample kernel set. The

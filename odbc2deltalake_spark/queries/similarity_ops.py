@@ -539,7 +539,6 @@ LIMIT {_TOP_K}
     "sim_ann_ivf",
     _IVF_ORACLE,
     tags=("similarity",),
-    priority=100,  # overflow entry: pytest-gated (tests/test_correctness_extras.py)
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: assign every corpus vector to its nearest centroid

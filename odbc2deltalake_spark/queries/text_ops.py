@@ -190,7 +190,7 @@ FROM ext
 """
 
 
-@register("text_pii_scrub", _PII_ORACLE, tags=("text",), priority=100)
+@register("text_pii_scrub", _PII_ORACLE, tags=("text",))
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: emails and phone-shaped tokens replaced with typed
     placeholders, plus a per-doc redaction count. Pure JVM regexp built-ins
