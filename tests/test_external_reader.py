@@ -1,0 +1,132 @@
+"""External-reader proof of docs/commit-format.md.
+
+tools/external_reader.py implements the commit-log spec with pyarrow
+only (zero imports from the engine). Pinning its row sets against
+``VersionedParquetTable.read`` across the full lifecycle — plain write,
+append, schema evolution, bucketized conversion, partial merge,
+rebucket, restore, vacuum — proves the documented format is what the
+writer actually produces, the way the reference proves its Delta output
+with an external duckdb read (reference:tests/test_03_delta.py:101-112).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from tools.external_reader import read_table, snapshot  # noqa: E402
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable  # noqa: E402
+
+
+def _spark_rows(t, spark, version=None):
+    df = t.read(spark, version=version)
+    cols = df.columns
+    return cols, sorted(tuple(r) for r in df.collect())
+
+
+def _external_rows(root, version=None):
+    tbl = read_table(root, version)
+    cols = tbl.schema.names
+    return cols, sorted(tuple(d[c] for c in cols) for d in tbl.to_pylist())
+
+
+def _assert_match(t, root, spark, version=None):
+    scols, srows = _spark_rows(t, spark, version)
+    ecols, erows = _external_rows(root, version)
+    assert ecols == scols
+    assert erows == srows
+
+
+def test_external_reader_full_lifecycle(spark, tmp_path):
+    root = tmp_path / "t"
+    t = VersionedParquetTable(root)
+
+    # v0: plain overwrite
+    t.write(
+        spark.createDataFrame([(i, f"v{i}", float(i)) for i in range(40)],
+                              "id long, v string, x double"),
+        mode="overwrite",
+    )
+    # v1: plain append
+    t.write(
+        spark.createDataFrame([(i, f"v{i}", float(i)) for i in range(40, 60)],
+                              "id long, v string, x double"),
+        mode="append",
+    )
+    # v2: schema evolution — appended files are narrower than the table
+    t.write(
+        spark.createDataFrame([(i, f"v{i}", float(i), i % 3) for i in range(60, 70)],
+                              "id long, v string, x double, grp int"),
+        mode="append",
+        merge_schema=True,
+    )
+    # v3: bucketized conversion (merge_upsert on an unbucketed table)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, "V0", 0.0, 0)], "id long, v string, x double, grp int"),
+        ["id"],
+        num_buckets=4,
+    )
+    # v4: partial merge (replaces only touched buckets)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, "V1", 1.0, 1), (70, "n70", 70.0, 1)],
+                              "id long, v string, x double, grp int"),
+        ["id"],
+    )
+    # v5: rebucket — tiny target rows forces oversize -> doubled NB rewrite
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "V2", 2.0, 2)], "id long, v string, x double, grp int"),
+        ["id"],
+        target_bucket_rows=4,
+    )
+    for v in (None, 0, 1, 2, 3, 4, 5):
+        _assert_match(t, root, spark, version=v)
+
+    # v6: restore back to the pre-merge snapshot
+    t.restore(2)
+    _assert_match(t, root, spark)
+    # v7: merge again on top of the restore (re-bucketizes)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(3, "V3", 3.0, 0)], "id long, v string, x double, grp int"),
+        ["id"],
+        num_buckets=4,
+    )
+    _assert_match(t, root, spark)
+
+    # vacuum keeps the last 3 versions readable — externally too
+    t.vacuum(retain_versions=3)
+    for v in (None, 7, 6, 5):
+        _assert_match(t, root, spark, version=v)
+
+
+def test_external_reader_hive_partitioned_write(spark, tmp_path):
+    root = tmp_path / "p"
+    t = VersionedParquetTable(root)
+    t.write(
+        spark.createDataFrame(
+            [(i, i % 3, f"r{i}") for i in range(30)], "id long, part int, v string"
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    _assert_match(t, root, spark)
+
+
+def test_external_reader_props_and_version(spark, tmp_path):
+    root = tmp_path / "q"
+    t = VersionedParquetTable(root)
+    t.write(spark.createDataFrame([(1, "a")], "id long, v string"), mode="overwrite")
+    t.set_properties({"owner": "pipeline", "tier": "gold"})
+    st = snapshot(root)
+    assert st["version"] == t.version() == 1
+    assert st["props"] == {"owner": "pipeline", "tier": "gold"}
+    # the metadata-only commit (dir: null) must not add a scan entry
+    _assert_match(t, root, spark)

@@ -1,0 +1,154 @@
+"""Standalone reader for the VersionedParquetTable on-disk format.
+
+Implements `docs/commit-format.md` from scratch against pyarrow ONLY — no
+imports from ``odbc2deltalake_spark`` — to prove the commit-log contract
+is implementable by a third party. This is the analogue of the
+reference's external duckdb oracle over its Delta output
+(reference:tests/test_03_delta.py:101-112): if this reader and the
+engine's own ``VersionedParquetTable.read`` ever disagree, either the
+spec or the writer is wrong (tests/test_external_reader.py pins them to
+each other across write -> evolve -> merge -> rebucket -> restore ->
+vacuum).
+
+Usage:
+    from tools.external_reader import read_table, snapshot
+    tbl = read_table("/path/to/table")            # latest, pyarrow.Table
+    tbl = read_table("/path/to/table", version=3) # time travel
+    st  = snapshot("/path/to/table")              # live dirs/schema/props
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.dataset as ds
+
+_PRIMITIVES = {
+    "byte": pa.int8(),
+    "short": pa.int16(),
+    "integer": pa.int32(),
+    "long": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+    "binary": pa.binary(),
+    "date": pa.date32(),
+    "timestamp": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
+}
+_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(-?\d+)\)")
+
+
+def _arrow_type(t: Any) -> pa.DataType:
+    """Spark StructType-JSON type node -> arrow type."""
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        m = _DECIMAL_RE.fullmatch(t)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        raise ValueError(f"unsupported Spark type: {t}")
+    kind = t["type"]
+    if kind == "array":
+        return pa.list_(_arrow_type(t["elementType"]))
+    if kind == "map":
+        return pa.map_(_arrow_type(t["keyType"]), _arrow_type(t["valueType"]))
+    if kind == "struct":
+        return pa.struct(
+            [pa.field(f["name"], _arrow_type(f["type"])) for f in t["fields"]]
+        )
+    raise ValueError(f"unsupported Spark type: {t!r}")
+
+
+def _arrow_schema(spark_schema_json: str) -> pa.Schema:
+    spec = json.loads(spark_schema_json)
+    return pa.schema(
+        [pa.field(f["name"], _arrow_type(f["type"])) for f in spec["fields"]]
+    )
+
+
+def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
+    """Replay `_commits/` up to ``version`` per the spec's reader
+    algorithm; returns {version, entries, schema, props}."""
+    commits_dir = Path(root) / "_commits"
+    names = sorted(
+        p.name
+        for p in commits_dir.iterdir()
+        if p.name.endswith(".json") and not p.name.startswith(".")
+    )
+    if not names:
+        raise FileNotFoundError(f"no commits under {commits_dir}")
+    live: list[dict[str, Any]] = []
+    schema_json: Optional[str] = None
+    props: dict[str, str] = {}
+    last = -1
+    for name in names:
+        v = int(name.split(".")[0])
+        if version is not None and v > version:
+            break
+        c = json.loads((commits_dir / name).read_text())
+        last = v
+        mode = c["mode"]
+        if mode == "overwrite":
+            live = []
+        if mode == "restore":
+            live = list(c["dirs"])
+        elif mode == "merge":
+            replaced = set(c.get("buckets_replaced") or [])
+            live = [e for e in live if e.get("bucket") not in replaced]
+            live.extend(c.get("dirs_added") or [])
+        elif c.get("dirs_added"):
+            live.extend(c["dirs_added"])
+        elif c.get("dir"):
+            live.append({"dir": c["dir"], "schema": c["schema"]})
+        if c.get("schema"):
+            schema_json = c["schema"]
+        props.update(c.get("set_props") or {})
+    if version is not None and last < version:
+        raise ValueError(f"version {version} does not exist under {root}")
+    return {"version": last, "entries": live, "schema": schema_json, "props": props}
+
+
+def _scan_entry(root: Path, entry: dict[str, Any], target: pa.Schema) -> pa.Table:
+    """One live-dir scan projected to the table schema: hive partition
+    dirs are resolved, columns missing from the files read as NULL, and
+    present columns cast to the target type (the spec permits only
+    lossless widenings)."""
+    written = _arrow_schema(entry["schema"])
+    dset = ds.dataset(str(root / entry["dir"]), format="parquet", partitioning="hive")
+    have = set(dset.schema.names)
+    t = dset.to_table(columns=[n for n in written.names if n in have])
+    n = t.num_rows
+    cols = []
+    for field in target:
+        if field.name in have:
+            cols.append(t.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(n, field.type))
+    return pa.Table.from_arrays(cols, schema=target)
+
+
+def read_table(root: str | Path, version: Optional[int] = None) -> pa.Table:
+    """Materialize a snapshot as one pyarrow Table (row order unspecified)."""
+    root = Path(root)
+    st = snapshot(root, version)
+    target = _arrow_schema(st["schema"])
+    parts = [_scan_entry(root, e, target) for e in st["entries"]]
+    if not parts:
+        return target.empty_table()
+    return pa.concat_tables(parts)
+
+
+if __name__ == "__main__":
+    import sys
+
+    path = sys.argv[1]
+    ver = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    tbl = read_table(path, ver)
+    print(tbl.schema)
+    print(f"{tbl.num_rows} rows @ version {snapshot(path, ver)['version']}")
