@@ -126,7 +126,7 @@ class DeltaTableStore(TableStore):
         row = self._dt().detail().select("properties").first()
         return (row["properties"] or {}).get(name)
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(self, retain_versions: int = 1, **kwargs: object) -> list[str]:
         """Delta vacuums by file age, not version count — translate by
         looking up the commit timestamp of the oldest retained version and
         vacuuming files older than that. Delta's own retention-duration
@@ -149,7 +149,28 @@ class DeltaTableStore(TableStore):
             ).total_seconds()
             / 3600.0,
         )
-        self._dt().vacuum(age_hours)
+        try:
+            self._dt().vacuum(age_hours)
+        except Exception as e:  # noqa: BLE001 — py4j surfaces IllegalArgumentException
+            # Delta refuses retention below delta.deletedFileRetentionDuration
+            # (default 168 h) unless the table property is lowered. A
+            # version-count retention that maps to a recent timestamp is
+            # expected to hit this — no-op with a warning instead of
+            # failing the maintenance pass, so vacuum(1) behaves on both
+            # stores (parquet store enforces its own orphan-age floor).
+            msg = str(e)
+            if "retention" not in msg.lower():
+                raise
+            import warnings
+
+            warnings.warn(
+                f"Delta vacuum skipped: requested retention {age_hours:.1f}h "
+                "is below the table's deletedFileRetentionDuration check; "
+                "lower the table property to vacuum this aggressively. "
+                f"({msg.splitlines()[0][:200]})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return []  # Delta does not report the reclaimed file list
 
     def delete_table(self) -> None:

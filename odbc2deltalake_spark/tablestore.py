@@ -122,6 +122,13 @@ class StorageBackend(ABC):
     @abstractmethod
     def remove_recursive(self, path: str) -> None: ...
 
+    def mtime(self, path: str) -> Optional[float]:
+        """Last-modified epoch seconds, or None when the store cannot
+        say. ``vacuum`` uses this as the orphan-age floor; None is
+        treated as "too young to reclaim" (never delete what you cannot
+        date)."""
+        return None
+
 
 class LocalStorageBackend(StorageBackend):
     """POSIX filesystem metadata plane: atomicity via same-dir rename."""
@@ -168,6 +175,12 @@ class LocalStorageBackend(StorageBackend):
         elif p.exists():
             p.unlink()
 
+    def mtime(self, path: str) -> Optional[float]:
+        try:
+            return Path(path).stat().st_mtime
+        except OSError:
+            return None
+
 
 class FsspecStorageBackend(StorageBackend):
     """Object-store metadata plane via an fsspec filesystem (adlfs for
@@ -185,9 +198,15 @@ class FsspecStorageBackend(StorageBackend):
     ``exclusive_is_native = False`` so callers can refuse to run lockless.
     """
 
-    def __init__(self, fs: Any):  # fs: fsspec.AbstractFileSystem
+    def __init__(self, fs: Any, allow_nonatomic: bool = False):
+        # fs: fsspec.AbstractFileSystem
         self.fs = fs
         self.exclusive_is_native: Optional[bool] = None  # unknown until first use
+        # opt-in to the non-linearizable check-then-put fallback on stores
+        # without exclusive create; without it the first degraded write
+        # raises instead of silently weakening the commit protocol
+        self.allow_nonatomic = allow_nonatomic
+        self._warned_nonatomic = False
 
     def list_dir(self, path: str) -> list[str]:
         if not self.fs.exists(path):
@@ -213,8 +232,28 @@ class FsspecStorageBackend(StorageBackend):
             raise CommitConflictError(path) from None
         except ValueError:
             # driver has no exclusive-create mode: degraded check-then-put
-            # (see class docstring — lease lock required on such stores)
+            # (see class docstring — lease lock required on such stores).
+            # Two racers can both pass the exists() check, so this is NOT
+            # linearizable — refuse unless the caller opted in.
             self.exclusive_is_native = False
+            if not self.allow_nonatomic:
+                raise CommitConflictError(
+                    f"{path}: filesystem {type(self.fs).__name__} has no "
+                    "exclusive-create mode; commits would not be atomic. "
+                    "Pass allow_nonatomic=True ONLY if an external lock "
+                    "(plans-layer lease) serializes writers."
+                ) from None
+            if not self._warned_nonatomic:
+                import warnings
+
+                warnings.warn(
+                    f"{type(self.fs).__name__} lacks exclusive create; "
+                    "commit writes degrade to check-then-put (not "
+                    "linearizable) — keep the lease lock enabled.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self._warned_nonatomic = True
             if self.fs.exists(path):
                 raise CommitConflictError(path) from None
             with self.fs.open(path, "w") as fh:
@@ -230,6 +269,12 @@ class FsspecStorageBackend(StorageBackend):
     def remove_recursive(self, path: str) -> None:
         if self.fs.exists(path):
             self.fs.rm(path, recursive=True)
+
+    def mtime(self, path: str) -> Optional[float]:
+        try:
+            return self.fs.modified(path).timestamp()
+        except Exception:
+            return None  # undatable -> vacuum treats the dir as young
 
 
 # ------------------------------------------------------------------------
@@ -363,7 +408,7 @@ class TableStore(ABC):
     def get_property(self, name: str) -> Optional[str]: ...
 
     @abstractmethod
-    def vacuum(self, retain_versions: int = 1) -> list[str]: ...
+    def vacuum(self, retain_versions: int = 1, **kwargs: Any) -> list[str]: ...
 
     @abstractmethod
     def delete_table(self) -> None: ...
@@ -671,7 +716,11 @@ class VersionedParquetTable(TableStore):
     def get_property(self, name: str) -> Optional[str]:
         return self._state_at()["props"].get(name)
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        orphan_min_age_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete data dirs unreferenced by any of the last
         ``retain_versions`` versions — time travel and ``restore`` to those
         versions keep working after a vacuum, matching Delta's
@@ -687,9 +736,21 @@ class VersionedParquetTable(TableStore):
           otherwise leak for as long as any sibling bucket stays live,
           unbounded growth on exactly the frequently-merged tables
           bucketing targets.
+
+        Concurrency: commits are lockless, so a dir referenced by NO
+        commit may belong to an in-flight writer that has written data
+        but not yet published (data-then-commit protocol). Such orphans
+        are reclaimed only once older than ``orphan_min_age_seconds``
+        (default 1 h — the same role as Delta's
+        ``deletedFileRetentionDuration`` floor); dirs referenced by a
+        superseded commit carry proof their writer finished and are
+        deleted regardless of age. Backends that cannot date a dir
+        (``mtime`` → None) never reclaim orphans.
         """
         if not self.exists():
             return []
+        import time as _time
+
         retain_versions = max(1, retain_versions)
         latest = self.version()
         first = max(0, latest - retain_versions + 1)
@@ -701,11 +762,27 @@ class VersionedParquetTable(TableStore):
                 continue  # version numbers need not be dense
             live_entries.update(d["dir"] for d in st["dirs"])
         live_top = {e.split("/", 1)[0] for e in live_entries}
+        # every top dir ANY commit ever referenced — one linear pass over
+        # the raw log (no replay); membership proves the writer published
+        referenced_ever: set[str] = set()
+        for name in self._commit_names():
+            c = json.loads(
+                self.backend.read_text(self.backend.join(self._commits_dir, name))
+            )
+            if c.get("dir"):
+                referenced_ever.add(c["dir"].split("/", 1)[0])
+            for e in (c.get("dirs_added") or []) + (c.get("dirs") or []):
+                referenced_ever.add(e["dir"].split("/", 1)[0])
+        now = _time.time()
         removed = []
         for name in self.backend.list_dir(self._root_str):
             if not name.startswith("d") or name == "_commits":
                 continue
             if name not in live_top:
+                if name not in referenced_ever:
+                    age = self.backend.mtime(self._path(name))
+                    if age is None or now - age < orphan_min_age_seconds:
+                        continue  # possibly an in-flight writer's dir
                 self.backend.remove_recursive(self._path(name))
                 removed.append(name)
                 continue
@@ -810,6 +887,21 @@ class VersionedParquetTable(TableStore):
         if not self.exists():
             return self._bucketize_full(source, key_cols, num_buckets, target_rows)
         st = self._state_at()
+        # A source missing a table column would silently NULL that column
+        # for every matched key (unionByName(allowMissingColumns=True)
+        # fills the gap) — data loss, not evolution. Delta's
+        # whenMatchedUpdateAll fails analysis in the same situation; so do
+        # we. Extra SOURCE columns remain fine (schema evolution).
+        tbl_cols = {
+            f["name"] for f in json.loads(st["schema"])["fields"]
+        }
+        missing = sorted(tbl_cols - set(source.columns))
+        if missing:
+            raise SchemaDriftError(
+                f"merge source lacks table columns {missing}; matched rows "
+                "would lose their current values. Provide the columns or "
+                "drop them from the table first."
+            )
         tagged = bool(st["dirs"]) and all(
             d.get("bucket") is not None for d in st["dirs"]
         )

@@ -60,6 +60,67 @@ def test_merge_upsert(spark, tmp_path):
     assert got == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_merge_source_missing_table_column_refused(spark, tmp_path):
+    """A source lacking a table column must FAIL the merge, not silently
+    NULL that column for matched keys (Delta's whenMatchedUpdateAll fails
+    analysis in the same case). Extra source columns remain legal
+    (schema evolution)."""
+    import pytest
+
+    from odbc2deltalake_spark.tablestore import SchemaDriftError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(1, "a"), (2, "b")]), mode="overwrite")
+    narrow = spark.createDataFrame([(2,)], "id long")
+    with pytest.raises(SchemaDriftError, match="lacks table columns"):
+        t.merge_upsert(spark, narrow, ["id"])
+    assert t.version() == 0  # nothing committed
+    # wider source still merges (new column nulls out for old rows)
+    wide = spark.createDataFrame([(3, "c", 7)], "id long, v string, extra long")
+    t.merge_upsert(spark, wide, ["id"])
+    got = {r["id"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 7)}
+
+
+def test_fsspec_exclusive_concurrent_single_winner():
+    """Eight threads race write_text_exclusive through an fsspec-style
+    store with native exclusive create (the S3 If-None-Match / ABFS etag
+    shape): exactly one commit wins, every loser surfaces
+    CommitConflictError, and the winner's bytes are intact."""
+    import threading
+
+    from odbc2deltalake_spark.tablestore import (
+        CommitConflictError,
+        FsspecStorageBackend,
+    )
+
+    be = FsspecStorageBackend(_FakeFS(support_x=True))
+    target = "/t/_commits/0000000001.json"
+    results: list[str] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def attempt(i: int):
+        barrier.wait()
+        try:
+            be.write_text_exclusive(target, f"writer-{i}")
+            outcome = f"won-{i}"
+        except CommitConflictError:
+            outcome = "lost"
+        with lock:
+            results.append(outcome)
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    winners = [r for r in results if r.startswith("won")]
+    assert len(winners) == 1
+    assert results.count("lost") == 7
+    assert be.read_text(target) == f"writer-{winners[0].split('-')[1]}"
+
+
 def test_empty_merge_on_bucketized_table_is_noop(spark, tmp_path):
     """Zero-change CDC cycle: merging an EMPTY source into a bucketized
     table must commit a no-op, not crash — an empty partitionBy write
@@ -336,9 +397,18 @@ def test_fsspec_exclusive_native_and_fallback():
         be.write_text_exclusive("/t/_commits/0000000000.json", "b")
     assert be.read_text("/t/_commits/0000000000.json") == "a"
 
-    # degraded store without 'x': falls back to check-then-put and says so
-    be2 = FsspecStorageBackend(_FakeFS(support_x=False))
-    be2.write_text_exclusive("/t/_commits/0000000000.json", "a")
+    # degraded store without 'x': refused outright unless the caller
+    # opts in — a silent check-then-put fallback is not linearizable
+    be_strict = FsspecStorageBackend(_FakeFS(support_x=False))
+    with pytest.raises(CommitConflictError, match="exclusive-create"):
+        be_strict.write_text_exclusive("/t/_commits/0000000000.json", "a")
+    assert be_strict.exclusive_is_native is False
+    assert not be_strict.fs.exists("/t/_commits/0000000000.json")
+
+    # with allow_nonatomic=True: falls back to check-then-put, warns once
+    be2 = FsspecStorageBackend(_FakeFS(support_x=False), allow_nonatomic=True)
+    with pytest.warns(RuntimeWarning, match="check-then-put"):
+        be2.write_text_exclusive("/t/_commits/0000000000.json", "a")
     assert be2.exclusive_is_native is False
     with pytest.raises(CommitConflictError):
         be2.write_text_exclusive("/t/_commits/0000000000.json", "b")
@@ -644,7 +714,12 @@ def test_aborted_write_invisible_and_vacuumed(spark, tmp_path):
     _df(spark, [(99, "ghost")]).write.parquet(str(orphan))
     assert {r["id"] for r in t.read(spark).collect()} == {1}
     assert t.version() == 0
-    removed = t.vacuum()
+    # default orphan-age floor protects a possibly in-flight writer: the
+    # fresh dir (data written, commit not yet published) is NOT reclaimed
+    assert "d0000000001-deadbeef" not in t.vacuum()
+    assert orphan.exists()
+    # once older than the floor (age floor disabled here), it is reclaimed
+    removed = t.vacuum(orphan_min_age_seconds=0.0)
     assert "d0000000001-deadbeef" in removed
     assert {r["id"] for r in t.read(spark).collect()} == {1}
     # the next real commit takes version 1 cleanly
