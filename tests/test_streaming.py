@@ -174,6 +174,26 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert (batch_rows - got) == {r for r in batch_rows if r[2] + gap_us >= wm_us}
 
 
+def test_sessionize_batch_matches_registry_query(spark):
+    """Closes the equivalence chain stream ≡ batch ≡ driver-verified
+    oracle: sessionize_batch (what sessionize_stream is pinned against
+    above) must produce exactly the sessions of the registry's
+    ev_sessionize query — the entry the external driver hashes against
+    DuckDB. Thus the streaming operator is transitively pinned to an
+    independently-verified oracle, not just to a sibling implementation."""
+    from odbc2deltalake_spark.queries.analytics import ev_sessionize
+    from odbc2deltalake_spark.streaming import sessionize_batch
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events").select("user_id", "ts")
+    batch = {tuple(r) for r in sessionize_batch(events).collect()}
+    registry_rows = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in ev_sessionize(spark, sf).collect()
+    }
+    assert batch == registry_rows
+
+
 def test_sessionize_batch_fallback(spark):
     """sessionize_stream on a batch frame dispatches to the batch algebra."""
     from odbc2deltalake_spark.streaming import sessionize_batch, sessionize_stream
