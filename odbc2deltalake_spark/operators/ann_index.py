@@ -1,0 +1,205 @@
+"""Persisted IVF ANN index with incremental maintenance.
+
+``sim_ann_ivf`` (queries/similarity_ops.py) computes the IVF shape per
+query; this module is the stored lifecycle a serving deployment needs:
+
+- **build**: assign every vector to its nearest centroid, persist the
+  cells hive-partitioned by cell id (``cid=``) in a
+  :class:`VersionedParquetTable` — a probe scans only its cells'
+  partitions (file-level pruning through the commit log).
+- **append**: assign ONLY the new vectors against the pinned centroids
+  (broadcast argmax, one linear pass) and append — no rewrite of
+  existing cells; the table store gives the append a new commit.
+- **staleness**: appends degrade an IVF index two ways — the corpus
+  outgrows the centroid count (cells too big) and drift concentrates
+  mass in few cells (skew). ``is_stale`` triggers on either bound;
+  ``rebuild`` re-clusters everything at a size-derived centroid count.
+
+The coarse quantizer is deterministic (the ``num_centroids`` lowest-id
+vectors), matching sim_ann_ivf's pinned-seed policy so index results are
+engine-reproducible; a 100 TB deployment swaps in sampled k-means
+(Spark ML KMeans on a ~0.1% sample) for centroid fitting and keeps
+everything else — assignment, partitioning, probing, maintenance —
+identical.
+
+Reference parity note: the reference engine has no ANN index
+(SURVEY.md §2 lists none); this extends the engine for the
+similarity-search side of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+class IvfIndex:
+    """IVF index persisted as two versioned tables under ``root``:
+    ``cells`` (vec_id, label, v, hive-partitioned by cid) and
+    ``centroids`` (cid, cv). All maintenance is commit-logged, so the
+    index time-travels and vacuums like any other table."""
+
+    # rebuild when avg cell exceeds this multiple of the built avg
+    GROWTH_BOUND = 2.0
+    # rebuild when max cell exceeds this multiple of the avg cell
+    SKEW_BOUND = 8.0
+
+    def __init__(self, root: str | Path):
+        root = Path(root)
+        self.cells = VersionedParquetTable(root / "cells")
+        self.centroids = VersionedParquetTable(root / "centroids")
+
+    # ---------- construction ----------
+
+    @staticmethod
+    def derive_num_centroids(n_rows: int) -> int:
+        """sqrt(N) centroids rounded up to a power of two (min 4) — the
+        standard IVF sizing rule: probe cost ~ nprobe * N/C and
+        centroid-scan cost ~ C balance at C ≈ sqrt(N)."""
+        c = max(4, int(math.sqrt(max(1, n_rows))))
+        return 1 << (c - 1).bit_length()
+
+    def _assign(self, vectors: DataFrame, cent: DataFrame) -> DataFrame:
+        """Nearest-centroid assignment: broadcast the centroid table to a
+        single scan of ``vectors`` (argmax cosine, ties to lowest cid) —
+        the only shuffle is the per-vector row_number, bounded by the
+        corpus, never quadratic."""
+        cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        )
+        return (
+            vectors.crossJoin(F.broadcast(cent))
+            .select("vec_id", "label", "v", "cid", cos.alias("cos"))
+            .withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "v", "cid")
+        )
+
+    def build(
+        self,
+        vectors: DataFrame,
+        num_centroids: Optional[int] = None,
+        centroids: Optional[DataFrame] = None,
+    ) -> int:
+        """(Re)build from scratch; returns the cells-table version.
+        ``vectors`` must have columns (vec_id, label, v: array<double>).
+        Pass ``centroids`` (cid, cv) to pin an externally-fitted
+        quantizer (e.g. sampled k-means); otherwise the deterministic
+        lowest-id policy picks ``num_centroids`` seeds."""
+        if centroids is None:
+            if num_centroids is None:
+                num_centroids = self.derive_num_centroids(vectors.count())
+            centroids = (
+                vectors.orderBy("vec_id")
+                .limit(num_centroids)
+                .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            )
+        else:
+            num_centroids = centroids.count()
+        self.centroids.write(centroids.select("cid", "cv"), mode="overwrite")
+        assigned = self._assign(vectors, self.centroids.read(vectors.sparkSession))
+        v = self.cells.write(assigned, mode="overwrite", partition_by=["cid"])
+        # remember the built shape for the staleness bounds
+        n = self.cells.read(vectors.sparkSession).count()
+        self.cells.set_properties(
+            {
+                "ivf.built_rows": str(n),
+                "ivf.num_centroids": str(num_centroids),
+            }
+        )
+        return v
+
+    def append(self, vectors: DataFrame) -> int:
+        """Assign ONLY the new vectors against the pinned centroids and
+        append their cells — existing partitions untouched. Equivalent to
+        a fresh build over the union whenever the centroid set is
+        unchanged (pinned-quantizer property; tested)."""
+        spark = vectors.sparkSession
+        assigned = self._assign(vectors, self.centroids.read(spark))
+        return self.cells.write(assigned, mode="append", partition_by=["cid"])
+
+    # ---------- staleness ----------
+
+    def cell_counts(self, spark: SparkSession) -> dict[int, int]:
+        rows = self.cells.read(spark).groupBy("cid").count().collect()
+        return {r["cid"]: r["count"] for r in rows}
+
+    def staleness(self, spark: SparkSession) -> dict[str, float]:
+        """growth = rows now / rows at build; skew = max cell / avg cell."""
+        counts = self.cell_counts(spark)
+        n = sum(counts.values())
+        built = int(self.cells.get_property("ivf.built_rows") or n)
+        ncent = int(self.cells.get_property("ivf.num_centroids") or len(counts))
+        avg = n / max(1, ncent)
+        return {
+            "growth": n / max(1, built),
+            "skew": (max(counts.values()) / avg) if counts else 0.0,
+        }
+
+    def is_stale(self, spark: SparkSession) -> bool:
+        s = self.staleness(spark)
+        return s["growth"] > self.GROWTH_BOUND or s["skew"] > self.SKEW_BOUND
+
+    def rebuild(self, spark: SparkSession, num_centroids: Optional[int] = None) -> int:
+        """Re-cluster everything currently stored at a size-derived
+        centroid count — the maintenance action ``is_stale`` calls for."""
+        vectors = self.cells.read(spark).select("vec_id", "label", "v")
+        return self.build(vectors, num_centroids)
+
+    # ---------- query ----------
+
+    def probe(
+        self,
+        spark: SparkSession,
+        query_vec: Sequence[float],
+        nprobe: int = 4,
+        k: int = 10,
+    ) -> DataFrame:
+        """Top-k by cosine, scanning only the query's ``nprobe`` nearest
+        cells. Centroid selection is driver-side over the (tiny) centroid
+        table; the cells scan carries the cid filter as a partition
+        filter, so unprobed cells are never read."""
+        q = [float(x) for x in query_vec]
+        qn = math.sqrt(sum(x * x for x in q))
+        cent = self.centroids.read(spark).collect()
+        scored = sorted(
+            (
+                (
+                    -sum(a * b for a, b in zip(r["cv"], q))
+                    / (math.sqrt(sum(a * a for a in r["cv"])) * qn),
+                    r["cid"],
+                )
+                for r in cent
+            ),
+        )
+        probe_cids = [cid for _, cid in scored[:nprobe]]
+        qcol = F.array(*[F.lit(x) for x in q])
+        cos = _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))
+        return (
+            self.cells.read(spark)
+            .filter(F.col("cid").isin(probe_cids))
+            .select("vec_id", "label", cos.alias("cos_raw"))
+            .orderBy(F.col("cos_raw").desc(), "vec_id")
+            .limit(k)
+            .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+        )

@@ -602,7 +602,19 @@ class VersionedParquetTable(TableStore):
         parts: list[DataFrame] = []
         for schema_json, paths in groups.items():
             written = T.StructType.fromJson(json.loads(schema_json))
-            df = spark.read.schema(written).parquet(*paths)
+            try:
+                df = spark.read.schema(written).parquet(*paths)
+            except Exception as e:  # noqa: BLE001 — py4j-wrapped analysis error
+                # multiple hive-partitioned roots (appends to a
+                # partition_by table) make partition discovery reject a
+                # combined scan; scan each commit dir on its own and
+                # union — same rows, one scan node per dir
+                if "CONFLICTING_DIRECTORY_STRUCTURES" not in str(e) or len(paths) == 1:
+                    raise
+                dfs = [spark.read.schema(written).parquet(p) for p in paths]
+                df = dfs[0]
+                for other in dfs[1:]:
+                    df = df.unionByName(other)
             written_names = set(written.fieldNames())
             df = df.select(
                 *[

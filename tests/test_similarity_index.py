@@ -81,3 +81,87 @@ def test_stored_ivf_index_probe_matches_direct(spark, tmp_path):
         ).collect()
     }
     assert got == direct
+
+
+# ---------------------------------------------------------------------------
+# IvfIndex lifecycle: incremental append + staleness-triggered rebuild
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    from odbc2deltalake_spark.queries.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select("vec_id", "label", dbl.alias("v"))
+
+
+def test_ivf_append_matches_fresh_rebuild(spark, tmp_path):
+    """Pinned-quantizer property: appending new vectors to an existing
+    index yields the SAME index (cells and probe results) as rebuilding
+    from scratch over the union, as long as the centroid set is
+    unchanged — so incremental maintenance loses no recall."""
+    from odbc2deltalake_spark.operators.ann_index import IvfIndex
+
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    extra = corpus.filter(F.col("vec_id") % 2 == 1)
+
+    inc = IvfIndex(tmp_path / "inc")
+    inc.build(base, num_centroids=8)
+    inc.append(extra)
+
+    # fresh build over the SAME quantizer (pinned centroids): cells and
+    # probe results must be identical — incremental append loses nothing
+    fresh = IvfIndex(tmp_path / "fresh")
+    fresh.build(corpus, centroids=inc.centroids.read(spark))
+
+    inc_cells = {(r["vec_id"], r["cid"]) for r in inc.cells.read(spark).collect()}
+    fresh_cells = {(r["vec_id"], r["cid"]) for r in fresh.cells.read(spark).collect()}
+    assert inc_cells == fresh_cells
+
+    qvec = [r["v"] for r in corpus.filter(F.col("vec_id") == 7).collect()][0]
+    got_inc = [tuple(r) for r in inc.probe(spark, qvec, nprobe=3, k=5).collect()]
+    got_fresh = [tuple(r) for r in fresh.probe(spark, qvec, nprobe=3, k=5).collect()]
+    assert got_inc == got_fresh
+    assert len(got_inc) == 5
+
+
+def test_ivf_staleness_triggers_and_rebuild_clears(spark, tmp_path):
+    """Growth past GROWTH_BOUND flags the index stale; rebuild()
+    re-clusters at a size-derived centroid count and clears the flag."""
+    from odbc2deltalake_spark.operators.ann_index import IvfIndex
+
+    corpus = _corpus(spark)
+    base = corpus.filter(F.col("vec_id") < 100)
+    idx = IvfIndex(tmp_path / "ivf")
+    idx.build(base, num_centroids=8)
+    assert not idx.is_stale(spark)
+
+    # triple the corpus: growth = 3x > GROWTH_BOUND (2x)
+    idx.append(corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)))
+    s = idx.staleness(spark)
+    assert s["growth"] > IvfIndex.GROWTH_BOUND
+    assert idx.is_stale(spark)
+
+    idx.rebuild(spark)
+    s2 = idx.staleness(spark)
+    assert s2["growth"] == 1.0
+    assert not idx.is_stale(spark)
+    # all 300 vectors survived the rebuild
+    assert idx.cells.read(spark).count() == 300
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """The probe's cid filter must reach the scan as a partition filter —
+    unprobed cells are never read (the point of the stored layout)."""
+    from odbc2deltalake_spark.operators.ann_index import IvfIndex
+
+    corpus = _corpus(spark)
+    idx = IvfIndex(tmp_path / "ivf")
+    idx.build(corpus, num_centroids=8)
+    qvec = [r["v"] for r in corpus.filter(F.col("vec_id") == 7).collect()][0]
+    probed = idx.probe(spark, qvec, nprobe=2, k=5)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    assert len(probed.collect()) == 5
