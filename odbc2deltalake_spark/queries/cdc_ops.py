@@ -259,11 +259,19 @@ def p6_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference:odbc2deltalake/db_to_delta.py:584-610) — pushed to the
     parquet scan (PushedFilters in explain).
 
-    The events table stores nanosecond bigints; filtering the *converted*
-    timestamp would hide the predicate from the scan (only IsNotNull gets
-    pushed). Transposing the watermark into the raw nanos domain keeps a
-    GreaterThan on the stored column — at 100 TB that is row-group/page
-    pruning instead of a full scan."""
+    The watermark predicate must stay on the *stored* column type so it
+    reaches the parquet scan (PushedFilters → row-group/page pruning; at
+    100 TB that is pruning instead of a full scan). The fixture encoding
+    has varied across rounds, so branch on the raw dtype:
+
+    - bigint (TIMESTAMP(NANOS) under nanosAsLong): transpose the
+      watermark into the nanos domain — filtering the converted timestamp
+      would hide the predicate from the scan.
+    - timestamp / timestamp_ntz: a literal of the SAME type compares
+      natively and Spark pushes GreaterThan on timestamp columns to the
+      scan directly (an LTZ literal against an NTZ column raises
+      DATATYPE_MISMATCH, hence the explicit NTZ cast).
+    """
     import datetime
 
     wm = datetime.datetime(2024, 1, 25)
@@ -272,11 +280,20 @@ def p6_delta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_nanos_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    filtered = raw.filter(F.col("ts") > F.lit(wm_nanos))
+    ts_dtype = dict(raw.dtypes)["ts"]
+    if ts_dtype == "bigint":
+        filtered = raw.filter(F.col("ts") > F.lit(wm_nanos))
+        ts_out = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    elif ts_dtype == "timestamp_ntz":
+        filtered = raw.filter(F.col("ts") > F.lit(wm).cast("timestamp_ntz"))
+        ts_out = F.col("ts").cast("timestamp").alias("ts")
+    else:  # timestamp (LTZ) — already canonical
+        filtered = raw.filter(F.col("ts") > F.lit(wm).cast("timestamp"))
+        ts_out = F.col("ts").alias("ts")
     return filtered.select(
         "event_id",
         "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_out,
         "event_type",
         F.round("value", 2).alias("value"),
     )

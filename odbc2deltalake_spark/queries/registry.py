@@ -30,34 +30,60 @@ TABLE_NAMES = [
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make parquet TIMESTAMP(NANOS) readable on ANY session.
+    """Make parquet fixtures readable on ANY session, regardless of
+    timestamp encoding.
 
-    The engine's own ``get_spark()`` sets this at build time, but the
+    The engine's own ``get_spark()`` sets these at build time, but the
     driver's correctness harness supplies its own vanilla SparkSession.
-    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable, so set
-    it defensively before every fixture read.
+    Both confs are runtime-settable, so set them defensively before every
+    fixture read:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong`` — TIMESTAMP(NANOS) files
+      surface as bigint instead of erroring.
+    - ``spark.sql.session.timeZone=UTC`` — makes the NTZ→TIMESTAMP cast in
+      :func:`load_table` exact (no wall-clock shift), so ``unix_micros``
+      equals DuckDB's ``epoch_us`` byte-for-byte.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # already set / immutable on some builds — reads will tell
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # already set / immutable on some builds — reads will tell
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table, canonicalizing ``events.ts`` to TIMESTAMP.
+
+    The driver has shipped the events table under different parquet
+    encodings across rounds — TIMESTAMP(NANOS) in r1–r3, timestamp[us]
+    (TIMESTAMP_NTZ) from r4 — and a real lake contains all three
+    (nanos, micros-without-tz, tz-adjusted). The reference survives the
+    analogous problem with explicit per-dialect type maps
+    (reference:odbc2deltalake/write_init.py:29-38,
+    reference:read_utils/delta_rs.py:22-57); here every encoding is
+    normalized to one canonical session-TZ TIMESTAMP so downstream
+    operators (``unix_micros``, watermarks, window lags) never branch.
+    """
     ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) parquet columns surface as long under
-    # spark.sql.legacy.parquet.nanosAsLong; convert to micro timestamps
-    # (truncation — matches DuckDB's ns→µs datetime truncation).
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     if name == "events":
         for fname, dtype in df.dtypes:
-            if fname == "ts" and dtype == "bigint":
-                # integer division — double math would lose precision on
-                # ~1.7e18 nanosecond values (> 2^53)
+            if fname != "ts":
+                continue
+            if dtype == "bigint":
+                # TIMESTAMP(NANOS) under nanosAsLong. Integer division —
+                # double math would lose precision on ~1.7e18 ns (> 2^53).
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif dtype == "timestamp_ntz":
+                # timestamp[us] without tz. Exact under the UTC session
+                # (ensure_nanos_conf pins it): wall clock == instant.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # dtype == "timestamp" (tz-adjusted LTZ) is already canonical.
         # keep original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
