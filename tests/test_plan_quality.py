@@ -24,19 +24,27 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    """Lazy per-query plan cache. Capturing plans on demand (instead of a
+    single eager loop) keeps the gate granular: one throwing query fails
+    exactly one test instead of erroring all of them — in r4 a single
+    broken fixture load surfaced as 35 opaque collection errors."""
     qs = entrymod.queries()
-    out = {}
-    for name in AUDIT:
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            qs[name](spark, SF_DIR).explain("formatted")
-        out[name] = buf.getvalue()
-    return out
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                qs[name](spark, SF_DIR).explain("formatted")
+            cache[name] = buf.getvalue()
+        return cache[name]
+
+    return get
 
 
 @pytest.mark.parametrize("name", AUDIT)
 def test_plan_properties(plans, name):
-    plan = plans[name]
+    plan = plans(name)
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in plan"
     assert "ArrowEvalPython" not in plan, "scalar Python UDF in plan"
     if name not in CROSS_JOIN_OK:
