@@ -44,6 +44,12 @@ HEADLINE = [
     "text_quality_score",
     "sim_ann_topk",
     "sim_lsh_buckets",
+    # the most expensive non-TPC-H shapes — benched so their trend is
+    # visible (r3 verdict: cost had never been measured)
+    "ev_asof_join",
+    "ev_range_join",
+    "dedup_cluster",
+    "sim_ann_ivf",
 ]
 
 
@@ -120,10 +126,18 @@ def main() -> None:
     # full load, an incremental load (1% updates + 1k inserts), and the
     # no-change short-circuit — the engine's write-side throughput. Runs
     # first: the engine issues ~20 small sequential jobs, which are
-    # sensitive to accumulated session overhead late in a run.
-    for name, dt in _bench_cdc_engine(spark, sf_dir).items():
-        timings[name] = dt
-        total += dt
+    # sensitive to accumulated session overhead late in a run. The many
+    # small sequential jobs also make this block the most host-stall
+    # sensitive number in the bench (observed 5.1s vs 9.5s for the same
+    # delta-load plan minutes apart), so it always runs twice with
+    # per-entry min — both samples recorded for auditability.
+    reruns: dict[str, dict[str, float]] = {}
+    cdc_first = _bench_cdc_engine(spark, sf_dir)
+    cdc_second = _bench_cdc_engine(spark, sf_dir)
+    for name, dt in cdc_first.items():
+        reruns[name] = {"first": dt, "rerun": cdc_second[name]}
+        timings[name] = min(dt, cdc_second[name])
+        total += timings[name]
 
     for name in HEADLINE:
         t0 = time.time()
@@ -137,7 +151,6 @@ def main() -> None:
     # The bench measures plan cost, not transient host stalls, so any entry
     # far above the pass median is re-run once and the faster time kept —
     # the standard min-of-N discipline, applied only where it matters.
-    reruns: dict[str, dict[str, float]] = {}
     head_times = sorted(timings[n] for n in HEADLINE)
     median = head_times[len(head_times) // 2]
     outlier_cutoff = max(2.5, 3 * median)
