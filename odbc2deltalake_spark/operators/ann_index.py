@@ -79,20 +79,28 @@ class IvfIndex:
         return 1 << (c - 1).bit_length()
 
     def _assign(self, vectors: DataFrame, cent: DataFrame) -> DataFrame:
-        """Nearest-centroid assignment: broadcast the centroid table to a
-        single scan of ``vectors`` (argmax cosine, ties to lowest cid) —
-        the only shuffle is the per-vector row_number, bounded by the
-        corpus, never quadratic."""
-        cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
-        rn = F.row_number().over(
-            W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        """Nearest-centroid assignment as a pure map: pack the (tiny)
+        centroid table into a one-row array, broadcast it, and take the
+        per-vector argmax with ``array_sort`` over ``(-cos, cid)`` structs
+        (ties to lowest cid). Zero shuffle on the corpus — the earlier
+        row_number-per-vec_id formulation shuffled the whole corpus
+        through an Exchange, the only full-corpus shuffle in index
+        build/append (gate: tests/test_similarity_index.py asserts no
+        Exchange in this stage's plan). At 100 TB the corpus-side cost is
+        one scan; the centroid array (~sqrt(N) entries) stays a broadcast
+        until ~100k centroids, where assignment itself goes IVF-style
+        (coarse-quantize the centroids) — out of scope here."""
+        cent_packed = cent.agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
         )
-        return (
-            vectors.crossJoin(F.broadcast(cent))
-            .select("vec_id", "label", "v", "cid", cos.alias("cos"))
-            .withColumn("rn", rn)
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "label", "v", "cid")
+
+        def score(c):
+            neg = -(_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"])))
+            return F.struct(neg.alias("neg"), c["cid"].alias("cid"))
+
+        best = F.element_at(F.array_sort(F.transform(F.col("cents"), score)), 1)
+        return vectors.crossJoin(F.broadcast(cent_packed)).select(
+            "vec_id", "label", "v", best["cid"].alias("cid")
         )
 
     def build(

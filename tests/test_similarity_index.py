@@ -165,3 +165,49 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
     assert len(probed.collect()) == 5
+
+
+def test_ivf_assign_is_map_side(spark, tmp_path):
+    """The nearest-centroid assignment must be a pure map over the corpus:
+    no Window (the old row_number-per-vec_id formulation) and no
+    hash-partitioned Exchange — the only allowed Exchanges are the
+    broadcast itself and the SinglePartition centroid packing (control
+    plane, ~sqrt(N) rows). A corpus-wide shuffle here was the only
+    full-corpus Exchange in index build/append."""
+    import io
+    from contextlib import redirect_stdout
+
+    from odbc2deltalake_spark.operators.ann_index import IvfIndex
+
+    corpus = _corpus(spark)
+    cent = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    idx = IvfIndex(tmp_path / "ivf")
+    assigned = idx._assign(corpus, cent)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assigned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+
+    # and it computes the same assignment as the reference row_number form
+    from pyspark.sql import Window as W
+    from odbc2deltalake_spark.operators.ann_index import _dot, _norm
+
+    cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    )
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos.alias("cos"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = {(r["vec_id"], r["cid"]) for r in assigned.collect()}
+    assert got == want
