@@ -35,6 +35,12 @@ from odbc2deltalake_spark.plans import (
 )
 from odbc2deltalake_spark.plans.db_to_delta import make_writer
 from odbc2deltalake_spark.operators.corpus import prepare_training_corpus
+from odbc2deltalake_spark.destinations import (
+    AzureDestination,
+    DatabricksDestination,
+    S3Destination,
+    parse_destination,
+)
 
 __version__ = "0.1.0"
 
@@ -57,4 +63,8 @@ __all__ = [
     "check_latest_pk",
     "check_delta_consistency",
     "prepare_training_corpus",
+    "AzureDestination",
+    "DatabricksDestination",
+    "S3Destination",
+    "parse_destination",
 ]
