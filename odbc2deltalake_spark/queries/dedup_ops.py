@@ -446,6 +446,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("lbl").alias("nb_lbl"))
         )
+        # carry the previous label through the checkpoint so convergence
+        # is a scan of the materialized frame — not a join of new-vs-old
+        # labels (which added a full shuffle per round)
         new_labels = (
             labels.join(nb_min, labels.node == nb_min.src, "left")
             .select(
@@ -453,16 +456,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))
                 ).alias("lbl"),
+                F.col("lbl").alias("prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lbl") != F.col("prev")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
