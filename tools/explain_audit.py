@@ -93,6 +93,9 @@ AUDIT = [
     "text_quality_score",
     "text_pii_scrub",
     "mm_decode_meta",
+    "corpus_hash_sample",
+    "corpus_source_quota",
+    "corpus_pack_bins",
     # dedup_cluster excluded: building its DataFrame executes the
     # label-propagation loop (driver-coordinated iterations)
 ]
