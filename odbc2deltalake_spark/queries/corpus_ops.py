@@ -67,6 +67,46 @@ def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+# ---------------------------------------------------- mixture sampling ----
+
+# Target acceptance rate per language — the "mixture weights" knob of a
+# pretraining data recipe (upsample scarce languages, downsample dominant
+# ones). Unlisted languages fall back to the default rate.
+_MIXTURE_RATES = {"en": 80, "de": 40, "fr": 40, "zh": 20}  # percent
+_MIXTURE_DEFAULT = 10
+
+_MIXTURE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {pct * _HASH_MOD // 100}"
+    for lang, pct in sorted(_MIXTURE_RATES.items())
+) + f" ELSE {_MIXTURE_DEFAULT * _HASH_MOD // 100} END"
+
+_MIXTURE_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_DOC_HASH_SQL} < {_MIXTURE_CASE_SQL}
+"""
+
+
+@register("corpus_mixture_sample", _MIXTURE_ORACLE, tags=("corpus",), priority=100)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling: each stratum (language) is kept at its
+    own target rate against the SAME per-doc hash uniform — the
+    deterministic equivalent of ``df.sampleBy``, with the hash sampler's
+    properties (reproducible, repartition-proof, nested: lowering a rate
+    keeps a subset of the previous sample, so recipe iterations only
+    shrink monotonically). Still a shuffle-free single scan — the rate
+    lookup is a CASE expression, not a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.lit(_MIXTURE_DEFAULT * _HASH_MOD // 100)
+    for lang, pct in sorted(_MIXTURE_RATES.items(), reverse=True):
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(pct * _HASH_MOD // 100)
+        ).otherwise(threshold)
+    return docs.filter(_doc_hash_spark() < threshold).select(
+        "doc_id", "lang", "source"
+    )
+
+
 # ------------------------------------------------------- source quota ----
 
 _QUOTA_K = 50  # max docs kept per source
