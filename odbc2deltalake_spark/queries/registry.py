@@ -143,6 +143,7 @@ def load_all() -> None:
     """Import every query module (side effect: registration)."""
     import odbc2deltalake_spark.queries.analytics  # noqa: F401
     import odbc2deltalake_spark.queries.analytics_ext  # noqa: F401
+    import odbc2deltalake_spark.queries.analytics_tail  # noqa: F401
     import odbc2deltalake_spark.queries.cdc_ops  # noqa: F401
     import odbc2deltalake_spark.queries.text_ops  # noqa: F401
     import odbc2deltalake_spark.queries.dedup_ops  # noqa: F401
