@@ -206,3 +206,198 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
     )
+
+
+# ----------------------------------------------- benchmark decontamination ----
+
+# Eval membership: the TOP 5% of the md5 hash space is the held-out
+# "benchmark" set (deterministic, disjoint from every sampling window the
+# other corpus ops use, which all keep the LOW end of the hash space).
+_EVAL_CUT = 950_000
+_GRAM_N = 8  # word n-gram size; 8-13 is the published decontamination range
+
+_DECON_ORACLE = f"""
+WITH hashed AS (
+    SELECT doc_id, trim(text) AS t,
+           {_DOC_HASH_SQL} AS h
+    FROM documents
+),
+words AS (SELECT doc_id, h, string_split(t, ' ') AS w FROM hashed),
+grams AS (
+    SELECT doc_id, h,
+           unnest(list_transform(range(1, len(w) - {_GRAM_N - 2}),
+                                 i -> array_to_string(w[i:i+{_GRAM_N - 1}], ' '))) AS g
+    FROM words
+    WHERE len(w) >= {_GRAM_N}
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE h >= {_EVAL_CUT})
+SELECT grams.doc_id, count(DISTINCT grams.g) AS hit_grams
+FROM grams JOIN eval_grams ON grams.g = eval_grams.g
+WHERE h < {_EVAL_CUT}
+GROUP BY grams.doc_id
+ORDER BY hit_grams DESC, doc_id
+"""
+
+
+@register("corpus_decontaminate", _DECON_ORACLE, tags=("corpus",), priority=100)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word 8-gram with the held-out eval set (the standard
+    n-gram-overlap contamination rule used when pretraining corpora must
+    exclude test benchmarks). Emits (doc_id, hit_grams) for contaminated
+    docs — the anti-join survivor set is its complement.
+
+    Scale: shingle generation is a linear per-row map (split + sequence +
+    slice, all JVM built-ins — no Python). The eval side collapses to
+    DISTINCT grams of a set that is benchmark-sized (thousands of docs,
+    not the corpus), so it broadcasts; the contamination check is then a
+    broadcast inner join on the exploded training grams followed by a
+    per-doc count — the training corpus shuffles once, on doc_id, at
+    gram granularity already reduced by the join's selectivity. At
+    100 TB: identical plan, with the eval grams still broadcast-sized
+    (a benchmark suite is MBs) — no all-pairs stage anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), " ").alias("w"),
+        _doc_hash_spark().alias("h"),
+    )
+    grams = hashed.filter(F.size("w") >= _GRAM_N).select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _GRAM_N),
+                lambda i: F.array_join(F.slice(F.col("w"), i + 1, _GRAM_N), " "),
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("h") >= _EVAL_CUT).select("g").distinct()
+    return (
+        grams.filter(F.col("h") < _EVAL_CUT)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("hit_grams"))
+        .orderBy(F.desc("hit_grams"), "doc_id")
+    )
+
+
+# ------------------------------------------- within-doc repetition score ----
+
+# Gopher-style repetition gate: docs whose duplicate-2-gram fraction
+# exceeds the threshold are flagged low-quality (boilerplate / spam).
+_REP_THRESHOLD = 0.2
+
+_REP_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+    SELECT doc_id, w,
+           list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) AS g2
+    FROM words
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 4) AS dup_word_frac,
+       round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 4) AS dup_2gram_frac,
+       (1.0 - len(list_distinct(g2)) * 1.0 / len(g2)) > {_REP_THRESHOLD} AS flagged
+FROM grams
+WHERE len(w) >= 2
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_score", _REP_ORACLE, tags=("corpus", "text"), priority=100)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher/C4 quality-rule
+    family): duplicate-word and duplicate-2-gram fractions per doc, plus
+    the boolean gate at the published ~0.2 threshold. Complements
+    ``text_quality_score`` (surface stats) with the repetition axis used
+    to drop boilerplate and degenerate generations from training data.
+
+    Scale: zero shuffles and zero Python — one scan, per-row array ops
+    (split / transform / array_distinct / size), all inside whole-stage
+    codegen. The fractions are exact ratios of the same two integers in
+    both engines, so rounding at 4 decimals is bit-stable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    scored = docs.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.array_join(F.slice(F.col("w"), i + 1, 2), " "),
+    )
+    dup_word = 1.0 - F.size(F.array_distinct("w")) / F.size("w")
+    scored = scored.withColumn("g2", g2)
+    dup_gram = 1.0 - F.size(F.array_distinct("g2")) / F.size("g2")
+    return scored.select(
+        "doc_id",
+        F.round(dup_word, 4).alias("dup_word_frac"),
+        F.round(dup_gram, 4).alias("dup_2gram_frac"),
+        (dup_gram > F.lit(_REP_THRESHOLD)).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------- deterministic global shuffle ----
+
+_SHUFFLE_SEED = "epoch0"
+_SHUFFLE_BUCKETS = 64
+
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5('{_SHUFFLE_SEED}' || doc_id::VARCHAR),
+                               doc_id) AS BIGINT) AS pos
+FROM documents
+ORDER BY pos
+"""
+
+
+@register("corpus_shuffle_order", _SHUFFLE_ORACLE, tags=("corpus",), priority=100)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    unique position in the md5(seed‖doc_id) order — rerunning with the
+    same seed reproduces the epoch's exact batch sequence; changing the
+    seed reshuffles.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` forces ALL rows through
+    one partition — the classic global-sort scale killer. This computes
+    the identical total order as a distributed rank: (1) bucket each doc
+    by its hash prefix (buckets inherit the hash order, so bucket i's
+    keys all sort before bucket i+1's); (2) row_number WITHIN each bucket
+    — parallel, partition-local windows; (3) add each bucket's starting
+    offset, a 64-row cumulative count computed on the driver-side-tiny
+    bucket histogram and broadcast back. Wall-clock scales with the
+    largest bucket (uniform by construction), not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
+    # first 2 hex chars = top byte of the hash; dividing its 256 values
+    # into contiguous ranges keeps bucket order == key order, which is
+    # what lets per-bucket ranks concatenate into a global rank.
+    keyed = docs.select("doc_id", key.alias("k")).withColumn(
+        "bucket",
+        F.floor(
+            F.conv(F.substring("k", 1, 2), 16, 10).cast("int")
+            / F.lit(256 // _SHUFFLE_BUCKETS)
+        ).cast("int"),
+    )
+    local = keyed.withColumn(
+        "local_pos",
+        F.row_number().over(W.partitionBy("bucket").orderBy("k", "doc_id")),
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_pos")).cast("long").alias("pos"),
+        )
+        .orderBy("pos")
+    )
