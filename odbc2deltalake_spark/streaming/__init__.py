@@ -9,6 +9,12 @@ from odbc2deltalake_spark.streaming.events import (
     sessionize_stream,
     clicks_purchases_join_stream,
 )
+from odbc2deltalake_spark.streaming.corpus import (
+    corpus_ingest_stream,
+    start_corpus_ingest,
+    eval_gram_table,
+    decontaminate,
+)
 
 __all__ = [
     "stream_db_to_delta",
@@ -18,4 +24,8 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "clicks_purchases_join_stream",
+    "corpus_ingest_stream",
+    "start_corpus_ingest",
+    "eval_gram_table",
+    "decontaminate",
 ]
