@@ -52,6 +52,18 @@ HEADLINE = [
     "sim_ann_ivf",
 ]
 
+# Shapes added in r5 — timed and reported under "extras" WITHOUT counting
+# toward the headline total, so the total stays comparable with the
+# r1→r3 trend line (adding entries to HEADLINE would read as a
+# regression that is really just a bigger denominator).
+EXTRAS = [
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "corpus_decontaminate",
+    "corpus_shuffle_order",
+    "text_repetition_score",
+]
+
 
 def _bench_cdc_engine(spark, sf_dir: str) -> dict[str, float]:
     import shutil
@@ -165,6 +177,20 @@ def main() -> None:
             timings[name] = min(timings[name], dt)
 
     total += sum(timings[n] for n in HEADLINE)
+
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        dt = round(time.time() - t0, 3)
+        if dt > outlier_cutoff:  # same host-stall discipline as HEADLINE
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            rerun = round(time.time() - t0, 3)
+            reruns[name] = {"first": dt, "rerun": rerun}
+            dt = min(dt, rerun)
+        extras[name] = dt
+
     print(
         json.dumps(
             {
@@ -172,6 +198,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "reruns": reruns,
                 "outlier_cutoff": round(outlier_cutoff, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -96,6 +96,17 @@ AUDIT = [
     "corpus_hash_sample",
     "corpus_source_quota",
     "corpus_pack_bins",
+    # r5 additions: the TPC-H tail and the corpus decontamination/
+    # repetition/shuffle trio
+    "q2_min_cost_supplier",
+    "q11_important_values",
+    "q12_late_shipping",
+    "q16_supplier_counts",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "corpus_decontaminate",
+    "text_repetition_score",
+    "corpus_shuffle_order",
     # dedup_cluster excluded: building its DataFrame executes the
     # label-propagation loop (driver-coordinated iterations)
 ]
