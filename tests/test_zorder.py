@@ -1,0 +1,86 @@
+"""Z-order layout: multi-dimensional pruning effect measured on real
+parquet file stats.
+
+The contract is physical: after `zorder_layout(df, [a, b])`, EVERY
+participating column has locally-narrow min/max spans per output file,
+so row-group pruning works for predicates on either column — where a
+single-column sort narrows only its own column and an unsorted write
+narrows neither.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.operators.zorder import zorder_layout
+from odbc2deltalake_spark.queries.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spans(path: Path, col: str) -> list[tuple[float, float]]:
+    """(min, max) of ``col`` per row group across all part files."""
+    out = []
+    for f in sorted(path.glob("*.parquet")):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            out.append((float(st.min), float(st.max)))
+    return out
+
+
+def _mean_norm_span(path: Path, col: str) -> float:
+    spans = _spans(path, col)
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo) or 1.0
+    return sum((b - a) for a, b in spans) / len(spans) / width
+
+
+def test_zorder_narrows_all_dimensions(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+
+    plain_dir = tmp_path / "plain"
+    ev.repartition(8).write.parquet(str(plain_dir))
+
+    sorted_dir = tmp_path / "single_sort"
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(
+        str(sorted_dir)
+    )
+
+    z_dir = tmp_path / "zorder"
+    zorder_layout(ev, ["user_id", "value"], out_partitions=8).write.parquet(str(z_dir))
+
+    # unsorted: every file spans ~the full domain of both columns
+    assert _mean_norm_span(plain_dir, "user_id") > 0.7
+    assert _mean_norm_span(plain_dir, "value") > 0.7
+    # single-column sort: narrow on its column, blind on the other
+    assert _mean_norm_span(sorted_dir, "user_id") < 0.3
+    assert _mean_norm_span(sorted_dir, "value") > 0.7
+    # z-order: materially narrow on BOTH (user_id has only 15 distinct
+    # values at this SF, so its per-file span granularity is 1/14 — the
+    # achievable floor with 8 files is ~0.5, not the continuous-domain
+    # ~1/sqrt(8))
+    zu = _mean_norm_span(z_dir, "user_id")
+    zv = _mean_norm_span(z_dir, "value")
+    assert zu < 0.65, zu
+    assert zv < 0.6, zv
+    # and the data survived intact
+    got = spark.read.parquet(str(z_dir))
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("user_id")).first()[0] == ev.agg(F.sum("user_id")).first()[0]
+
+
+def test_zorder_handles_nulls_and_single_column(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id") % 7).alias("k"),
+    )
+    out = zorder_layout(df, ["k"], buckets=8, out_partitions=4)
+    assert out.count() == 1000
+    # null rows preserved
+    assert out.filter(F.col("k").isNull()).count() == 10
