@@ -129,6 +129,12 @@ class StorageBackend(ABC):
         date)."""
         return None
 
+    def du(self, path: str) -> Optional[int]:
+        """Total bytes under ``path``, or None when the store cannot
+        say. ``compact`` sizes its output file count from this; None
+        falls back to the caller-supplied partition count."""
+        return None
+
 
 class LocalStorageBackend(StorageBackend):
     """POSIX filesystem metadata plane: atomicity via same-dir rename."""
@@ -180,6 +186,12 @@ class LocalStorageBackend(StorageBackend):
             return Path(path).stat().st_mtime
         except OSError:
             return None
+
+    def du(self, path: str) -> Optional[int]:
+        p = Path(path)
+        if not p.exists():
+            return 0
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
 
 
 class FsspecStorageBackend(StorageBackend):
@@ -275,6 +287,12 @@ class FsspecStorageBackend(StorageBackend):
             return self.fs.modified(path).timestamp()
         except Exception:
             return None  # undatable -> vacuum treats the dir as young
+
+    def du(self, path: str) -> Optional[int]:
+        try:
+            return int(self.fs.du(path))
+        except Exception:
+            return None  # unsizable -> compact falls back to caller hint
 
 
 # ------------------------------------------------------------------------
@@ -641,9 +659,12 @@ class VersionedParquetTable(TableStore):
         merge_schema: bool = False,
         overwrite_schema: bool = False,
         partition_by: Optional[list[str]] = None,
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
-        (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink)."""
+        (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
+        ``extra_commit_fields`` are recorded verbatim in the commit record
+        (audit metadata, e.g. ``compacted_from``) — never read by replay."""
         assert mode in ("append", "overwrite"), mode
         new_version = (self.version() + 1) if self.exists() else 0
         new_schema = df.schema
@@ -676,15 +697,16 @@ class VersionedParquetTable(TableStore):
             # history table is implicitly load-partitioned on top of this)
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(dir_name))
-        self._write_commit(
-            {
-                "version": new_version,
-                "mode": mode,
-                "dir": dir_name,
-                "schema": df.schema.json() if mode == "overwrite" else new_schema.json(),
-                "written_schema": df.schema.json(),
-            }
-        )
+        commit = {
+            "version": new_version,
+            "mode": mode,
+            "dir": dir_name,
+            "schema": df.schema.json() if mode == "overwrite" else new_schema.json(),
+            "written_schema": df.schema.json(),
+        }
+        if extra_commit_fields:
+            commit.update(extra_commit_fields)
+        self._write_commit(commit)
         return new_version
 
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
@@ -710,6 +732,67 @@ class VersionedParquetTable(TableStore):
             }
         )
         return new_version
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: Optional[list[str]] = None,
+        out_partitions: Optional[int] = None,
+        partition_by: Optional[list[str]] = None,
+    ) -> int:
+        """Rewrite the current snapshot's many small files into
+        ~``target_file_bytes`` files as ONE new overwrite commit — the
+        OPTIMIZE half of lakehouse table maintenance (``vacuum`` is the
+        other half and retires the superseded dirs after retention).
+
+        The append-only history table accumulates one dir of
+        shuffle-partition-count files per load; at 100 TB that is the
+        small-files problem (task-per-file scheduling, metadata-bound
+        scans). Output file count is sized from the backend's byte count
+        of the live dirs (``du``; falls back to ``out_partitions``,
+        then to the session's default parallelism). ``zorder_by``
+        applies `operators.zorder.zorder_layout` to the rewrite so the
+        compacted files also carry multi-dimensional clustering —
+        Delta's OPTIMIZE ZORDER BY pairing.
+
+        Time travel is preserved: pre-compaction versions keep reading
+        their original dirs until vacuumed. Bucketized tables refuse —
+        their layout is maintained per-merge (each merge rewrites whole
+        buckets; adaptive rebucketing handles growth), so file-level
+        compaction would destroy the routing invariant.
+        """
+        st = self._state_at()
+        if st["num_buckets"]:
+            raise ValueError(
+                "compact() on a bucketized table would break bucket "
+                "routing; merges already rewrite whole buckets"
+            )
+        snapshot = self.read(spark)
+        n = out_partitions
+        if n is None:
+            total = self.backend.du(self._path())
+            if total:
+                # live dirs only are what the snapshot reads, but du
+                # counts all dirs; cap at 4x to keep the estimate sane
+                n = max(1, min(total // max(1, target_file_bytes), 4096))
+        if n is None:
+            n = spark.sparkContext.defaultParallelism
+        if zorder_by:
+            from odbc2deltalake_spark.operators.zorder import zorder_layout
+
+            compacted = zorder_layout(snapshot, zorder_by, out_partitions=n)
+        else:
+            compacted = snapshot.coalesce(n)
+        return self.write(
+            compacted,
+            mode="overwrite",
+            partition_by=partition_by,
+            extra_commit_fields={
+                "compacted_from": st["version"],
+                "zorder_by": zorder_by or [],
+            },
+        )
 
     def set_properties(self, props: dict[str, str]) -> int:
         st = self._state_at()

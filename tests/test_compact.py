@@ -1,0 +1,81 @@
+"""OPTIMIZE-style compaction on the versioned parquet store: many small
+append commits → one compacted commit; time travel, vacuum interaction,
+Z-order pairing, and the bucketized refusal."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _data_files(root: Path) -> list[Path]:
+    return [
+        p
+        for p in root.rglob("*.parquet")
+        if p.is_file() and not p.name.startswith(".")
+    ]
+
+
+def test_compact_small_files(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for i in range(5):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).repartition(4)
+        t.write(df, mode="append")
+    pre_version = t.version()
+    pre_files = len(_data_files(tmp_path / "t"))
+    assert pre_files >= 20  # 5 commits x 4 part files
+
+    v = t.compact(spark, out_partitions=2)
+    assert v == pre_version + 1
+    post = t.read(spark)
+    assert post.count() == 500
+    assert post.agg(F.sum("id")).first()[0] == sum(range(500))
+
+    # the compacted snapshot reads few files; history is still on disk
+    live_dirs = {d["dir"] for d in t._state_at()["dirs"]}
+    live_files = [
+        f
+        for f in _data_files(tmp_path / "t")
+        if any(d in str(f) for d in live_dirs)
+    ]
+    assert len(live_files) <= 2
+
+    # time travel to the pre-compaction version still works
+    old = t.read(spark, version=pre_version)
+    assert old.count() == 500
+
+    # vacuum retires the superseded dirs; current read unaffected
+    removed = t.vacuum(retain_versions=1)
+    assert removed
+    assert t.read(spark).count() == 500
+
+
+def test_compact_with_zorder(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for i in range(3):
+        df = spark.range(i * 200, (i + 1) * 200).select(
+            F.col("id"), (F.col("id") * 37 % 101).alias("k")
+        ).repartition(3)
+        t.write(df, mode="append")
+    t.compact(spark, zorder_by=["id", "k"], out_partitions=4)
+    got = t.read(spark)
+    assert got.count() == 600
+    assert got.agg(F.sum("k")).first()[0] == sum(i * 37 % 101 for i in range(600))
+    # the commit records its provenance
+    last = t._read_commit(t.version())
+    assert last["compacted_from"] == t.version() - 1
+    assert last["zorder_by"] == ["id", "k"]
+
+
+def test_compact_refuses_bucketized(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id"), F.lit(1).alias("v"))
+    t.merge_upsert(spark, df, key_cols=["id"])
+    with pytest.raises(ValueError, match="bucketized"):
+        t.compact(spark)
