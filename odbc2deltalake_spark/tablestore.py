@@ -794,6 +794,85 @@ class VersionedParquetTable(TableStore):
             },
         )
 
+    def history(self) -> list[dict[str, Any]]:
+        """Commit metadata, newest first (DESCRIBE HISTORY analog):
+        version, mode, and any audit fields the writer recorded
+        (`compacted_from`, `restored_from`, ...). Control-plane only —
+        reads the JSON log, never the data."""
+        out = []
+        for name in reversed(self._commit_names()):
+            c = json.loads(
+                self.backend.read_text(self.backend.join(self._commits_dir, name))
+            )
+            out.append(
+                {
+                    k: v
+                    for k, v in c.items()
+                    if k not in ("schema", "written_schema", "dirs", "dirs_added")
+                }
+            )
+        return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Rows ADDED by commits in ``(from_version, to_version]`` with a
+        ``_commit_version`` column — the change-data-feed for append-mode
+        tables. An incremental consumer (a downstream training-data
+        pipeline tailing the SCD2 history) checkpoints the last version
+        it saw and reads only the new commits' files: cost scales with
+        the change set, never with table size.
+
+        Only plain ``append`` commits are readable as changes; an
+        ``overwrite``/``merge``/``restore`` in the range raises — those
+        commits rewrite rather than add, so their dirs do not represent
+        a delta (the consumer should re-baseline from a snapshot read,
+        exactly like Delta CDF's backfill story).
+        """
+        to_version = self.version() if to_version is None else to_version
+        table_schema = self.schema(to_version)
+        parts: list[DataFrame] = []
+        for name in self._commit_names():
+            v = int(name.split(".")[0])
+            if v <= from_version or v > to_version:
+                continue
+            c = json.loads(
+                self.backend.read_text(self.backend.join(self._commits_dir, name))
+            )
+            if c["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is a {c['mode']} commit — not representable "
+                    "as a change feed; re-baseline from read(version=...)"
+                )
+            if not c.get("dir"):
+                continue  # metadata-only commit
+            written = T.StructType.fromJson(json.loads(c["written_schema"]))
+            df = spark.read.schema(written).parquet(self._path(c["dir"]))
+            df = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in table_schema.fields
+                ]
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            parts.append(df)
+        if not parts:
+            empty = T.StructType(
+                list(table_schema.fields)
+                + [T.StructField("_commit_version", T.LongType())]
+            )
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def set_properties(self, props: dict[str, str]) -> int:
         st = self._state_at()
         new_version = st["version"] + 1
