@@ -1,0 +1,116 @@
+"""Distributed k-means over embedding columns — the clustering stage a
+training-data pipeline uses for topic balancing, semantic dedup blocking,
+and IVF coarse-quantizer fitting (`IvfIndex.build(centroids=...)`).
+
+Deterministic by construction (no RNG): init = the k lowest vec_ids,
+assignment = argmax cosine with ties to the lowest centroid id, update =
+element-wise mean. Determinism is what makes the result reproducible
+across reruns and testable against an independent numpy reference.
+
+Scale shape (per iteration, corpus of N vectors x D dims):
+- assignment is a PURE MAP: the k centroids are packed into a one-row
+  array and broadcast; each vector takes its argmax via ``array_sort``
+  over (-cos, cid) structs — zero shuffle of the corpus (same kernel as
+  `IvfIndex._assign`, operators/ann_index.py:81-104).
+- update is one shuffle of N*D (cid, dim, x) rows into k*D means, then a
+  k-row regroup to rebuild the centroid arrays — partial aggregation
+  makes the map-side combine absorb most of the N*D volume.
+- the driver never holds the corpus; only the k x D centroid table moves
+  between iterations (localCheckpoint per round keeps lineage flat, the
+  same pattern as dedup_cluster's label propagation).
+
+The reference has no clustering surface; this extends the engine's ANN
+family (SURVEY.md §2-extensions) the same way IvfIndex does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def assign_cosine(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment as a zero-shuffle map.
+
+    ``vectors``: (vec_id, v: array<double>); ``centroids``: (cid, cv).
+    Returns (vec_id, v, cid). Ties break to the lowest cid via the
+    struct sort order of (-cos, cid).
+    """
+    packed = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
+    )
+
+    def score(c):
+        neg = -(_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"])))
+        return F.struct(neg.alias("neg"), c["cid"].alias("cid"))
+
+    best = F.element_at(F.array_sort(F.transform(F.col("cents"), score)), 1)
+    return vectors.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "v", best["cid"].alias("cid")
+    )
+
+
+def fit_kmeans_centroids(
+    vectors: DataFrame, k: int, iterations: int = 3
+) -> DataFrame:
+    """Lloyd's iterations with cosine assignment; returns (cid, cv).
+
+    Init: the ``k`` lowest vec_ids (cid keeps that seed id — stable
+    labels across iterations). A cell that loses all members drops out
+    (its cid disappears), matching the numpy reference in tests.
+    ``iterations`` is fixed rather than convergence-tested: each extra
+    round costs one corpus pass, and coarse quantizers (the IVF use
+    case) need few rounds — callers wanting convergence can compare
+    successive centroid tables themselves.
+    """
+    cent = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        assigned = assign_cosine(vectors.select("vec_id", "v"), cent)
+        dims = assigned.select("cid", F.posexplode("v").alias("d", "x"))
+        cent = (
+            dims.groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def kmeans_summary(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Final cluster summary: (cid, n_members, avg_cos) — membership
+    counts and mean member-to-centroid cosine (rounded for cross-run
+    stability). One map (assignment) + one shuffle (per-cid agg)."""
+    assigned = assign_cosine(vectors.select("vec_id", "v"), centroids)
+    cos = assigned.join(F.broadcast(centroids), "cid").select(
+        "cid",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
+            "c"
+        ),
+    )
+    return cos.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("c"), 3).alias("avg_cos"),
+    )

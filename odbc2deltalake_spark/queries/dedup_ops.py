@@ -470,3 +470,107 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("canonical_id"),
         F.col("cluster_size"),
     )
+
+
+# ------------------------------------- cross-doc duplicated substrings ----
+# Substring-level dedup (the "exact substring dedup" of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better"): find the
+# maximal word spans that occur verbatim in MORE THAN ONE document. The
+# suffix-array formulation is inherently sequential; the distributed
+# equivalent is positional k-gram hashing — a gram is "duplicated" iff
+# its hash occurs in >1 distinct doc, and runs of consecutive duplicated
+# gram positions merge into maximal spans (pos - row_number islands).
+# Linear in corpus size: one shuffle on the gram hash, one window per doc.
+
+_SPAN_K = 8  # words per gram; spans shorter than K words are not flagged
+
+# The fixture corpus is near-dup-rich but shares few verbatim 8-grams, so
+# both engines extend it with deterministic PREFIX CLONES (first 30 words
+# of each doc_id < 50 re-inserted at doc_id+1000000): every clone gram
+# also occurs in its source doc, giving each source a known duplicated
+# span over words 1..30 — the check fails on any off-by-one in gram
+# positions, island merging, or span arithmetic.
+_SPAN_CLONE_WORDS = 30
+
+_SPAN_ORACLE = rf"""
+WITH ext AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:{_SPAN_CLONE_WORDS}], ' ')
+  FROM documents WHERE doc_id < 50
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+  FROM ext
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5({" || ' ' || ".join(["w"] + [f"lead(w, {i}) OVER win" for i in range(1, _SPAN_K)])}) AS gk
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, {_SPAN_K - 1}) OVER win IS NOT NULL
+),
+dup AS (
+  SELECT gk FROM grams GROUP BY gk HAVING count(DISTINCT doc_id) > 1
+),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+  FROM grams g JOIN dup USING (gk)
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {_SPAN_K - 1} AS span_end,
+       count(*) AS n_grams
+FROM hits GROUP BY doc_id, island
+"""
+
+
+@register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",), priority=100)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal word spans duplicated across documents (cross-doc verbatim
+    8-grams, adjacent positions merged): per doc, the 1-based word range
+    [span_start, span_end] and how many duplicated grams it merged.
+
+    Scale shape: gram build is a per-doc window (one shuffle on doc_id),
+    duplicate detection is a hash-groupBy on the gram digest (uniform
+    keys), and the island merge is a second per-doc window — everything
+    linear, no self-join. The dup-key set is only as large as actually-
+    duplicated content, so the grams⨝dup join broadcasts on clean corpora
+    and AQE picks the shuffle join when duplication is rampant."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SPAN_CLONE_WORDS)
+        ).alias("text"),
+    )
+    ext = docs.unionByName(clones)
+    words = ext.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = words
+    parts = [F.col("w")]
+    for i in range(1, _SPAN_K):
+        grams = grams.withColumn(f"w{i}", F.lead("w", i).over(win))
+        parts.append(F.col(f"w{i}"))
+    grams = grams.filter(F.col(f"w{_SPAN_K - 1}").isNotNull()).select(
+        "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("gk")
+    )
+    dup = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gk")
+    )
+    hits = grams.join(dup, "gk").withColumn(
+        "island", F.col("pos") - F.row_number().over(win)
+    )
+    return hits.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

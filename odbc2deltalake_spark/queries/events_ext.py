@@ -288,3 +288,126 @@ def ev_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pc").alias("value_cents"),
     )
+
+
+# ------------------------------------------------------ funnel analysis ----
+# Ordered conversion funnel view -> click -> purchase: a user counts at a
+# step only if that step's event happens AT OR AFTER their entry into the
+# previous step (min-timestamp semantics). The product-analytics shape the
+# base inventory lacks: per-step conditional min-aggregations chained by
+# per-user joins.
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+"""
+
+
+@register("ev_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"), priority=100)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel with min-timestamp entry semantics. Each
+    stage is one groupBy(user_id) over a type-filtered scan joined to the
+    (strictly shrinking) previous stage — 3 shuffles on the same uniform
+    key, and every stage's filter (`event_type = X`) is pushed to the
+    scan. At 100 TB the stage joins co-partition on user_id, so only the
+    first shuffle moves full data."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            pcol = prev.columns[1]
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(pcol))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage("view", None, "t1")
+    s2 = stage("click", s1, "t2")
+    s3 = stage("purchase", s2, "t3")
+
+    def level(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        level(1, "view", s1)
+        .unionByName(level(2, "click", s2))
+        .unionByName(level(3, "purchase", s3))
+    )
+
+
+# ---------------------------------------------------- cohort retention ----
+# Day-0 cohorts by first-ever event date; retention = share of the cohort
+# active exactly 1 / 7 days later. One distinct-activity table reused for
+# both offsets.
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT f.d0 AS cohort_day,
+       count(*) AS n_users,
+       count(a1.user_id) AS n_d1,
+       count(a7.user_id) AS n_d7
+FROM f
+LEFT JOIN act a1 ON a1.user_id = f.user_id AND a1.d = f.d0 + 1
+LEFT JOIN act a7 ON a7.user_id = f.user_id AND a7.d = f.d0 + 7
+GROUP BY f.d0
+"""
+
+
+@register("ev_retention", _RETENTION_ORACLE, tags=("events", "retention"),
+          priority=100)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7 cohort retention. The first-event and activity
+    tables both come from one events scan lineage; the two offset joins
+    are per-user equi-joins on (user_id, date) — distinct-activity keys,
+    at most one row per side, no fanout. All keys uniform (user_id), so
+    the three shuffles stay balanced at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("d0"))
+    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    a1 = act.select(F.col("user_id").alias("u1"), F.col("d").alias("d1"))
+    a7 = act.select(F.col("user_id").alias("u7"), F.col("d").alias("d7"))
+    return (
+        f.join(
+            a1,
+            (F.col("user_id") == F.col("u1"))
+            & (F.col("d1") == F.date_add(F.col("d0"), 1)),
+            "left",
+        )
+        .join(
+            a7,
+            (F.col("user_id") == F.col("u7"))
+            & (F.col("d7") == F.date_add(F.col("d0"), 7)),
+            "left",
+        )
+        .groupBy(F.col("d0").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.col("u1")).alias("n_d1"),
+            F.count(F.col("u7")).alias("n_d7"),
+        )
+    )

@@ -152,3 +152,4 @@ def load_all() -> None:
     import odbc2deltalake_spark.queries.events_ext  # noqa: F401
     import odbc2deltalake_spark.queries.corpus_ops  # noqa: F401
     import odbc2deltalake_spark.queries.sketch_ops  # noqa: F401
+    import odbc2deltalake_spark.queries.clustering_ops  # noqa: F401

@@ -224,3 +224,56 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_red.cast("long").alias("n_redactions"),
         F.md5(scrubbed).alias("scrubbed_hash"),
     )
+
+
+# --------------------------------------- corpus-LM negative log-likelihood ----
+# The perplexity-filter shape (CCNet / RefinedWeb quality filtering): score
+# every document by its average token negative-log-likelihood under a
+# unigram LM fitted on the corpus itself. Unusually-worded documents
+# (boilerplate, gibberish, wrong-language) score high and get filtered.
+# Two linear stages: a token-count aggregation (the "training" pass — at
+# 100 TB the vocab is Zipf-bounded and stays small enough to broadcast)
+# and a scoring scan that joins tokens to the broadcast vocab.
+
+_UNIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+tot AS (SELECT sum(cnt) AS n FROM vocab)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(cnt * 1.0 / n)), 4) AS avg_nll
+FROM toks JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", _UNIGRAM_ORACLE, tags=("text", "corpus"),
+          priority=100)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average token negative log-likelihood under the
+    corpus's own unigram LM. The vocab aggregation is one hash-groupBy on
+    the token (uniform keys); scoring joins each token stream row to the
+    BROADCAST vocab (Zipf: vocab grows ~log of corpus size, so the
+    broadcast holds at 100 TB — were it not to, the join key is the word
+    itself and shuffles uniformly). The total-count scalar rides along as
+    a one-row broadcast cross join, not a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    nll = -F.log(F.col("cnt") * F.lit(1.0) / F.col("n"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

@@ -48,6 +48,7 @@ PUSHDOWN_EXPECTED = {
     "q10_returned_items",   # returnflag, date range
     "sim_ann_ivf",          # vec_id < centroids / = query id
     "sim_ann_topk",         # vec_id = query id
+    "ev_funnel",            # event_type = step filters
 }
 # queries with dimension joins that must all be broadcast
 BROADCAST_EXPECTED = {
@@ -55,6 +56,7 @@ BROADCAST_EXPECTED = {
     "q5_local_supplier",
     "q10_returned_items",
     "q18_large_orders",
+    "text_unigram_logprob",  # broadcast vocab + one-row total
 }
 
 AUDIT = [
@@ -109,6 +111,13 @@ AUDIT = [
     "corpus_shuffle_order",
     # dedup_cluster excluded: building its DataFrame executes the
     # label-propagation loop (driver-coordinated iterations)
+    # round-5 additions: substring-span dedup, corpus-LM scoring, funnel
+    # and retention analytics (emb_kmeans excluded: iterative, like
+    # dedup_cluster)
+    "dedup_substring_spans",
+    "text_unigram_logprob",
+    "ev_funnel",
+    "ev_retention",
 ]
 
 
