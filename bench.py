@@ -62,6 +62,12 @@ EXTRAS = [
     "corpus_decontaminate",
     "corpus_shuffle_order",
     "text_repetition_score",
+    # r5 second wave: the expensive new shapes get a trend line from day 1
+    "dedup_substring_spans",
+    "text_unigram_logprob",
+    "ev_funnel",
+    "ev_retention",
+    "emb_kmeans",
 ]
 
 

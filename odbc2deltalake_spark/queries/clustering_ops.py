@@ -1,4 +1,5 @@
-"""Embedding-clustering registry entries (distributed k-means).
+"""Embedding-clustering and tokenizer-training registry entries
+(distributed k-means, product quantization, BPE).
 
 Registered rows-only (no cross-engine SQL oracle): k-means is iterative
 and its fixed-point depends on float summation order, so a DuckDB
@@ -39,3 +40,69 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _corpus(spark, sf_dir)
     cent = fit_kmeans_centroids(vectors, _K, _ITERS)
     return kmeans_summary(vectors, cent)
+
+
+# ------------------------------------------------- product quantization ----
+
+_PQ_DIM = 64
+_PQ_M = 8
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_QUERY_VEC = 0
+_PQ_TOPK = 10
+
+
+@register("sim_ann_pq", None, tags=("clustering", "similarity"), priority=100)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN, production shape: fit 8 codebooks of 16
+    centroids (2 Lloyd's rounds), encode the corpus to 8 code ids per
+    vector, ADC-prefilter the query to 64 candidates (the corpus scan
+    sums 8 broadcast-LUT lookups per row — it never touches a float
+    vector), then exact-rerank only the candidates to a top-10.
+    Deterministic end-to-end; gated against a numpy PQ reference and a
+    recall floor in tests/test_pq.py."""
+    from odbc2deltalake_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        fit_pq_codebooks,
+    )
+
+    vectors = _corpus(spark, sf_dir)
+    books = fit_pq_codebooks(vectors, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
+    codes = encode_pq(vectors, _PQ_DIM, _PQ_M, books).localCheckpoint(
+        eager=False
+    )
+    q = vectors.filter(F.col("vec_id") == _PQ_QUERY_VEC).first()["v"]
+    return adc_topk(
+        q,
+        codes.filter(F.col("vec_id") != _PQ_QUERY_VEC),
+        books,
+        _PQ_DIM,
+        _PQ_M,
+        _PQ_TOPK,
+        rerank_vectors=vectors,
+    )
+
+
+# --------------------------------------------------------- BPE trainer ----
+
+_BPE_MERGES = 10
+
+
+@register("text_bpe_vocab", None, tags=("text", "tokenizer"), priority=100)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the documents corpus: (rank,
+    left, right, freq). Iterative and tie-broken lexicographically, so
+    rows-only for the driver; the exact merge table is pinned against a
+    pure-Python BPE reference in tests/test_bpe.py. See
+    operators/bpe.py for the word-frequency-table scale design."""
+    from odbc2deltalake_spark.operators.bpe import fit_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = fit_bpe_merges(docs, _BPE_MERGES)
+    rows = [
+        (i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, freq BIGINT"
+    )

@@ -1,0 +1,110 @@
+"""BPE trainer gates: the distributed fit must reproduce an independent
+pure-Python BPE (same pair counting, lexicographic tie-break, greedy
+non-overlapping merge), and the tokenizer must apply the merge table
+consistently."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.operators.bpe import (
+    bpe_tokenize,
+    fit_bpe_merges,
+    word_freq_table,
+)
+from odbc2deltalake_spark.queries.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+N_MERGES = 10
+
+
+def _py_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: collections.Counter = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        # highest freq, tie-break to the lexicographically SMALLEST pair
+        freq = max(pairs.values())
+        a, b = min(p for p, f in pairs.items() if f == freq)
+        merges.append((a, b, freq))
+        vocab = {w: _py_merge(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def py_word_counts(docs):
+    wc: collections.Counter = collections.Counter()
+    for r in docs.collect():
+        for w in r["text"].strip().split():
+            wc[w] += 1
+    return dict(wc)
+
+
+def test_bpe_merges_match_python_reference(spark, docs, py_word_counts):
+    ref_merges, ref_vocab = _py_bpe(py_word_counts, N_MERGES)
+    got = fit_bpe_merges(docs, N_MERGES)
+    assert got == ref_merges
+
+    # the trained vocab's symbol arrays match too (spot the whole table)
+    vocab = word_freq_table(docs)
+    from odbc2deltalake_spark.operators.bpe import merge_pair_expr
+
+    col = F.col("syms")
+    for a, b, _ in got:
+        col = merge_pair_expr(col, a, b)
+    final = {r["word"]: list(r["s"]) for r in vocab.select("word", col.alias("s")).collect()}
+    assert final == ref_vocab
+
+
+def test_bpe_tokenize_compresses_and_matches(spark, docs, py_word_counts):
+    merges, ref_vocab = _py_bpe(py_word_counts, N_MERGES)
+    toked = bpe_tokenize(docs, merges)
+    rows = toked.collect()
+    assert rows
+    # token count strictly below character count (merges fired) and at
+    # least the word count (merges never cross words)
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows[:50]:
+        text = raw[r["doc_id"]]
+        n_chars = sum(len(w) for w in text.strip().split())
+        n_words = len(text.strip().split())
+        assert n_words <= r["n_tokens"] < n_chars
+        # tokens agree with applying the reference vocab word-wise
+        expect = [t for w in text.strip().split() for t in ref_vocab[w]]
+        assert list(r["tokens"]) == expect
+
+
+def test_bpe_word_freq_weighting(spark):
+    """Pair counts weight by word frequency: a corpus where 'ab' occurs
+    3x and 'cd' 2x must merge (a,b) first."""
+    df = spark.createDataFrame(
+        [(1, "ab ab ab cd cd")], ["doc_id", "text"]
+    )
+    merges = fit_bpe_merges(df, 2)
+    assert merges[0][:2] == ("a", "b") and merges[0][2] == 3
+    assert merges[1][:2] == ("c", "d") and merges[1][2] == 2
