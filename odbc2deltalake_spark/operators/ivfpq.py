@@ -1,0 +1,192 @@
+"""IVF-PQ: the composed large-scale ANN index — IVF cells prune WHICH
+rows a query reads, PQ codes shrink WHAT each read row costs. This is
+the standard billion-vector layout (FAISS ``IVFxx,PQyy``): at 100 TB the
+raw float vectors never participate in a query scan at all — the index
+stores M one-byte codes per vector, hive-partitioned by cell, and a
+probe reads nprobe cells' code files plus a candidate-sized slice of the
+raw table for reranking.
+
+Composition of the two components already gated elsewhere:
+- coarse quantizer: `operators/clustering.fit_kmeans_centroids` (or any
+  pinned (cid, cv) table) + the zero-shuffle argmax assignment;
+- fine quantizer: `operators/pq` codebooks fit on CELL RESIDUALS
+  (v − centroid), the detail that makes PQ codes sharp — residual norms
+  are much smaller than vector norms, so the same K centroids per
+  subspace spend their resolution where the cell actually varies.
+
+Persisted as three versioned tables under ``root`` (same commit-log
+semantics as `IvfIndex`): ``cells`` (vec_id, cid, codes — partitioned by
+cid), ``centroids`` (cid, cv), ``codebooks`` (sub, cid, cv).
+
+Query path: centroid scores and the per-cell ADC lookup tables are
+driver-side over tiny tables (nprobe × M × K floats); the cells scan
+filters cid ∈ probes (partition pruning — unprobed cells' files are
+never opened), sums M map lookups per row, TakeOrdereds a candidate
+set, and optionally reranks candidates against the raw vector table via
+a broadcast semi-join."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.operators.clustering import assign_cosine
+from odbc2deltalake_spark.operators.pq import (
+    _sq_l2,
+    _sub_slices,
+    encode_pq,
+    fit_pq_codebooks,
+)
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+_CID_STRIDE = 1 << 20
+_SUB_STRIDE = 1 << 10
+
+
+class IvfPqIndex:
+    """Persisted IVF-PQ index; see module docstring."""
+
+    def __init__(self, root: str | Path, dim: int, m: int = 8, k: int = 16):
+        root = Path(root)
+        self.dim, self.m, self.k = dim, m, k
+        self.cells = VersionedParquetTable(root / "cells")
+        self.centroids = VersionedParquetTable(root / "centroids")
+        self.codebooks = VersionedParquetTable(root / "codebooks")
+
+    # ---------- construction ----------
+
+    def _residuals(self, assigned: DataFrame, cent: DataFrame) -> DataFrame:
+        """(vec_id, cid, v=residual): subtract each row's cell centroid —
+        a broadcast join against the tiny centroid table, then a
+        zip_with map."""
+        return assigned.join(F.broadcast(cent), "cid").select(
+            "vec_id",
+            "cid",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("v"),
+        )
+
+    def build(
+        self,
+        vectors: DataFrame,
+        centroids: DataFrame,
+        iterations: int = 2,
+    ) -> int:
+        """Build from (vec_id, v) and a pinned coarse quantizer (cid,
+        cv) — e.g. `fit_kmeans_centroids`. Fits the PQ codebooks on the
+        residual corpus, encodes, and stores codes partitioned by cell.
+        Returns the cells-table version."""
+        cent = centroids.select("cid", "cv").localCheckpoint(eager=True)
+        self.centroids.write(cent, mode="overwrite")
+        assigned = assign_cosine(
+            vectors.select("vec_id", "v"), cent
+        ).localCheckpoint(eager=True)
+        resid = self._residuals(assigned, cent).localCheckpoint(eager=True)
+        books = fit_pq_codebooks(resid, self.dim, self.m, self.k, iterations)
+        self.codebooks.write(books, mode="overwrite")
+        codes = encode_pq(resid, self.dim, self.m, books)
+        stored = codes.join(
+            assigned.select("vec_id", "cid"), "vec_id"
+        ).select("vec_id", "cid", "codes")
+        return self.cells.write(stored, mode="overwrite", partition_by=["cid"])
+
+    def append(self, vectors: DataFrame) -> int:
+        """Encode ONLY new vectors against the pinned quantizers and
+        append — existing cell partitions untouched (same incremental
+        contract as IvfIndex.append)."""
+        spark = vectors.sparkSession
+        cent = self.centroids.read(spark).localCheckpoint(eager=True)
+        books = self.codebooks.read(spark).localCheckpoint(eager=True)
+        assigned = assign_cosine(vectors.select("vec_id", "v"), cent)
+        resid = self._residuals(assigned, cent)
+        codes = encode_pq(resid, self.dim, self.m, books)
+        stored = codes.join(assigned.select("vec_id", "cid"), "vec_id").select(
+            "vec_id", "cid", "codes"
+        )
+        return self.cells.write(stored, mode="append", partition_by=["cid"])
+
+    # ---------- query ----------
+
+    def search(
+        self,
+        spark: SparkSession,
+        query_vec: Sequence[float],
+        nprobe: int = 4,
+        k: int = 10,
+        candidates: int = 64,
+        rerank_vectors: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells. Control plane: centroid
+        ranking + LUT build over nprobe*M*K floats. Data plane: one
+        partition-pruned scan of code rows, M map lookups each, then
+        TakeOrdered; with ``rerank_vectors`` the candidate ids fetch
+        their raw rows via broadcast semi-join for exact scoring."""
+        q = [float(x) for x in query_vec]
+        qn = math.sqrt(sum(x * x for x in q))
+        cent = self.centroids.read(spark).collect()
+        ranked = sorted(
+            (
+                -sum(a * b for a, b in zip(r["cv"], q))
+                / (math.sqrt(sum(a * a for a in r["cv"])) * qn),
+                r["cid"],
+                r["cv"],
+            )
+            for r in cent
+        )
+        probes = ranked[:nprobe]
+        slices = _sub_slices(self.dim, self.m)
+        books = self.codebooks.read(spark).collect()
+        by_sub: dict[int, list] = {}
+        for r in books:
+            by_sub.setdefault(r["sub"], []).append(r)
+        # per-probed-cell LUT: distance of the query RESIDUAL to each
+        # fine centroid, keyed cid*2^20 + sub*2^10 + code
+        table: dict[int, float] = {}
+        for _, cid, cv in probes:
+            qr = [a - b for a, b in zip(q, cv)]
+            for s, (start, ln) in enumerate(slices):
+                qs = qr[start - 1 : start - 1 + ln]
+                for r in by_sub[s]:
+                    d = sum((a - b) * (a - b) for a, b in zip(qs, r["cv"]))
+                    table[cid * _CID_STRIDE + s * _SUB_STRIDE + r["cid"]] = d
+        lut = F.create_map(
+            *[x for kk, vv in sorted(table.items()) for x in (F.lit(kk), F.lit(vv))]
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                lambda c, s: F.element_at(
+                    lut,
+                    (
+                        F.col("cid") * _CID_STRIDE + s * _SUB_STRIDE + c
+                    ).cast("int"),
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        probe_cids = [cid for _, cid, _ in probes]
+        scored = (
+            self.cells.read(spark)
+            .filter(F.col("cid").isin(probe_cids))
+            .select("vec_id", F.round(dist, 6).alias("approx_dist"))
+        )
+        if rerank_vectors is None:
+            return scored.orderBy("approx_dist", "vec_id").limit(k)
+        cand = (
+            scored.orderBy("approx_dist", "vec_id")
+            .limit(candidates)
+            .select("vec_id")
+        )
+        qlit = F.array(*[F.lit(x) for x in q])
+        exact = _sq_l2(F.col("v"), qlit)
+        return (
+            rerank_vectors.join(F.broadcast(cand), "vec_id")
+            .select("vec_id", F.round(exact, 6).alias("exact_dist"))
+            .orderBy("exact_dist", "vec_id")
+            .limit(k)
+        )

@@ -1,0 +1,155 @@
+"""IVF-PQ index gates: build/append lifecycle, partition-pruned probes,
+recall with rerank, and agreement with a numpy recomputation of the
+residual-ADC distances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.operators.clustering import fit_kmeans_centroids
+from odbc2deltalake_spark.operators.ivfpq import IvfPqIndex
+from odbc2deltalake_spark.queries.registry import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+DIM, M, K = 64, 8, 16
+NCENT = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ivfpq")
+    idx = IvfPqIndex(root, DIM, M, K)
+    cent = fit_kmeans_centroids(corpus, NCENT, 2)
+    idx.build(corpus, cent)
+    return idx
+
+
+def test_build_stores_all_rows_partitioned(spark, corpus, built):
+    cells = built.cells.read(spark)
+    assert cells.count() == corpus.count()
+    assert set(cells.columns) == {"vec_id", "cid", "codes"}
+    # every row carries m codes in [0, k)
+    bad = cells.filter(
+        (F.size("codes") != M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= K))
+    ).count()
+    assert bad == 0
+
+
+def test_probe_prunes_unprobed_cell_files(spark, corpus, built):
+    """The cid filter must reach the scan as a PARTITION filter (file
+    pruning), not a post-scan row filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    q = corpus.filter(F.col("vec_id") == 0).first()["v"]
+    probed = built.search(spark, q, nprobe=1, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cid" in plan
+    assert probed.count() == 5
+
+
+def test_search_distances_match_numpy(spark, corpus, built):
+    """The ADC distances on probed rows must equal a from-scratch numpy
+    recomputation from the STORED tables (centroids, codebooks, codes) —
+    the LUT/keying logic is the part a pure-recall test would miss."""
+    rows = sorted(corpus.collect(), key=lambda r: r["vec_id"])
+    X = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = X[0]
+
+    cent = {r["cid"]: np.array(r["cv"]) for r in built.centroids.read(spark).collect()}
+    books = {}
+    for r in built.codebooks.read(spark).collect():
+        books[(r["sub"], r["cid"])] = np.array(r["cv"])
+    codes = {
+        r["vec_id"]: (r["cid"], list(r["codes"]))
+        for r in built.cells.read(spark).collect()
+    }
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    ranked = sorted(cent, key=lambda c: (-cos(cent[c], q), c))
+    probe_cids = set(ranked[:2])
+    d = DIM // M
+
+    got = {
+        r["vec_id"]: r["approx_dist"]
+        for r in built.search(spark, q, nprobe=2, k=10**6).collect()
+    }
+    assert set(got) == {v for v, (c, _) in codes.items() if c in probe_cids}
+    for vid, dist in got.items():
+        cid, cd = codes[vid]
+        qr = q - cent[cid]
+        expect = sum(
+            ((qr[s * d : (s + 1) * d] - books[(s, cd[s])]) ** 2).sum()
+            for s in range(M)
+        )
+        assert abs(dist - round(expect, 6)) < 1e-5
+
+
+def test_search_rerank_recall(spark, corpus, built):
+    rows = sorted(corpus.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["v"] for r in rows])
+    q = X[ids.tolist().index(0)]
+    exact = ((X - q) ** 2).sum(axis=1)
+    exact_top = set(ids[np.lexsort((ids, exact))][1:11].tolist())
+
+    got = built.search(
+        spark,
+        q,
+        nprobe=4,
+        k=11,
+        candidates=96,
+        rerank_vectors=corpus,
+    ).collect()
+    hits = {r["vec_id"] for r in got if r["vec_id"] != 0}
+    recall = len(hits & exact_top) / 10
+    # 4 of 8 cells probed + rerank: same floor as the flat-PQ gate
+    assert recall >= 0.4
+
+
+def test_append_matches_fresh_build(spark, corpus, tmp_path):
+    """Pinned-quantizer property: append(rest) after build(half) must
+    store exactly the rows a fresh encode of the union would."""
+    half = corpus.filter(F.col("vec_id") < 250)
+    rest = corpus.filter(F.col("vec_id") >= 250)
+    cent = fit_kmeans_centroids(corpus, NCENT, 2)
+
+    a = IvfPqIndex(tmp_path / "a", DIM, M, K)
+    a.build(half, cent)
+    a.append(rest)
+    b = IvfPqIndex(tmp_path / "b", DIM, M, K)
+    # pin b's quantizers to a's (build refits PQ books on its input —
+    # pinning means copying the stored tables)
+    b.centroids.write(a.centroids.read(spark), mode="overwrite")
+    b.codebooks.write(a.codebooks.read(spark), mode="overwrite")
+    b.cells.write(
+        spark.createDataFrame([], a.cells.read(spark).schema),
+        mode="overwrite",
+        partition_by=["cid"],
+    )
+    b.append(corpus)
+
+    rows_a = {
+        (r["vec_id"], r["cid"], tuple(r["codes"]))
+        for r in a.cells.read(spark).collect()
+    }
+    rows_b = {
+        (r["vec_id"], r["cid"], tuple(r["codes"]))
+        for r in b.cells.read(spark).collect()
+    }
+    assert rows_a == rows_b
