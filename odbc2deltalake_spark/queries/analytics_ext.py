@@ -79,7 +79,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("q7_volume_shipping", _Q7_ORACLE, tags=("bench", "join"))
+@register("q7_volume_shipping", _Q7_ORACLE, tags=("bench", "join"), priority=100)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: fact joined to two *roles* of the same dimension (supplier
     nation / customer nation), both broadcast; disjunctive nation-pair
@@ -188,7 +188,7 @@ GROUP BY 1, 2
 """
 
 
-@register("q9_product_profit", _Q9_ORACLE, tags=("bench", "join"))
+@register("q9_product_profit", _Q9_ORACLE, tags=("bench", "join"), priority=100)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (no partsupp in this schema): LIKE-filtered part dim
     broadcast into the fact, profit rolled up by supplier nation × year."""
@@ -226,7 +226,7 @@ GROUP BY c_count
 """
 
 
-@register("q13_customer_distribution", _Q13_ORACLE, tags=("bench", "agg"))
+@register("q13_customer_distribution", _Q13_ORACLE, tags=("bench", "agg"), priority=100)
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: left join preserving customers with zero orders, then a
     double aggregation (count per customer → histogram of counts). Two
@@ -335,7 +335,7 @@ WHERE p_brand = 'Brand#13' AND l_quantity < threshold
 """
 
 
-@register("q17_small_quantity", _Q17_ORACLE, tags=("bench", "agg", "join"))
+@register("q17_small_quantity", _Q17_ORACLE, tags=("bench", "agg", "join"), priority=100)
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated per-part average decorrelated into an
     aggregate + self equi-join (the standard Catalyst rewrite). The

@@ -527,7 +527,7 @@ FROM hits GROUP BY doc_id, island
 """
 
 
-@register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",), priority=100)
+@register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",))
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal word spans duplicated across documents (cross-doc verbatim
     8-grams, adjacent positions merged): per doc, the 1-based word range

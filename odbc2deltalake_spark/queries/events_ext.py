@@ -320,7 +320,7 @@ SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
 """
 
 
-@register("ev_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"), priority=100)
+@register("ev_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"))
 def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-step ordered funnel with min-timestamp entry semantics. Each
     stage is one groupBy(user_id) over a type-filtered scan joined to the
@@ -378,8 +378,7 @@ GROUP BY f.d0
 """
 
 
-@register("ev_retention", _RETENTION_ORACLE, tags=("events", "retention"),
-          priority=100)
+@register("ev_retention", _RETENTION_ORACLE, tags=("events", "retention"))
 def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic D1/D7 cohort retention. The first-event and activity
     tables both come from one events scan lineage; the two offset joins

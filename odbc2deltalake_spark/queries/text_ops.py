@@ -251,8 +251,7 @@ GROUP BY doc_id
 """
 
 
-@register("text_unigram_logprob", _UNIGRAM_ORACLE, tags=("text", "corpus"),
-          priority=100)
+@register("text_unigram_logprob", _UNIGRAM_ORACLE, tags=("text", "corpus"))
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average token negative log-likelihood under the
     corpus's own unigram LM. The vocab aggregation is one hash-groupBy on

@@ -42,13 +42,20 @@ def test_core_set_fits_driver_cap():
     # operators rotated in from overflow in r4
     for name in ("q1_pricing_summary", "ev_sessionize", "sim_neardup_bucketed",
                  "mm_frame_sample", "dedup_cluster", "ev_asof_join",
-                 "ev_range_join", "text_pii_scrub", "mm_resize", "sim_ann_ivf"):
+                 "ev_range_join", "text_pii_scrub", "mm_resize", "sim_ann_ivf",
+                 # r5 rotation: the second-wave LLM-pipeline shapes
+                 "dedup_substring_spans", "text_unigram_logprob",
+                 "ev_funnel", "ev_retention"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
     for name in ("q4_order_priority", "q14_promo_effect", "q15_top_supplier",
                  "q19_discounted_revenue", "q22_global_sales",
-                 "ev_interevent_gaps"):
+                 "ev_interevent_gaps",
+                 # r5 rotation out (driver-green in r4; redundant join/agg
+                 # shapes next to q5/q8/q18 — still oracle-gated here)
+                 "q7_volume_shipping", "q9_product_profit",
+                 "q13_customer_distribution", "q17_small_quantity"):
         assert name in overflow_names
 
 
