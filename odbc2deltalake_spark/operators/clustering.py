@@ -74,6 +74,14 @@ def fit_kmeans_centroids(
     round costs one corpus pass, and coarse quantizers (the IVF use
     case) need few rounds — callers wanting convergence can compare
     successive centroid tables themselves.
+
+    Measured alternative (kept for the record): computing the mean as D
+    per-dimension ``sum(element_at(v, i))`` COLUMNS of one groupBy(cid)
+    benchmarked ~60% slower at sf0.1 than this posexplode form — the
+    65-expression aggregate pays more in codegen/eval than the explode
+    costs, and the explode's (cid, d) hash aggregate already collapses
+    to k*D rows per partition map-side, so the exchange volume is the
+    same either way.
     """
     cent = (
         vectors.orderBy("vec_id")
