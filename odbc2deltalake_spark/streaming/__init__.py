@@ -5,6 +5,8 @@ from odbc2deltalake_spark.streaming.driver import (
 from odbc2deltalake_spark.streaming.events import (
     windowed_rollup_stream,
     deduped_stream,
+    funnel_steps_batch,
+    funnel_stream,
     sessionize_batch,
     sessionize_stream,
     clicks_purchases_join_stream,
@@ -21,6 +23,8 @@ __all__ = [
     "foreach_batch_scd2",
     "windowed_rollup_stream",
     "deduped_stream",
+    "funnel_steps_batch",
+    "funnel_stream",
     "sessionize_batch",
     "sessionize_stream",
     "clicks_purchases_join_stream",

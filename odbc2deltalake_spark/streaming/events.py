@@ -228,3 +228,158 @@ def clicks_purchases_join_stream(
         F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
         "purchase_value",
     )
+
+
+def funnel_steps_batch(events: DataFrame) -> DataFrame:
+    """Per-user funnel step completions (batch twin of
+    :func:`funnel_stream`): (user_id, step, step_name, ts_us) with
+    min-timestamp entry semantics — t1 = first 'view', t2 = first
+    'click' at/after t1, t3 = first 'purchase' at/after t2. The same
+    algebra the registry's driver-verified ev_funnel aggregates."""
+    us = F.unix_micros(F.col("ts"))
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_us"))
+        .join(s1, "user_id")
+        .filter(F.col("c_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("c_us").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(s2, "user_id")
+        .filter(F.col("p_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("t3"))
+    )
+
+    def rows(df, col, step, name):
+        return df.select(
+            "user_id",
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(col).alias("ts_us"),
+        )
+
+    return (
+        rows(s1, "t1", 1, "view")
+        .unionByName(rows(s2, "t2", 2, "click"))
+        .unionByName(rows(s3, "t3", 3, "purchase"))
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user funnel state machine
+    (view → click → purchase) via ``applyInPandasWithState``.
+
+    Watermark-correct emission: a step time is FINAL once the watermark
+    passes it — any event that could still lower it would carry an
+    earlier event time and thus be late-beyond-watermark. Because
+    t1 ≤ t2 ≤ t3 by construction, ``wm > t_n`` alone finalizes step n
+    (it implies every upstream step is final too). Until a step's
+    gate time is final, the candidate click/purchase timestamps that
+    could still become its minimum wait in state, pruned to
+    ``ts >= min(gate_candidate, wm)`` — everything below that bound can
+    never satisfy the ordering constraint again, so state stays bounded
+    by the watermark delay. An event-time timeout flushes newly-final
+    steps even if the user never produces another event.
+
+    On a batch frame this dispatches to :func:`funnel_steps_batch`.
+    """
+    if not events.isStreaming:
+        return funnel_steps_batch(events)
+
+    import pandas as pd
+
+    out_schema = "user_id long, step long, step_name string, ts_us long"
+    state_schema = (
+        "mask int, t1 long, t2 long, t3 long, "
+        "clicks array<long>, purchases array<long>"
+    )
+    _NONE = -1
+    _NAMES = {1: "view", 2: "click", 3: "purchase"}
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        mask, t1, t2, t3 = 0, _NONE, _NONE, _NONE
+        clicks: list[int] = []
+        purchases: list[int] = []
+        if state.exists:
+            mask, t1, t2, t3, clicks, purchases = state.get
+            clicks, purchases = list(clicks), list(purchases)
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            for et, t in zip(pdf["event_type"], ts_us):
+                t = int(t)
+                if et == "view":
+                    t1 = t if t1 == _NONE else min(t1, t)
+                elif et == "click":
+                    clicks.append(t)
+                elif et == "purchase":
+                    purchases.append(t)
+        # recompute downstream candidates from the ordering constraints
+        if t1 != _NONE:
+            elig = [c for c in clicks if c >= t1]
+            t2 = min(elig) if elig else (t2 if mask & 2 else _NONE)
+        if t2 != _NONE:
+            elig = [p for p in purchases if p >= t2]
+            t3 = min(elig) if elig else (t3 if mask & 4 else _NONE)
+        # emit newly-final steps (wm strictly past the candidate time)
+        out_steps, out_ts = [], []
+        for step, bit, t in ((1, 1, t1), (2, 2, t2), (3, 4, t3)):
+            if t != _NONE and not mask & bit and t < wm_us:
+                mask |= bit
+                out_steps.append(step)
+                out_ts.append(t)
+        if mask & 4:
+            state.remove()  # funnel complete; nothing left to finalize
+        else:
+            # prune state: a click below min(t1, wm) / purchase below
+            # min(t2, wm) can never satisfy its gate again
+            cb = wm_us if t1 == _NONE else min(t1, wm_us)
+            pb = wm_us if t2 == _NONE else min(t2, wm_us)
+            clicks = [c for c in clicks if c >= cb] if not mask & 2 else []
+            purchases = (
+                [p for p in purchases if p >= pb] if not mask & 4 else []
+            )
+            state.update((mask, t1, t2, t3, clicks, purchases))
+            pending = [
+                t
+                for bit, t in ((1, t1), (2, t2), (4, t3))
+                if t != _NONE and not mask & bit
+            ]
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(pending) // 1000 + 1, wm_us // 1000 + 1)
+                )
+        if out_steps:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out_steps),
+                    "step": out_steps,
+                    "step_name": [_NAMES[s] for s in out_steps],
+                    "ts_us": out_ts,
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )

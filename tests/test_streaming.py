@@ -229,3 +229,61 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = {tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect()}
     assert got == batch
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the streamed
+    per-user funnel emits exactly the steps the final watermark has
+    finalized, with values identical to the batch algebra."""
+    from odbc2deltalake_spark.streaming import funnel_steps_batch, funnel_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type"
+    )
+    batch_rows = {tuple(r) for r in funnel_steps_batch(events).collect()}
+    assert batch_rows
+
+    src = tmp_path / "funnel"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        funnel_stream(stream, watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM funnel_test").collect()}
+    assert got, "watermark-finalized steps must be emitted"
+    assert got.issubset(batch_rows)
+    # emitted = exactly the subset with step time strictly before the
+    # final watermark (max event time - 1 minute)
+    from pyspark.sql import functions as F_
+
+    max_us = events.agg(F_.max(F_.unix_micros("ts"))).first()[0]
+    wm_us = max_us - 60_000_000
+    expected = {r for r in batch_rows if r[3] < wm_us}
+    assert got == expected
+
+
+def test_funnel_batch_matches_registry_query(spark):
+    """Equivalence chain stream ≡ batch ≡ driver-verified oracle: the
+    per-step user counts of funnel_steps_batch must equal the registry's
+    ev_funnel aggregates (the entry the driver hashes against DuckDB)."""
+    import collections
+
+    from odbc2deltalake_spark.queries.events_ext import ev_funnel
+    from odbc2deltalake_spark.streaming import funnel_steps_batch
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    counts = collections.Counter(
+        r["step"] for r in funnel_steps_batch(events).collect()
+    )
+    registry_rows = {
+        r["step"]: r["n_users"] for r in ev_funnel(spark, sf).collect()
+    }
+    assert dict(counts) == registry_rows
