@@ -108,3 +108,30 @@ def test_bpe_word_freq_weighting(spark):
     merges = fit_bpe_merges(df, 2)
     assert merges[0][:2] == ("a", "b") and merges[0][2] == 3
     assert merges[1][:2] == ("c", "d") and merges[1][2] == 2
+
+
+def test_merge_fold_matches_python_on_random_sequences(spark):
+    """The fold-based merge expr must agree with the reference greedy
+    merge on adversarial sequences (overlaps like 'aaa', pair at start/
+    end, no-op words) — 200 seeded-random cases in one job."""
+    import random
+
+    from odbc2deltalake_spark.operators.bpe import merge_pair_expr
+
+    rng = random.Random(42)
+    alphabet = ["a", "b", "c"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(200)
+    ]
+    cases += [["a"], [], ["a", "a", "a", "a"], ["b", "a", "b", "a", "b"]]
+    df = spark.createDataFrame(
+        [(i, syms) for i, syms in enumerate(cases)], "i INT, syms ARRAY<STRING>"
+    )
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a"), ("c", "c")]:
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select("i", merge_pair_expr(F.col("syms"), a, b).alias("m")).collect()
+        }
+        for i, syms in enumerate(cases):
+            assert got[i] == _py_merge(syms, a, b), (a, b, syms)
