@@ -401,3 +401,111 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ------------------------------------------- temperature sampling ----
+
+# Multilingual temperature sampling (the mT5/XLM-R mixing rule): sample
+# language i proportional to p_i^ALPHA, implemented as a per-language
+# acceptance rate r_i = p_i^(ALPHA-1) normalized so the rarest language
+# keeps everything — upsampling scarce languages relative to dominant
+# ones without an RNG: the same md5 uniform as the other samplers.
+_TEMP_ALPHA = 0.5
+
+_TEMP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         pow(c * 1.0 / (SELECT sum(c) FROM counts), {_TEMP_ALPHA} - 1.0)
+           / max(pow(c * 1.0 / (SELECT sum(c) FROM counts), {_TEMP_ALPHA} - 1.0)) OVER ()
+           AS r
+  FROM counts
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates USING (lang)
+WHERE ({_DOC_HASH_SQL.replace('doc_id', 'd.doc_id')}) * 1.0 / 1000000 < rates.r
+"""
+
+
+@register("corpus_temperature_sample", _TEMP_ORACLE, tags=("corpus",),
+          priority=100)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing: per-language acceptance rate
+    p^(α−1) (α=0.5), normalized to the rarest language, applied against
+    the deterministic per-doc hash uniform. The rate table is a
+    |languages|-row aggregate broadcast back onto the scan — one shuffle
+    to count, then a map-side filter; at 100 TB the counts come from
+    table statistics instead and the whole operator is scan+filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    w = W.partitionBy()
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.pow(F.col("c") * 1.0 / F.col("t"), F.lit(_TEMP_ALPHA - 1.0)).alias(
+                "pr"
+            ),
+        )
+        .select("lang", (F.col("pr") / F.max("pr").over(w)).alias("r"))
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_doc_hash_spark() * 1.0 / _HASH_MOD < F.col("r"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ------------------------------------------------- sliding-window chunks ----
+
+# Context-window chunking: split each document into fixed word windows
+# with overlap — the stage that turns long documents into training-
+# sequence-sized pieces while keeping boundary context.
+_CHUNK_WORDS = 64
+_CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, (len(a) - 1) // {_CHUNK_STRIDE})) AS chunk_id,
+         a
+  FROM arrs
+)
+SELECT doc_id, chunk_id,
+       len(a[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WORDS}]) AS n_words,
+       md5(array_to_string(a[chunk_id * {_CHUNK_STRIDE} + 1 : chunk_id * {_CHUNK_STRIDE} + {_CHUNK_WORDS}], ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+@register("corpus_chunk_windows", _CHUNK_ORACLE, tags=("corpus",), priority=100)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-word windows at stride 48 per document (final
+    partial window kept): (doc_id, chunk_id, n_words, chunk_hash).
+    Entirely map-side — split once, slice per window via
+    transform(sequence), inline-explode; no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    arrs = docs.select("doc_id", a.alias("a"))
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), ((F.size("a") - 1) / F.lit(_CHUNK_STRIDE)).cast("int")
+        ),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.slice("a", k * _CHUNK_STRIDE + 1, _CHUNK_WORDS).alias("c"),
+        ),
+    )
+    return arrs.select("doc_id", F.inline(chunks)).select(
+        "doc_id",
+        "chunk_id",
+        F.size("c").alias("n_words"),
+        F.md5(F.concat_ws(" ", "c")).alias("chunk_hash"),
+    )

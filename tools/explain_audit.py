@@ -118,6 +118,8 @@ AUDIT = [
     "text_unigram_logprob",
     "ev_funnel",
     "ev_retention",
+    "corpus_temperature_sample",
+    "corpus_chunk_windows",
 ]
 
 
