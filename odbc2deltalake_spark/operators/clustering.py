@@ -122,3 +122,50 @@ def kmeans_summary(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.avg("c"), 3).alias("avg_cos"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int,
+    threshold: float = 0.97,
+    iterations: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al.): drop near-identical embeddings WITHIN
+    k-means clusters. Returns (vec_id, cid, keep) — ``keep`` is false
+    for every vector whose cluster contains a kept vector with cosine
+    >= threshold and a lower vec_id (greedy lowest-id-first, the
+    deterministic variant of the paper's random keeper).
+
+    Scale shape: clustering makes the quadratic part tractable — the
+    pairwise cosine check runs per CLUSTER inside applyInPandas (one
+    Arrow-batched numpy kernel per cluster, one shuffle on cid), so
+    cost is sum over clusters of |cluster|^2 instead of N^2. Cluster
+    sizes are bounded by choosing k ~ N/target_cluster_size; skewed
+    clusters are the operator's known failure mode (same mitigation as
+    IVF: re-fit with more centroids when staleness/skew bounds trip)."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    cent = fit_kmeans_centroids(vectors, k, iterations)
+    assigned = assign_cosine(vectors.select("vec_id", "v"), cent)
+
+    def prune(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array(list(pdf["v"]), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(pdf)
+        keep = [True] * n
+        for i in range(n):
+            if not keep[i]:
+                continue
+            if i + 1 < n:
+                sims = Xn[i + 1 :] @ Xn[i]
+                for j, s in enumerate(sims, start=i + 1):
+                    if keep[j] and s >= threshold:
+                        keep[j] = False
+        return pdf.assign(keep=keep)[["vec_id", "cid", "keep"]]
+
+    return assigned.groupBy("cid").applyInPandas(
+        prune, "vec_id long, cid long, keep boolean"
+    )

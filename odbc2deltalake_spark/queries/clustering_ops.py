@@ -106,3 +106,26 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank INT, left STRING, right STRING, freq BIGINT"
     )
+
+
+# ------------------------------------------------------ semantic dedup ----
+
+
+@register("sim_semantic_dedup", None, tags=("clustering", "dedup"),
+          priority=100)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table extended with planted clones
+    (vec_id+10000 duplicates of vec_id < 20, so pruning provably has
+    work to do): cluster with k-means, then per-cluster greedy
+    lowest-id-first pruning of members with cosine >= 0.97 inside an
+    Arrow-batched applyInPandas kernel. Iterative + kernel-based, so
+    rows-only for the driver; pinned against a numpy recomputation in
+    tests/test_clustering.py."""
+    from odbc2deltalake_spark.operators.clustering import semantic_dedup
+
+    vectors = _corpus(spark, sf_dir)
+    clones = vectors.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    ext = vectors.unionByName(clones)
+    return semantic_dedup(ext, _K, threshold=0.97, iterations=2)

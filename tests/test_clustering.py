@@ -130,3 +130,49 @@ def test_emb_kmeans_query_stable(spark):
     assert a and a == b
     # every corpus vector lands in exactly one cluster
     assert sum(r[1] for r in a) == 500
+
+
+def test_semantic_dedup_matches_numpy_and_keeps_clones_out(spark, corpus, np_corpus):
+    """semantic_dedup must reproduce a numpy recomputation (same
+    clusters, same greedy lowest-id pruning), and planted near-identical
+    clones must be dropped while their originals are kept."""
+    from odbc2deltalake_spark.operators.clustering import semantic_dedup
+
+    ids, X = np_corpus
+    # plant clones: vec_id+10000 = same vector + tiny noise-free copy
+    clones = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    ext = corpus.unionByName(clones).localCheckpoint(eager=True)
+
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"])
+        for r in semantic_dedup(ext, K, threshold=0.97, iterations=2).collect()
+    }
+    assert len(got) == len(ids) + 20
+    # every planted clone is dropped (cosine 1.0 to its kept original)
+    for vid in range(20):
+        assert got[vid][1] is True or got[vid][1] == True  # original kept unless itself a dup
+        assert got[vid + 10000][1] == False, vid
+        assert got[vid][0] == got[vid + 10000][0]  # same cluster
+
+    # numpy recomputation of the full pruning
+    import numpy as np
+
+    ext_rows = sorted(ext.collect(), key=lambda r: r["vec_id"])
+    eids = np.array([r["vec_id"] for r in ext_rows])
+    EX = np.array([r["v"] for r in ext_rows], dtype=np.float64)
+    ref_cids, ref_C, ref_assign = _np_kmeans(eids, EX, K, 2)
+    EXn = EX / np.linalg.norm(EX, axis=1, keepdims=True)
+    ref_keep = {}
+    for c in set(ref_assign.values()):
+        members = [i for i, vid in enumerate(eids) if ref_assign[vid] == c]
+        kept = []
+        for i in members:
+            dup = any(EXn[i] @ EXn[j] >= 0.97 for j in kept)
+            ref_keep[int(eids[i])] = not dup
+            if not dup:
+                kept.append(i)
+    for vid, (cid, keep) in got.items():
+        assert ref_assign[vid] == cid, vid
+        assert ref_keep[vid] == keep, vid
