@@ -574,3 +574,131 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+# ------------------------------------- duplicated-substring STRIP apply ----
+# The apply side of substring dedup (detection above in
+# dedup_substring_spans): every duplicated gram occurrence in a
+# NON-canonical doc (canonical = lowest doc_id containing that gram) is
+# merged into spans and those word ranges are removed from the doc —
+# canonical occurrences survive, so each duplicated substring remains in
+# the corpus exactly once. Per-doc output pins word counts, removal
+# counts, and the md5 of the rebuilt text in both engines.
+
+_STRIP_ORACLE = rf"""
+WITH ext AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(regexp_split_to_array(trim(text), '\s+')[1:{_SPAN_CLONE_WORDS}], ' ')
+  FROM documents WHERE doc_id < 50
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         unnest(generate_series(1, len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+  FROM ext
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5({" || ' ' || ".join(["w"] + [f"lead(w, {i}) OVER win" for i in range(1, _SPAN_K)])}) AS gk
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, {_SPAN_K - 1}) OVER win IS NOT NULL
+),
+gkinfo AS (
+  SELECT gk, min(doc_id) AS cdoc
+  FROM grams GROUP BY gk HAVING count(DISTINCT doc_id) > 1
+),
+hits AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS island
+  FROM grams g JOIN gkinfo USING (gk)
+  WHERE g.doc_id <> gkinfo.cdoc
+),
+spans AS (
+  SELECT doc_id, min(pos) AS lo, max(pos) + {_SPAN_K - 1} AS hi
+  FROM hits GROUP BY doc_id, island
+),
+rm AS (
+  SELECT DISTINCT w.doc_id, w.pos
+  FROM words w JOIN spans s ON w.doc_id = s.doc_id AND w.pos BETWEEN s.lo AND s.hi
+)
+SELECT w.doc_id,
+       count(*) AS n_words,
+       count(*) FILTER (WHERE rm.pos IS NOT NULL) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN rm.pos IS NULL THEN w.w END, ' ' ORDER BY w.pos), '')) AS stripped_hash
+FROM words w LEFT JOIN rm ON w.doc_id = rm.doc_id AND w.pos = rm.pos
+GROUP BY w.doc_id
+"""
+
+
+@register("dedup_substring_strip", _STRIP_ORACLE, tags=("dedup",), priority=100)
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip cross-doc duplicated spans from non-canonical documents:
+    per doc, the original word count, how many words were removed, and
+    the md5 of the text rebuilt from surviving words.
+
+    Same linear skeleton as dedup_substring_spans (gram window →
+    hash-groupBy → island windows) plus one per-doc rebuild
+    aggregation; the only new shuffle is the removal-position join,
+    keyed (doc_id, pos) — uniform."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SPAN_CLONE_WORDS)
+        ).alias("text"),
+    )
+    ext = docs.unionByName(clones)
+    words = ext.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    win = W.partitionBy("doc_id").orderBy("pos")
+    grams = words
+    parts = [F.col("w")]
+    for i in range(1, _SPAN_K):
+        grams = grams.withColumn(f"w{i}", F.lead("w", i).over(win))
+        parts.append(F.col(f"w{i}"))
+    grams = grams.filter(F.col(f"w{_SPAN_K - 1}").isNotNull()).select(
+        "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("gk")
+    )
+    gkinfo = (
+        grams.groupBy("gk")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("cdoc"),
+        )
+        .filter(F.col("nd") > 1)
+        .select("gk", "cdoc")
+    )
+    hits = (
+        grams.join(gkinfo, "gk")
+        .filter(F.col("doc_id") != F.col("cdoc"))
+        .withColumn("island", F.col("pos") - F.row_number().over(win))
+    )
+    spans = hits.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("lo"), (F.max("pos") + F.lit(_SPAN_K - 1)).alias("hi")
+    )
+    rm = (
+        words.join(spans, "doc_id")
+        .filter(F.col("pos").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "pos")
+        .distinct()
+        .withColumn("rm", F.lit(True))
+    )
+    marked = words.join(rm, ["doc_id", "pos"], "left")
+    kept_in_order = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("rm").isNull(), F.struct("pos", "w"))
+            )
+        ),
+        lambda s: s["w"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.count(F.col("rm")).alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept_in_order)).alias("stripped_hash"),
+    )

@@ -120,6 +120,7 @@ AUDIT = [
     "ev_retention",
     "corpus_temperature_sample",
     "corpus_chunk_windows",
+    "dedup_substring_strip",
 ]
 
 
