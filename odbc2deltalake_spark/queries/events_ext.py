@@ -410,3 +410,43 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.col("u7")).alias("n_d7"),
         )
     )
+
+
+# ------------------------------------------------------------- pivot ----
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(f"coalesce(count(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}" for t in _EVENT_TYPES)},
+       count(*) AS n_total
+FROM events
+GROUP BY 1
+"""
+
+
+@register("ev_pivot_daily", _PIVOT_ORACLE, tags=("events", "pivot"),
+          priority=100)
+def ev_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day × event_type counts as columns (explicit value list —
+    an open-ended pivot would need a discovery pass; pinning the values
+    keeps it ONE aggregation with |days| × |types| grouped cells, the
+    same single shuffle as a plain groupBy). Missing combinations
+    surface as 0, not null, on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    pivoted = (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    out = pivoted.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total)

@@ -121,6 +121,7 @@ AUDIT = [
     "corpus_temperature_sample",
     "corpus_chunk_windows",
     "dedup_substring_strip",
+    "ev_pivot_daily",
 ]
 
 
