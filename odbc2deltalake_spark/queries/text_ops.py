@@ -276,3 +276,62 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+# ----------------------------------------------------- TF-IDF top terms ----
+
+_TFIDF_K = 5
+
+_TFIDF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.tf * ln(n * 1.0 / df.df), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln(n * 1.0 / df.df) DESC, tf.w
+         ) AS rn
+  FROM tf JOIN df USING (w) CROSS JOIN nd
+)
+SELECT doc_id, w AS term, CAST(rn AS BIGINT) AS rank, tfidf
+FROM scored WHERE rn <= {_TFIDF_K}
+"""
+
+
+@register("text_tfidf_topk", _TFIDF_ORACLE, tags=("text",), priority=100)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document (ties to the lexicographically
+    first term). Two shuffles — term frequencies on (doc_id, w) and
+    document frequencies on w — then scoring joins the BROADCAST df
+    table (Zipf-bounded like the unigram vocab) and a per-doc
+    row_number window reuses the tf shuffle's doc partitioning."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    score = F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+    win = W.partitionBy("doc_id").orderBy(score.desc(), "w")
+    return (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("rn").cast("long").alias("rank"),
+            F.round(score, 6).alias("tfidf"),
+        )
+    )

@@ -122,6 +122,7 @@ AUDIT = [
     "corpus_chunk_windows",
     "dedup_substring_strip",
     "ev_pivot_daily",
+    "text_tfidf_topk",
 ]
 
 
