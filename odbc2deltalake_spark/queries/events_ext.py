@@ -450,3 +450,36 @@ def ev_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.col(f"n_{t}")
         total = c if total is None else total + c
     return out.withColumn("n_total", total)
+
+
+# ----------------------------------------------------- JSON extraction ----
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("ev_json_extract", _JSON_ORACLE, tags=("events", "json"),
+          priority=100)
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: extract a typed field from the
+    JSON ``props`` column (get_json_object — JVM-side Jackson path
+    eval, no UDF) and aggregate it per event type. The parse is
+    map-side inside the scan projection; the aggregation is the usual
+    single shuffle. At 100 TB prefer `from_json` with an explicit
+    schema once the shape is known — Spark then prunes unread JSON
+    fields instead of re-tokenizing per path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -123,6 +123,7 @@ AUDIT = [
     "dedup_substring_strip",
     "ev_pivot_daily",
     "text_tfidf_topk",
+    "ev_json_extract",
 ]
 
 
