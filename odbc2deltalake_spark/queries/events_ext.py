@@ -483,3 +483,81 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# -------------------------------------------- frame-spec moving average ----
+
+_MAVG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(sum(value), 2) AS day_value,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, day_value,
+       round(avg(day_value) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS ma7,
+       CAST(sum(n_events) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_events
+FROM daily
+"""
+
+
+@register("ev_moving_avg", _MAVG_ORACLE, tags=("events", "window", "frame"),
+          priority=100)
+def ev_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME specs: 7-row trailing moving average and a running
+    cumulative sum over the daily rollup. The frame windows run over the
+    |days|-sized aggregate — a deliberate single-partition window on a
+    control-plane-sized frame (the daily rollup), not the raw events; at
+    100 TB the heavy lifting stays in the day aggregation's one
+    shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "day_value",
+        F.round(F.avg("day_value").over(w7), 4).alias("ma7"),
+        F.sum("n_events").over(wcum).cast("long").alias("cum_events"),
+    )
+
+
+# ------------------------------------------------------------- unpivot ----
+
+_UNPIVOT_ORACLE = f"""
+WITH p AS ({_PIVOT_ORACLE})
+SELECT day, t.event_type, t.n
+FROM p, LATERAL (VALUES
+  {", ".join(f"('{t}', n_{t})" for t in _EVENT_TYPES)}
+) AS t(event_type, n)
+WHERE t.n > 0
+"""
+
+
+@register("ev_unpivot", _UNPIVOT_ORACLE, tags=("events", "pivot"),
+          priority=100)
+def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the day × type count matrix back to long form via
+    ``stack`` — a generator expression in the projection, no shuffle
+    beyond the pivot's own. Zero-count cells are dropped so the
+    round-trip equals the original grouped counts."""
+    wide = ev_pivot_daily(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES)
+    return (
+        wide.selectExpr(
+            "day",
+            f"stack({len(_EVENT_TYPES)}, {stack_args}) AS (event_type, n)",
+        )
+        .filter(F.col("n") > 0)
+    )

@@ -124,6 +124,8 @@ AUDIT = [
     "ev_pivot_daily",
     "text_tfidf_topk",
     "ev_json_extract",
+    "ev_moving_avg",
+    "ev_unpivot",
 ]
 
 
