@@ -335,3 +335,121 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 6).alias("tfidf"),
         )
     )
+
+
+# ------------------------------------------------------- hybrid search ----
+# Lexical + semantic retrieval fusion (the RAG-standard shape): score
+# documents by TF-IDF overlap with a query string, normalize, and fuse
+# with embedding cosine to a query vector (documents and embeddings are
+# id-aligned in the fixtures). Every stage is deterministic, so the
+# whole ranking is DuckDB-oracled.
+
+_HYBRID_QUERY_TERMS = ["stream", "hash", "window"]
+_HYBRID_QUERY_VEC = 0
+_HYBRID_TOPK = 10
+
+_HYBRID_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+lex AS (
+  SELECT tf.doc_id, sum(tf.tf * ln(n * 1.0 / df.df)) AS lex_score
+  FROM tf JOIN df USING (w) CROSS JOIN nd
+  WHERE tf.w IN ({", ".join(f"'{t}'" for t in _HYBRID_QUERY_TERMS)})
+  GROUP BY tf.doc_id
+),
+lexn AS (
+  SELECT doc_id, lex_score / max(lex_score) OVER () AS lex_norm FROM lex
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_HYBRID_QUERY_VEC}
+),
+fused AS (
+  SELECT l.doc_id,
+         round(l.lex_norm, 4) AS lex_norm,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim,
+         0.5 * l.lex_norm
+           + 0.5 * (list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv)))) AS fused_raw
+  FROM lexn l
+  JOIN embeddings e ON e.vec_id = l.doc_id
+  CROSS JOIN q
+)
+SELECT doc_id, lex_norm, cos_sim, round(fused_raw, 4) AS fused_score
+FROM fused
+ORDER BY fused_raw DESC, doc_id
+LIMIT {_HYBRID_TOPK}
+"""
+
+
+@register("hybrid_search", _HYBRID_ORACLE, tags=("text", "similarity"),
+          priority=100)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic top-k: TF-IDF score over the query terms
+    (scan + broadcast-df join + per-doc sum), max-normalized via a
+    window over the |candidates|-sized lexical table, fused 50/50 with
+    embedding cosine to the query vector, TakeOrdered final ranking.
+    The lexical filter (`w IN (...)`) prunes the token stream BEFORE
+    the per-doc aggregation, so the heavy path carries only matching
+    tokens; the embedding join touches only lexical candidates."""
+    from pyspark.sql import Window as W
+
+    from odbc2deltalake_spark.queries.similarity_ops import _dot, _norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    lex = (
+        tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))
+            ).alias("lex_score")
+        )
+    )
+    lexn = lex.select(
+        "doc_id",
+        (F.col("lex_score") / F.max("lex_score").over(W.partitionBy())).alias(
+            "lex_norm"
+        ),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), dbl.alias("v"))
+    q = vecs.filter(F.col("doc_id") == _HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    fused_raw = F.lit(0.5) * F.col("lex_norm") + F.lit(0.5) * cos
+    return (
+        lexn.join(vecs, "doc_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round("lex_norm", 4).alias("lex_norm"),
+            F.round(cos, 4).alias("cos_sim"),
+            fused_raw.alias("fused_raw"),
+        )
+        .orderBy(F.col("fused_raw").desc(), "doc_id")
+        .limit(_HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "lex_norm",
+            "cos_sim",
+            F.round("fused_raw", 4).alias("fused_score"),
+        )
+    )

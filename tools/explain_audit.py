@@ -126,6 +126,7 @@ AUDIT = [
     "ev_json_extract",
     "ev_moving_avg",
     "ev_unpivot",
+    "hybrid_search",
 ]
 
 
