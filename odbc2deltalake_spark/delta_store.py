@@ -74,15 +74,22 @@ class DeltaTableStore(TableStore):
         spark: SparkSession,
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
+        skip_where: Optional[tuple] = None,
     ) -> DataFrame:
         # `buckets` is a physical-layout pruning hint for the parquet
         # store; Delta does its own file skipping (stats + Z-order), so
         # the hint is intentionally ignored here — correctness never
-        # depends on it.
+        # depends on it. `skip_where` maps to a plain filter: Delta's
+        # reader turns it into native stats-based file skipping itself.
         reader = self._session(spark).read.format("delta")
         if version is not None:
             reader = reader.option("versionAsOf", version)
-        return reader.load(self.root)
+        df = reader.load(self.root)
+        if skip_where is not None:
+            from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+            df = VersionedParquetTable._apply_skip_filter(df, skip_where)
+        return df
 
     def write(
         self,
@@ -91,6 +98,10 @@ class DeltaTableStore(TableStore):
         merge_schema: bool = False,
         overwrite_schema: bool = False,
         partition_by: Optional[list[str]] = None,
+        stats_cols: Optional[list] = None,  # Delta keeps its own file stats
+        per_file_stats: bool = False,
+        known_stats: Optional[dict] = None,
+        extra_commit_fields: Optional[dict] = None,
     ) -> int:
         assert mode in ("append", "overwrite"), mode
         writer = df.write.format("delta").mode(mode)

@@ -115,6 +115,11 @@ class _Ctx:
             df,
             mode="append",
             merge_schema=self.cfg.allow_schema_drift in (True, "new_only"),
+            # zero-cost data-skipping stats: __timestamp is a per-load
+            # constant the engine already holds, so the commit interval
+            # is exact without any stats job — watermark/latest-load
+            # reads then prune whole older commits at the commit log
+            known_stats={SYS.timestamp: (self.load_ts, self.load_ts)},
         )
 
 
@@ -266,7 +271,10 @@ def do_full_load(ctx: _Ctx, mode: str) -> FullLoadResult:
     src = ctx.extract(ctx.source.read(ctx.spark))
     rows = with_system_cols(src, ctx.load_ts, is_deleted=False, is_full_load=True)
     ctx.dest.delta.write(
-        rows, mode=mode, merge_schema=ctx.cfg.allow_schema_drift in (True, "new_only")
+        rows,
+        mode=mode,
+        merge_schema=ctx.cfg.allow_schema_drift in (True, "new_only"),
+        known_stats={SYS.timestamp: (ctx.load_ts, ctx.load_ts)},
     )
     if ctx.delta_name is None:
         ctx.logger.info("Full Load done", load="full")
@@ -277,8 +285,14 @@ def do_full_load(ctx: _Ctx, mode: str) -> FullLoadResult:
     hist = ctx.dest.delta.read(ctx.spark)
     full_rows = hist.filter(F.col(SYS.is_full_load))
     max_ts = full_rows.agg(F.max(SYS.timestamp).alias("m")).first()["m"]
-    latest = full_rows.filter(F.col(SYS.timestamp) == F.lit(max_ts)).select(
-        *ctx.pk_names, ctx.delta_name
+    # the equality re-read skips every older load's files via the commit
+    # stats just written (P10 with data skipping)
+    latest = (
+        ctx.dest.delta.read(
+            ctx.spark, skip_where=(SYS.timestamp, "=", max_ts)
+        )
+        .filter(F.col(SYS.is_full_load))
+        .select(*ctx.pk_names, ctx.delta_name)
     )
     ctx.dest.latest_pk_version.write(latest, mode="overwrite")
     ctx.logger.info("Full Load done, wrote meta for delta load", load="full")

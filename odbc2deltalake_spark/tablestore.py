@@ -560,7 +560,12 @@ class VersionedParquetTable(TableStore):
                 live.extend(c["dirs_added"])
                 bucket_rows.update(c.get("bucket_rows") or {})
             elif c.get("dir"):
-                live.append({"dir": c["dir"], "schema": c["schema"]})
+                entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
+                if c.get("stats"):
+                    entry["stats"] = c["stats"]
+                if c.get("partition_by"):
+                    entry["partitioned"] = True
+                live.append(entry)
             if c.get("schema"):
                 schema_json = c["schema"]
             if c.get("num_buckets"):
@@ -589,11 +594,55 @@ class VersionedParquetTable(TableStore):
         st = self._state_at(version)
         return T.StructType.fromJson(json.loads(st["schema"]))
 
+    @staticmethod
+    def _stat_ser(v: Any) -> Any:
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return {"t": "ts", "v": v.isoformat()}
+        if isinstance(v, datetime.date):
+            return {"t": "date", "v": v.isoformat()}
+        return v
+
+    @staticmethod
+    def _stat_deser(v: Any) -> Any:
+        import datetime
+
+        if isinstance(v, dict):
+            if v.get("t") == "ts":
+                return datetime.datetime.fromisoformat(v["v"])
+            if v.get("t") == "date":
+                return datetime.date.fromisoformat(v["v"])
+        return v
+
+    @staticmethod
+    def _interval_may_match(mn: Any, mx: Any, op: str, value: Any) -> bool:
+        """Conservative file-skip test: False ONLY when the [min, max]
+        interval provably contains no row satisfying ``col <op> value``.
+        Unknown stats (None — e.g. an all-null file) always keep."""
+        if mn is None or mx is None:
+            return True
+        try:
+            if op == ">":
+                return mx > value
+            if op == ">=":
+                return mx >= value
+            if op == "<":
+                return mn < value
+            if op == "<=":
+                return mn <= value
+            if op == "=":
+                return mn <= value <= mx
+        except TypeError:
+            return True  # incomparable types: never skip on a guess
+        raise ValueError(f"unsupported skip op {op!r}")
+
     def read(
         self,
         spark: SparkSession,
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
+        skip_where: Optional[tuple[str, str, Any]] = None,
     ) -> DataFrame:
         """Time-travel read (reference:odbc2deltalake/reader/spark_reader.py:123-133).
 
@@ -605,18 +654,78 @@ class VersionedParquetTable(TableStore):
         ``buckets`` prunes per-bucket dirs (merged tables): only the named
         buckets are scanned — file-level pruning, the point of hash
         bucketing. Untagged dirs are always scanned.
-        """
+
+        ``skip_where=(col, op, value)`` (op in > >= < <= =) is DATA
+        SKIPPING over the commit-log file stats written by
+        ``write(stats_cols=[...])`` — the Delta data-skipping analog:
+        files whose recorded [min, max] provably cannot satisfy the
+        predicate are dropped from the scan BEFORE Spark sees them, and
+        the predicate is also applied to the returned frame, so the
+        result equals an unpruned filter. Files/dirs without stats are
+        never skipped; hive-partitioned dirs skip only all-or-nothing
+        (reading an explicit file subset would lose the partition
+        columns). The SCD2 watermark read is the canonical use: each
+        load commit covers a delta-col slice, so `__timestamp > wm`
+        skips every older load's files outright — on top of this,
+        parquet row-group pruning still applies inside surviving files
+        (tight after a Z-order compact)."""
         st = self._state_at(version)
         target = T.StructType.fromJson(json.loads(st["schema"]))
         dirs = st["dirs"]
         if buckets is not None:
             bset = set(buckets)
             dirs = [d for d in dirs if d.get("bucket") is None or d["bucket"] in bset]
+        if skip_where is not None:
+            scol, sop, sval = skip_where
+            pruned: list[dict[str, Any]] = []
+            for d in dirs:
+                stats = d.get("stats") or {}
+                file_stats = {
+                    f: s for f, s in stats.items() if scol in s
+                }
+                if not file_stats:
+                    pruned.append(d)  # no stats for this col: keep whole dir
+                    continue
+                if "" in file_stats:
+                    # dir-level interval: all-or-nothing
+                    s = file_stats[""]
+                    if self._interval_may_match(
+                        self._stat_deser(s[scol][0]),
+                        self._stat_deser(s[scol][1]),
+                        sop,
+                        sval,
+                    ):
+                        pruned.append(d)
+                    continue
+                keep_files = [
+                    f
+                    for f, s in file_stats.items()
+                    if self._interval_may_match(
+                        self._stat_deser(s[scol][0]),
+                        self._stat_deser(s[scol][1]),
+                        sop,
+                        sval,
+                    )
+                ]
+                if not keep_files:
+                    continue  # whole dir skipped
+                if len(keep_files) == len(file_stats) or d.get("partitioned"):
+                    pruned.append(d)
+                else:
+                    pruned.append({**d, "__files": keep_files})
+            dirs = pruned
         if not dirs:
-            return spark.createDataFrame([], target)
+            out = spark.createDataFrame([], target)
+            return self._apply_skip_filter(out, skip_where)
         groups: dict[str, list[str]] = {}
         for d in dirs:
-            groups.setdefault(d["schema"], []).append(self._path(d["dir"]))
+            if d.get("__files"):
+                for f in d["__files"]:
+                    groups.setdefault(d["schema"], []).append(
+                        self._path(d["dir"], f)
+                    )
+            else:
+                groups.setdefault(d["schema"], []).append(self._path(d["dir"]))
         parts: list[DataFrame] = []
         for schema_json, paths in groups.items():
             written = T.StructType.fromJson(json.loads(schema_json))
@@ -648,7 +757,27 @@ class VersionedParquetTable(TableStore):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return self._apply_skip_filter(out, skip_where)
+
+    @staticmethod
+    def _apply_skip_filter(
+        df: DataFrame, skip_where: Optional[tuple[str, str, Any]]
+    ) -> DataFrame:
+        """Residual predicate after file skipping — pruning is a superset
+        guarantee, the filter makes the result exact (and hands Spark the
+        same predicate for row-group pruning inside surviving files)."""
+        if skip_where is None:
+            return df
+        col, op, value = skip_where
+        c = F.col(col)
+        expr = {
+            ">": c > F.lit(value),
+            ">=": c >= F.lit(value),
+            "<": c < F.lit(value),
+            "<=": c <= F.lit(value),
+            "=": c == F.lit(value),
+        }[op]
+        return df.filter(expr)
 
     # ---------- writes ----------
 
@@ -660,11 +789,33 @@ class VersionedParquetTable(TableStore):
         overwrite_schema: bool = False,
         partition_by: Optional[list[str]] = None,
         extra_commit_fields: Optional[dict[str, Any]] = None,
+        stats_cols: Optional[list[str]] = None,
+        per_file_stats: bool = False,
+        known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
         ``extra_commit_fields`` are recorded verbatim in the commit record
-        (audit metadata, e.g. ``compacted_from``) — never read by replay."""
+        (audit metadata, e.g. ``compacted_from``) — never read by replay.
+
+        ``stats_cols`` records [min, max] of the named columns in the
+        commit — the data-skipping metadata ``read(skip_where=...)``
+        prunes with. Default granularity is the COMMIT DIR, collected by
+        an Observation riding the write job itself (zero extra scans —
+        measured: the per-file variant cost ~1.4s per sf0.1 delta load);
+        dir granularity is exactly what the SCD2 pattern needs, since
+        each load commit covers one watermark slice. ``per_file_stats``
+        upgrades to per-file [min, max] via one extra aggregation job
+        over the written dir — worth it for Z-ordered/range-laid-out
+        rewrites where files inside one commit cover disjoint ranges.
+
+        ``known_stats`` records caller-supplied {col: (min, max)}
+        intervals at TRUE zero cost (no Observation either — A/B
+        measured the CollectMetrics node at ~1.2s across one sf0.1
+        delta load's appends). Intervals may be conservatively WIDE
+        (skipping only ever keeps extra files, never drops a matching
+        one); the SCD2 engine uses this for ``__timestamp``, which is a
+        per-load constant it already holds."""
         assert mode in ("append", "overwrite"), mode
         new_version = (self.version() + 1) if self.exists() else 0
         new_schema = df.schema
@@ -690,6 +841,19 @@ class VersionedParquetTable(TableStore):
                 )
                 new_schema = old_schema
         dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
+        obs = None
+        obs_cols: list[str] = []
+        if stats_cols and not per_file_stats:
+            from pyspark.sql import Observation
+
+            obs_cols = [c for c in stats_cols if c in df.columns]
+            if obs_cols:
+                aggs = []
+                for c in obs_cols:
+                    aggs.append(F.min(c).alias(f"__mn_{c}"))
+                    aggs.append(F.max(c).alias(f"__mx_{c}"))
+                obs = Observation()
+                df = df.observe(obs, *aggs)
         writer = df.write.mode("overwrite")
         if partition_by:
             # hive-style subdirs inside this commit's dir; reads prune on
@@ -704,10 +868,79 @@ class VersionedParquetTable(TableStore):
             "schema": df.schema.json() if mode == "overwrite" else new_schema.json(),
             "written_schema": df.schema.json(),
         }
+        if partition_by:
+            commit["partition_by"] = list(partition_by)
+        if stats_cols and per_file_stats:
+            commit["stats"] = self._collect_file_stats(
+                df.sparkSession, self._path(dir_name), stats_cols
+            )
+        elif obs is not None:
+            vals = obs.get
+            commit["stats"] = {
+                # "" = the whole commit dir (read-side treats it as an
+                # all-or-nothing dir interval)
+                "": {
+                    c: [
+                        self._stat_ser(vals[f"__mn_{c}"]),
+                        self._stat_ser(vals[f"__mx_{c}"]),
+                    ]
+                    for c in obs_cols
+                }
+            }
+        if known_stats:
+            dir_stats = commit.setdefault("stats", {}).setdefault("", {})
+            for c, (mn, mx) in known_stats.items():
+                dir_stats.setdefault(
+                    c, [self._stat_ser(mn), self._stat_ser(mx)]
+                )
         if extra_commit_fields:
             commit.update(extra_commit_fields)
         self._write_commit(commit)
         return new_version
+
+    def _collect_file_stats(
+        self, spark: SparkSession, dir_path: str, stats_cols: list[str]
+    ) -> dict[str, dict[str, list[Any]]]:
+        """{relative_file: {col: [min, max]}} over one written dir — a
+        single aggregation grouped by input_file_name (column-pruned to
+        the stat columns, so the job reads only those pages)."""
+        raw = spark.read.parquet(dir_path)
+        cols = [c for c in stats_cols if c in raw.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        rows = (
+            raw.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        prefix_variants = [dir_path.rstrip("/") + "/"]
+        out: dict[str, dict[str, list[Any]]] = {}
+        for r in rows:
+            f = r["__f"]
+            rel = f
+            for pv in prefix_variants:
+                idx = rel.find(pv)
+                if idx >= 0:
+                    rel = rel[idx + len(pv):]
+                    break
+            else:
+                # URI-prefixed path (file:///...): strip up to the dir name
+                marker = "/" + Path(dir_path).name + "/"
+                idx = rel.find(marker)
+                if idx >= 0:
+                    rel = rel[idx + len(marker):]
+            out[rel] = {
+                c: [
+                    self._stat_ser(r[f"__mn_{c}"]),
+                    self._stat_ser(r[f"__mx_{c}"]),
+                ]
+                for c in cols
+            }
+        return out
 
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""

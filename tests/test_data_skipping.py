@@ -1,0 +1,173 @@
+"""Commit-log data skipping: write(stats_cols=...) records per-file
+[min, max]; read(skip_where=...) must prune provably-unmatching files
+from the scan while returning exactly the rows an unpruned filter
+yields."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _mk(spark, lo, hi, parts=2):
+    return (
+        spark.range(lo, hi)
+        .repartitionByRange(parts, "id")
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            F.concat(F.lit("s"), F.format_string("%05d", F.col("id"))).alias(
+                "name"
+            ),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        )
+    )
+
+
+def test_skip_prunes_files_and_matches_full_filter(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    # three loads with disjoint key slices — the SCD2 load pattern
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        t.write(_mk(spark, lo, hi), mode="append", stats_cols=["k", "ts"])
+
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+    assert len(all_files) >= 6  # ~2 files per load
+
+    pruned = t.read(spark, skip_where=("k", ">", 199))
+    pruned_files = set(pruned.inputFiles())
+    assert pruned_files and pruned_files < all_files
+    # only the third load's files survive
+    assert len(pruned_files) <= len(all_files) // 3 + 1
+
+    expect = {tuple(r) for r in full.filter(F.col("k") > 199).collect()}
+    assert {tuple(r) for r in pruned.collect()} == expect
+
+
+def test_skip_ops_and_types(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo, hi in ((0, 100), (100, 200)):
+        t.write(_mk(spark, lo, hi), mode="append", stats_cols=["k", "name", "ts"])
+    full = t.read(spark)
+
+    for skip, pyfilter in [
+        (("k", "<", 50), lambda r: r[0] < 50),
+        (("k", ">=", 150), lambda r: r[0] >= 150),
+        (("k", "<=", 99), lambda r: r[0] <= 99),
+        (("name", "=", "s00150"), lambda r: r[2] == "s00150"),
+        (
+            ("ts", ">", datetime.datetime(1970, 1, 1, 0, 2, 30)),
+            lambda r: r[3] > datetime.datetime(1970, 1, 1, 0, 2, 30),
+        ),
+    ]:
+        got = {tuple(r) for r in t.read(spark, skip_where=skip).collect()}
+        expect = {tuple(r) for r in full.collect() if pyfilter(r)}
+        assert got == expect, skip
+    # the equality probe reads a strict file subset
+    eq = t.read(spark, skip_where=("name", "=", "s00150"))
+    assert set(eq.inputFiles()) < set(full.inputFiles())
+
+
+def test_statless_commits_never_skipped(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")  # no stats recorded
+    t.write(_mk(spark, 100, 200), mode="append", stats_cols=["k"])
+    got = {
+        r["k"] for r in t.read(spark, skip_where=("k", "<", 10)).collect()
+    }
+    assert got == set(range(10))
+    # and a skip that excludes the stats'd commit still scans the
+    # stat-less one (conservative superset)
+    none_from_second = t.read(spark, skip_where=("k", ">", 500))
+    assert none_from_second.count() == 0
+
+
+def test_stats_survive_restore_and_time_travel(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append", stats_cols=["k"])
+    t.write(_mk(spark, 100, 200), mode="append", stats_cols=["k"])
+    v1 = t.version()
+    t.write(_mk(spark, 200, 300), mode="append", stats_cols=["k"])
+    t.restore(v1)
+    pruned = t.read(spark, skip_where=("k", ">=", 100))
+    assert {r["k"] for r in pruned.collect()} == set(range(100, 200))
+    assert len(set(pruned.inputFiles())) < len(
+        set(t.read(spark).inputFiles())
+    )
+    # time travel with skipping
+    old = t.read(spark, version=v1, skip_where=("k", "<", 50))
+    assert {r["k"] for r in old.collect()} == set(range(50))
+
+
+def test_per_file_stats_prune_within_one_commit(spark, tmp_path):
+    """per_file_stats=True records file-granular intervals: a range-laid
+    single commit (the Z-order/compact shape) prunes files INSIDE the
+    dir, where dir-level stats could not."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        _mk(spark, 0, 400, parts=4),
+        mode="append",
+        stats_cols=["k"],
+        per_file_stats=True,
+    )
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+    assert len(all_files) == 4
+    narrow = t.read(spark, skip_where=("k", "=", 250))
+    assert len(set(narrow.inputFiles())) == 1
+    assert [r["k"] for r in narrow.collect()] == [250]
+
+
+def test_dir_level_stats_cost_free_and_prune_dirs(spark, tmp_path):
+    """Default (Observation) stats: commit carries one interval under the
+    '' key and whole-dir skipping works."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append", stats_cols=["k"])
+    c = t._read_commit(0)
+    assert set(c["stats"].keys()) == {""}
+    assert c["stats"][""]["k"] == [0, 99]
+    t.write(_mk(spark, 100, 200), mode="append", stats_cols=["k"])
+    pruned = t.read(spark, skip_where=("k", ">=", 150))
+    assert {r["k"] for r in pruned.collect()} == set(range(150, 200))
+    assert len(set(pruned.inputFiles())) < len(set(t.read(spark).inputFiles()))
+
+
+def test_known_stats_recorded_without_any_job(spark, tmp_path):
+    """known_stats stores caller-supplied intervals verbatim — the
+    zero-cost path the SCD2 engine uses for the per-load-constant
+    __timestamp."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        _mk(spark, 0, 100),
+        mode="append",
+        known_stats={"k": (0, 99)},
+    )
+    t.write(
+        _mk(spark, 100, 200),
+        mode="append",
+        known_stats={"k": (100, 199)},
+    )
+    assert t._read_commit(0)["stats"][""]["k"] == [0, 99]
+    pruned = t.read(spark, skip_where=("k", "=", 150))
+    assert {r["k"] for r in pruned.collect()} == {150}
+    assert len(set(pruned.inputFiles())) < len(set(t.read(spark).inputFiles()))
+
+
+def test_engine_history_commits_carry_timestamp_stats(spark, tmp_path):
+    """Every SCD2 history commit records its load __timestamp interval,
+    so latest-load / watermark reads skip older loads at the commit log."""
+    from tests.cdc_utils import make_source, run_load
+
+    src = make_source(spark)
+    run_load(spark, src, tmp_path / "dest")
+    hist = VersionedParquetTable(tmp_path / "dest" / "delta")
+    found = False
+    for v in range(hist.version() + 1):
+        c = hist._read_commit(v)
+        if c.get("dir"):
+            assert "__timestamp" in (c.get("stats") or {}).get("", {}), c["version"]
+            found = True
+    assert found
