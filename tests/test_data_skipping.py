@@ -171,3 +171,39 @@ def test_engine_history_commits_carry_timestamp_stats(spark, tmp_path):
             assert "__timestamp" in (c.get("stats") or {}).get("", {}), c["version"]
             found = True
     assert found
+
+
+def test_external_reader_honors_stats(spark, tmp_path):
+    """The standalone pyarrow reader implements the same skipping rules
+    from the spec alone — third-party readers get the pruning too."""
+    from tools.external_reader import read_table
+
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        t.write(_mk(spark, lo, hi), mode="append", known_stats={"k": (lo, hi - 1)})
+    tbl = read_table(tmp_path / "t", skip_where=("k", ">=", 200))
+    assert sorted(tbl.column("k").to_pylist()) == list(range(200, 300))
+    # per-file variant
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(
+        _mk(spark, 0, 400, parts=4), mode="append",
+        stats_cols=["k"], per_file_stats=True,
+    )
+    tbl2 = read_table(tmp_path / "t2", skip_where=("k", "=", 42))
+    assert tbl2.column("k").to_pylist() == [42]
+    # engine agreement on the pruned read
+    got = {
+        tuple(r)
+        for r in t.read(spark, skip_where=("k", ">=", 200))
+        .select("k", "v", "name")
+        .collect()
+    }
+    ext = {
+        (a, b, c)
+        for a, b, c in zip(
+            tbl.column("k").to_pylist(),
+            tbl.column("v").to_pylist(),
+            tbl.column("name").to_pylist(),
+        )
+    }
+    assert got == ext

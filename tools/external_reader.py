@@ -105,7 +105,12 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
         elif c.get("dirs_added"):
             live.extend(c["dirs_added"])
         elif c.get("dir"):
-            live.append({"dir": c["dir"], "schema": c["schema"]})
+            entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
+            if c.get("stats"):
+                entry["stats"] = c["stats"]
+            if c.get("partition_by"):
+                entry["partitioned"] = True
+            live.append(entry)
         if c.get("schema"):
             schema_json = c["schema"]
         props.update(c.get("set_props") or {})
@@ -120,7 +125,15 @@ def _scan_entry(root: Path, entry: dict[str, Any], target: pa.Schema) -> pa.Tabl
     present columns cast to the target type (the spec permits only
     lossless widenings)."""
     written = _arrow_schema(entry["schema"])
-    dset = ds.dataset(str(root / entry["dir"]), format="parquet", partitioning="hive")
+    if entry.get("__files"):
+        dset = ds.dataset(
+            [str(root / entry["dir"] / f) for f in entry["__files"]],
+            format="parquet",
+        )
+    else:
+        dset = ds.dataset(
+            str(root / entry["dir"]), format="parquet", partitioning="hive"
+        )
     have = set(dset.schema.names)
     t = dset.to_table(columns=[n for n in written.names if n in have])
     n = t.num_rows
@@ -133,15 +146,89 @@ def _scan_entry(root: Path, entry: dict[str, Any], target: pa.Schema) -> pa.Tabl
     return pa.Table.from_arrays(cols, schema=target)
 
 
-def read_table(root: str | Path, version: Optional[int] = None) -> pa.Table:
-    """Materialize a snapshot as one pyarrow Table (row order unspecified)."""
+def _stat_deser(v: Any) -> Any:
+    import datetime
+
+    if isinstance(v, dict):
+        if v.get("t") == "ts":
+            return datetime.datetime.fromisoformat(v["v"])
+        if v.get("t") == "date":
+            return datetime.date.fromisoformat(v["v"])
+    return v
+
+
+def _may_match(mn: Any, mx: Any, op: str, value: Any) -> bool:
+    if mn is None or mx is None:
+        return True
+    try:
+        return {
+            ">": mx > value,
+            ">=": mx >= value,
+            "<": mn < value,
+            "<=": mn <= value,
+            "=": mn <= value <= mx,
+        }[op]
+    except TypeError:
+        return True
+
+
+def read_table(
+    root: str | Path,
+    version: Optional[int] = None,
+    skip_where: Optional[tuple[str, str, Any]] = None,
+) -> pa.Table:
+    """Materialize a snapshot as one pyarrow Table (row order unspecified).
+
+    ``skip_where=(col, op, value)`` applies the spec's data-skipping
+    rules: entries/files whose recorded [min, max] provably cannot match
+    are never opened; the predicate is then applied to surviving rows so
+    the result equals an unpruned filter."""
     root = Path(root)
     st = snapshot(root, version)
     target = _arrow_schema(st["schema"])
-    parts = [_scan_entry(root, e, target) for e in st["entries"]]
-    if not parts:
-        return target.empty_table()
-    return pa.concat_tables(parts)
+    entries = st["entries"]
+    if skip_where is not None:
+        scol, sop, sval = skip_where
+        kept = []
+        for e in entries:
+            stats = {f: s for f, s in (e.get("stats") or {}).items() if scol in s}
+            if not stats:
+                kept.append(e)
+                continue
+            if "" in stats:  # dir-level interval: all-or-nothing
+                s0 = stats[""][scol]
+                if _may_match(_stat_deser(s0[0]), _stat_deser(s0[1]), sop, sval):
+                    kept.append(e)
+                continue
+            files = [
+                f
+                for f, s in stats.items()
+                if _may_match(
+                    _stat_deser(s[scol][0]), _stat_deser(s[scol][1]), sop, sval
+                )
+            ]
+            if not files:
+                continue
+            if len(files) == len(stats) or e.get("partitioned"):
+                kept.append(e)
+            else:
+                kept.append({**e, "__files": files})
+        entries = kept
+    parts = [_scan_entry(root, e, target) for e in entries]
+    out = pa.concat_tables(parts) if parts else target.empty_table()
+    if skip_where is not None:
+        import pyarrow.compute as pc
+
+        scol, sop, sval = skip_where
+        fn = {
+            ">": pc.greater,
+            ">=": pc.greater_equal,
+            "<": pc.less,
+            "<=": pc.less_equal,
+            "=": pc.equal,
+        }[sop]
+        out = out.filter(fn(out[scol], pa.scalar(sval)))
+    return out
 
 
 if __name__ == "__main__":
