@@ -60,3 +60,65 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- count-min heavy hitters ----
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1 << 12  # 4096 counters per row; eps = e/width ~ 0.07%
+
+
+def count_min_sketch(items: DataFrame, item_col: str) -> DataFrame:
+    """Build a count-min sketch as a DataFrame: (row, col, cnt) with
+    depth x width counters. Each item maps to one counter per hash row
+    (xxhash64 with the row index as seed-mix); building is one
+    hash-groupBy whose key space is AT MOST depth*width — constant —
+    so the shuffle is bounded regardless of corpus size, and two
+    sketches built this way merge by unioning and re-summing (the CMS
+    mergeability property)."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    ).alias("row")
+    keyed = items.select(F.col(item_col).alias("it")).select("it", rows)
+    col = F.pmod(F.xxhash64(F.col("it"), F.col("row")), F.lit(_CMS_WIDTH))
+    return (
+        keyed.select("row", col.alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFrame:
+    """Point-estimate item counts from a sketch: min over the depth
+    counters (the CMS estimator — overcounts only, never under). The
+    probe side joins the (small, bounded) sketch broadcast."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    ).alias("row")
+    keyed = probes.select(F.col(item_col).alias("it")).distinct().select("it", rows)
+    col = F.pmod(F.xxhash64(F.col("it"), F.col("row")), F.lit(_CMS_WIDTH))
+    return (
+        keyed.select("it", "row", col.alias("col"))
+        .join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("it")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .select(F.col("it").alias(item_col), F.col("est"))
+    )
+
+
+@register("approx_heavy_hitters", None, tags=("sketch",), priority=100)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 words of the documents corpus with their count-min
+    estimated frequencies: build the bounded sketch (one constant-size
+    shuffle), then probe the candidate set. Accuracy gate
+    (tests/test_sketch_accuracy.py): est >= true always, and
+    est <= true + eps*N with eps = depth-min over 4096-wide rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    sketch = count_min_sketch(toks, "w").localCheckpoint(eager=False)
+    # candidate probes: every distinct word (bounded vocab)
+    probes = toks.distinct()
+    est = cms_estimate(sketch, probes, "w")
+    return est.orderBy(F.col("est").desc(), "w").limit(20)

@@ -67,3 +67,50 @@ def test_sketch_queries_are_deterministic(spark):
     c = sorted(map(tuple, approx_value_percentiles(spark, SF_DIR).collect()))
     d = sorted(map(tuple, approx_value_percentiles(spark, SF_DIR).collect()))
     assert c == d
+
+
+def test_count_min_bounds_and_merge(spark):
+    """CMS invariants: estimates never undercount; overcount bounded by
+    eps*N (eps = e/width, here with a generous safety factor since N is
+    small); and two half-corpus sketches merged equal the full sketch."""
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.queries.registry import load_table
+    from odbc2deltalake_spark.queries.sketch_ops import (
+        _CMS_WIDTH,
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).localCheckpoint(eager=True)
+    n_total = toks.count()
+    true = {
+        r["w"]: r["c"]
+        for r in toks.groupBy("w").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+
+    sketch = count_min_sketch(toks, "w").localCheckpoint(eager=True)
+    est = {
+        r["w"]: r["est"]
+        for r in cms_estimate(sketch, toks.select("w"), "w").collect()
+    }
+    assert set(est) == set(true)
+    eps = 2.72 / _CMS_WIDTH
+    for w, t in true.items():
+        assert est[w] >= t, w  # never undercounts
+        assert est[w] <= t + eps * n_total * 3, w  # bounded overcount
+
+    # mergeability: sketch(half1) + sketch(half2) == sketch(all)
+    h1 = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 0), "w")
+    h2 = count_min_sketch(toks.filter(F.col("doc_id") % 2 == 1), "w")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["col"]): r["cnt"] for r in sketch.collect()}
+    assert a == b
