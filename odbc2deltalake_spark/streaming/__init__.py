@@ -11,6 +11,7 @@ from odbc2deltalake_spark.streaming.events import (
     sessionize_stream,
     clicks_purchases_join_stream,
 )
+from odbc2deltalake_spark.streaming.table_tailer import TableTailer
 from odbc2deltalake_spark.streaming.corpus import (
     corpus_ingest_stream,
     start_corpus_ingest,
@@ -28,6 +29,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "clicks_purchases_join_stream",
+    "TableTailer",
     "corpus_ingest_stream",
     "start_corpus_ingest",
     "eval_gram_table",

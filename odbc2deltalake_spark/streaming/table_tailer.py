@@ -1,0 +1,85 @@
+"""Incremental consumption of a versioned table — the commit-log
+analogue of a Delta streaming source.
+
+A downstream pipeline (e.g. the training-corpus builder tailing the SCD2
+history) should never rescan the table; it should process exactly the
+rows each new commit added. `TableTailer` drives that loop over
+`VersionedParquetTable.read_changes` with a checkpointed cursor, the
+same recovery contract as the engine's `foreachBatch` driver
+(streaming/driver.py): the cursor advances only AFTER the batch function
+returns, so a crash replays the last batch — at-least-once delivery,
+exactly-once effect when the consumer keys its writes by
+``_commit_version`` (idempotent re-apply), which is also how Spark's own
+foreachBatch achieves exactly-once.
+
+Scale: each call moves only the NEW commits' files (change-set-sized,
+never table-sized); the cursor is one tiny JSON on the table's own
+storage backend, so the tailer fails over to any other host with the
+checkpoint intact.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+class TableTailer:
+    def __init__(
+        self,
+        table: VersionedParquetTable,
+        checkpoint_name: str = "_tail_checkpoint.json",
+    ):
+        self.table = table
+        self._ckpt = table.backend.join(table._root_str, checkpoint_name)
+
+    def last_processed(self) -> int:
+        """Version the consumer has fully processed; -1 before the first
+        batch (the next batch then starts at version 0)."""
+        try:
+            return int(json.loads(self.table.backend.read_text(self._ckpt))["version"])
+        except Exception:  # noqa: BLE001 — missing/corrupt -> start over
+            return -1
+
+    def _advance(self, version: int) -> None:
+        self.table.backend.write_text_atomic(
+            self._ckpt, json.dumps({"version": version})
+        )
+
+    def process_available(
+        self,
+        spark: SparkSession,
+        fn: Callable[[DataFrame, int, int], Any],
+        on_rewrite: str = "raise",
+    ) -> Optional[tuple[int, int]]:
+        """Deliver all unprocessed commits as ONE batch:
+        ``fn(changes_df, from_version, to_version)`` where ``changes_df``
+        carries ``_commit_version``. Returns the processed (from, to]
+        range, or None when already caught up.
+
+        ``on_rewrite`` controls what happens when the range contains an
+        overwrite/merge/restore commit (not representable as a delta):
+        ``"raise"`` propagates; ``"snapshot"`` re-baselines — fn receives
+        the FULL current snapshot (every row tagged with the latest
+        ``_commit_version``) and the cursor jumps to it, mirroring Delta
+        CDF's re-backfill story."""
+        last = self.last_processed()
+        to_v = self.table.version()
+        if to_v <= last:
+            return None
+        try:
+            batch = self.table.read_changes(spark, last, to_v)
+        except ValueError:
+            if on_rewrite != "snapshot":
+                raise
+            batch = self.table.read(spark).withColumn(
+                "_commit_version", F.lit(to_v).cast("long")
+            )
+        fn(batch, last, to_v)
+        self._advance(to_v)
+        return (last, to_v)

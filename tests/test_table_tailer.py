@@ -1,0 +1,77 @@
+"""TableTailer gates: batches cover exactly the unprocessed commits, a
+failed batch replays (cursor advances only on success), and a rewrite
+re-baselines under the snapshot policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.streaming import TableTailer
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _load(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_tailer_delivers_each_commit_exactly_once(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    tail = TableTailer(t)
+    seen: list[tuple[int, int, frozenset]] = []
+
+    def fn(df, from_v, to_v):
+        seen.append((from_v, to_v, frozenset(r["k"] for r in df.collect())))
+
+    t.write(_load(spark, 0, 10), mode="append")
+    t.write(_load(spark, 10, 20), mode="append")
+    assert tail.process_available(spark, fn) == (-1, 1)
+    assert tail.process_available(spark, fn) is None  # caught up
+    t.write(_load(spark, 20, 30), mode="append")
+    assert tail.process_available(spark, fn) == (1, 2)
+    assert seen[0][2] == frozenset(range(20))
+    assert seen[1][2] == frozenset(range(20, 30))
+    # _commit_version tags rows by their commit
+    t.write(_load(spark, 30, 40), mode="append")
+
+    def check_tags(df, from_v, to_v):
+        tags = {r["k"]: r["_commit_version"] for r in df.collect()}
+        assert set(tags.values()) == {3}
+
+    tail.process_available(spark, check_tags)
+
+
+def test_tailer_replays_failed_batch(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    tail = TableTailer(t)
+    t.write(_load(spark, 0, 10), mode="append")
+
+    def boom(df, from_v, to_v):
+        raise RuntimeError("consumer crashed")
+
+    with pytest.raises(RuntimeError):
+        tail.process_available(spark, boom)
+    assert tail.last_processed() == -1  # cursor NOT advanced
+    got: list[frozenset] = []
+    tail.process_available(
+        spark, lambda df, a, b: got.append(frozenset(r["k"] for r in df.collect()))
+    )
+    assert got == [frozenset(range(10))]
+
+
+def test_tailer_rewrite_policy(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    tail = TableTailer(t)
+    t.write(_load(spark, 0, 10), mode="append")
+    tail.process_available(spark, lambda df, a, b: df.count())
+    t.write(_load(spark, 100, 105), mode="overwrite")
+    with pytest.raises(ValueError):
+        tail.process_available(spark, lambda df, a, b: None)
+    snaps: list[frozenset] = []
+    tail.process_available(
+        spark,
+        lambda df, a, b: snaps.append(frozenset(r["k"] for r in df.collect())),
+        on_rewrite="snapshot",
+    )
+    assert snaps == [frozenset(range(100, 105))]
+    assert tail.last_processed() == t.version()
