@@ -561,3 +561,45 @@ def ev_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 0)
     )
+
+
+# ------------------------------------------------ statistical aggregates ----
+
+_STATS_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 2) AS std_price,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("q_stat_aggregates", _STATS_ORACLE, tags=("bench", "stats"),
+          priority=100)
+def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance/stddev, and least-squares slope/intercept per group —
+    all single-pass JVM aggregates (each keeps O(1) moments per group,
+    merged associatively map-side), so the shuffle carries a handful of
+    doubles per group at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2
+        ).alias("intercept"),
+    )

@@ -127,6 +127,7 @@ AUDIT = [
     "ev_moving_avg",
     "ev_unpivot",
     "hybrid_search",
+    "q_stat_aggregates",
 ]
 
 
