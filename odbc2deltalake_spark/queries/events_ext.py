@@ -603,3 +603,48 @@ def q_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2
         ).alias("intercept"),
     )
+
+
+# ------------------------------------------------- ranking function family ----
+
+_RANKS_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 2) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM per_user
+WINDOW w AS (PARTITION BY event_type ORDER BY total_value DESC, user_id)
+"""
+
+
+@register("ev_value_ranks", _RANKS_ORACLE, tags=("events", "window"),
+          priority=100)
+def ev_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (rank / dense_rank / ntile /
+    percent_rank / cume_dist) over per-user value totals — one
+    aggregation shuffle, then one window shuffle on the group key; the
+    deterministic (total_value, user_id) order makes every rank
+    reproducible across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), "user_id"
+    )
+    return per_user.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )

@@ -128,6 +128,7 @@ AUDIT = [
     "ev_unpivot",
     "hybrid_search",
     "q_stat_aggregates",
+    "ev_value_ranks",
 ]
 
 
