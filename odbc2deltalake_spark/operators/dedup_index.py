@@ -180,10 +180,28 @@ class DedupIndex:
             .localCheckpoint(eager=True)
         )
         # commit the batch AFTER computing pairs (new docs must not pair
-        # against themselves via the stored side)
+        # against themselves via the stored side). Two tables, two
+        # commits — a crash in between leaves them skewed; callers
+        # re-run the batch (append is idempotent at the pair level:
+        # duplicate sig/band rows only widen candidate generation, never
+        # lose pairs) or detect the skew with check_consistent().
         self.sigs.write(new_sigs, mode="append")
         self.bands.write(new_bands, mode="append", partition_by=["band"])
         return pairs
+
+    def check_consistent(self, spark: SparkSession) -> bool:
+        """Cross-table invariant: every doc_id has exactly one signature
+        row and exactly one band row per band. False after a crash
+        between the two appends — re-append the affected batch (the
+        extra rows are harmless, see append_and_find_pairs) or rebuild."""
+        n_sigs = self.sigs.read(spark).select("doc_id").distinct().count()
+        bands = self.bands.read(spark)
+        n_band_docs = bands.select("doc_id").distinct().count()
+        n_rows = bands.count()
+        return (
+            n_sigs == n_band_docs
+            and n_rows == n_band_docs * (N_HASHES // BAND_SIZE)
+        )
 
     def all_pairs(self, spark: SparkSession, threshold: float = 0.5) -> DataFrame:
         """Corpus-wide near-dup pairs from the stored index alone (no

@@ -101,3 +101,20 @@ def test_estimator_detects_clones_and_orders_sanely(spark, docs, tmp_path):
     ]
     assert clone_pairs, "clone pairs must be detected"
     assert all(0.5 <= v <= 1.0 for v in by_pair.values())
+
+
+def test_check_consistent_detects_partial_commit(spark, docs, tmp_path):
+    idx = DedupIndex(tmp_path / "c")
+    idx.build(docs)
+    assert idx.check_consistent(spark)
+    # simulate a crash between the two appends: sigs written, bands not
+    extra = signature_df(
+        docs.limit(0).sparkSession.createDataFrame(
+            [(999999, "brand new words never seen")], ["doc_id", "text"]
+        )
+    )
+    idx.sigs.write(extra, mode="append")
+    assert not idx.check_consistent(spark)
+    # re-appending the batch's bands repairs the invariant
+    idx.bands.write(band_df(extra), mode="append", partition_by=["band"])
+    assert idx.check_consistent(spark)
