@@ -399,8 +399,6 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lexical filter (`w IN (...)`) prunes the token stream BEFORE
     the per-doc aggregation, so the heavy path carries only matching
     tokens; the embedding join touches only lexical candidates."""
-    from pyspark.sql import Window as W
-
     from odbc2deltalake_spark.queries.similarity_ops import _dot, _norm
 
     docs = load_table(spark, sf_dir, "documents")
@@ -421,11 +419,12 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lex_score")
         )
     )
-    lexn = lex.select(
-        "doc_id",
-        (F.col("lex_score") / F.max("lex_score").over(W.partitionBy())).alias(
-            "lex_norm"
-        ),
+    # max-normalize via a 1-row broadcast, not an unpartitioned window —
+    # the candidate set can be corpus-sized when query terms are common,
+    # and a no-partition window would funnel it through one task
+    mx = lex.agg(F.max("lex_score").alias("mx"))
+    lexn = lex.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("lex_score") / F.col("mx")).alias("lex_norm")
     )
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
