@@ -68,6 +68,8 @@ EXTRAS = [
     "ev_funnel",
     "ev_retention",
     "emb_kmeans",
+    "dedup_substring_strip",
+    "hybrid_search",
 ]
 
 
