@@ -207,3 +207,19 @@ def test_external_reader_honors_stats(spark, tmp_path):
         )
     }
     assert got == ext
+
+
+def test_conservative_wide_intervals_stay_exact(spark, tmp_path):
+    """Spec property: recorded intervals may be WIDER than the data
+    (known_stats from an upper bound) — results must still equal the
+    unpruned filter, just with less pruning."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append", known_stats={"k": (-1000, 5000)})
+    t.write(_mk(spark, 100, 200), mode="append", known_stats={"k": (50, 250)})
+    for skip in (("k", ">", 150), ("k", "<", 20), ("k", "=", 120)):
+        full = t.read(spark)
+        got = {tuple(r) for r in t.read(spark, skip_where=skip).collect()}
+        col, op, v = skip
+        pyop = {">": lambda a: a > v, "<": lambda a: a < v, "=": lambda a: a == v}[op]
+        expect = {tuple(r) for r in full.collect() if pyop(r["k"])}
+        assert got == expect, skip
