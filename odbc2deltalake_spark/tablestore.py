@@ -973,6 +973,7 @@ class VersionedParquetTable(TableStore):
         zorder_by: Optional[list[str]] = None,
         out_partitions: Optional[int] = None,
         partition_by: Optional[list[str]] = None,
+        stats_cols: Optional[list[str]] = None,
     ) -> int:
         """Rewrite the current snapshot's many small files into
         ~``target_file_bytes`` files as ONE new overwrite commit — the
@@ -1017,10 +1018,18 @@ class VersionedParquetTable(TableStore):
             compacted = zorder_layout(snapshot, zorder_by, out_partitions=n)
         else:
             compacted = snapshot.coalesce(n)
+        # a Z-ordered rewrite lays rows out so per-file [min, max]
+        # intervals on the cluster keys are TIGHT — recording them makes
+        # skip_where reads prune inside the compacted commit (default:
+        # the zorder keys themselves)
+        if stats_cols is None and zorder_by:
+            stats_cols = list(zorder_by)
         return self.write(
             compacted,
             mode="overwrite",
             partition_by=partition_by,
+            stats_cols=stats_cols,
+            per_file_stats=bool(stats_cols),
             extra_commit_fields={
                 "compacted_from": st["version"],
                 "zorder_by": zorder_by or [],

@@ -223,3 +223,22 @@ def test_conservative_wide_intervals_stay_exact(spark, tmp_path):
         pyop = {">": lambda a: a > v, "<": lambda a: a < v, "=": lambda a: a == v}[op]
         expect = {tuple(r) for r in full.collect() if pyop(r["k"])}
         assert got == expect, skip
+
+
+def test_zorder_compact_records_tight_per_file_stats(spark, tmp_path):
+    """OPTIMIZE-ZORDER synergy: compacting with zorder_by records
+    per-file intervals on the cluster key, so a point read inside the
+    single compacted commit opens a strict subset of its files."""
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo, hi in ((0, 150), (150, 300), (300, 450)):
+        t.write(_mk(spark, lo, hi), mode="append")
+    t.compact(spark, zorder_by=["k"], out_partitions=6)
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+    assert len(all_files) >= 4
+    probe = t.read(spark, skip_where=("k", "=", 222))
+    assert len(set(probe.inputFiles())) < len(all_files)
+    assert [r["k"] for r in probe.collect()] == [222]
+    # range read stays exact
+    rng = t.read(spark, skip_where=("k", ">=", 400))
+    assert {r["k"] for r in rng.collect()} == set(range(400, 450))
