@@ -112,22 +112,31 @@ class AzureDestination(Destination):
         self.container = container
         self.account_name = account_name or self.storage_options.get("account_name")
 
+    @property
+    def host(self) -> Optional[str]:
+        """Full DFS endpoint host. A dotted ``account_name`` is taken
+        verbatim — sovereign/government clouds use different suffixes
+        (e.g. ``.dfs.core.usgovcloudapi.net``), and rebuilding against
+        the public-cloud suffix would route data (and credentials) to
+        the wrong, possibly attacker-registerable, endpoint."""
+        if not self.account_name:
+            return None
+        if "." in self.account_name:
+            return self.account_name
+        return f"{self.account_name}.dfs.core.windows.net"
+
     def uri(self) -> str:
         if self.account_name:
-            return (
-                f"abfss://{self.container}@{self.account_name}"
-                f".dfs.core.windows.net/{self.path}"
-            )
+            return f"abfss://{self.container}@{self.host}/{self.path}"
         return f"az://{self.container}/{self.path}"
 
     def spark_options(self) -> dict[str, str]:
         """hadoop-azure (ABFS) auth configs, keyed per storage account so
         two destinations on different accounts coexist in one session."""
         o = self.storage_options
-        acct = self.account_name
-        if not acct:
+        host = self.host
+        if not host:
             return {}
-        host = f"{acct}.dfs.core.windows.net"
         out: dict[str, str] = {}
         if "account_key" in o:
             out[f"fs.azure.account.auth.type.{host}"] = "SharedKey"
@@ -264,8 +273,20 @@ class DbutilsStorageBackend(StorageBackend):
             return []
 
     def read_text(self, path: str) -> str:
-        # dbutils.fs.head caps at ~64KB by default; commit records are <4KB
-        return self.dbutils.fs.head(path, 1024 * 1024)
+        # dbutils.fs.head caps at its maxBytes argument. Typical commit
+        # records are <4KB, but a per-file-stats compaction over many
+        # files can reach megabytes — a silently truncated read would
+        # corrupt every later snapshot replay, so read with a high cap
+        # and FAIL LOUDLY if the result fills it (possible truncation).
+        cap = 64 * 1024 * 1024
+        text = self.dbutils.fs.head(path, cap)
+        if len(text.encode("utf-8", errors="ignore")) >= cap:
+            raise IOError(
+                f"{path} is >= {cap} bytes — dbutils.fs.head would "
+                "truncate it; raise the cap or vacuum/compact with "
+                "fewer per-file stats"
+            )
+        return text
 
     def write_text_atomic(self, path: str, text: str) -> None:
         self.dbutils.fs.put(path, text, overwrite=True)
@@ -343,8 +364,8 @@ def parse_destination(uri: str, storage_options: Optional[dict] = None) -> Desti
         loc, _, path = rest.partition("/")
         if "@" in loc:
             container, host = loc.split("@", 1)
-            account = host.split(".", 1)[0]
-            return AzureDestination(container, path, storage_options, account_name=account)
+            # keep the FULL host: non-public clouds carry their own suffix
+            return AzureDestination(container, path, storage_options, account_name=host)
         return AzureDestination(loc, path, storage_options)
     if uri.startswith(("s3://", "s3a://")):
         rest = uri.split("://", 1)[1]

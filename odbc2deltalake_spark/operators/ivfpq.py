@@ -152,8 +152,16 @@ class IvfPqIndex:
                 for r in by_sub[s]:
                     d = sum((a - b) * (a - b) for a, b in zip(qs, r["cv"]))
                     table[cid * _CID_STRIDE + s * _SUB_STRIDE + r["cid"]] = d
+        # LONG keys on BOTH sides: cids are seed vec_ids, so cid * 2^20
+        # exceeds int32 whenever cid >= 2048 — an int cast would wrap the
+        # column-side key while the literal side stays long, turning every
+        # lookup NULL (and the ranking arbitrary)
         lut = F.create_map(
-            *[x for kk, vv in sorted(table.items()) for x in (F.lit(kk), F.lit(vv))]
+            *[
+                x
+                for kk, vv in sorted(table.items())
+                for x in (F.lit(kk).cast("long"), F.lit(vv))
+            ]
         )
         dist = F.aggregate(
             F.zip_with(
@@ -161,9 +169,9 @@ class IvfPqIndex:
                 F.sequence(F.lit(0), F.lit(self.m - 1)),
                 lambda c, s: F.element_at(
                     lut,
-                    (
-                        F.col("cid") * _CID_STRIDE + s * _SUB_STRIDE + c
-                    ).cast("int"),
+                    F.col("cid").cast("long") * _CID_STRIDE
+                    + s.cast("long") * _SUB_STRIDE
+                    + c.cast("long"),
                 ),
             ),
             F.lit(0.0),

@@ -39,11 +39,32 @@ from pyspark.sql import functions as F
 _DEFAULT_BUCKETS = 64  # 6 bits per dimension
 
 
-def _bucket_expr(col: str, boundaries: list[float]) -> Column:
-    """Bucket index of ``col`` in the sorted ``boundaries`` list: the
-    count of boundaries <= value — a fold over a literal array, evaluated
-    JVM-side per row. NULLs sort to bucket 0 (first, like NULLS FIRST)."""
-    c = F.col(col).cast("double")
+def _numeric_proxy(df: DataFrame, col: str) -> Column:
+    """Order-preserving numeric proxy for any column type. Numeric and
+    timestamp types cast to double directly; dates go through epoch
+    days. String/binary/other types hash (xxhash64 → double): equal
+    values still cluster — point-lookup pruning on that dimension works
+    — but RANGE predicates on a hashed dimension cannot prune, which is
+    exactly Delta's behavior for Z-order over strings. The old code
+    cast strings to double, silently producing all-NULLs and collapsing
+    the dimension to bucket 0 with no clustering at all."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.NumericType, T.BooleanType)):
+        return F.col(col).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(col).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    return F.xxhash64(F.col(col)).cast("double")
+
+
+def _bucket_expr(c: Column, boundaries: list[float]) -> Column:
+    """Bucket index of the proxy value in the sorted ``boundaries``
+    list: the count of boundaries <= value — a fold over a literal
+    array, evaluated JVM-side per row. NULLs sort to bucket 0 (first,
+    like NULLS FIRST)."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     return F.when(c.isNull(), F.lit(0)).otherwise(
         F.aggregate(
@@ -87,9 +108,8 @@ def zorder_layout(
     # interior quantile boundaries (exclude the 0-quantile so the lowest
     # values land in bucket 0)
     probs = [i / buckets for i in range(1, buckets)]
-    numeric = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
+    proxies = {c: _numeric_proxy(df, c) for c in cols}
+    numeric = df.select(*[proxies[c].alias(c) for c in cols])
     all_bounds = numeric.stat.approxQuantile(cols, probs, relative_error)
     bucket_exprs = []
     for c, bounds in zip(cols, all_bounds):
@@ -103,7 +123,7 @@ def zorder_layout(
         # it below every full-width dimension in the interleaved key
         # (degenerating the Z-curve into a single-column sort).
         nb = len(uniq) + 1
-        raw = _bucket_expr(c, uniq)
+        raw = _bucket_expr(proxies[c], uniq)
         bucket_exprs.append(
             F.floor((raw.cast("long") * F.lit(1 << bits)) / F.lit(nb)).cast("long")
         )

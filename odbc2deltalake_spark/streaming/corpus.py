@@ -90,14 +90,19 @@ def corpus_ingest_stream(
 ) -> DataFrame:
     """The streaming-safe prefix of the preparation flow:
 
-        quality gate → PII scrub → watermarked exact dedup
+        PII scrub → quality gate → watermarked exact dedup
+
+    (scrub BEFORE gate, matching batch `prepare_training_corpus` — the
+    gate counts tokens of the scrubbed text, so a doc whose only length
+    came from a multi-token phone number gates identically on both
+    paths and the emitted n_tokens column agrees.)
 
     On a streaming frame, dropDuplicates state is bounded by the
     event-time watermark on ``ts_col``; on a batch frame the identical
     code is a plain dedup. Column contract: (doc_id, text, ts_col, ...).
     """
-    out = quality_gate(docs, min_tokens)
-    out = scrub_pii(out)
+    out = scrub_pii(docs)
+    out = quality_gate(out, min_tokens)
     out = out.withColumn("__h", content_hash())
     if out.isStreaming:
         # dropDuplicatesWithinWatermark, not dropDuplicates: with the

@@ -331,13 +331,17 @@ def funnel_stream(
                     clicks.append(t)
                 elif et == "purchase":
                     purchases.append(t)
-        # recompute downstream candidates from the ordering constraints
-        if t1 != _NONE:
+        # recompute candidates from the ordering constraints — but NEVER
+        # a step already finalized: its buffer was cleared on emission,
+        # so recomputing from later arrivals would RAISE the gate (e.g. a
+        # post-finalization click would overwrite t2 and disqualify an
+        # earlier-but-valid purchase)
+        if t1 != _NONE and not mask & 2:
             elig = [c for c in clicks if c >= t1]
-            t2 = min(elig) if elig else (t2 if mask & 2 else _NONE)
-        if t2 != _NONE:
+            t2 = min(elig) if elig else _NONE
+        if t2 != _NONE and not mask & 4:
             elig = [p for p in purchases if p >= t2]
-            t3 = min(elig) if elig else (t3 if mask & 4 else _NONE)
+            t3 = min(elig) if elig else _NONE
         # emit newly-final steps (wm strictly past the candidate time)
         out_steps, out_ts = [], []
         for step, bit, t in ((1, 1, t1), (2, 2, t2), (3, 4, t3)):

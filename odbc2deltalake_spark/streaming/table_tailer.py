@@ -40,11 +40,17 @@ class TableTailer:
 
     def last_processed(self) -> int:
         """Version the consumer has fully processed; -1 before the first
-        batch (the next batch then starts at version 0)."""
-        try:
-            return int(json.loads(self.table.backend.read_text(self._ckpt))["version"])
-        except Exception:  # noqa: BLE001 — missing/corrupt -> start over
+        batch (the next batch then starts at version 0).
+
+        Only a genuinely ABSENT checkpoint means "start over" — a
+        transient read error or corrupt content must raise, not reset:
+        a silent -1 would replay the whole table into the consumer (and
+        then overwrite the checkpoint), exactly the full-history
+        double-apply the cursor exists to prevent."""
+        if not self.table.backend.exists(self._ckpt):
             return -1
+        text = self.table.backend.read_text(self._ckpt)
+        return int(json.loads(text)["version"])
 
     def _advance(self, version: int) -> None:
         self.table.backend.write_text_atomic(

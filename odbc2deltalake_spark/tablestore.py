@@ -398,10 +398,16 @@ class TableStore(ABC):
         spark: SparkSession,
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
+        skip_where: Optional[tuple[str, str, Any]] = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``.
         ``buckets`` is an optional file-pruning hint; stores without
-        bucket layout may ignore it (correctness never depends on it)."""
+        bucket layout may ignore it (correctness never depends on it).
+        ``skip_where=(col, op, value)`` is a pruning hint + residual
+        filter: implementations MUST at minimum apply the predicate
+        (results equal an unpruned filter) and MAY use recorded stats
+        to skip files — the engine passes it on every store, so it is
+        part of the interface contract, not an extension."""
 
     @abstractmethod
     def write(
@@ -411,7 +417,17 @@ class TableStore(ABC):
         merge_schema: bool = False,
         overwrite_schema: bool = False,
         partition_by: Optional[list[str]] = None,
-    ) -> int: ...
+        extra_commit_fields: Optional[dict[str, Any]] = None,
+        stats_cols: Optional[list[str]] = None,
+        per_file_stats: bool = False,
+        known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
+    ) -> int:
+        """Write one commit. The stats/commit-field parameters are
+        data-skipping and audit metadata hints: a store without its own
+        stats machinery MUST accept and may ignore them (Delta collects
+        native file stats, so its implementation treats them as no-ops);
+        ignoring ``skip_where``'s pruning half is always safe because
+        the read applies the residual predicate."""
 
     @abstractmethod
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int: ...
@@ -1005,10 +1021,14 @@ class VersionedParquetTable(TableStore):
         snapshot = self.read(spark)
         n = out_partitions
         if n is None:
-            total = self.backend.du(self._path())
+            # size from the LIVE dirs only — a whole-root du counts dead
+            # generations (pre-vacuum) and the commit log, inflating the
+            # output file count a little more with every compaction and
+            # recreating the small-files problem compact exists to fix
+            total = 0
+            for d in st["dirs"]:
+                total += self.backend.du(self._path(d["dir"])) or 0
             if total:
-                # live dirs only are what the snapshot reads, but du
-                # counts all dirs; cap at 4x to keep the estimate sane
                 n = max(1, min(total // max(1, target_file_bytes), 4096))
         if n is None:
             n = spark.sparkContext.defaultParallelism

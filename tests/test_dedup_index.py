@@ -118,3 +118,22 @@ def test_check_consistent_detects_partial_commit(spark, docs, tmp_path):
     # re-appending the batch's bands repairs the invariant
     idx.bands.write(band_df(extra), mode="append", partition_by=["band"])
     assert idx.check_consistent(spark)
+
+
+def test_documented_reappend_recovery_restores_consistency(spark, docs, tmp_path):
+    """The crash remedy the docstring prescribes (re-append the whole
+    batch) must leave check_consistent True — duplicate identical rows
+    are tolerated by the distinct-counted invariant."""
+    idx = DedupIndex(tmp_path / "r")
+    idx.build(docs)
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"), "text"
+    )
+    # crash after sigs, before bands
+    idx.sigs.write(signature_df(batch), mode="append")
+    assert not idx.check_consistent(spark)
+    # remedy: re-run the full append (duplicates both tables' rows)
+    sigs2 = signature_df(batch)
+    idx.sigs.write(sigs2, mode="append")
+    idx.bands.write(band_df(sigs2), mode="append", partition_by=["band"])
+    assert idx.check_consistent(spark)

@@ -109,7 +109,18 @@ def test_s3_anon():
 def test_parse_destination_routes_schemes():
     a = parse_destination("abfss://c@acct.dfs.core.windows.net/t/x", {"account_key": "k"})
     assert isinstance(a, AzureDestination)
-    assert a.container == "c" and a.account_name == "acct" and a.path == "t/x"
+    assert a.container == "c" and a.host == "acct.dfs.core.windows.net"
+    assert a.path == "t/x"
+    # sovereign-cloud host suffixes survive the round trip (regression:
+    # the account used to be truncated at the first dot and rebuilt
+    # against the public-cloud suffix)
+    gov = parse_destination(
+        "abfss://data@acct.dfs.core.usgovcloudapi.net/tbl", {"account_key": "k"}
+    )
+    assert gov.host == "acct.dfs.core.usgovcloudapi.net"
+    assert gov.uri() == "abfss://data@acct.dfs.core.usgovcloudapi.net/tbl"
+    assert any("acct.dfs.core.usgovcloudapi.net" in k for k in gov.spark_options())
+    assert not any("windows.net" in k for k in gov.spark_options())
     s = parse_destination("s3://b/t/x")
     assert isinstance(s, S3Destination) and s.bucket == "b"
     p = parse_destination("/tmp/local/table")

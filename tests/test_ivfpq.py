@@ -153,3 +153,32 @@ def test_append_matches_fresh_build(spark, corpus, tmp_path):
         for r in b.cells.read(spark).collect()
     }
     assert rows_a == rows_b
+
+
+def test_search_correct_with_large_centroid_ids(spark, corpus, tmp_path):
+    """Regression: LUT keys must be long-typed — centroid ids are seed
+    vec_ids, and cid * 2^20 overflows int32 for cid >= 2048. A corpus
+    whose lowest ids are 5,000,000+ must still rank correctly."""
+    import numpy as np
+
+    from odbc2deltalake_spark.operators.clustering import fit_kmeans_centroids
+
+    shifted = corpus.select(
+        (F.col("vec_id") + 5_000_000).alias("vec_id"), "v"
+    ).localCheckpoint(eager=True)
+    idx = IvfPqIndex(tmp_path / "big", DIM, M, K)
+    cent = fit_kmeans_centroids(shifted, NCENT, 2)
+    assert all(r["cid"] >= 5_000_000 for r in cent.collect())
+    idx.build(shifted, cent)
+
+    rows = sorted(shifted.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["v"] for r in rows])
+    q = X[0]
+    got = idx.search(spark, q, nprobe=NCENT, k=20).collect()
+    assert len(got) == 20
+    assert all(r["approx_dist"] is not None for r in got)
+    # probing ALL cells makes ADC == flat PQ: distances must be finite
+    # and ascending, and the query's own vector must rank first
+    dists = [r["approx_dist"] for r in got]
+    assert dists == sorted(dists)
+    assert got[0]["vec_id"] == 5_000_000

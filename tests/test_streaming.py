@@ -287,3 +287,80 @@ def test_funnel_batch_matches_registry_query(spark):
         r["step"]: r["n_users"] for r in ev_funnel(spark, sf).collect()
     }
     assert dict(counts) == registry_rows
+
+
+def test_funnel_stream_keeps_finalized_gate_across_batches(spark, tmp_path):
+    """Regression: a click arriving AFTER step 2 was finalized must not
+    raise the purchase gate — the purchase that satisfies the original
+    t2 still completes the funnel (matches the batch twin)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from odbc2deltalake_spark.streaming import funnel_steps_batch, funnel_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def ev(h, m, et):
+        return (1, datetime.datetime(2024, 1, 1, h, m), et)
+
+    batch1 = [ev(10, 0, "view"), ev(10, 5, "click"),
+              # a far-future other-user event pushes the watermark past
+              # 10:05 so steps 1+2 finalize in the first run
+              (2, datetime.datetime(2024, 1, 1, 14, 0), "view")]
+    # batch-2 events sit ABOVE the current watermark (13:59) so they
+    # reach the state function: the 14:30 click lands after step 2 was
+    # finalized and must NOT raise the gate; the 14:10 purchase
+    # satisfies the ORIGINAL t2=10:05 and must fire step 3
+    batch2 = [ev(14, 30, "click"), ev(14, 10, "purchase"),
+              (2, datetime.datetime(2024, 1, 1, 18, 0), "view")]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+
+    out = str(tmp_path / "out")
+
+    def run_once(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / fname)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            funnel_stream(stream, watermark_delay="1 minute")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once(batch1, "b1")
+    run_once(batch2, "b2")
+    got = {
+        (r["user_id"], r["step"], r["ts_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    us = lambda h, m: int(
+        datetime.datetime(2024, 1, 1, h, m, tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert (1, 1, us(10, 0)) in got
+    assert (1, 2, us(10, 5)) in got
+    assert (1, 3, us(14, 10)) in got, "purchase against the ORIGINAL t2 must fire"
+    # and the batch twin agrees on user 1's steps
+    all_rows = spark.createDataFrame(batch1 + batch2, schema)
+    batch_steps = {
+        (r["user_id"], r["step"], r["ts_us"])
+        for r in funnel_steps_batch(all_rows).collect()
+        if r["user_id"] == 1
+    }
+    assert {(u, s, t) for (u, s, t) in got if u == 1} == batch_steps

@@ -75,3 +75,17 @@ def test_tailer_rewrite_policy(spark, tmp_path):
     )
     assert snaps == [frozenset(range(100, 105))]
     assert tail.last_processed() == t.version()
+
+
+def test_corrupt_checkpoint_raises_instead_of_replaying(spark, tmp_path):
+    """A damaged cursor must fail loudly — a silent reset to -1 would
+    replay the entire table into the consumer."""
+    t = VersionedParquetTable(tmp_path / "t")
+    tail = TableTailer(t)
+    t.write(_load(spark, 0, 10), mode="append")
+    tail.process_available(spark, lambda df, a, b: df.count())
+    t.backend.write_text_atomic(tail._ckpt, "not json {")
+    with pytest.raises(Exception):
+        tail.last_processed()
+    with pytest.raises(Exception):
+        tail.process_available(spark, lambda df, a, b: None)

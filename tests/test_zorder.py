@@ -84,3 +84,29 @@ def test_zorder_handles_nulls_and_single_column(spark, tmp_path):
     assert out.count() == 1000
     # null rows preserved
     assert out.filter(F.col("k").isNull()).count() == 10
+
+
+def test_zorder_string_dimension_actually_clusters(spark, tmp_path):
+    """Regression: a string cluster column used to cast to all-NULL
+    doubles (every row bucket 0 — no clustering, no error). Strings now
+    hash to a numeric proxy, so per-file spans on the string column are
+    narrow and a point read prunes files."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("user"), (F.col("id") % 50).cast("string")).alias("uid"),
+        F.col("id").alias("seq"),
+    )
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(df, mode="append")
+    t.compact(spark, zorder_by=["uid", "seq"], out_partitions=8)
+    # per-file distinct-uid spans must be far below the 50-value corpus
+    files = (
+        t.read(spark)
+        .select("uid", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.countDistinct("uid").alias("nu"))
+        .collect()
+    )
+    assert len(files) >= 4
+    assert sum(r["nu"] for r in files) / len(files) < 30, [r["nu"] for r in files]
