@@ -242,3 +242,35 @@ def test_zorder_compact_records_tight_per_file_stats(spark, tmp_path):
     # range read stays exact
     rng = t.read(spark, skip_where=("k", ">=", 400))
     assert {r["k"] for r in rng.collect()} == set(range(400, 450))
+
+
+def test_interval_may_match_is_sound_property():
+    """Soundness of the pruning predicate (pure python, hypothesis):
+    whenever _interval_may_match returns False, NO value inside
+    [mn, mx] can satisfy `x <op> value` — a False negative here would
+    silently drop matching files."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nums = st.one_of(
+        st.integers(min_value=-10**6, max_value=10**6),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(a=nums, b=nums, v=nums, op=st.sampled_from([">", ">=", "<", "<=", "="]),
+           probe=st.floats(min_value=0.0, max_value=1.0))
+    def run(a, b, v, op, probe):
+        mn, mx = min(a, b), max(a, b)
+        if not VersionedParquetTable._interval_may_match(mn, mx, op, v):
+            # sample a point inside the interval; it must NOT satisfy op
+            x = mn + (mx - mn) * probe
+            sat = {
+                ">": x > v, ">=": x >= v, "<": x < v, "<=": x <= v, "=": x == v,
+            }[op]
+            assert not sat, (mn, mx, op, v, x)
+        # and None stats never skip
+        assert VersionedParquetTable._interval_may_match(None, mx, op, v)
+        assert VersionedParquetTable._interval_may_match(mn, None, op, v)
+
+    run()
