@@ -452,3 +452,147 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("fused_raw", 4).alias("fused_score"),
         )
     )
+
+
+# ------------------------------------------- reciprocal-rank fusion ----
+# The other standard retrieval-fusion rule (Cormack et al., SIGIR'09):
+# instead of normalizing incommensurable scores, each ranker contributes
+# 1/(K + rank) for the documents in its top-N, and missing documents
+# contribute 0. Score-free fusion is what production RAG stacks default
+# to because it needs no per-query score calibration.
+
+_RRF_K = 60
+_RRF_CAND = 50  # per-ranker candidate depth N
+
+_RRF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+lex AS (
+  -- rank on the ROUNDED score: the per-doc float sum is
+  -- addition-order-dependent across engines, and ranks amplify
+  -- last-ulp differences into off-by-one rank flips at ties
+  SELECT tf.doc_id, round(sum(tf.tf * ln(n * 1.0 / df.df)), 6) AS lex_score
+  FROM tf JOIN df USING (w) CROSS JOIN nd
+  WHERE tf.w IN ({", ".join(f"'{t}'" for t in _HYBRID_QUERY_TERMS)})
+  GROUP BY tf.doc_id
+),
+lex_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lex_score DESC, doc_id) AS r
+  FROM lex
+  ORDER BY lex_score DESC, doc_id LIMIT {_RRF_CAND}
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_HYBRID_QUERY_VEC}
+),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+),
+sem_rank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+  FROM sem
+  ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_CAND}
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.r AS BIGINT) AS lex_rank,
+       CAST(s.r AS BIGINT) AS sem_rank,
+       round(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+             + COALESCE(1.0 / ({_RRF_K} + s.r), 0), 6) AS rrf_score
+FROM lex_rank l FULL OUTER JOIN sem_rank s USING (doc_id)
+ORDER BY COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+           + COALESCE(1.0 / ({_RRF_K} + s.r), 0) DESC,
+         doc_id
+LIMIT {_HYBRID_TOPK}
+"""
+
+
+@register("hybrid_search_rrf", _RRF_ORACLE, tags=("text", "similarity"),
+          priority=100)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion top-k: lexical and semantic rankers each
+    produce a top-N candidate list via TakeOrdered (sort+limit — Spark
+    plans this as a per-partition top-N plus a single N-row reduction,
+    never a global sort), ranks are assigned by a window over the
+    ALREADY-TRUNCATED N-row candidate table (bounded input, so the
+    unpartitioned window is a constant-size reduction, not a corpus
+    funnel), and the two lists fuse with a full outer join on doc_id —
+    2N rows at most, independent of corpus size. This is the shape that
+    survives 100 TB: the only corpus-wide work is the two embarrassingly
+    parallel scoring scans; everything after the per-ranker limit is
+    O(N)."""
+    from pyspark.sql import Window as W
+
+    from odbc2deltalake_spark.queries.similarity_ops import _dot, _norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    lex = (
+        tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .join(F.broadcast(dfq), "w")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))),
+                6,
+            ).alias("lex_score")
+        )
+    )
+    lex_top = lex.orderBy(F.col("lex_score").desc(), "doc_id").limit(_RRF_CAND)
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("lex_score").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), dbl.alias("v"))
+    q = vecs.filter(F.col("doc_id") == _HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    sem = vecs.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.round(cos, 6).alias("cos_sim")
+    )
+    sem_top = sem.orderBy(F.col("cos_sim").desc(), "doc_id").limit(_RRF_CAND)
+    sem_rank = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+
+    contrib = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0))
+    return (
+        lex_rank.join(sem_rank, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "sem_rank", contrib.alias("rrf_raw"))
+        .orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(_HYBRID_TOPK)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf_raw", 6).alias("rrf_score"),
+        )
+    )
