@@ -509,3 +509,137 @@ def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c").alias("n_words"),
         F.md5(F.concat_ws(" ", "c")).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------- DSIR importance sampling ----
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023),
+# in its hashed/unigram form: score every raw document by how much more
+# likely its bag of words is under a TARGET domain's unigram LM than
+# under the raw corpus's, then resample with Gumbel top-k so selection
+# is a weighted sample without replacement, not a hard threshold.
+# The target domain here is the English slice of the corpus (the
+# "high-quality domain" stand-in the fixtures afford).
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 100  # docs kept
+_DSIR_SCALE = 100_000_000  # lambda fixed-point: 8 decimal digits
+
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w,
+         count(*) AS r,
+         count(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS t
+  FROM toks GROUP BY w
+),
+tot AS (
+  SELECT sum(r) AS bigr, sum(t) AS bigt, count(*) AS v FROM vocab
+),
+lam AS (
+  -- fixed-point per-word log-ratio: rounding to 8 decimals and summing
+  -- as BIGINT makes the per-doc score EXACT and addition-order-free,
+  -- so both engines rank identical keys (float sums are order-dependent)
+  SELECT w,
+         CAST(round((ln((t + 1) * 1.0 / (bigt + v))
+                     - ln((r + 1) * 1.0 / (bigr + v))) * {_DSIR_SCALE})
+              AS BIGINT) AS lam_fp
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT toks.doc_id, min(toks.lang) AS lang,
+         sum(lam.lam_fp) AS logw_fp
+  FROM toks JOIN lam USING (w)
+  GROUP BY toks.doc_id
+),
+keyed AS (
+  SELECT doc_id, lang,
+         logw_fp / {_DSIR_SCALE}.0 AS log_importance,
+         -- Gumbel trick: key = logw + g, g = -ln(-ln(u)); top-k by key
+         -- == weighted sample without replacement. u is the same
+         -- md5-derived uniform as the other samplers, shifted off 0/1.
+         round(logw_fp / {_DSIR_SCALE}.0
+               - ln(-ln((({_DOC_HASH_SQL}) + 0.5) / {_HASH_MOD})), 6)
+           AS gumbel_key
+  FROM scored
+)
+SELECT doc_id, lang, round(log_importance, 4) AS log_importance,
+       CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT)
+         AS pick_order
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@register("corpus_dsir_sample", _DSIR_ORACLE, tags=("corpus",), priority=100)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward a target domain.
+
+    Plan shape (all linear, two shuffles + a top-k):
+    1. One conditional-aggregate shuffle on the word builds BOTH unigram
+       LMs at once (raw count + target-filtered count per word) —
+       not two passes.
+    2. Totals reduce to a one-row broadcast; per-word log-ratios λ_w are
+       computed in the same Zipf-bounded broadcast vocab used by
+       text_unigram_logprob, FIXED-POINT at 8 decimals so the per-doc
+       score is an exact BIGINT sum — order-independent, engine-exact
+       (a float Σλ would be addition-order-dependent and flip Gumbel
+       ranks at ties).
+    3. Per-doc score = one groupBy(doc_id) sum over the token stream
+       joined to the broadcast λ table.
+    4. Gumbel top-k: key = logw + (-ln(-ln(u))) with u the deterministic
+       md5 uniform — a weighted sample WITHOUT replacement expressed as
+       TakeOrdered(K), no global sort, no RNG state.
+
+    At 100 TB: the token stream dominates; both its shuffles key on
+    uniformly-distributed values (word, doc_id) and the selection is a
+    per-partition top-K reduction. The λ table is the only broadcast and
+    grows ~log(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count_if(F.col("lang") == _DSIR_TARGET_LANG).alias("t"),
+    )
+    tot = vocab.agg(
+        F.sum("r").alias("bigr"), F.sum("t").alias("bigt"), F.count(F.lit(1)).alias("v")
+    )
+    lam_expr = (
+        F.log((F.col("t") + 1) * F.lit(1.0) / (F.col("bigt") + F.col("v")))
+        - F.log((F.col("r") + 1) * F.lit(1.0) / (F.col("bigr") + F.col("v")))
+    )
+    lam = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select("w", F.round(lam_expr * _DSIR_SCALE).cast("long").alias("lam_fp"))
+    )
+    scored = (
+        toks.join(F.broadcast(lam), "w")
+        .groupBy("doc_id")
+        .agg(F.min("lang").alias("lang"), F.sum("lam_fp").alias("logw_fp"))
+    )
+    u = (_doc_hash_spark() + F.lit(0.5)) / F.lit(_HASH_MOD)
+    log_importance = F.col("logw_fp") / F.lit(float(_DSIR_SCALE))
+    keyed = scored.select(
+        "doc_id",
+        "lang",
+        log_importance.alias("log_importance"),
+        F.round(log_importance - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    top = keyed.orderBy(F.col("gumbel_key").desc(), "doc_id").limit(_DSIR_K)
+    return top.select(
+        "doc_id",
+        "lang",
+        F.round("log_importance", 4).alias("log_importance"),
+        F.row_number()
+        .over(W.orderBy(F.col("gumbel_key").desc(), "doc_id"))
+        .cast("long")
+        .alias("pick_order"),
+    )
