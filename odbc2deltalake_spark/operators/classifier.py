@@ -1,0 +1,205 @@
+"""Distributed trained quality/domain classifier: logistic regression
+over hashing-trick bag-of-words features, fit by full-batch gradient
+descent expressed entirely in DataFrame operations.
+
+This is the fasttext-style linear classifier stage of a training-data
+pipeline (quality filtering à la CCNet/GPT-3's LR filter, language/domain
+routing) — but TRAINED inside the engine rather than imported, the same
+way `operators/clustering.py` fits k-means and `operators/bpe.py` fits a
+tokenizer: deterministic (no RNG — zero init, full batch, fixed feature
+hashing), so the fit is reproducible and pinned against an independent
+numpy reference in tests/test_classifier.py.
+
+Scale shape (N docs, D hash buckets, T steps; D is a constant ~64-4096):
+- featurization is ONE token-stream shuffle on (doc_id, bucket) plus the
+  per-doc collect — done once, cached; each doc carries a sparse
+  array<struct<b,c>> with dense length/alpha features and a bias term
+  appended at indices D..D+2.
+- margins are a PURE MAP per step: the weight vector is a D+3-element
+  array LITERAL (broadcast by the plan, not a join); per-doc dot product
+  via F.aggregate over the sparse features — zero shuffle, the corpus
+  never moves.
+- the gradient is one explode + groupBy(bucket) per step: map-side
+  partial aggregation collapses every partition to <= D+1 rows, so the
+  per-step exchange volume is partitions x D regardless of corpus size.
+- the driver holds only the D+1 weight vector between steps — never the
+  corpus, never per-doc state.
+
+The reference engine has no ML surface; this extends the engine's
+trained-operator family (SURVEY.md §2-extensions) alongside
+fit_kmeans_centroids / fit_pq_codebooks / fit_bpe_merges.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def featurize(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, text, label) -> (doc_id, label, feats).
+
+    The feature vector mixes the two families every production quality
+    classifier uses (fasttext-style lexical + CCNet-style engineered):
+
+    - buckets 0..D-1: relative term frequencies hashed via crc32
+      (portable: zlib.crc32 in the numpy reference computes the same
+      values on UTF-8 bytes);
+    - bucket D: log(1 + n_tokens) - 4 — the length signal, centered so
+      it is not collinear with the bias (uncentered it conditions the
+      GD so badly the fit stalls at the majority class), which pure
+      relative frequencies are blind to by construction;
+    - bucket D+1: alphabetic-character ratio — the boilerplate/noise
+      signal;
+    - bucket D+2: constant bias, so the bias gradient rides the same
+      groupBy as every other weight.
+
+    ``feats`` is array<struct<b int, c double>>, sorted by bucket for
+    deterministic iteration order."""
+    # dense scalars are computed BEFORE the explode so the two token
+    # shuffles carry 8-byte doubles, never the document text
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    base = docs.select(
+        "doc_id",
+        "label",
+        (n_alpha * F.lit(1.0) / F.length("text")).alias("alpha_ratio"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    toks = base.select(
+        "doc_id", "label", "alpha_ratio", F.explode("ws").alias("w")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "label",
+        "alpha_ratio",
+        (F.crc32(F.col("w").cast("binary")) % n_buckets).cast("int").alias("b"),
+    )
+    counts = bucketed.groupBy("doc_id", "label", "alpha_ratio", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "label", "alpha_ratio").agg(
+        F.sum("c").alias("n_tok"),
+        F.collect_list(F.struct("b", "c")).alias("raw"),
+    )
+    rel = F.transform(
+        F.array_sort(F.col("raw")),
+        lambda s: F.struct(
+            s["b"].alias("b"), (s["c"] / F.col("n_tok")).cast("double").alias("c")
+        ),
+    )
+    dense = F.array(
+        F.struct(
+            F.lit(n_buckets).cast("int").alias("b"),
+            (F.log(F.lit(1.0) + F.col("n_tok")) - F.lit(4.0)).alias("c"),
+        ),
+        F.struct(
+            F.lit(n_buckets + 1).cast("int").alias("b"),
+            F.col("alpha_ratio").alias("c"),
+        ),
+        F.struct(
+            F.lit(n_buckets + 2).cast("int").alias("b"), F.lit(1.0).alias("c")
+        ),
+    )
+    return per_doc.select(
+        "doc_id", "label", F.concat(rel, dense).alias("feats")
+    )
+
+
+def _margin(weights: list[float]):
+    """Sparse dot product of `feats` with a weight-vector LITERAL —
+    evaluated map-side inside codegen; no join, no shuffle."""
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.col("feats"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c"] * F.element_at(wlit, s["b"] + 1),
+    )
+
+
+def fit_logreg(
+    features: DataFrame, n_buckets: int, steps: int = 20, lr: float = 2.0
+) -> list[float]:
+    """Full-batch GD on the logistic loss; returns D+3 weights (bias
+    last). Deterministic: zero init, fixed step count (each step is one
+    corpus pass; convergence-testing would add a loss job per step for
+    no test benefit — callers can inspect the loss via `predict`).
+
+    ``features`` should be cached by the caller — every step scans it
+    twice (margin map + gradient shuffle share one scan via the exploded
+    residual plan)."""
+    n = features.count()
+    w = [0.0] * (n_buckets + 3)  # D hashed + log-len + alpha + bias
+    for _ in range(steps):
+        resid = features.select(
+            "feats",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+                - F.col("label").cast("double")
+            ).alias("r"),
+        )
+        grad_rows = (
+            resid.select(F.explode("feats").alias("s"), "r")
+            .groupBy(F.col("s.b").alias("b"))
+            .agg(F.sum(F.col("s.c") * F.col("r")).alias("g"))
+            .collect()
+        )
+        for row in grad_rows:
+            w[row["b"]] -= lr * row["g"] / n
+    return w
+
+
+def predict(features: DataFrame, weights: list[float]) -> DataFrame:
+    """(doc_id, label, feats) -> (doc_id, label, prob, pred) — a pure
+    map over the cached feature table."""
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights)))
+    return features.select(
+        "doc_id",
+        "label",
+        prob.alias("prob"),
+        (prob >= 0.5).cast("int").alias("pred"),
+    )
+
+
+def reference_fit(
+    docs: list[tuple[int, str, int]], n_buckets: int, steps: int = 20, lr: float = 2.0
+):
+    """Independent pure-Python/numpy reference for the tests: same
+    featurization (zlib.crc32 == Spark's F.crc32 on UTF-8 bytes; regex
+    split on \\s+ to mirror F.split), same GD — no Spark. Returns
+    (weights, {doc_id: prob})."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    feats = []
+    for doc_id, text, label in docs:
+        words = re.split(r"\s+", text.strip())
+        counts: dict[int, int] = {}
+        for word in words:
+            b = zlib.crc32(word.encode("utf-8")) % n_buckets
+            counts[b] = counts.get(b, 0) + 1
+        n_tok = sum(counts.values())
+        x = {b: c / n_tok for b, c in counts.items()}
+        n_alpha = len(re.sub("[^a-zA-Z]", "", text))
+        x[n_buckets] = math.log(1.0 + n_tok) - 4.0
+        x[n_buckets + 1] = n_alpha / len(text)
+        x[n_buckets + 2] = 1.0
+        feats.append((doc_id, x, label))
+    w = np.zeros(n_buckets + 3)
+    n = len(feats)
+    for _ in range(steps):
+        g = np.zeros(n_buckets + 3)
+        for _, x, y in feats:
+            m = sum(c * w[b] for b, c in x.items())
+            r = 1.0 / (1.0 + math.exp(-m)) - y
+            for b, c in x.items():
+                g[b] += c * r
+        w -= lr * g / n
+    probs = {}
+    for doc_id, x, _ in feats:
+        m = sum(c * w[b] for b, c in x.items())
+        probs[doc_id] = 1.0 / (1.0 + math.exp(-m))
+    return w, probs

@@ -129,3 +129,60 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ext = vectors.unionByName(clones)
     return semantic_dedup(ext, _K, threshold=0.97, iterations=2)
+
+
+# ------------------------------------------- trained quality classifier ----
+
+_CLF_BUCKETS = 64
+_CLF_STEPS = 30
+_CLF_LR = 2.0
+_CLF_MIN_CHARS = 400
+
+
+@register("text_quality_classifier", None, tags=("text", "classifier"),
+          priority=100)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear classifier trained IN the engine: logistic
+    regression over crc32 hashing-trick bag-of-words features, fit by
+    full-batch gradient descent (operators/classifier.py), distilling the
+    corpus's length-quality gate (n_chars >= 400, ~the P70 of the
+    fixture corpus — the balanced variant of text_quality_score's
+    C4-style heuristic) into a learned model: the heuristic labels the
+    training set, the classifier learns to reproduce it from hashed
+    bag-of-words + dense length/alpha features — the CCNet bootstrap.
+    Rows-only entry (iterative — not SQL-expressible); the fit is pinned
+    against an independent numpy reference in tests/test_classifier.py.
+
+    Per step: margins are a zero-shuffle map (weights enter the plan as
+    a D+1 array literal), the gradient is one explode + groupBy(bucket)
+    whose map-side combine collapses each partition to <= D+1 rows. The
+    driver holds only the weight vector."""
+    from odbc2deltalake_spark.operators.classifier import (
+        featurize,
+        fit_logreg,
+        predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.length("text") >= _CLF_MIN_CHARS).cast("int").alias("label"),
+    )
+    # localCheckpoint (the repo's iterative-query pattern, cf. emb_kmeans/
+    # dedup_cluster): materializes the feature table once and cuts
+    # lineage, so the 15 training passes and the returned prediction plan
+    # all read the checkpointed blocks instead of re-tokenizing
+    features = featurize(labeled, _CLF_BUCKETS).localCheckpoint(eager=True)
+    weights = fit_logreg(features, _CLF_BUCKETS, steps=_CLF_STEPS, lr=_CLF_LR)
+    return (
+        predict(features, weights)
+        .select(
+            "doc_id",
+            F.col("label").cast("long").alias("label"),
+            F.round("prob", 4).alias("prob"),
+            F.col("pred").cast("long").alias("pred"),
+            (F.col("pred") == F.col("label")).cast("long").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,90 @@
+"""Distributed logistic regression (operators/classifier.py) pinned
+against an independent pure-Python/numpy reference: identical
+featurization (zlib.crc32 == F.crc32 on UTF-8 bytes), identical
+full-batch GD trajectory, and the classifier must actually learn the
+en/non-en separation on the fixture corpus."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from odbc2deltalake_spark.operators.classifier import (  # noqa: E402
+    featurize,
+    fit_logreg,
+    predict,
+    reference_fit,
+)
+from odbc2deltalake_spark.queries.registry import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+D = 64
+STEPS = 30
+LR = 2.0
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.length("text") >= 400).cast("int").alias("label")
+    )
+    features = featurize(labeled, D).localCheckpoint(eager=True)
+    weights = fit_logreg(features, D, steps=STEPS, lr=LR)
+    raw = [
+        (r["doc_id"], r["text"], r["label"])
+        for r in labeled.collect()
+    ]
+    ref_w, ref_probs = reference_fit(raw, D, steps=STEPS, lr=LR)
+    return features, weights, ref_w, ref_probs
+
+
+def test_weights_match_numpy_reference(fixture):
+    _, weights, ref_w, _ = fixture
+    assert len(weights) == D + 3
+    for got, want in zip(weights, ref_w):
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_probabilities_match_reference(fixture):
+    features, weights, _, ref_probs = fixture
+    rows = predict(features, weights).collect()
+    assert len(rows) == len(ref_probs)
+    for r in rows:
+        assert r["prob"] == pytest.approx(ref_probs[r["doc_id"]], abs=1e-9)
+
+
+def test_classifier_learns_the_label(fixture):
+    features, weights, _, _ = fixture
+    rows = predict(features, weights).collect()
+    acc = sum(int(r["pred"] == r["label"]) for r in rows) / len(rows)
+    # majority class (short docs) is ~68% at sf0.001 — the fit must
+    # decisively beat it (reference sweep: 0.986 at these hyperparams)
+    assert acc > 0.9, f"accuracy {acc:.3f}: classifier failed to learn"
+
+
+def test_fit_is_deterministic(fixture):
+    features, weights, _, _ = fixture
+    again = fit_logreg(features, D, steps=STEPS, lr=LR)
+    assert weights == again
+
+
+def test_featurize_is_sparse_and_biased(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a", 1), (2, "c", 0)], ["doc_id", "text", "label"]
+    )
+    rows = {r["doc_id"]: r for r in featurize(docs, D).collect()}
+    f1 = rows[1]["feats"]
+    # dense tail: length (centered log), alpha ratio, then the bias
+    assert [s["b"] for s in f1[-3:]] == [D, D + 1, D + 2]
+    assert f1[-1]["c"] == 1.0
+    assert f1[-2]["c"] == pytest.approx(3 / 5)  # "a b a": 3 alpha / 5 chars
+    # relative frequencies sum to 1 over the hashed features
+    assert sum(s["c"] for s in f1[:-3]) == pytest.approx(1.0)
