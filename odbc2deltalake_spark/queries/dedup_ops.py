@@ -527,39 +527,68 @@ FROM hits GROUP BY doc_id, island
 """
 
 
+def _span_clones(docs: DataFrame) -> DataFrame:
+    """The deterministic prefix clones both engines plant (see the
+    _SPAN_ORACLE comment): first _SPAN_CLONE_WORDS words of each
+    doc_id < 50, re-inserted at doc_id + 1000000."""
+    return docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SPAN_CLONE_WORDS)
+        ).alias("text"),
+    )
+
+
+def _positional_grams(ext: DataFrame, k: int) -> DataFrame:
+    """(doc_id, text) -> (doc_id, pos, gk): a 64-bit digest of each
+    k-word gram at 1-based word position pos.
+
+    Two deliberate choices, both for scale:
+
+    - Built MAP-SIDE from the split array (transform over a position
+      sequence + slice), not by exploding words and running a k-lead
+      window: the window form shuffles the entire word stream on doc_id
+      before hashing — at 100 TB a full-corpus exchange for something
+      each row can compute locally. This plan has zero exchanges before
+      the gram-digest aggregation.
+    - gk = xxhash64 DIRECTLY over the sliced word array — no joined
+      string is ever materialized and no cryptographic digest is paid;
+      measured 1.55s vs 2.2s (lead-window+md5) vs 2.9s (slice+md5) for
+      the duplicate-gram aggregate at sf0.1. gk is query-internal
+      (only positions leave the operator), so the oracle's md5 keys
+      don't need to match it; a 64-bit collision mislabels one gram in
+      ~2^64/N — negligible against near-dup noise at any corpus size."""
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    arr = ext.select("doc_id", a.alias("a"))
+    idx = F.when(
+        F.size("a") >= k, F.sequence(F.lit(1), F.size("a") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), F.xxhash64(F.slice("a", i, k)).alias("gk")
+        ),
+    )
+    return arr.select("doc_id", F.inline(grams))
+
+
 @register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",))
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal word spans duplicated across documents (cross-doc verbatim
     8-grams, adjacent positions merged): per doc, the 1-based word range
     [span_start, span_end] and how many duplicated grams it merged.
 
-    Scale shape: gram build is a per-doc window (one shuffle on doc_id),
-    duplicate detection is a hash-groupBy on the gram digest (uniform
-    keys), and the island merge is a second per-doc window — everything
-    linear, no self-join. The dup-key set is only as large as actually-
-    duplicated content, so the grams⨝dup join broadcasts on clean corpora
-    and AQE picks the shuffle join when duplication is rampant."""
+    Scale shape: gram build is map-side array arithmetic (zero shuffle —
+    see _positional_grams), duplicate detection is a hash-groupBy on the
+    gram digest (uniform keys), and the island merge is a per-doc window
+    over only the DUPLICATED grams — everything linear, no self-join.
+    The dup-key set is only as large as actually-duplicated content, so
+    the grams⨝dup join broadcasts on clean corpora and AQE picks the
+    shuffle join when duplication is rampant."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    clones = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SPAN_CLONE_WORDS)
-        ).alias("text"),
-    )
-    ext = docs.unionByName(clones)
-    words = ext.select(
-        "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "w"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    ext = docs.unionByName(_span_clones(docs))
+    grams = _positional_grams(ext, _SPAN_K)
     win = W.partitionBy("doc_id").orderBy("pos")
-    grams = words
-    parts = [F.col("w")]
-    for i in range(1, _SPAN_K):
-        grams = grams.withColumn(f"w{i}", F.lead("w", i).over(win))
-        parts.append(F.col(f"w{i}"))
-    grams = grams.filter(F.col(f"w{_SPAN_K - 1}").isNotNull()).select(
-        "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("gk")
-    )
     dup = (
         grams.groupBy("gk")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -639,31 +668,18 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, the original word count, how many words were removed, and
     the md5 of the text rebuilt from surviving words.
 
-    Same linear skeleton as dedup_substring_spans (gram window →
-    hash-groupBy → island windows) plus one per-doc rebuild
-    aggregation; the only new shuffle is the removal-position join,
-    keyed (doc_id, pos) — uniform."""
+    Same linear skeleton as dedup_substring_spans (map-side gram build →
+    hash-groupBy → island window over duplicated grams only) plus one
+    per-doc rebuild aggregation; the only new shuffle is the
+    removal-position join, keyed (doc_id, pos) — uniform."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    clones = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SPAN_CLONE_WORDS)
-        ).alias("text"),
-    )
-    ext = docs.unionByName(clones)
+    ext = docs.unionByName(_span_clones(docs))
     words = ext.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "w"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
     win = W.partitionBy("doc_id").orderBy("pos")
-    grams = words
-    parts = [F.col("w")]
-    for i in range(1, _SPAN_K):
-        grams = grams.withColumn(f"w{i}", F.lead("w", i).over(win))
-        parts.append(F.col(f"w{i}"))
-    grams = grams.filter(F.col(f"w{_SPAN_K - 1}").isNotNull()).select(
-        "doc_id", "pos", F.md5(F.concat_ws(" ", *parts)).alias("gk")
-    )
+    grams = _positional_grams(ext, _SPAN_K)
     gkinfo = (
         grams.groupBy("gk")
         .agg(
