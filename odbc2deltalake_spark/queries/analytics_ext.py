@@ -136,7 +136,10 @@ GROUP BY 1
 """
 
 
-@register("q8_market_share", _Q8_ORACLE, tags=("bench", "join", "agg"))
+# r5 rotation: driver-green since r1 but shape-redundant next to q5/q10;
+# overflow keeps it oracle-gated in pytest while freeing a window slot
+@register("q8_market_share", _Q8_ORACLE, tags=("bench", "join", "agg"),
+          priority=100)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: conditional aggregation (share = CASE-sum / sum) over a
     6-way star join — every dimension broadcast, single fact shuffle."""

@@ -575,7 +575,7 @@ LIMIT {_DSIR_K}
 """
 
 
-@register("corpus_dsir_sample", _DSIR_ORACLE, tags=("corpus",), priority=100)
+@register("corpus_dsir_sample", _DSIR_ORACLE, tags=("corpus",))
 def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward a target domain.
 

@@ -23,7 +23,9 @@ FROM documents
 """
 
 
-@register("text_token_count", _TOKENS_ORACLE, tags=("text",))
+# r5 rotation: subsumed by text_quality_score's n_tokens/n_chars outputs;
+# overflow keeps the oracle gate in pytest while freeing a window slot
+@register("text_token_count", _TOKENS_ORACLE, tags=("text",), priority=100)
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting — the cheap-token-estimate stage of a
     data pipeline. Pure codegen (split+size), no shuffle."""
@@ -516,8 +518,7 @@ LIMIT {_HYBRID_TOPK}
 """
 
 
-@register("hybrid_search_rrf", _RRF_ORACLE, tags=("text", "similarity"),
-          priority=100)
+@register("hybrid_search_rrf", _RRF_ORACLE, tags=("text", "similarity"))
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank-fusion top-k: lexical and semantic rankers each
     produce a top-N candidate list via TakeOrdered (sort+limit — Spark

@@ -45,7 +45,9 @@ def test_core_set_fits_driver_cap():
                  "ev_range_join", "text_pii_scrub", "mm_resize", "sim_ann_ivf",
                  # r5 rotation: the second-wave LLM-pipeline shapes
                  "dedup_substring_spans", "text_unigram_logprob",
-                 "ev_funnel", "ev_retention"):
+                 "ev_funnel", "ev_retention",
+                 # r5 in-round rotation: retrieval fusion + DSIR
+                 "hybrid_search_rrf", "corpus_dsir_sample"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -55,7 +57,11 @@ def test_core_set_fits_driver_cap():
                  # r5 rotation out (driver-green in r4; redundant join/agg
                  # shapes next to q5/q8/q18 — still oracle-gated here)
                  "q7_volume_shipping", "q9_product_profit",
-                 "q13_customer_distribution", "q17_small_quantity"):
+                 "q13_customer_distribution", "q17_small_quantity",
+                 # r5 in-round rotation out (both driver-green in r1-r4;
+                 # q8 redundant next to q5/q10, token_count subsumed by
+                 # text_quality_score)
+                 "q8_market_share", "text_token_count"):
         assert name in overflow_names
 
 
