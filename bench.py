@@ -70,6 +70,10 @@ EXTRAS = [
     "emb_kmeans",
     "dedup_substring_strip",
     "hybrid_search",
+    # r5 third wave: retrieval fusion, DSIR, and the trained classifier
+    "hybrid_search_rrf",
+    "corpus_dsir_sample",
+    "text_quality_classifier",
 ]
 
 

@@ -129,6 +129,10 @@ AUDIT = [
     "hybrid_search",
     "q_stat_aggregates",
     "ev_value_ranks",
+    # in-round r5 additions: rank fusion and DSIR (text_quality_classifier
+    # excluded: iterative, like dedup_cluster/emb_kmeans)
+    "hybrid_search_rrf",
+    "corpus_dsir_sample",
 ]
 
 
