@@ -597,3 +597,88 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf_raw", 6).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------- BM25 search ----
+# The third member of the retrieval-scoring family (TF-IDF above, RRF
+# fusion below it): Okapi BM25, the default lexical ranker of every
+# search engine a RAG stack talks to. Saturating tf (k1) and length
+# normalization (b) are what distinguish it from the raw TF-IDF score.
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n, avg(dl) AS avgdl
+       FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+         ) AS bm25
+  FROM tf
+  JOIN df USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN nd
+  WHERE tf.w IN ({", ".join(f"'{t}'" for t in _HYBRID_QUERY_TERMS)})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(bm25, 4) AS bm25_score
+FROM scored
+ORDER BY round(bm25, 6) DESC, doc_id
+LIMIT {_HYBRID_TOPK}
+"""
+
+
+@register("bm25_search", _BM25_ORACLE, tags=("text", "similarity"),
+          priority=100)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a term query. Same scale skeleton as
+    hybrid_search's lexical arm: the token stream is pruned to query
+    terms BEFORE the per-doc aggregation, document frequencies and the
+    (n, avgdl) scalars ride along as broadcasts (Zipf-bounded vocab /
+    one row), per-doc lengths join on doc_id (uniform), and the final
+    ranking is a TakeOrdered — the only corpus-wide work is the token
+    scan. Ties rank on the 6-decimal rounded score (per-doc float sums
+    are addition-order-dependent across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    nd = dl.agg(
+        F.countDistinct("doc_id").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B)
+        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.round("bm25", 6).desc(), "doc_id")
+        .limit(_HYBRID_TOPK)
+        .select("doc_id", F.round("bm25", 4).alias("bm25_score"))
+    )
