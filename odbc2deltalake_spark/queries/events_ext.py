@@ -648,3 +648,59 @@ def ev_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+# -------------------------------------------------- volume anomaly scan ----
+# Ingest monitoring: flag (event_type, day) cells whose daily volume
+# deviates from that type's own daily distribution — the data-quality
+# check a pipeline runs after every load to catch broken producers
+# (silent drops) and runaway duplication (spikes) before training data
+# is built on the batch.
+
+_ANOMALY_Z = 1.5  # |z| above this flags the day
+
+_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sigma
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.cnt,
+       round((d.cnt - s.mu) / s.sigma, 4) AS zscore
+FROM daily d JOIN stats s USING (event_type)
+WHERE abs((d.cnt - s.mu) / s.sigma) > {_ANOMALY_Z}
+"""
+
+
+@register("ev_volume_anomaly", _ANOMALY_ORACLE, tags=("events", "quality"),
+          priority=100)
+def ev_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume z-score anomalies per event type.
+
+    Scale shape: the corpus-wide work is ONE aggregation to the
+    (type, day) rollup — output-sized (|types| x |days|), tiny at any
+    corpus scale. Per-type mean/stddev aggregate that rollup again and
+    join back as a BROADCAST (|types| rows), so no window over an
+    unpartitioned frame and no second pass over raw events. At 100 TB
+    the plan is: one shuffle keyed (type, day), then control-plane-sized
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > _ANOMALY_Z)
+        .select(
+            "event_type", "day", "cnt", F.round(z, 4).alias("zscore")
+        )
+    )
