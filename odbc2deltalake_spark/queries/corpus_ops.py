@@ -643,3 +643,84 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pick_order"),
     )
+
+
+# ------------------------------------------- leakage-safe train/val split ----
+# A hash split applied per-DOCUMENT leaks: near-duplicate pairs straddle
+# the boundary and the validation loss silently measures memorization.
+# The leakage-safe form splits per near-dup COMPONENT — every doc in a
+# cluster follows its canonical id's hash, so duplicates can never land
+# on opposite sides. Composes the MinHash-LSH + connected-components
+# pipeline (dedup_cluster) with the deterministic md5 splitter.
+
+_SPLIT_VAL_PCT = 10
+
+
+def _canonical_hash_sql(col: str) -> str:
+    return f"('0x' || substr(md5({col}::VARCHAR), 1, 12))::BIGINT % {_HASH_MOD}"
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{minhash}}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS canonical_id FROM walk GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       CASE WHEN {_canonical_hash_sql("coalesce(c.canonical_id, d.doc_id)")}
+                 < {_SPLIT_VAL_PCT * _HASH_MOD // 100}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+def _leakage_split_oracle() -> str:
+    from odbc2deltalake_spark.queries.dedup_ops import _MINHASH_ORACLE
+
+    return _LEAKAGE_SPLIT_ORACLE.format(minhash=_MINHASH_ORACLE)
+
+
+@register("corpus_leakage_safe_split", None, tags=("corpus", "dedup"),
+          priority=100)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates: each doc
+    follows its near-dup component's CANONICAL id through the same
+    deterministic md5 splitter the plain hash sample uses, so a cluster
+    is atomic — all-train or all-val.
+
+    Cost = the dedup_cluster pipeline (linear LSH banding + shallow
+    label propagation) plus one left join of the docs table against the
+    (small) clustered-docs frame and a map-side hash predicate. The
+    oracle is registered lazily (registry hook) because it embeds the
+    MinHash CTE."""
+    from odbc2deltalake_spark.queries.dedup_ops import dedup_cluster
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_cluster(spark, sf_dir).select("doc_id", "canonical_id")
+    canon = F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    h = (
+        F.conv(F.substring(F.md5(canon.cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % _HASH_MOD
+    )
+    split = F.when(
+        h < _SPLIT_VAL_PCT * _HASH_MOD // 100, F.lit("val")
+    ).otherwise(F.lit("train"))
+    return (
+        docs.join(comp, "doc_id", "left")
+        .select("doc_id", canon.alias("canonical_id"), split.alias("split"))
+    )
+
+
+# register the oracle lazily to avoid a module-import cycle with dedup_ops
+from odbc2deltalake_spark.queries.registry import QUERIES as _Q  # noqa: E402
+
+_Q["corpus_leakage_safe_split"].oracle = _leakage_split_oracle()
