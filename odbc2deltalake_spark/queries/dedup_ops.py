@@ -718,3 +718,157 @@ def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("rm")).alias("n_removed"),
         F.md5(F.concat_ws(" ", kept_in_order)).alias("stripped_hash"),
     )
+
+
+# ------------------------------------------- fuzzy decontamination ----
+# corpus_decontaminate (queries/corpus_ops.py) catches VERBATIM eval
+# overlap (shared word 8-grams). Paraphrased or lightly-edited benchmark
+# leakage slips through exact grams — the published mitigation is
+# near-duplicate matching between corpus and eval set (Llama/PaLM-style
+# fuzzy decontamination). Same MinHash-LSH machinery as dedup_minhash_lsh,
+# restricted to TRAIN x EVAL candidates: linear banding, no all-pairs.
+
+_FUZZY_EVAL_CUT = 950_000  # same md5 split rule as corpus_decontaminate
+
+
+def _fuzzy_decon_oracle() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_minhash_cols_sql()}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({_band_rows_sql()}),
+flagged AS (
+  SELECT b.doc_id, b.band, b.band_key,
+         ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 12))::BIGINT % 1000000
+           >= {_FUZZY_EVAL_CUT} AS is_eval
+  FROM bands b
+),
+candidates AS (
+  SELECT DISTINCT t.doc_id AS tdoc, e.doc_id AS edoc
+  FROM flagged t JOIN flagged e
+    ON t.band = e.band AND t.band_key = e.band_key
+   AND NOT t.is_eval AND e.is_eval
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+  SELECT c.tdoc, c.edoc, count(*) AS n_common
+  FROM candidates c
+  JOIN shingles a ON a.doc_id = c.tdoc
+  JOIN shingles b ON b.doc_id = c.edoc AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT v.tdoc, v.edoc,
+         v.n_common * 1.0 / (sa.n + sb.n - v.n_common) AS j
+  FROM verified v
+  JOIN sizes sa ON v.tdoc = sa.doc_id
+  JOIN sizes sb ON v.edoc = sb.doc_id
+  WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= {_JACCARD_THRESHOLD}
+)
+SELECT tdoc AS doc_id, edoc AS eval_doc_id, round(j, 4) AS jaccard
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY tdoc ORDER BY j DESC, edoc) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@register("corpus_decontaminate_fuzzy", None, tags=("corpus", "dedup"),
+          priority=100)
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination between training corpus and eval
+    split: training docs whose MinHash-verified Jaccard to ANY eval doc
+    clears the near-dup threshold, each with its best-matching eval doc.
+
+    Scale shape — identical to dedup_minhash_lsh up to the band join,
+    then strictly cheaper: the candidate join is TRAIN x EVAL within a
+    band bucket (the eval side is benchmark-sized), so candidate volume
+    is bounded by eval-side bucket membership; verification touches only
+    candidate shingle pairs. The argmax per training doc is a window
+    over the (tiny) verified-candidate table."""
+    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
+    dig = F.md5(F.col("shingle"))
+    v = F.conv(F.substring(dig, 1, 15), 16, 10).cast("long")
+    w = F.conv(F.substring(dig, 17, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", v.alias("__v"), w.alias("__w"))
+    mh = [
+        F.min(F.col("__v").bitwiseXOR(F.shiftright(F.col("__w"), i))).alias(f"h{i}")
+        for i in range(_N_HASHES)
+    ]
+    mh.append(F.count(F.lit(1)).alias("n"))
+    sigs = hashed.groupBy("doc_id").agg(*mh).localCheckpoint(eager=False)
+    band_parts = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        cols = [
+            F.col(f"h{b * _BAND_SIZE + i}").cast("string")
+            for i in range(_BAND_SIZE)
+        ]
+        band_parts.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_parts[0]
+    for p in band_parts[1:]:
+        bands = bands.unionByName(p)
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        % 1_000_000
+        >= _FUZZY_EVAL_CUT
+    )
+    flagged = bands.withColumn("is_eval", is_eval)
+    t = flagged.filter(~F.col("is_eval")).alias("t")
+    e = flagged.filter(F.col("is_eval")).alias("e")
+    candidates = (
+        t.join(
+            e,
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(F.col("t.doc_id").alias("tdoc"), F.col("e.doc_id").alias("edoc"))
+        .distinct()
+    )
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    verified = (
+        candidates.join(sha, F.col("tdoc") == F.col("sha.doc_id"))
+        .join(
+            shb,
+            (F.col("edoc") == F.col("shb.doc_id"))
+            & (F.col("shb.shingle") == F.col("sha.shingle")),
+        )
+        .groupBy("tdoc", "edoc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sigs.select("doc_id", "n")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * F.lit(1.0) / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    scored = (
+        verified.join(F.broadcast(sa), F.col("tdoc") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("edoc") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("tdoc", "edoc", jac.alias("j"))
+    )
+    win = W.partitionBy("tdoc").orderBy(F.col("j").desc(), "edoc")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("tdoc").alias("doc_id"),
+            F.col("edoc").alias("eval_doc_id"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
+
+
+from odbc2deltalake_spark.queries.registry import QUERIES as _QUERIES  # noqa: E402
+
+_QUERIES["corpus_decontaminate_fuzzy"].oracle = _fuzzy_decon_oracle()
