@@ -11,6 +11,7 @@ from odbc2deltalake_spark.streaming.events import (
     sessionize_stream,
     clicks_purchases_join_stream,
 )
+from odbc2deltalake_spark.streaming.materialized import MaterializedAggregate
 from odbc2deltalake_spark.streaming.table_tailer import TableTailer
 from odbc2deltalake_spark.streaming.corpus import (
     corpus_ingest_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "clicks_purchases_join_stream",
+    "MaterializedAggregate",
     "TableTailer",
     "corpus_ingest_stream",
     "start_corpus_ingest",

@@ -57,6 +57,19 @@ class TableTailer:
             self._ckpt, json.dumps({"version": version})
         )
 
+    def skip_to(self, version: int) -> None:
+        """Move the cursor forward without delivering — for consumers
+        that handled a non-delta range out of band (e.g. a full
+        recompute after a source rewrite). Rewinding is refused: a
+        backward cursor replays history into a consumer that has already
+        folded it in."""
+        if version < self.last_processed():
+            raise ValueError(
+                f"skip_to({version}) would rewind past "
+                f"{self.last_processed()}"
+            )
+        self._advance(version)
+
     def process_available(
         self,
         spark: SparkSession,
