@@ -74,6 +74,8 @@ EXTRAS = [
     "hybrid_search_rrf",
     "corpus_dsir_sample",
     "text_quality_classifier",
+    "bm25_search",
+    "corpus_decontaminate_fuzzy",
 ]
 
 

@@ -130,9 +130,13 @@ AUDIT = [
     "q_stat_aggregates",
     "ev_value_ranks",
     # in-round r5 additions: rank fusion and DSIR (text_quality_classifier
-    # excluded: iterative, like dedup_cluster/emb_kmeans)
+    # excluded: iterative, like dedup_cluster/emb_kmeans;
+    # corpus_leakage_safe_split excluded: it drives dedup_cluster's loop)
     "hybrid_search_rrf",
     "corpus_dsir_sample",
+    "bm25_search",
+    "ev_volume_anomaly",
+    "corpus_decontaminate_fuzzy",
 ]
 
 
