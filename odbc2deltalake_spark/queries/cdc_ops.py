@@ -421,3 +421,75 @@ def a4_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference:odbc2deltalake/sql_glot_utils.py:19-22)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.limit(1).agg(F.count(F.lit(1)).alias("has_rows"))
+
+
+# ------------------------------------- incremental materialized rollup ----
+# End-to-end IVM proof with a cross-engine oracle: land the events table
+# in a versioned table as THREE separate commits, maintain a per-type
+# rollup incrementally (one MaterializedAggregate.refresh per commit,
+# each folding only that commit's delta), and return the final view.
+# The oracle is the view's defining query as plain SQL over the full
+# table — so the driver checks that incremental maintenance is
+# EXACTLY equivalent to recomputation, not just self-consistent.
+
+_MV_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("mv_incremental_rollup", _MV_ORACLE, tags=("cdc", "streaming"),
+          priority=100)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-type rollup == one-shot GROUP BY.
+
+    Builds a throwaway landing table (3 commits of events split by
+    event_id % 3), refreshes a MaterializedAggregate after EVERY commit
+    (so the state really is folded delta-by-delta, with the exactly-once
+    marker exercised thrice), and returns the finalized view. The view
+    is localCheckpoint'ed before the temp tables are deleted so the
+    returned plan doesn't dangle on removed files."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="mv_rollup_")
+    try:
+        landing = VersionedParquetTable(f"{root}/landing")
+        mv = MaterializedAggregate(
+            landing,
+            f"{root}/view",
+            group_cols=["event_type"],
+            aggs={
+                "n_events": ("count", None),
+                "total_value": ("sum", "value"),
+                "avg_value": ("avg", "value"),
+                "min_value": ("min", "value"),
+                "max_value": ("max", "value"),
+            },
+        )
+        for m in range(3):
+            landing.write(ev.filter(F.col("event_id") % 3 == m), mode="append")
+            mv.refresh(spark)  # fold THIS commit's delta only
+        out = mv.read(spark).select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
