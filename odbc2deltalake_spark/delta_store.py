@@ -201,13 +201,24 @@ class DeltaTableStore(TableStore):
         key_cols: list[str],
         num_buckets: Optional[int] = None,
         target_bucket_rows: Optional[int] = None,
+        extra_commit_fields: Optional[dict] = None,
     ) -> int:
         """Delta MERGE (reference:odbc2deltalake/reader/spark_reader.py:329-350):
         Delta rewrites only files containing matched keys — the same
         asymptotics the parquet store gets from hash bucketing, so the
-        bucketing params are ignored here."""
+        bucketing params are ignored here.
+
+        ``extra_commit_fields``: only ``set_props`` is honored, applied
+        as a FOLLOW-UP TBLPROPERTIES commit — NOT atomic with the merge
+        (the Delta MERGE API exposes no same-commit property write; true
+        exactly-once on Delta uses txnAppId/txnVersion on the writer).
+        A crash between the two commits replays as at-least-once; the
+        commit-log parquet store is the atomic path."""
         if not self.exists():
-            return self.write(source, mode="overwrite")
+            v = self.write(source, mode="overwrite")
+            if extra_commit_fields and extra_commit_fields.get("set_props"):
+                v = self.set_properties(extra_commit_fields["set_props"])
+            return v
         cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in key_cols)
         (
             self._dt(spark)
@@ -217,4 +228,6 @@ class DeltaTableStore(TableStore):
             .whenNotMatchedInsertAll()
             .execute()
         )
+        if extra_commit_fields and extra_commit_fields.get("set_props"):
+            return self.set_properties(extra_commit_fields["set_props"])
         return self.version()

@@ -61,16 +61,34 @@ class MaterializedAggregate:
         root: str | Path,
         group_cols: list[str],
         aggs: dict[str, tuple[str, Optional[str]]],
+        strategy: str = "overwrite",
     ):
+        """``strategy`` picks the state-update physical plan:
+
+        - ``"overwrite"`` (default): rewrite the whole view per refresh —
+          right when the view is output-sized (a rollup of a 100 TB
+          corpus is thousands of rows), and trivially atomic.
+        - ``"merge"``: fold ONLY the touched groups and merge_upsert them
+          on the group keys — O(touched + bucket rewrite) per refresh,
+          the high-cardinality-view path (e.g. per-user state). The
+          exactly-once marker rides the merge commit via
+          ``extra_commit_fields``. Requires non-null group keys (MERGE
+          matches on equality; SQL null never equals null). A source
+          rewrite still re-baselines with one overwrite, so the next
+          merge re-bucketizes once.
+        """
         for out, (kind, col) in aggs.items():
             if kind not in _KINDS:
                 raise ValueError(f"{out}: unsupported aggregate {kind!r}")
             if kind != "count" and col is None:
                 raise ValueError(f"{out}: {kind} needs a source column")
+        if strategy not in ("overwrite", "merge"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         self.source = source
         self.view = VersionedParquetTable(root)
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        self.strategy = strategy
         # distinct cursor per view so several views can tail one source
         self.tailer = TableTailer(
             source, checkpoint_name=f"_mv_{Path(str(root)).name}_cursor.json"
@@ -137,12 +155,47 @@ class MaterializedAggregate:
             # replayed delivery (crash landed between the view commit and
             # the tailer checkpoint write) — already folded in, skip
             return
+        spark = batch.sparkSession
         partial = self._partial(batch.drop("_commit_version"))
         if from_v == -1 or not self.view.exists():
-            state = partial
-        else:
-            state = self._combine(self.view.read(batch.sparkSession), partial)
-        self._write_state(state, to_v)
+            if self.strategy == "merge":
+                # first state lands through merge_upsert so the view is
+                # bucketized from commit 0 (marker rides the same commit)
+                self.view.merge_upsert(
+                    spark,
+                    partial,
+                    key_cols=self.group_cols,
+                    extra_commit_fields={
+                        "set_props": {self.APPLIED_PROP: str(to_v)}
+                    },
+                )
+            else:
+                self._write_state(partial, to_v)
+            return
+        if self.strategy == "merge":
+            # fold only the TOUCHED groups, then merge them on the keys —
+            # the view rewrite is bounded by touched buckets, not |view|.
+            # buckets_for_keys prunes the old-state read to those same
+            # buckets (None => table not bucketized yet => full read once)
+            touched_keys = partial.select(*self.group_cols).distinct()
+            bl = self.view.buckets_for_keys(touched_keys, self.group_cols)
+            old = self.view.read(spark, buckets=bl) if bl is not None else (
+                self.view.read(spark)
+            )
+            touched_old = old.join(
+                touched_keys, on=self.group_cols, how="left_semi"
+            )
+            combined = self._combine(touched_old, partial)
+            self.view.merge_upsert(
+                spark,
+                combined,
+                key_cols=self.group_cols,
+                extra_commit_fields={
+                    "set_props": {self.APPLIED_PROP: str(to_v)}
+                },
+            )
+            return
+        self._write_state(self._combine(self.view.read(spark), partial), to_v)
 
     def refresh(self, spark: SparkSession) -> Optional[tuple[int, int]]:
         """Fold all unprocessed source commits into the view. Returns the

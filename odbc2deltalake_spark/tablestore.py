@@ -455,10 +455,15 @@ class TableStore(ABC):
         key_cols: list[str],
         num_buckets: Optional[int] = None,
         target_bucket_rows: Optional[int] = None,
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """Upsert on key equality (whenMatchedUpdateAll /
         whenNotMatchedInsertAll). Bucketing params are physical-layout
-        hints for stores that implement their own file pruning."""
+        hints for stores that implement their own file pruning.
+        ``extra_commit_fields`` ride the SAME commit as the merged data
+        where the store's log supports it (``set_props`` entries become
+        atomically-applied table properties — the Delta txnAppId/
+        txnVersion pattern for exactly-once writers)."""
 
     def write_counted(
         self,
@@ -1258,6 +1263,37 @@ class VersionedParquetTable(TableStore):
     # rebucket when average bucket exceeds 2x target (doubling NB halves it)
     REBUCKET_FACTOR = 2
 
+    def buckets_for_keys(
+        self, keys: DataFrame, key_cols: list[str]
+    ) -> Optional[list[int]]:
+        """Bucket ids that could contain the given keys — the public
+        file-pruning hint for ``read(buckets=...)``: a reader that will
+        join/combine against a key set (e.g. incremental view
+        maintenance folding touched groups) can scan only those buckets'
+        dirs. Returns None when the table is not (fully) bucketized or
+        the keys don't match the pinned bucket key columns; callers fall
+        back to a full read. Same hash/type-pinning rules as the merge
+        path, so the hint is exact, never lossy."""
+        st = self._state_at()
+        nb = st.get("num_buckets")
+        if not nb or not st["dirs"] or not all(
+            d.get("bucket") is not None for d in st["dirs"]
+        ):
+            return None
+        if st.get("bucket_cols") and list(st["bucket_cols"]) != list(key_cols):
+            return None
+        kt = self._bucket_key_schema(st, key_cols)
+        if kt is None:
+            return None
+        key_types = {f.name: f.dataType for f in kt.fields}
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
+            F.lit(nb),
+        ).cast("int")
+        return sorted(
+            r[0] for r in keys.select(bexpr.alias("__b")).distinct().collect()
+        )
+
     @staticmethod
     def _derive_num_buckets(n_rows: int, target_rows: int) -> int:
         """Power-of-two bucket count sized so avg rows/bucket <= target
@@ -1285,6 +1321,7 @@ class VersionedParquetTable(TableStore):
         key_cols: list[str],
         num_buckets: Optional[int] = None,
         target_bucket_rows: Optional[int] = None,
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """MERGE on key equality: whenMatchedUpdateAll /
         whenNotMatchedInsertAll (reference:odbc2deltalake/reader/spark_reader.py:329-350).
@@ -1321,7 +1358,10 @@ class VersionedParquetTable(TableStore):
         """
         target_rows = target_bucket_rows or self.DEFAULT_TARGET_BUCKET_ROWS
         if not self.exists():
-            return self._bucketize_full(source, key_cols, num_buckets, target_rows)
+            return self._bucketize_full(
+                source, key_cols, num_buckets, target_rows,
+                extra_commit_fields=extra_commit_fields,
+            )
         st = self._state_at()
         # A source missing a table column would silently NULL that column
         # for every matched key (unionByName(allowMissingColumns=True)
@@ -1360,7 +1400,10 @@ class VersionedParquetTable(TableStore):
                 and sum(rows.values()) / nb > self.REBUCKET_FACTOR * target_rows
             )
             if not drift and not oversize:
-                return self._merge_partial(spark, source, key_cols, st, stored_kt)
+                return self._merge_partial(
+                    spark, source, key_cols, st, stored_kt,
+                    extra_commit_fields=extra_commit_fields,
+                )
             # key-type drift or grown table: one full rewrite re-pins
             # types / doubles NB, then merges go back to partial
             if oversize and num_buckets is None:
@@ -1372,7 +1415,8 @@ class VersionedParquetTable(TableStore):
         keep = target.join(source.select(*key_cols), on=key_cols, how="left_anti")
         merged = source.unionByName(keep, allowMissingColumns=True)
         return self._bucketize_full(
-            merged, key_cols, num_buckets or st["num_buckets"], target_rows
+            merged, key_cols, num_buckets or st["num_buckets"], target_rows,
+            extra_commit_fields=extra_commit_fields,
         )
 
     def _bucketize_full(
@@ -1381,6 +1425,7 @@ class VersionedParquetTable(TableStore):
         key_cols: list[str],
         num_buckets: Optional[int],
         target_rows: int,
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """Full bucketized (re)write. When NB isn't pinned, the frame is
         persisted, counted, and NB derived from the count — one extra
@@ -1395,7 +1440,8 @@ class VersionedParquetTable(TableStore):
             try:
                 num_buckets = self._derive_num_buckets(df.count(), target_rows)
                 return self._write_bucketized(
-                    df, key_cols, num_buckets, replace=None, key_types=key_types
+                    df, key_cols, num_buckets, replace=None,
+                    key_types=key_types, extra_commit_fields=extra_commit_fields,
                 )
             finally:
                 df.unpersist()
@@ -1410,6 +1456,7 @@ class VersionedParquetTable(TableStore):
         key_cols: list[str],
         st: dict[str, Any],
         stored_kt: T.StructType,
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """Partial merge: rewrite only buckets containing source keys."""
         nb = st["num_buckets"]
@@ -1429,7 +1476,8 @@ class VersionedParquetTable(TableStore):
         )
         merged = source.unionByName(keep, allowMissingColumns=True)
         return self._write_bucketized(
-            merged, key_cols, nb, replace=touched, key_types=key_types
+            merged, key_cols, nb, replace=touched, key_types=key_types,
+            extra_commit_fields=extra_commit_fields,
         )
 
     def _write_bucketized(
@@ -1439,6 +1487,7 @@ class VersionedParquetTable(TableStore):
         num_buckets: int,
         replace: Optional[list[int]],
         key_types: dict[str, T.DataType],
+        extra_commit_fields: Optional[dict[str, Any]] = None,
     ) -> int:
         """Write ``df`` partitioned into hash buckets; commit either as a
         full overwrite (``replace=None``) or as a merge replacing only the
@@ -1495,20 +1544,21 @@ class VersionedParquetTable(TableStore):
             }
             for child in bucket_children
         ]
-        self._write_commit(
-            {
-                "version": new_version,
-                "mode": "merge" if replace is not None else "overwrite",
-                "dirs_added": dirs_added,
-                "buckets_replaced": replace,
-                "schema": schema_json,
-                "written_schema": schema_json,
-                "num_buckets": num_buckets,
-                "bucket_cols": key_cols,
-                "bucket_key_types": T.StructType(
-                    [T.StructField(c, key_types[c], True) for c in key_cols]
-                ).json(),
-                "bucket_rows": bucket_rows,
-            }
-        )
+        commit = {
+            "version": new_version,
+            "mode": "merge" if replace is not None else "overwrite",
+            "dirs_added": dirs_added,
+            "buckets_replaced": replace,
+            "schema": schema_json,
+            "written_schema": schema_json,
+            "num_buckets": num_buckets,
+            "bucket_cols": key_cols,
+            "bucket_key_types": T.StructType(
+                [T.StructField(c, key_types[c], True) for c in key_cols]
+            ).json(),
+            "bucket_rows": bucket_rows,
+        }
+        if extra_commit_fields:
+            commit.update(extra_commit_fields)
+        self._write_commit(commit)
         return new_version

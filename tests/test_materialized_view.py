@@ -136,3 +136,58 @@ def test_bad_agg_spec_rejected(spark, source, tmp_path):
     with pytest.raises(ValueError, match="needs a source column"):
         MaterializedAggregate(t, tmp_path / "y", ["event_type"],
                               {"o": ("sum", None)})
+
+
+def _mv_merge(t, tmp_path):
+    return MaterializedAggregate(
+        t,
+        tmp_path / "mv_user_merge",
+        group_cols=["user_id"],
+        aggs={
+            "n": ("count", None),
+            "total": ("sum", "value"),
+            "avg_v": ("avg", "value"),
+            "mx": ("max", "value"),
+        },
+        strategy="merge",
+    )
+
+
+def test_merge_strategy_incremental_equals_recompute(spark, source, tmp_path):
+    ev, t = source
+    mv = _mv_merge(t, tmp_path)
+    assert mv.refresh(spark) == (-1, 2)
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+
+    # incremental commits fold through partial MERGEs (touched buckets)
+    t.write(ev.limit(200).select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "user_id", "event_type", "value",
+    ), mode="append")
+    assert mv.refresh(spark) == (2, 3)
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    # the view table really is bucketized (merge path, not overwrites)
+    assert mv.view._state_at()["num_buckets"] is not None
+
+
+def test_merge_strategy_marker_is_atomic_with_merge_commit(
+    spark, source, tmp_path
+):
+    _ev, t = source
+    mv = _mv_merge(t, tmp_path)
+    mv.refresh(spark)
+    v = mv.view.version()
+    # the marker is visible AT the merge commit's version — no follow-up
+    # property commit exists (atomicity is what closes the crash window)
+    assert mv.view.get_property(MaterializedAggregate.APPLIED_PROP) == "2"
+    assert int(mv.view._state_at(v)["props"]["mv.applied_to"]) == 2
+
+
+def test_merge_strategy_replay_is_idempotent(spark, source, tmp_path):
+    _ev, t = source
+    mv = _mv_merge(t, tmp_path)
+    mv.refresh(spark)
+    before = _rows(mv.read(spark))
+    t.backend.write_text_atomic(mv.tailer._ckpt, '{"version": -1}')
+    assert mv.refresh(spark) == (-1, 2)
+    assert _rows(mv.read(spark)) == before
