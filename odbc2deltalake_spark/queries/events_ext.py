@@ -704,3 +704,60 @@ def ev_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "day", "cnt", F.round(z, 4).alias("zscore")
         )
     )
+
+
+# ---------------------------------------------- path transition matrix ----
+# Session-path mining: the first-order Markov transition counts between
+# consecutive event types per user — the behavioral-analytics shape
+# behind "what do users do after X" and the input to path-frequency /
+# next-event-prediction models.
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, p.n,
+       round(p.n * 1.0 / t.t, 4) AS p_next
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+
+@register("ev_path_transitions", _TRANSITIONS_ORACLE,
+          tags=("events", "window"), priority=100)
+def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix with row-normalized
+    probabilities.
+
+    One shuffle on user_id feeds the LAG window; the pair counts then
+    aggregate to a |types|^2-sized table, and the row totals join back
+    as a BROADCAST — everything after the per-user window is
+    output-sized, so the plan is one corpus shuffle regardless of
+    event volume. Ordering inside a user is (ts, event_id) — the same
+    deterministic tiebreak every other event window uses."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("t"), 4).alias("p_next"),
+        )
+    )
