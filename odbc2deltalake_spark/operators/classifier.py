@@ -211,3 +211,49 @@ def reference_fit(
         m = sum(c * w[b] for b, c in x.items())
         probs[doc_id] = 1.0 / (1.0 + math.exp(-m))
     return w, probs
+
+
+def margin_expr(weights: list[float], n_buckets: int, text_col: str = "text"):
+    """Per-ROW margin of the trained model directly from the text column
+    — no featurize groupBys, so the same expression scores batch frames
+    AND streaming frames (stateless map, append-mode safe).
+
+    Algebra: with relative-frequency features, the hashed part of the
+    margin is sum_b w_b * cnt_b / n = (sum over words of w[bucket(word)])
+    / n — a single fold over the word array; the dense features are
+    arithmetic on n and the alpha ratio. Identical (to float addition
+    order) to `predict` over `featurize`; tests pin the equivalence at
+    1e-9."""
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(ws)
+    hashed_sum = F.aggregate(
+        ws,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(
+            wlit, (F.crc32(w.cast("binary")) % n_buckets).cast("int") + 1
+        ),
+    )
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    alpha_ratio = n_alpha * F.lit(1.0) / F.length(text_col)
+    return (
+        hashed_sum / n_tok
+        + F.element_at(wlit, n_buckets + 1)
+        * (F.log(F.lit(1.0) + n_tok) - F.lit(4.0))
+        + F.element_at(wlit, n_buckets + 2) * alpha_ratio
+        + F.element_at(wlit, n_buckets + 3)
+    )
+
+
+def score_documents(
+    docs: DataFrame, weights: list[float], n_buckets: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Append (prob, pred) model-score columns — the deploy side of the
+    trained classifier, usable as a corpus-ingest gate on stream or
+    batch (pure map; plans identically on both)."""
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin_expr(weights, n_buckets, text_col)))
+    return docs.withColumn("prob", prob).withColumn(
+        "pred", (F.col("prob") >= 0.5).cast("int")
+    )

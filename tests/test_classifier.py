@@ -88,3 +88,47 @@ def test_featurize_is_sparse_and_biased(spark):
     assert f1[-2]["c"] == pytest.approx(3 / 5)  # "a b a": 3 alpha / 5 chars
     # relative frequencies sum to 1 over the hashed features
     assert sum(s["c"] for s in f1[:-3]) == pytest.approx(1.0)
+
+
+def test_margin_expr_matches_featurized_predict(spark, fixture):
+    from odbc2deltalake_spark.operators.classifier import score_documents
+
+    features, weights, _, _ = fixture
+    docs = load_table(spark, SF_DIR, "documents")
+    by_expr = {
+        r["doc_id"]: r["prob"]
+        for r in score_documents(docs, weights, D).collect()
+    }
+    by_feat = {r["doc_id"]: r["prob"] for r in predict(features, weights).collect()}
+    assert set(by_expr) == set(by_feat)
+    for k in by_feat:
+        assert by_expr[k] == pytest.approx(by_feat[k], abs=1e-9)
+
+
+def test_score_documents_streams(spark, fixture, tmp_path):
+    """The scoring expression must plan as a stateless streaming map:
+    stream results == batch results on the same rows."""
+    from odbc2deltalake_spark.operators.classifier import score_documents
+
+    _features, weights, _, _ = fixture
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    src = tmp_path / "docs_src"
+    docs.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    scored = score_documents(stream, weights, D).select("doc_id", "prob")
+    out = []
+    q = (
+        scored.writeStream.foreachBatch(
+            lambda bdf, _bid: out.extend(bdf.collect())
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["prob"] for r in out}
+    want = {
+        r["doc_id"]: r["prob"]
+        for r in score_documents(docs, weights, D).select("doc_id", "prob").collect()
+    }
+    assert got == want
