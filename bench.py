@@ -76,6 +76,9 @@ EXTRAS = [
     "text_quality_classifier",
     "bm25_search",
     "corpus_decontaminate_fuzzy",
+    "mv_incremental_rollup",
+    "ev_path_transitions",
+    "corpus_leakage_safe_split",
 ]
 
 
