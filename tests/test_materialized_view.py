@@ -191,3 +191,17 @@ def test_merge_strategy_replay_is_idempotent(spark, source, tmp_path):
     t.backend.write_text_atomic(mv.tailer._ckpt, '{"version": -1}')
     assert mv.refresh(spark) == (-1, 2)
     assert _rows(mv.read(spark)) == before
+
+
+def test_empty_commit_is_a_safe_noop(spark, source, tmp_path):
+    """A commit that lands zero rows (e.g. an upstream no-op load) must
+    fold cleanly through BOTH strategies: marker advances, counters
+    unchanged."""
+    ev, t = source
+    for mv in (_mv(t, tmp_path), _mv_merge(t, tmp_path)):
+        mv.refresh(spark)
+        before = _rows(mv.read(spark))
+        t.write(ev.limit(0), mode="append")
+        assert mv.refresh(spark) is not None
+        assert _rows(mv.read(spark)) == before
+        assert mv.applied_to() == t.version()
