@@ -237,37 +237,33 @@ WHERE v.n_common * 1.0 / (sa.n + sb.n - v.n_common) >= {_JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection: 8 minhashes per doc (min of
-    seeded md5 over shingles), 4 bands of 2, candidate pairs share a band
-    key, then exact-Jaccard verification of candidates only.
+def _minhash_bands(spark: SparkSession, sf_dir: str):
+    """Shared MinHash machinery: (sh, sigs, bands).
 
-    This is the scale path: candidate generation is groupBy(band_key) —
-    linear in corpus size — instead of the quadratic shingle self-join.
+    - ``sh``: checkpointed distinct shingles (the lineage is otherwise
+      recomputed 4x: signatures, both verify sides, sizes);
+    - ``sigs``: per-doc signatures h0..h{N-1} plus the shingle-set size
+      ``n`` riding the SAME aggregation (no separate sizes shuffle; the
+      final size joins broadcast a docs-sized frame). Minhash values are
+      60-bit bigints (md5-prefix halves xor/shift-mixed) so the 8-way
+      min() aggregation stays fixed-width hash aggregation, not a sort;
+      checkpointed so the band projections don't recompute it once each;
+    - ``bands``: the (doc_id, band, band_key) projection, 4 bands of 2.
 
-    Perf: shingles are localCheckpoint'ed (the lineage is otherwise
-    recomputed 4x: signatures, both verify sides, sizes); minhash values
-    are 60-bit bigints (md5-prefix) so the 8-way min() aggregation stays
-    fixed-width and uses hash aggregation, not a sort."""
+    Used by dedup_minhash_lsh (all-pairs near-dup) and
+    corpus_decontaminate_fuzzy (train-vs-eval matching) — one
+    implementation so the hashing/banding/checkpoint strategy cannot
+    silently diverge between them."""
     sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
     dig = F.md5(F.col("shingle"))
     v = F.conv(F.substring(dig, 1, 15), 16, 10).cast("long")
     w = F.conv(F.substring(dig, 17, 15), 16, 10).cast("long")
-    hashed = sh.select(
-        "doc_id", v.alias("__v"), w.alias("__w")
-    )
+    hashed = sh.select("doc_id", v.alias("__v"), w.alias("__w"))
     mh = [
         F.min(F.col("__v").bitwiseXOR(F.shiftright(F.col("__w"), i))).alias(f"h{i}")
         for i in range(_N_HASHES)
     ]
-    # shingle-set size rides along in the SAME per-doc aggregation the
-    # signatures need (sh is already distinct), replacing a separate
-    # scan+shuffle of the shingle table for `sizes` — and making the
-    # final size joins broadcasts of a docs-sized frame
     mh.append(F.count(F.lit(1)).alias("n"))
-    # localCheckpoint: the 4 band projections would otherwise recompute
-    # this aggregation (and all its hashing) once each
     sigs = hashed.groupBy("doc_id").agg(*mh).localCheckpoint(eager=False)
     band_parts = []
     for b in range(_N_HASHES // _BAND_SIZE):
@@ -285,6 +281,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_parts[0]
     for p in band_parts[1:]:
         bands = bands.unionByName(p)
+    return sh, sigs, bands
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("dedup",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: 8 minhashes per doc (min of
+    seeded md5 over shingles), 4 bands of 2, candidate pairs share a band
+    key, then exact-Jaccard verification of candidates only.
+
+    This is the scale path: candidate generation is groupBy(band_key) —
+    linear in corpus size — instead of the quadratic shingle self-join.
+
+    Perf: shingles are localCheckpoint'ed (the lineage is otherwise
+    recomputed 4x: signatures, both verify sides, sizes); minhash values
+    are 60-bit bigints (md5-prefix) so the 8-way min() aggregation stays
+    fixed-width and uses hash aggregation, not a sort."""
+    sh, sigs, bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -788,33 +801,7 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by eval-side bucket membership; verification touches only
     candidate shingle pairs. The argmax per training doc is a window
     over the (tiny) verified-candidate table."""
-    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
-    dig = F.md5(F.col("shingle"))
-    v = F.conv(F.substring(dig, 1, 15), 16, 10).cast("long")
-    w = F.conv(F.substring(dig, 17, 15), 16, 10).cast("long")
-    hashed = sh.select("doc_id", v.alias("__v"), w.alias("__w"))
-    mh = [
-        F.min(F.col("__v").bitwiseXOR(F.shiftright(F.col("__w"), i))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
-    mh.append(F.count(F.lit(1)).alias("n"))
-    sigs = hashed.groupBy("doc_id").agg(*mh).localCheckpoint(eager=False)
-    band_parts = []
-    for b in range(_N_HASHES // _BAND_SIZE):
-        cols = [
-            F.col(f"h{b * _BAND_SIZE + i}").cast("string")
-            for i in range(_BAND_SIZE)
-        ]
-        band_parts.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
-        )
-    bands = band_parts[0]
-    for p in band_parts[1:]:
-        bands = bands.unionByName(p)
+    sh, sigs, bands = _minhash_bands(spark, sf_dir)
     is_eval = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
         .cast("long")

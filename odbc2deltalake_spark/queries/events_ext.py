@@ -672,7 +672,11 @@ stats AS (
 SELECT d.event_type, d.day, d.cnt,
        round((d.cnt - s.mu) / s.sigma, 4) AS zscore
 FROM daily d JOIN stats s USING (event_type)
-WHERE abs((d.cnt - s.mu) / s.sigma) > {_ANOMALY_Z}
+-- sigma > 0 guard: on a type whose daily counts are all equal,
+-- stddev_samp = 0 and the engines diverge (Spark: x/0.0 -> NaN, which
+-- sorts above every threshold; DuckDB: double/0 -> NULL, dropped) —
+-- and a zero-variance series has no z-score anomaly by definition
+WHERE s.sigma > 0 AND abs((d.cnt - s.mu) / s.sigma) > {_ANOMALY_Z}
 """
 
 
@@ -699,7 +703,7 @@ def ev_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
     return (
         daily.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(z) > _ANOMALY_Z)
+        .filter((F.col("sigma") > 0) & (F.abs(z) > _ANOMALY_Z))
         .select(
             "event_type", "day", "cnt", F.round(z, 4).alias("zscore")
         )

@@ -89,9 +89,17 @@ class MaterializedAggregate:
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
         self.strategy = strategy
-        # distinct cursor per view so several views can tail one source
+        # distinct cursor per view so several views can tail one source:
+        # keyed by the FULL root path (hashed), not the basename — two
+        # views named .../a/view and .../b/view must not share a cursor
+        import hashlib
+
+        root_tag = hashlib.md5(str(Path(root)).encode()).hexdigest()[:12]
         self.tailer = TableTailer(
-            source, checkpoint_name=f"_mv_{Path(str(root)).name}_cursor.json"
+            source,
+            checkpoint_name=(
+                f"_mv_{Path(str(root)).name}_{root_tag}_cursor.json"
+            ),
         )
 
     # ---------- state algebra ----------
@@ -151,13 +159,24 @@ class MaterializedAggregate:
         )
 
     def _apply(self, batch: DataFrame, from_v: int, to_v: int) -> None:
-        if to_v <= self.applied_to():
+        applied = self.applied_to()
+        if to_v <= applied:
             # replayed delivery (crash landed between the view commit and
             # the tailer checkpoint write) — already folded in, skip
             return
+        if applied > from_v:
+            # PARTIAL replay: the delivered range (from_v, to_v] starts
+            # before the marker (crash after folding (from_v, applied],
+            # then new commits landed). Fold only the unapplied tail —
+            # re-folding the applied prefix would double its counters.
+            batch = batch.filter(F.col("_commit_version") > applied)
         spark = batch.sparkSession
         partial = self._partial(batch.drop("_commit_version"))
-        if from_v == -1 or not self.view.exists():
+        # first-write is decided by the MARKER, not from_v: a rewound
+        # cursor redelivers from -1, but if the view already holds
+        # applied state the (filtered) tail must COMBINE with it —
+        # overwriting would drop every previously folded commit
+        if applied == -1 or not self.view.exists():
             if self.strategy == "merge":
                 # first state lands through merge_upsert so the view is
                 # bucketized from commit 0 (marker rides the same commit)
@@ -202,12 +221,29 @@ class MaterializedAggregate:
         processed (from, to] range, or None when already current. A
         source rewrite (not delta-expressible) falls back to one full
         recompute at the rewritten snapshot."""
+        delivered = False
+
+        def fn(batch: DataFrame, from_v: int, to_v: int) -> None:
+            nonlocal delivered
+            delivered = True
+            self._apply(batch, from_v, to_v)
+
         try:
-            return self.tailer.process_available(spark, self._apply)
+            return self.tailer.process_available(spark, fn)
         except ValueError:
+            if delivered:
+                # the ValueError came from the fold itself, not from
+                # read_changes — propagate; swallowing it as "rewrite"
+                # would mask real corruption with a silent recompute
+                raise
             last = self.tailer.last_processed()
             to_v = self.source.version()
-            self._write_state(self._partial(self.source.read(spark)), to_v)
+            # recompute AT to_v: reading the unpinned latest snapshot
+            # would fold a concurrently-landed commit while leaving the
+            # cursor behind it — that commit would then fold twice
+            self._write_state(
+                self._partial(self.source.read(spark, version=to_v)), to_v
+            )
             self.tailer.skip_to(to_v)
             return (last, to_v)
 

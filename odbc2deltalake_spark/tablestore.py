@@ -1446,7 +1446,8 @@ class VersionedParquetTable(TableStore):
             finally:
                 df.unpersist()
         return self._write_bucketized(
-            df, key_cols, num_buckets, replace=None, key_types=key_types
+            df, key_cols, num_buckets, replace=None, key_types=key_types,
+            extra_commit_fields=extra_commit_fields,
         )
 
     def _merge_partial(

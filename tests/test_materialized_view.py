@@ -205,3 +205,49 @@ def test_empty_commit_is_a_safe_noop(spark, source, tmp_path):
         assert mv.refresh(spark) is not None
         assert _rows(mv.read(spark)) == before
         assert mv.applied_to() == t.version()
+
+
+def test_partial_replay_folds_only_the_unapplied_tail(spark, source, tmp_path):
+    """Crash after the view commit, before the cursor write, WITH new
+    commits landing before the next refresh: the redelivered batch spans
+    applied and unapplied commits — only the unapplied tail may fold."""
+    ev, t = source
+    for mk in (_mv, _mv_merge):
+        mv = mk(t, tmp_path)
+        mv.refresh(spark)  # folds (-1, 2], marker = 2
+        saved_cursor = mv.tailer.last_processed()
+        # crash: cursor lost (rewound to -1), then commit 3 lands
+        t.backend.write_text_atomic(mv.tailer._ckpt, '{"version": -1}')
+        t.write(ev.limit(100).select(
+            (F.col("event_id") + 9_000_000).alias("event_id"),
+            "user_id", "event_type", "value",
+        ), mode="append")
+        assert mv.refresh(spark) == (-1, t.version())
+        # commits 0-2 must NOT have double-folded; commit 3 folded once
+        assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+        assert saved_cursor < mv.tailer.last_processed()
+
+
+def test_distinct_cursors_for_same_basename_roots(spark, source, tmp_path):
+    _ev, t = source
+    a = MaterializedAggregate(t, tmp_path / "a" / "view", ["event_type"],
+                              {"n": ("count", None)})
+    b = MaterializedAggregate(t, tmp_path / "b" / "view", ["event_type"],
+                              {"n": ("count", None)})
+    assert a.tailer._ckpt != b.tailer._ckpt
+    a.refresh(spark)
+    assert b.refresh(spark) is not None  # b still sees every commit
+    assert _rows(b.read(spark)) == _rows(b.recompute(spark))
+
+
+def test_fold_errors_are_not_mistaken_for_rewrites(spark, source, tmp_path):
+    """A ValueError raised by the fold itself must propagate, not be
+    answered with a silent full recompute."""
+    _ev, t = source
+    mv = _mv(t, tmp_path)
+    mv.refresh(spark)
+    t.write(_ev.limit(10), mode="append")
+    # corrupt the marker so applied_to()'s int() raises ValueError
+    mv.view.set_properties({MaterializedAggregate.APPLIED_PROP: "bogus"})
+    with pytest.raises(ValueError):
+        mv.refresh(spark)

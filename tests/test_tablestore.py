@@ -726,3 +726,30 @@ def test_aborted_write_invisible_and_vacuumed(spark, tmp_path):
     t.write(_df(spark, [(2, "b")]), mode="append")
     assert t.version() == 1
     assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_merge_extra_commit_fields_survive_every_path(spark, tmp_path):
+    """extra_commit_fields (the exactly-once marker) must ride the SAME
+    commit on every merge_upsert physical path: first bucketization with
+    EXPLICIT num_buckets (the path that silently dropped them), partial
+    merge, and growth-triggered rebucket."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+    # path 1: first bucketization, num_buckets pinned by the caller
+    t.merge_upsert(spark, mk(0, 20), ["id"], num_buckets=4,
+                   extra_commit_fields={"set_props": {"m": "1"}})
+    assert t.get_property("m") == "1"
+    assert t._state_at(t.version())["props"]["m"] == "1"
+    # path 2: partial merge
+    t.merge_upsert(spark, mk(0, 5), ["id"],
+                   extra_commit_fields={"set_props": {"m": "2"}})
+    assert t.get_property("m") == "2"
+    # path 3: growth-triggered rebucket (tiny target forces the full
+    # conversion rewrite branch)
+    t.merge_upsert(spark, mk(20, 2000), ["id"], target_bucket_rows=8,
+                   extra_commit_fields={"set_props": {"m": "3"}})
+    assert t.get_property("m") == "3"
+    v = t.version()
+    assert t._state_at(v)["props"]["m"] == "3"  # same commit, not follow-up
