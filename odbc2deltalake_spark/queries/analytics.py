@@ -76,7 +76,8 @@ LIMIT 10
 """
 
 
-@register("q3_shipping_priority", _Q3_ORACLE, tags=("bench", "join", "topk"))
+@register("q3_shipping_priority", _Q3_ORACLE, tags=("bench", "join", "topk"),
+          priority=100)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: two joins + top-k. customer is broadcast (small side);
     orders⋈lineitem shuffles on orderkey once; top-k is a TakeOrdered —
@@ -119,7 +120,8 @@ GROUP BY n_name
 """
 
 
-@register("q5_local_supplier", _Q5_ORACLE, tags=("bench", "join"))
+@register("q5_local_supplier", _Q5_ORACLE, tags=("bench", "join"),
+          priority=100)
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 5-way join. All of region/nation/supplier/customer are
     broadcast; lineitem⋈orders is the only shuffle join (on orderkey)."""
@@ -161,7 +163,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", _Q6_ORACLE, tags=("bench", "agg"))
+@register("q6_forecast_revenue", _Q6_ORACLE, tags=("bench", "agg"),
+          priority=100)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan+filter+scalar agg — everything pushes down."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -190,7 +193,8 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", _Q10_ORACLE, tags=("bench", "join", "topk"))
+@register("q10_returned_items", _Q10_ORACLE, tags=("bench", "join", "topk"),
+          priority=100)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: customers who returned items, by lost revenue."""
     cust = load_table(spark, sf_dir, "customer")

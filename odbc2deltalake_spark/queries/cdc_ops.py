@@ -444,8 +444,7 @@ GROUP BY event_type
 """
 
 
-@register("mv_incremental_rollup", _MV_ORACLE, tags=("cdc", "streaming"),
-          priority=100)
+@register("mv_incremental_rollup", _MV_ORACLE, tags=("cdc", "streaming"))
 def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained per-type rollup == one-shot GROUP BY.
 

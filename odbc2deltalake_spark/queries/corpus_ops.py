@@ -688,8 +688,7 @@ def _leakage_split_oracle() -> str:
     return _LEAKAGE_SPLIT_ORACLE.format(minhash=_MINHASH_ORACLE)
 
 
-@register("corpus_leakage_safe_split", None, tags=("corpus", "dedup"),
-          priority=100)
+@register("corpus_leakage_safe_split", None, tags=("corpus", "dedup"))
 def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/validation split that cannot leak near-duplicates: each doc
     follows its near-dup component's CANONICAL id through the same

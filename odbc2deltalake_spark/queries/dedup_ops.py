@@ -675,7 +675,7 @@ GROUP BY w.doc_id
 """
 
 
-@register("dedup_substring_strip", _STRIP_ORACLE, tags=("dedup",), priority=100)
+@register("dedup_substring_strip", _STRIP_ORACLE, tags=("dedup",))
 def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip cross-doc duplicated spans from non-canonical documents:
     per doc, the original word count, how many words were removed, and
@@ -788,8 +788,7 @@ FROM (
 """
 
 
-@register("corpus_decontaminate_fuzzy", None, tags=("corpus", "dedup"),
-          priority=100)
+@register("corpus_decontaminate_fuzzy", None, tags=("corpus", "dedup"))
 def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate contamination between training corpus and eval
     split: training docs whose MinHash-verified Jaccard to ANY eval doc

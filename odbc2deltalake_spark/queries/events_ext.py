@@ -23,7 +23,8 @@ GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
 """
 
 
-@register("ev_rollup", _ROLLUP_ORACLE, tags=("events", "agg", "groupingsets"))
+@register("ev_rollup", _ROLLUP_ORACLE, tags=("events", "agg", "groupingsets"),
+          priority=100)
 def ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(event_type, day): hierarchical totals (per type+day, per
     type, grand total) in ONE pass — Spark expands grouping sets in the
@@ -378,7 +379,8 @@ GROUP BY f.d0
 """
 
 
-@register("ev_retention", _RETENTION_ORACLE, tags=("events", "retention"))
+@register("ev_retention", _RETENTION_ORACLE, tags=("events", "retention"),
+          priority=100)
 def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic D1/D7 cohort retention. The first-event and activity
     tables both come from one events scan lineage; the two offset joins
@@ -736,7 +738,7 @@ FROM pairs p JOIN tot t USING (prev_type)
 
 
 @register("ev_path_transitions", _TRANSITIONS_ORACLE,
-          tags=("events", "window"), priority=100)
+          tags=("events", "window"))
 def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix with row-normalized
     probabilities.

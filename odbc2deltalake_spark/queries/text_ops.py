@@ -639,8 +639,7 @@ LIMIT {_HYBRID_TOPK}
 """
 
 
-@register("bm25_search", _BM25_ORACLE, tags=("text", "similarity"),
-          priority=100)
+@register("bm25_search", _BM25_ORACLE, tags=("text", "similarity"))
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k for a term query. Same scale skeleton as
     hybrid_search's lexical arm: the token stream is pruned to query

@@ -45,9 +45,13 @@ def test_core_set_fits_driver_cap():
                  "ev_range_join", "text_pii_scrub", "mm_resize", "sim_ann_ivf",
                  # r5 rotation: the second-wave LLM-pipeline shapes
                  "dedup_substring_spans", "text_unigram_logprob",
-                 "ev_funnel", "ev_retention",
+                 "ev_funnel",
                  # r5 in-round rotation: retrieval fusion + DSIR
-                 "hybrid_search_rrf", "corpus_dsir_sample"):
+                 "hybrid_search_rrf", "corpus_dsir_sample",
+                 # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
+                 "mv_incremental_rollup", "corpus_leakage_safe_split",
+                 "bm25_search", "ev_path_transitions",
+                 "dedup_substring_strip", "corpus_decontaminate_fuzzy"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -61,7 +65,14 @@ def test_core_set_fits_driver_cap():
                  # r5 in-round rotation out (both driver-green in r1-r4;
                  # q8 redundant next to q5/q10, token_count subsumed by
                  # text_quality_score)
-                 "q8_market_share", "text_token_count"):
+                 "q8_market_share", "text_token_count",
+                 # r6 rotation out (all driver-green in r5; redundant next
+                 # to the kept family representatives — q1 covers agg,
+                 # q18 covers topk-join, ev_hourly_rollup covers rollups,
+                 # ev_funnel covers sequential-behavior shapes)
+                 "q3_shipping_priority", "q5_local_supplier",
+                 "q6_forecast_revenue", "q10_returned_items",
+                 "ev_rollup", "ev_retention"):
         assert name in overflow_names
 
 
