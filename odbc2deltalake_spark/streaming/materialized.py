@@ -176,7 +176,18 @@ class MaterializedAggregate:
         # cursor redelivers from -1, but if the view already holds
         # applied state the (filtered) tail must COMBINE with it —
         # overwriting would drop every previously folded commit
-        if applied == -1 or not self.view.exists():
+        if applied == -1 and self.view.exists():
+            # view holds state but the exactly-once marker is gone
+            # (cleared property / out-of-band creation): neither branch
+            # is safe — first-write discards the folded counters,
+            # combine double-folds whatever they already contain
+            raise RuntimeError(
+                f"materialized view at {self.view._root_str} exists but "
+                f"carries no {self.APPLIED_PROP} marker — refusing to "
+                "fold (would discard or double-count existing state); "
+                "delete the view or restore the marker, then refresh"
+            )
+        if applied == -1:
             if self.strategy == "merge":
                 # first state lands through merge_upsert so the view is
                 # bucketized from commit 0 (marker rides the same commit)
@@ -219,8 +230,10 @@ class MaterializedAggregate:
     def refresh(self, spark: SparkSession) -> Optional[tuple[int, int]]:
         """Fold all unprocessed source commits into the view. Returns the
         processed (from, to] range, or None when already current. A
-        source rewrite (not delta-expressible) falls back to one full
-        recompute at the rewritten snapshot."""
+        range not readable as a delta — a source rewrite, or a cursor
+        that lagged past the vacuum retention window
+        (``ChangeFeedTruncatedError``) — falls back to one full
+        recompute pinned at the head version."""
         delivered = False
 
         def fn(batch: DataFrame, from_v: int, to_v: int) -> None:

@@ -81,12 +81,17 @@ class TableTailer:
         carries ``_commit_version``. Returns the processed (from, to]
         range, or None when already caught up.
 
-        ``on_rewrite`` controls what happens when the range contains an
-        overwrite/merge/restore commit (not representable as a delta):
-        ``"raise"`` propagates; ``"snapshot"`` re-baselines — fn receives
-        the FULL current snapshot (every row tagged with the latest
-        ``_commit_version``) and the cursor jumps to it, mirroring Delta
-        CDF's re-backfill story."""
+        ``on_rewrite`` controls what happens when the range is not
+        deliverable as a delta — it contains an overwrite/merge/restore
+        commit, or the cursor lags past the vacuum retention window and
+        a selected commit's data dir is gone
+        (``ChangeFeedTruncatedError``, raised at plan time by
+        ``read_changes``): ``"raise"`` propagates the named error;
+        ``"snapshot"`` re-baselines — fn receives the FULL current
+        snapshot (every row tagged with the latest ``_commit_version``)
+        and the cursor jumps to it, mirroring Delta CDF's re-backfill
+        story. Both recover identically because a consumer that keys by
+        ``_commit_version`` treats the snapshot as a fresh baseline."""
         last = self.last_processed()
         to_v = self.table.version()
         if to_v <= last:

@@ -62,6 +62,21 @@ class CommitConflictError(Exception):
     ConcurrentModificationException family."""
 
 
+class ChangeFeedTruncatedError(ValueError):
+    """A change-feed read selected a commit whose data dir was already
+    vacuumed: the consumer's cursor predates the retention window, so the
+    delta between cursor and head no longer exists on storage. Without
+    this check the read plans fine (commit JSONs outlive their data) and
+    dies mid-execution with an executor FileNotFound — opaque and
+    possibly AFTER the consumer produced partial effects. Raised at plan
+    time instead, naming the cursor and the missing version, so the
+    consumer can re-baseline from a snapshot read — the same recovery
+    Delta CDF prescribes when `delta.logRetentionDuration` outlives
+    `deletedFileRetentionDuration`. Subclasses ValueError so re-baseline
+    handlers written for the rewrite case (overwrite/merge in range)
+    recover from truncation identically."""
+
+
 class SchemaDriftError(Exception):
     """Incompatible source schema change (e.g. string→binary,
     timestamp→int). Widening changes flow through; incompatible ones must
@@ -1116,6 +1131,17 @@ class VersionedParquetTable(TableStore):
                 )
             if not c.get("dir"):
                 continue  # metadata-only commit
+            if not self.backend.exists(self._path(c["dir"])):
+                # commit JSONs outlive vacuumed data dirs — fail at plan
+                # time with the recovery action, not at execution with an
+                # executor FileNotFound (one control-plane exists() per
+                # selected commit, change-set-sized)
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s data dir "
+                    f"{c['dir']!r} was vacuumed (cursor {from_version} "
+                    "predates the retention window) — re-baseline from "
+                    "read(version=...) and skip the cursor forward"
+                )
             written = T.StructType.fromJson(json.loads(c["written_schema"]))
             df = spark.read.schema(written).parquet(self._path(c["dir"]))
             df = df.select(

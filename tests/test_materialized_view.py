@@ -251,3 +251,50 @@ def test_fold_errors_are_not_mistaken_for_rewrites(spark, source, tmp_path):
     mv.view.set_properties({MaterializedAggregate.APPLIED_PROP: "bogus"})
     with pytest.raises(ValueError):
         mv.refresh(spark)
+
+
+def test_mv_recovers_from_vacuum_truncated_feed(spark, tmp_path):
+    """A MaterializedAggregate whose cursor lagged past the vacuum
+    retention window must re-baseline by recompute (same path as a
+    source rewrite), ending with read == recompute — never an executor
+    FileNotFound, never double-folded state."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "events_landing")
+    t.write(ev.filter(F.col("event_id") % 3 == 0), mode="append")   # v0
+    mv = MaterializedAggregate(
+        t, tmp_path / "view", ["event_type"],
+        {"n": ("count", None), "total": ("sum", "value")},
+    )
+    assert mv.refresh(spark) == (-1, 0)
+    t.write(ev.filter(F.col("event_id") % 3 == 1), mode="append")   # v1
+    t.write(ev.filter(F.col("event_id") % 3 == 2), mode="append")   # v2
+    t.compact(spark)                                                # v3
+    assert t.vacuum(retain_versions=1)
+    t.write(ev.limit(0), mode="append")                             # v4
+    rng = mv.refresh(spark)   # truncated feed -> recompute fallback
+    assert rng == (0, t.version())
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    assert mv.refresh(spark) is None  # caught up
+
+
+def test_mv_refuses_markerless_existing_view(spark, tmp_path):
+    """ADVICE r5: a view that exists WITHOUT the mv.applied_to marker
+    (out-of-band creation / cleared property) must raise, not silently
+    overwrite previously folded counters."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "landing")
+    t.write(ev, mode="append")
+    mv = MaterializedAggregate(
+        t, tmp_path / "view", ["event_type"], {"n": ("count", None)},
+    )
+    # out-of-band view: state-shaped table at the view root, no marker
+    VersionedParquetTable(tmp_path / "view").write(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__c_n")),
+        mode="overwrite",
+    )
+    with pytest.raises(RuntimeError, match="mv.applied_to"):
+        mv.refresh(spark)
