@@ -39,16 +39,100 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _try_real_image_decode(payload: bytes):
-    """Real decode path — active when Pillow is installed."""
-    try:
-        import io
+_PIL_IMAGE = None  # resolved once per worker: False = absent
 
-        from PIL import Image  # type: ignore[import-not-found]
-    except ImportError:
+
+def _try_real_image_decode(payload: bytes):
+    """Real decode path — active when Pillow is installed. The import is
+    probed once per interpreter (failed imports are not cached by
+    Python, so an unguarded per-row try/except would re-walk sys.path
+    for every payload)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is None:
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = False
+    if _PIL_IMAGE is False:
         return None
-    im = Image.open(io.BytesIO(payload))
+    import io
+
+    im = _PIL_IMAGE.open(io.BytesIO(payload))
     return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> Pillow mode name (8-bit depth; 16-bit uses the same
+# letters via Pillow's I;16 promotion, which metadata-only callers don't
+# need to distinguish)
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+# JPEG SOFn markers that carry frame dimensions — every 0xC0..0xCF
+# except DHT (C4), JPG (C8) and DAC (CC), per ITU T.81 table B.1
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def _parse_image_header(payload: bytes) -> Optional[dict]:
+    """Pure-stdlib PNG IHDR / JPEG SOFn header parse — the real-bytes
+    path when Pillow is absent (this container). Returns None for
+    formats it doesn't recognize so the caller can fall through to the
+    synthetic-fixture stub.
+
+    PNG (RFC 2083): 8-byte signature, then chunks as
+    [len u32][type 4B][data][crc u32]; IHDR is mandatory-first with
+    width/height as big-endian u32 and color type at data offset 9.
+    JPEG (ITU T.81): 0xFFD8 SOI, then marker segments
+    [0xFF marker][len u16 incl. itself]; the first SOFn segment carries
+    [precision u8][height u16][width u16][n_components u8]. Both reads
+    touch only the first few hundred bytes — the kernel stays linear in
+    row count, not payload size."""
+    if payload[:8] == _PNG_SIG and len(payload) >= 33:
+        length, ctype = struct.unpack(">I4s", payload[8:16])
+        if ctype != b"IHDR" or length < 13:
+            return None  # corrupt: IHDR must be the first chunk
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return {
+            "width": w,
+            "height": h,
+            "mode": _PNG_MODES.get(color_type, f"PNG#{color_type}"),
+        }
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # lost marker sync
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: no length
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if marker in _JPEG_SOF:
+                if i + 4 + 6 > n:
+                    return None
+                h, w, ncomp = struct.unpack(
+                    ">HHB", payload[i + 5 : i + 10]
+                )
+                return {
+                    "width": w,
+                    "height": h,
+                    "mode": _JPEG_MODES.get(ncomp, f"JPEG#{ncomp}"),
+                }
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before SOF
+                return None
+            i += 2 + seglen
+        return None
+    return None
 
 
 def _stub_image_decode(payload: bytes) -> dict:
@@ -74,7 +158,11 @@ def decode_images(df: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                d = _try_real_image_decode(b) or _stub_image_decode(b)
+                d = (
+                    _try_real_image_decode(b)
+                    or _parse_image_header(b)
+                    or _stub_image_decode(b)
+                )
                 out.append((mid, d["width"], d["height"], d["mode"], len(b)))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "mode", "n_bytes"]

