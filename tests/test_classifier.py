@@ -26,8 +26,12 @@ from odbc2deltalake_spark.queries.registry import load_table  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 D = 64
-STEPS = 30
-LR = 2.0
+# production hyperparams (queries/clustering_ops.py _CLF_*): adagrad
+# reaches 30-GD-pass accuracy in 15 passes — the parity gate pins the
+# trajectory the engine actually ships
+STEPS = 15
+LR = 1.0
+OPT = "adagrad"
 
 
 @pytest.fixture(scope="module")
@@ -37,12 +41,12 @@ def fixture(spark):
         "doc_id", "text", (F.length("text") >= 400).cast("int").alias("label")
     )
     features = featurize(labeled, D).localCheckpoint(eager=True)
-    weights = fit_logreg(features, D, steps=STEPS, lr=LR)
+    weights = fit_logreg(features, D, steps=STEPS, lr=LR, optimizer=OPT)
     raw = [
         (r["doc_id"], r["text"], r["label"])
         for r in labeled.collect()
     ]
-    ref_w, ref_probs = reference_fit(raw, D, steps=STEPS, lr=LR)
+    ref_w, ref_probs = reference_fit(raw, D, steps=STEPS, lr=LR, optimizer=OPT)
     return features, weights, ref_w, ref_probs
 
 
@@ -72,8 +76,66 @@ def test_classifier_learns_the_label(fixture):
 
 def test_fit_is_deterministic(fixture):
     features, weights, _, _ = fixture
-    again = fit_logreg(features, D, steps=STEPS, lr=LR)
+    again = fit_logreg(features, D, steps=STEPS, lr=LR, optimizer=OPT)
     assert weights == again
+
+
+def test_plain_gd_matches_reference(spark, fixture):
+    """The default optimizer="gd" trajectory stays pinned too (few steps
+    — the per-step update is what's under test, not convergence)."""
+    features, _, _, _ = fixture
+    w = fit_logreg(features, D, steps=4, lr=2.0)
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = [
+        (r["doc_id"], r["text"], int(len(r["text"]) >= 400))
+        for r in docs.collect()
+    ]
+    ref_w, _ = reference_fit(raw, D, steps=4, lr=2.0)
+    for got, want in zip(w, ref_w):
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_gradient_norm_early_stop(spark, fixture):
+    """tol > 0 stops both implementations at the SAME step: a generous
+    tol must yield fewer effective passes (weights differ from the full
+    run) while still matching the reference exactly."""
+    features, _, _, _ = fixture
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = [
+        (r["doc_id"], r["text"], int(len(r["text"]) >= 400))
+        for r in docs.collect()
+    ]
+    # sf0.001 GD gnorm trajectory crosses 0.12 between steps 3 and 4
+    w_stop = fit_logreg(features, D, steps=30, lr=2.0, tol=0.12)
+    ref_stop, _ = reference_fit(raw, D, steps=30, lr=2.0, tol=0.12)
+    w_full = fit_logreg(features, D, steps=30, lr=2.0)
+    for got, want in zip(w_stop, ref_stop):
+        assert got == pytest.approx(want, abs=1e-9)
+    assert w_stop != w_full  # the stop actually fired early
+
+
+def test_empty_document_scores_not_nulls(spark, fixture):
+    """ADVICE r5: an empty/whitespace doc must produce a real prob (its
+    alpha_ratio guard is greatest(len,1)), not a silent null, and
+    featurize/reference_fit must agree on the degenerate input."""
+    from odbc2deltalake_spark.operators.classifier import score_documents
+
+    _, weights, _, _ = fixture
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in score_documents(docs, weights, D).collect()}
+    assert all(rows[i]["prob"] is not None for i in (1, 2, 3))
+    assert all(rows[i]["pred"] in (0, 1) for i in (1, 2, 3))
+    # and the training path handles it too (no ZeroDivision / null label)
+    labeled = docs.withColumn("label", F.lit(0))
+    feats = featurize(labeled, D)
+    assert feats.count() == 3
+    w = fit_logreg(feats, D, steps=2, lr=1.0)
+    raw = [(r["doc_id"], r["text"], 0) for r in docs.collect()]
+    ref_w, _ = reference_fit(raw, D, steps=2, lr=1.0)
+    for got, want in zip(w, ref_w):
+        assert got == pytest.approx(want, abs=1e-9)
 
 
 def test_featurize_is_sparse_and_biased(spark):
