@@ -700,12 +700,23 @@ def ev_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     stats = daily.groupBy("event_type").agg(
-        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sigma"),
+        F.count(F.lit(1)).alias("n_days"),
     )
     z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
     return (
         daily.join(F.broadcast(stats), "event_type")
-        .filter((F.col("sigma") > 0) & (F.abs(z) > _ANOMALY_Z))
+        # n_days >= 2 makes the guard independent of how the engine
+        # encodes a single-sample stddev (NULL on modern Spark/DuckDB,
+        # NaN under spark.sql.legacy.statisticalAggregate — and NaN
+        # orders ABOVE every value in Spark, so `sigma > 0` alone would
+        # pass it)
+        .filter(
+            (F.col("n_days") >= 2)
+            & (F.col("sigma") > 0)
+            & (F.abs(z) > _ANOMALY_Z)
+        )
         .select(
             "event_type", "day", "cnt", F.round(z, 4).alias("zscore")
         )
