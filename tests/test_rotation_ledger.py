@@ -1,0 +1,47 @@
+"""Rotation-ledger gates (VERDICT r5 item #8): the committed ledger is
+current, and no operator that ever held a driver-green row has silently
+fallen out of coverage."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from tools.rotation_ledger import build_ledger, render  # noqa: E402
+
+
+def test_no_silent_coverage_loss():
+    """Every operator that was ever driver-verified must still be
+    registered — in the window or behind the pytest oracle gate."""
+    ledger = build_ledger()
+    lost = [
+        name
+        for name, e in ledger.items()
+        if e["green"] and e["status"].startswith("UNREGISTERED")
+    ]
+    assert not lost, f"operators lost from coverage after rotation: {lost}"
+
+
+def test_committed_ledger_is_current():
+    committed = (REPO / "docs" / "ROTATION_LEDGER.md").read_text()
+    assert committed == render(build_ledger()), (
+        "docs/ROTATION_LEDGER.md is stale — regenerate with "
+        "`python tools/rotation_ledger.py --write`"
+    )
+
+
+def test_every_red_row_was_eventually_green():
+    """A shape that went red in some round must have a later green round
+    (the project's fix-forward discipline) — guards against quietly
+    rotating a red shape out of the window instead of fixing it."""
+    ledger = build_ledger()
+    stuck = [
+        name
+        for name, e in ledger.items()
+        if e["red"] and (not e["green"] or max(e["green"]) < max(e["red"]))
+    ]
+    assert not stuck, f"operators whose last driver verdict was red: {stuck}"
