@@ -106,11 +106,29 @@ class _Ctx:
         out = convert_projection(df, self.cols, self.target_name, self.cfg.no_trim)
         return self.cfg.transformation_hook(out, "sql2delta")
 
-    def append_history(self, df: DataFrame) -> None:
+    def append_history(self, df: DataFrame, delta_interval=None) -> None:
         """Append to the SCD2 history with drift-aware schema merging
         (type widening flows through; reference Delta equivalent:
         mergeSchema + delta.enableTypeWidening,
-        reference:odbc2deltalake/reader/spark_reader.py:154-162)."""
+        reference:odbc2deltalake/reader/spark_reader.py:154-162).
+
+        ``delta_interval`` = (lo, hi) bounds of the DELTA COLUMN in this
+        batch when the caller already knows them (step 2 writes rows with
+        delta_col in (last_watermark, source_max] — both ends come from
+        probes the load ran anyway, so the stats are zero-cost like the
+        __timestamp constant). They make the current-rows hot path
+        (:func:`read_current_rows`) prune fully-superseded load commits
+        at the commit log; appends without the bounds (tombstones,
+        strange updates) are simply never pruned — skipping is
+        conservative by construction."""
+        known = {SYS.timestamp: (self.load_ts, self.load_ts)}
+        if (
+            delta_interval is not None
+            and self.delta_name is not None
+            and delta_interval[0] is not None
+            and delta_interval[1] is not None
+        ):
+            known[self.delta_name] = tuple(delta_interval)
         self.dest.delta.write(
             df,
             mode="append",
@@ -119,7 +137,7 @@ class _Ctx:
             # constant the engine already holds, so the commit interval
             # is exact without any stats job — watermark/latest-load
             # reads then prune whole older commits at the commit log
-            known_stats={SYS.timestamp: (self.load_ts, self.load_ts)},
+            known_stats=known,
         )
 
 
@@ -386,10 +404,16 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
     d1_rows = with_system_cols(
         ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
     )
-    # count observed during the write — no read-back emptiness job
-    _, n1 = dest.delta_1.write_counted(d1_rows, mode="overwrite")
+    # count + exact delta-col bounds observed during the write — no
+    # read-back emptiness job, and the bounds become commit-log skipping
+    # stats on the history append (read_current_rows prunes with them)
+    _, n1, mm = dest.delta_1.write_counted_minmax(
+        d1_rows, [ctx.delta_name], mode="overwrite"
+    )
     if n1:
-        ctx.append_history(dest.delta_1.read(ctx.spark))
+        ctx.append_history(
+            dest.delta_1.read(ctx.spark), delta_interval=mm.get(ctx.delta_name)
+        )
 
     if simple:
         return _finish_simple(ctx, res, src_count, simple_check)
@@ -532,9 +556,14 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
         # is capped at the rewound watermark) — matches the reference's
         # _load_updates_to_delta(delta_name="delta_1")
         # (reference:odbc2deltalake/db_to_delta.py:1137-1146,1223-1251)
-        _, n = dest.delta_1.write_counted(rows, mode="overwrite")
+        _, n, mm = dest.delta_1.write_counted_minmax(
+            rows, [ctx.delta_name], mode="overwrite"
+        )
         if n:
-            ctx.append_history(dest.delta_1.read(ctx.spark))
+            ctx.append_history(
+                dest.delta_1.read(ctx.spark),
+                delta_interval=mm.get(ctx.delta_name),
+            )
         return rewind_wm
 
     ctx.logger.warning(
@@ -549,9 +578,13 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
     rows = with_system_cols(
         ctx.extract(fetched), ctx.load_ts, is_deleted=False, is_full_load=False
     )
-    _, n = dest.delta_2.write_counted(rows, mode="overwrite")
+    _, n, mm = dest.delta_2.write_counted_minmax(
+        rows, [ctx.delta_name], mode="overwrite"
+    )
     if n:
-        ctx.append_history(dest.delta_2.read(ctx.spark))
+        ctx.append_history(
+            dest.delta_2.read(ctx.spark), delta_interval=mm.get(ctx.delta_name)
+        )
     return None
 
 
@@ -648,3 +681,50 @@ def _restore_last_pk(ctx: _Ctx) -> bool:
         return False
     ctx.dest.latest_pk_version.write(derived, mode="overwrite")
     return True
+
+
+# ----------------------------------------------------- current-rows read --
+
+
+def read_current_rows(
+    spark: SparkSession,
+    destination,
+    pk_cols: list[str],
+    delta_col: str,
+    prune: bool = True,
+) -> DataFrame:
+    """The HOT read path: current (non-deleted) rows as
+    ``latest_pk_version ⨝ history`` on (pks, delta_col) — J2 — with the
+    history scan pruned by commit-level delta-col stats.
+
+    Why this beats the W1 full-history window at scale: the window must
+    shuffle EVERY history version ever written; this join touches only
+    commits that can still hold a current row. Every current row's
+    delta value is >= min(delta_col) over ``latest_pk_version`` (that's
+    what the index stores), so commits whose recorded delta-col max
+    lies below that scalar are provably fully superseded and are
+    dropped at the commit log before Spark plans the scan. On a churny
+    table the prune converges to "the last few loads" regardless of
+    history length; loads without recorded bounds (tombstone appends,
+    pre-r6 history) are conservatively kept. The min() probe itself
+    reads only the keys-only index — control-plane cost.
+
+    ``.distinct()`` mirrors the documented W2 verification semantics:
+    the rewind path can append byte-identical (pk, ts) versions twice
+    (see tests/cdc_utils.py:current_rows).
+    """
+    dest = destination if isinstance(destination, DeltaDestination) else (
+        DeltaDestination(destination)
+    )
+    lpk = dest.latest_pk_version.read(spark)
+    skip = None
+    if prune:
+        min_ts = lpk.agg(F.min(delta_col).alias("m")).first()["m"]
+        if min_ts is not None:
+            skip = (delta_col, ">=", min_ts)
+    hist = dest.delta.read(spark, skip_where=skip)
+    return (
+        hist.join(lpk.select(*pk_cols, delta_col), on=pk_cols + [delta_col])
+        .filter(~F.col(SYS.is_deleted))
+        .distinct()
+    )

@@ -496,6 +496,38 @@ class TableStore(ABC):
         v = self.write(df, mode=mode, merge_schema=merge_schema)
         return v, int(obs.get["rows"])
 
+    def write_counted_minmax(
+        self,
+        df: DataFrame,
+        minmax_cols: list[str],
+        mode: str = "append",
+        merge_schema: bool = False,
+    ) -> tuple[int, int, dict[str, tuple[Any, Any]]]:
+        """Like :meth:`write_counted`, additionally returning exact
+        {col: (min, max)} for ``minmax_cols`` — the aggregates ride the
+        SAME Observation as the row count, so the bounds cost zero extra
+        passes (unlike attaching a fresh CollectMetrics to a later
+        write, which the A/B in :meth:`VersionedParquetTable.write`'s
+        docstring measured at ~1.2s/load). The SCD2 engine uses this on
+        its change-set writes and feeds the bounds forward as
+        ``known_stats`` on the history append."""
+        from pyspark.sql import Observation
+
+        cols = [c for c in minmax_cols if c in df.columns]
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        df = df.observe(obs, *aggs)
+        v = self.write(df, mode=mode, merge_schema=merge_schema)
+        vals = obs.get
+        return (
+            v,
+            int(vals["rows"]),
+            {c: (vals[f"__mn_{c}"], vals[f"__mx_{c}"]) for c in cols},
+        )
+
     def count_rows(self, spark: SparkSession) -> int:
         """Current row count. Stores that track counts in commit metadata
         override this to answer without a scan."""

@@ -80,19 +80,14 @@ def history_rows(spark, dest):
 
 
 def current_rows(spark, dest):
-    """Current (non-deleted) rows via latest_pk ⨝ history — the reference's
-    read-side verification pattern (reference:tests/test_03_delta.py:132-138)."""
-    from odbc2deltalake_spark import DeltaDestination
+    """Current (non-deleted) rows via latest_pk ⨝ history with commit
+    pruning — the engine's J2 hot path (plans/db_to_delta.py:
+    read_current_rows; reference read-side verification pattern
+    reference:tests/test_03_delta.py:132-138). Every lifecycle test
+    going through here also exercises the pruned read's exactness."""
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
 
-    d = DeltaDestination(dest)
-    hist = d.delta.read(spark)
-    lpk = d.latest_pk_version.read(spark)
-    cur = hist.join(lpk, on=["User_-_iD", "time_stamp"], how="inner").filter(
-        "NOT __is_deleted"
-    )
-    # .distinct(): the rewind path re-appends rows whose (pk, rowversion)
-    # already exist in history — identical tuples, deduped here exactly as
-    # the reference's QUALIFY row_number verification does (W2)
+    cur = read_current_rows(spark, dest, ["User_-_iD"], "time_stamp")
     return sorted(
         tuple(r)
         for r in cur.select("User_-_iD", "FirstName", "LastName", "Age")

@@ -274,3 +274,82 @@ def test_interval_may_match_is_sound_property():
         assert VersionedParquetTable._interval_may_match(mn, None, op, v)
 
     run()
+
+
+def test_current_rows_join_prunes_superseded_loads(spark, tmp_path):
+    """VERDICT r5 item #4 — the J2 hot path: read_current_rows must
+    scan only the commits that can still hold a current row, using the
+    delta-col bounds the loads record for free (write_counted_minmax ->
+    known_stats), and return exactly the unpruned result."""
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+    from tests.cdc_utils import USER_SCHEMA, make_source, run_load
+
+    dest = tmp_path / "dest"
+    n_loads = 6
+    base = [
+        (i, f"fn{i}", f"ln{i}", float(20 + i), "c1", 1000 + i)
+        for i in range(8)
+    ]
+    run_load(spark, make_source(spark, base), dest)  # full load
+    rv = 2000
+    for _ in range(n_loads):
+        # full churn: every pk gets a new version each load
+        rv += 100
+        base = [
+            (pk, fn, ln, age + 1.0, co, rv + pk)
+            for (pk, fn, ln, age, co, _ts) in base
+        ]
+        run_load(spark, make_source(spark, base), dest)
+
+    pruned = read_current_rows(spark, dest, ["User_-_iD"], "time_stamp")
+    full = read_current_rows(
+        spark, dest, ["User_-_iD"], "time_stamp", prune=False
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # isolate the HISTORY side (inputFiles() of the join also counts the
+    # latest_pk scan): replicate the prune predicate read_current_rows
+    # derives, then compare history scans
+    from odbc2deltalake_spark.plans.destination import DeltaDestination
+
+    d = DeltaDestination(dest)
+    min_ts = (
+        d.latest_pk_version.read(spark).agg(F.min("time_stamp").alias("m"))
+        .first()["m"]
+    )
+    n_pruned = len(
+        d.delta.read(spark, skip_where=("time_stamp", ">=", min_ts)).inputFiles()
+    )
+    n_full = len(d.delta.read(spark).inputFiles())
+    assert n_pruned < n_full, "pruning must drop superseded load commits"
+    # every current row lives in the final load: survivors are that
+    # commit plus the statless full-load base — 2 of n_loads+1 commits
+    assert n_pruned <= 2 * (n_full / (n_loads + 1)) + 1
+
+
+def test_current_rows_prune_keeps_statless_history(spark, tmp_path):
+    """Pre-r6 history (appends without delta-col bounds) must be
+    conservatively scanned, never pruned."""
+    from odbc2deltalake_spark.metadata import SYS
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+    from odbc2deltalake_spark.plans.destination import DeltaDestination
+
+    d = DeltaDestination(tmp_path / "dest")
+    hist = spark.createDataFrame(
+        [(1, 10, False), (2, 20, False)],
+        "pk long, ts long, x boolean",
+    ).select(
+        "pk",
+        "ts",
+        F.lit(False).alias(SYS.is_deleted),
+        F.lit(True).alias(SYS.is_full_load),
+        F.current_timestamp().alias(SYS.timestamp),
+    )
+    d.delta.write(hist, mode="append")  # NO delta-col stats recorded
+    d.latest_pk_version.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "pk long, ts long"),
+        mode="overwrite",
+    )
+    cur = read_current_rows(spark, d, ["pk"], "ts")
+    assert sorted(r["pk"] for r in cur.collect()) == [1, 2]
