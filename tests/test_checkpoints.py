@@ -1,0 +1,130 @@
+"""Commit-log checkpoints (tablestore.py:checkpoint / _state_at): state
+replay cost is O(commits since checkpoint), the Delta _last_checkpoint
+design. Invariant everywhere: checkpointed replay == full replay, for
+the head and for every time-travel version."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import (
+    LocalStorageBackend,
+    VersionedParquetTable,
+)
+
+
+class CountingBackend(LocalStorageBackend):
+    def __init__(self):
+        self.reads = 0
+
+    def read_text(self, path: str) -> str:
+        self.reads += 1
+        return super().read_text(path)
+
+
+def _states_equal(t: VersionedParquetTable, version=None):
+    a = t._state_at(version, use_checkpoint=True)
+    b = t._state_at(version, use_checkpoint=False)
+    assert a == b, f"checkpointed replay diverged at version={version}"
+    return a
+
+
+def test_auto_checkpoint_and_equivalence(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(5).select(F.col("id").alias("k")), mode="append")
+    # metadata commits are cheap — drive the version counter across two
+    # checkpoint intervals
+    for i in range(1, 45):
+        t.set_properties({"tick": str(i)})
+    assert t._checkpoint_versions() == [20, 40]
+    for v in (None, 0, 19, 20, 21, 40, 44):
+        _states_equal(t, v)
+    # data reads unaffected
+    assert t.read(spark).count() == 5
+    assert t.get_property("tick") == "44"
+
+
+def test_replay_cost_is_bounded_by_interval(spark, tmp_path):
+    """Head-state resolution must read ~interval commit JSONs + one
+    checkpoint, not the whole log."""
+    backend = CountingBackend()
+    t = VersionedParquetTable(tmp_path / "t", backend=backend)
+    t.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    for i in range(1, 50):
+        t.set_properties({"tick": str(i)})
+    backend.reads = 0
+    st = t._state_at()
+    assert st["version"] == 49
+    # checkpoint at 40 + commits 41..49 + the checkpoint file = 10 reads
+    assert backend.reads <= 12, f"{backend.reads} reads — checkpoint unused?"
+    backend.reads = 0
+    t._state_at(use_checkpoint=False)
+    assert backend.reads >= 50  # the full-replay baseline really is O(n)
+
+
+def test_unreadable_checkpoint_falls_back(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(4).select(F.col("id").alias("k")), mode="append")
+    for i in range(1, 45):
+        t.set_properties({"tick": str(i)})
+    # corrupt the newest checkpoint: replay must fall back to the older
+    # one (v20), then the log tail — same state
+    p = t._path("_checkpoints", f"{40:010d}.json")
+    t.backend.write_text_atomic(p, "not json {")
+    st = _states_equal(t)
+    assert st["version"] == 44
+    # corrupt both: full-replay fallback
+    t.backend.write_text_atomic(t._path("_checkpoints", f"{20:010d}.json"), "x")
+    st = _states_equal(t)
+    assert st["version"] == 44
+
+
+def test_checkpoint_preserves_bucketized_merge_state(spark, tmp_path):
+    """bucket layout, per-bucket row counts and key types must survive a
+    checkpoint boundary — merges after it keep routing correctly."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 3  # cross several boundaries with real merges
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t.merge_upsert(spark, df, key_cols=["k"])
+    for step in range(5):
+        upd = spark.range(step * 20, step * 20 + 30).select(
+            F.col("id").alias("k"), F.lit(-step - 1).alias("v")
+        )
+        t.merge_upsert(spark, upd, key_cols=["k"])
+    assert t._checkpoint_versions(), "merges must trigger checkpoints"
+    _states_equal(t)
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 200
+    assert got[85] == -5  # last merge (step 4) covered 80..109
+    assert t.count_rows(spark) == 200  # metadata-backed count path
+
+
+def test_time_travel_below_oldest_checkpoint(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 5
+    for i in range(12):
+        t.write(
+            spark.range(i, i + 1).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    for v in range(12):
+        assert t.read(spark, version=v).count() == v + 1
+        _states_equal(t, v)
+    with pytest.raises(ValueError):
+        t._state_at(99)
+
+
+def test_checkpoint_content_is_deterministic(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(6).select(F.col("id").alias("k")), mode="append")
+    for i in range(1, 25):
+        t.set_properties({"tick": str(i)})
+    p = t._path("_checkpoints", f"{20:010d}.json")
+    first = t.backend.read_text(p)
+    t.checkpoint(20, full=True)  # explicit from-scratch rebuild
+    assert json.loads(t.backend.read_text(p)) == json.loads(first)
