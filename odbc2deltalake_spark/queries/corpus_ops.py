@@ -723,3 +723,95 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 from odbc2deltalake_spark.queries.registry import QUERIES as _Q  # noqa: E402
 
 _Q["corpus_leakage_safe_split"].oracle = _leakage_split_oracle()
+
+
+# ------------------------------------------------- sequence packing ----
+#
+# Pack the tokenized corpus into fixed-budget training sequences: docs
+# are concatenated in deterministic doc_id order and chopped at
+# _PACK_BUDGET-token boundaries — the standard LLM pretraining packing
+# (documents may straddle a boundary; the map records exactly which
+# sequences each doc feeds and at what global offset).
+
+_PACK_BUDGET = 512
+
+_PACK_SEQ_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS off
+  FROM toks
+)
+SELECT doc_id, n_tokens, off AS offset,
+       CAST(off // {_PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST((off + n_tokens - 1) // {_PACK_BUDGET} AS BIGINT) AS seq_last
+FROM cum
+"""
+
+
+@register("corpus_pack_sequences", _PACK_SEQ_ORACLE, tags=("corpus", "text"),
+          priority=100)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing map: per document, its global token offset and
+    the [seq_first, seq_last] range of fixed-{budget}-token training
+    sequences it lands in, under deterministic doc_id concatenation
+    order. Token semantics match text_token_count (whitespace split of
+    the trimmed text).
+
+    Scale shape — the naive plan is a GLOBAL cumulative-sum window
+    (single partition: every token count through one task). Here it is
+    the textbook two-level distributed prefix sum instead: docs group
+    into doc_id-range chunks; per-chunk totals aggregate to a
+    |chunks|-row frame whose own cumsum window is control-plane-sized;
+    the broadcast chunk offsets then join back and a window PARTITIONED
+    BY chunk finishes the per-doc offsets. Both windows are partitioned
+    or tiny — no stage ever sees more than one chunk's rows in order,
+    so the plan holds at any corpus size (chunk width tunes task
+    memory). No reference analogue (the reference has no corpus
+    surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunk_width = 1000
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        (F.col("doc_id") / chunk_width).cast("long").alias("__chunk"),
+    )
+    # level 1: per-chunk totals -> exclusive prefix over chunks (tiny)
+    chunk_tot = toks.groupBy("__chunk").agg(
+        F.sum("n_tokens").alias("__chunk_n")
+    )
+    w_chunks = W.orderBy("__chunk").rowsBetween(W.unboundedPreceding, -1)
+    chunk_off = chunk_tot.select(
+        "__chunk",
+        F.coalesce(F.sum("__chunk_n").over(w_chunks), F.lit(0)).alias(
+            "__chunk_off"
+        ),
+    )
+    # level 2: within-chunk exclusive prefix, partitioned window
+    w_in = (
+        W.partitionBy("__chunk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = (
+        F.col("__chunk_off")
+        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    return (
+        toks.join(F.broadcast(chunk_off), "__chunk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            off.alias("offset"),
+            F.floor(off / _PACK_BUDGET).alias("seq_first"),
+            F.floor((off + F.col("n_tokens") - 1) / _PACK_BUDGET).alias(
+                "seq_last"
+            ),
+        )
+    )

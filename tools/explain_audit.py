@@ -137,6 +137,8 @@ AUDIT = [
     "bm25_search",
     "ev_volume_anomaly",
     "corpus_decontaminate_fuzzy",
+    # r6: global sequence packing (two-level distributed prefix sum)
+    "corpus_pack_sequences",
 ]
 
 
