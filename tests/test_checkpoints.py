@@ -128,3 +128,71 @@ def test_checkpoint_content_is_deterministic(spark, tmp_path):
     first = t.backend.read_text(p)
     t.checkpoint(20, full=True)  # explicit from-scratch rebuild
     assert json.loads(t.backend.read_text(p)) == json.loads(first)
+
+
+# ----------------------------------------------------- property gate ----
+
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 9)),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda t: t[0],
+)
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "overwrite", "merge", "props", "restore"]),
+        _rows,
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(ops=_ops)
+def test_checkpointed_replay_equals_full_under_any_schedule(
+    spark, tmp_path_factory, ops
+):
+    """For ANY commit schedule (appends, overwrites, bucketizing merges,
+    property sets, restores) with an aggressive checkpoint interval, the
+    checkpointed state must equal the full-log replay at the head and at
+    every historical version, and reads must agree."""
+    root = tmp_path_factory.mktemp("ckpt_prop") / f"t{uuid.uuid4().hex[:8]}"
+    t = VersionedParquetTable(root)
+    t.checkpoint_interval = 2
+    merged = False
+    for i, (kind, rows) in enumerate(ops):
+        df = spark.createDataFrame(list(rows), "id long, v long")
+        if not t.exists():
+            t.write(df, mode="overwrite")
+            continue
+        if kind == "append" and not merged:
+            t.write(df, mode="append")
+        elif kind == "overwrite":
+            t.write(df, mode="overwrite")
+            merged = False
+        elif kind == "merge":
+            t.merge_upsert(spark, df, key_cols=["id"])
+            merged = True
+        elif kind == "props":
+            t.set_properties({"k": str(i)})
+        elif kind == "restore":
+            t.restore(max(0, t.version() - 1))
+    head = t.version()
+    for v in [None, head] + list(range(0, head + 1, 2)):
+        a = t._state_at(v, use_checkpoint=True)
+        b = t._state_at(v, use_checkpoint=False)
+        assert a == b, f"divergence at version {v}"
+    got = sorted(map(tuple, t.read(spark).collect()))
+    t2 = VersionedParquetTable(root)  # fresh instance, same log
+    assert sorted(map(tuple, t2.read(spark).collect())) == got
