@@ -79,6 +79,8 @@ EXTRAS = [
     "mv_incremental_rollup",
     "ev_path_transitions",
     "corpus_leakage_safe_split",
+    # r6: global sequence packing (distributed prefix sum)
+    "corpus_pack_sequences",
 ]
 
 
