@@ -21,6 +21,7 @@ from odbc2deltalake_spark.metadata import ColInfo, compat_name
 from odbc2deltalake_spark.config import WriteConfig, WriteConfigAndInfos
 from odbc2deltalake_spark.session import get_spark
 from odbc2deltalake_spark.tablestore import (
+    ChangeFeedTruncatedError,
     CommitConflictError,
     SchemaDriftError,
     TableStore,
@@ -33,7 +34,7 @@ from odbc2deltalake_spark.plans import (
     check_latest_pk,
     write_db_to_delta,
 )
-from odbc2deltalake_spark.plans.db_to_delta import make_writer
+from odbc2deltalake_spark.plans.db_to_delta import make_writer, read_current_rows
 from odbc2deltalake_spark.operators.corpus import prepare_training_corpus
 from odbc2deltalake_spark.destinations import (
     AzureDestination,
@@ -53,6 +54,7 @@ __all__ = [
     "TableStore",
     "VersionedParquetTable",
     "CommitConflictError",
+    "ChangeFeedTruncatedError",
     "SchemaDriftError",
     "Source",
     "DataFrameSource",
@@ -60,6 +62,7 @@ __all__ = [
     "DeltaDestination",
     "write_db_to_delta",
     "make_writer",
+    "read_current_rows",
     "check_latest_pk",
     "check_delta_consistency",
     "prepare_training_corpus",
