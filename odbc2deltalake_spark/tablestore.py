@@ -541,6 +541,32 @@ class TableStore(ABC):
 _BUCKET_COL = "__bucket"
 
 
+def _relax_nullability(dt: T.DataType) -> T.DataType:
+    """The cast target for schema-projection sites: the same type with
+    every nested nullability flag set True. Parquet round-trips arrays/
+    maps/structs as nullable regardless of what the writer declared, and
+    Spark 4 REFUSES a nullability-narrowing cast (array<bigint> with
+    nullable elements → containsNull=false is CAST_WITHOUT_SUGGESTION) —
+    so casting to the declared type breaks every stored embedding-style
+    column. Relaxing only ever widens: values are untouched, the read
+    schema just stops over-promising non-nullness the files cannot
+    guarantee."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _relax_nullability(dt.keyType), _relax_nullability(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 class VersionedParquetTable(TableStore):
     def __init__(self, root: str | Path, backend: Optional[StorageBackend] = None):
         self.root = Path(root) if not isinstance(root, Path) else root
@@ -909,9 +935,9 @@ class VersionedParquetTable(TableStore):
             df = df.select(
                 *[
                     (
-                        F.col(f.name).cast(f.dataType)
+                        F.col(f.name).cast(_relax_nullability(f.dataType))
                         if f.name in written_names
-                        else F.lit(None).cast(f.dataType)
+                        else F.lit(None).cast(_relax_nullability(f.dataType))
                     ).alias(f.name)
                     for f in target.fields
                 ]
@@ -995,9 +1021,9 @@ class VersionedParquetTable(TableStore):
                 df = df.select(
                     *[
                         (
-                            F.col(f.name).cast(f.dataType)
+                            F.col(f.name).cast(_relax_nullability(f.dataType))
                             if f.name in have
-                            else F.lit(None).cast(f.dataType)
+                            else F.lit(None).cast(_relax_nullability(f.dataType))
                         ).alias(f.name)
                         for f in old_schema.fields
                     ]
@@ -1274,9 +1300,9 @@ class VersionedParquetTable(TableStore):
             df = df.select(
                 *[
                     (
-                        F.col(f.name).cast(f.dataType)
+                        F.col(f.name).cast(_relax_nullability(f.dataType))
                         if f.name in df.columns
-                        else F.lit(None).cast(f.dataType)
+                        else F.lit(None).cast(_relax_nullability(f.dataType))
                     ).alias(f.name)
                     for f in table_schema.fields
                 ]
@@ -1309,6 +1335,71 @@ class VersionedParquetTable(TableStore):
 
     def get_property(self, name: str) -> Optional[str]:
         return self._state_at()["props"].get(name)
+
+    ANALYZE_PROP = "stats.columns"
+
+    def analyze(
+        self, spark: SparkSession, cols: Optional[list[str]] = None
+    ) -> dict[str, dict[str, Any]]:
+        """ANALYZE TABLE: one aggregation pass computing per-column
+        null count, approximate NDV (HyperLogLog++, Spark's
+        approx_count_distinct) and min/max for every atomic-typed column
+        (complex types get null count only), persisted as ONE metadata
+        commit under ``stats.columns`` — the lakehouse column-statistics
+        surface (Delta's dataSkippingStatsColumns / ANALYZE analog).
+        Readers use them for join-side sizing and sanity checks without
+        touching data; ``column_stats()`` reads them back.
+
+        Scale: a single map-side-combining aggregate over one scan —
+        every statistic is mergeable state (counters + HLL sketches +
+        extrema), so the exchange is one row per partition regardless of
+        table size."""
+        df = self.read(spark)
+        atomic = (T.NumericType, T.StringType, T.DateType,
+                  T.TimestampType, T.TimestampNTZType, T.BooleanType)
+        fields = [
+            f
+            for f in df.schema.fields
+            if (cols is None and not f.name.startswith("__"))
+            or (cols is not None and f.name in cols)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in fields:
+            c = f.name
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}")
+            )
+            if isinstance(f.dataType, atomic):
+                aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+                aggs.append(F.min(c).alias(f"__mn_{c}"))
+                aggs.append(F.max(c).alias(f"__mx_{c}"))
+        row = df.agg(*aggs).first()
+        out: dict[str, dict[str, Any]] = {
+            "__table": {"rows": int(row["__rows"])}
+        }
+        for f in fields:
+            c = f.name
+            st: dict[str, Any] = {"nulls": int(row[f"__nul_{c}"] or 0)}
+            if isinstance(f.dataType, atomic):
+                st["ndv"] = int(row[f"__ndv_{c}"] or 0)
+                st["min"] = self._stat_ser(row[f"__mn_{c}"])
+                st["max"] = self._stat_ser(row[f"__mx_{c}"])
+            out[c] = st
+        self.set_properties({self.ANALYZE_PROP: json.dumps(out)})
+        return out
+
+    def column_stats(self) -> Optional[dict[str, dict[str, Any]]]:
+        """Stats from the last ``analyze()``, min/max deserialized; None
+        if the table was never analyzed."""
+        raw = self.get_property(self.ANALYZE_PROP)
+        if raw is None:
+            return None
+        out = json.loads(raw)
+        for st in out.values():
+            for k in ("min", "max"):
+                if k in st:
+                    st[k] = self._stat_deser(st[k])
+        return out
 
     def vacuum(
         self,

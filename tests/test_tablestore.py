@@ -808,3 +808,68 @@ def test_concurrent_writers_all_commit_with_retries(spark, tmp_path):
     removed = t.vacuum(retain_versions=10**6, orphan_min_age_seconds=0)
     assert len(removed) >= 1 or not conflicts
     assert sorted(r["k"] for r in t.read(spark).collect()) == expect
+
+
+def test_analyze_column_stats(spark, tmp_path):
+    """ANALYZE: one-pass per-column null/ndv/min-max persisted as a
+    metadata commit; exact where exactness is cheap (nulls, extrema),
+    HLL-approximate NDV within its documented error."""
+    import datetime
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 37)))
+        .alias("name"),
+        (F.col("id") % 5).cast("double").alias("score"),
+        F.array(F.col("id")).alias("arr"),  # complex: nulls only
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("ts"),
+    )
+    t.write(df, mode="append")
+    v_before = t.version()
+    stats = t.analyze(spark)
+    assert t.version() == v_before + 1  # one metadata commit
+    assert stats["__table"]["rows"] == 1000
+    assert stats["k"]["nulls"] == 0
+    assert stats["k"]["min"] == 0 and stats["k"]["max"] == 999
+    assert abs(stats["k"]["ndv"] - 1000) / 1000 < 0.1
+    assert stats["name"]["nulls"] == 100
+    assert abs(stats["name"]["ndv"] - 37) <= 4
+    assert stats["score"]["min"] == 0.0 and stats["score"]["max"] == 4.0
+    assert "ndv" not in stats["arr"] and stats["arr"]["nulls"] == 0
+    # read-back path deserializes temporal extrema
+    back = t.column_stats()
+    assert back["ts"]["min"] == datetime.datetime(2026, 1, 2, 3, 4, 5)
+    assert back["k"]["max"] == 999
+    # system columns excluded by default; explicit cols override
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(df.withColumn("__sys", F.lit(1)), mode="append")
+    s2 = t2.analyze(spark)
+    assert "__sys" not in s2
+    s3 = t2.analyze(spark, cols=["__sys"])
+    assert s3["__sys"]["ndv"] == 1
+
+
+def test_array_and_struct_columns_roundtrip(spark, tmp_path):
+    """Regression: Spark 4 refuses nullability-narrowing casts, so a
+    stored array<...> column with containsNull=false (every
+    F.array(...) of non-null inputs — i.e. every embedding column)
+    used to fail the projection on read. All projection sites must cast
+    to the nullability-relaxed type instead."""
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.array(F.col("id"), F.col("id") * 2).alias("emb"),
+        F.struct(F.col("id").alias("a")).alias("s"),
+        F.create_map(F.lit("x"), F.col("id")).alias("m"),
+    )
+    t.write(df, mode="append")
+    got = sorted((r["k"], tuple(r["emb"]), r["s"]["a"]) for r in t.read(spark).collect())
+    assert got == [(0, (0, 0), 0), (1, (1, 2), 1), (2, (2, 4), 2)]
+    # append path aligns to the existing schema through the same cast
+    t.write(df.withColumn("k", F.col("k") + 10), mode="append")
+    assert t.read(spark).count() == 6
+    # change feed path too
+    ch = t.read_changes(spark, from_version=0)
+    assert ch.count() == 3 and ch.select("emb").first()["emb"] is not None
