@@ -489,12 +489,10 @@ class TableStore(ABC):
         """Write and return (version, rows_written) in ONE pass: an
         Observation on the write plan counts rows as they stream out — no
         separate count job over the written table."""
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        v = self.write(df, mode=mode, merge_schema=merge_schema)
-        return v, int(obs.get["rows"])
+        v, n, _ = self.write_counted_minmax(
+            df, [], mode=mode, merge_schema=merge_schema
+        )
+        return v, n
 
     def write_counted_minmax(
         self,
@@ -704,6 +702,10 @@ class VersionedParquetTable(TableStore):
                 if version is None or cv <= version
             ]
             for cv in sorted(eligible, reverse=True):
+                # the WHOLE extraction sits inside the try: a checkpoint
+                # that parses as JSON but has the wrong shape (future
+                # format evolution, manual damage) must fall back like
+                # an unreadable one, not poison every state resolution
                 try:
                     base = json.loads(
                         self.backend.read_text(
@@ -712,16 +714,20 @@ class VersionedParquetTable(TableStore):
                             )
                         )
                     )
+                    live = list(base["dirs"])
+                    schema_json = base["schema"]
+                    props = dict(base["props"])
+                    num_buckets = base["num_buckets"]
+                    bucket_cols = base["bucket_cols"]
+                    bucket_key_types = base["bucket_key_types"]
+                    bucket_rows = dict(base["bucket_rows"] or {})
+                    last = int(base["version"])
                 except Exception:
-                    continue  # unreadable checkpoint: try the next older
-                live = list(base["dirs"])
-                schema_json = base["schema"]
-                props = dict(base["props"])
-                num_buckets = base["num_buckets"]
-                bucket_cols = base["bucket_cols"]
-                bucket_key_types = base["bucket_key_types"]
-                bucket_rows = dict(base["bucket_rows"] or {})
-                last = int(base["version"])
+                    live, props, bucket_rows = [], {}, {}
+                    schema_json = None
+                    num_buckets = bucket_cols = bucket_key_types = None
+                    last = -1
+                    continue  # try the next older checkpoint
                 break
         for name in names:
             v = int(name.split(".")[0])

@@ -196,3 +196,19 @@ def test_checkpointed_replay_equals_full_under_any_schedule(
     got = sorted(map(tuple, t.read(spark).collect()))
     t2 = VersionedParquetTable(root)  # fresh instance, same log
     assert sorted(map(tuple, t2.read(spark).collect())) == got
+
+
+def test_wrong_shape_checkpoint_falls_back(spark, tmp_path):
+    """A checkpoint that parses as JSON but lacks the state keys (format
+    evolution / damage) must fall back exactly like an unreadable one —
+    never a KeyError out of every state resolution."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(4).select(F.col("id").alias("k")), mode="append")
+    for i in range(1, 25):
+        t.set_properties({"tick": str(i)})
+    t.backend.write_text_atomic(
+        t._path("_checkpoints", f"{20:010d}.json"), '{"not": "state"}'
+    )
+    st = _states_equal(t)
+    assert st["version"] == 24
+    assert t.read(spark).count() == 4
