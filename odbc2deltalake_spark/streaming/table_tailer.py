@@ -75,11 +75,22 @@ class TableTailer:
         spark: SparkSession,
         fn: Callable[[DataFrame, int, int], Any],
         on_rewrite: str = "raise",
+        max_commits: Optional[int] = None,
     ) -> Optional[tuple[int, int]]:
         """Deliver all unprocessed commits as ONE batch:
         ``fn(changes_df, from_version, to_version)`` where ``changes_df``
         carries ``_commit_version``. Returns the processed (from, to]
         range, or None when already caught up.
+
+        ``max_commits`` caps how many commits one delivery covers — the
+        admission control for a tailer that fell far behind (500 missed
+        loads must not become one 500-load mega-batch that overwhelms
+        the consumer or the cluster). Each call advances the cursor by
+        at most that many commits, exactly-once per chunk via the same
+        cursor contract; loop ``process_available`` (or use
+        :meth:`drain`) to catch up. A re-baseline snapshot ignores the
+        cap — it is one table-sized read regardless of lag, which is the
+        point of re-baselining.
 
         ``on_rewrite`` controls what happens when the range is not
         deliverable as a delta — it contains an overwrite/merge/restore
@@ -96,14 +107,42 @@ class TableTailer:
         to_v = self.table.version()
         if to_v <= last:
             return None
+        if max_commits is not None:
+            if max_commits < 1:
+                raise ValueError(f"max_commits must be >= 1, got {max_commits}")
+            to_v = min(to_v, last + max_commits)
         try:
             batch = self.table.read_changes(spark, last, to_v)
         except ValueError:
             if on_rewrite != "snapshot":
                 raise
+            to_v = self.table.version()  # snapshot covers the full head
             batch = self.table.read(spark).withColumn(
                 "_commit_version", F.lit(to_v).cast("long")
             )
         fn(batch, last, to_v)
         self._advance(to_v)
         return (last, to_v)
+
+    def drain(
+        self,
+        spark: SparkSession,
+        fn: Callable[[DataFrame, int, int], Any],
+        on_rewrite: str = "raise",
+        max_commits: Optional[int] = None,
+    ) -> list[tuple[int, int]]:
+        """Catch up to the head in bounded chunks: repeat
+        ``process_available(max_commits=...)`` until None. Returns the
+        processed ranges. With the default ``max_commits=None`` this is
+        at most two rounds (one delivery + the caught-up check); with a
+        cap it is the backlog paced into ``ceil(lag / max_commits)``
+        deliveries, each checkpointed — a crash mid-drain loses at most
+        one chunk's work to replay."""
+        out: list[tuple[int, int]] = []
+        while True:
+            rng = self.process_available(
+                spark, fn, on_rewrite=on_rewrite, max_commits=max_commits
+            )
+            if rng is None:
+                return out
+            out.append(rng)

@@ -133,3 +133,56 @@ def test_lagging_tailer_hits_vacuum_cliff_with_named_error(spark, tmp_path):
         spark, lambda df, a, b: got.append(frozenset(r["k"] for r in df.collect()))
     )
     assert got == [frozenset(range(35, 40))]
+
+
+def test_max_commits_paces_catchup(spark, tmp_path):
+    """A far-behind tailer drains in bounded chunks, each checkpointed:
+    admission control against the 500-load mega-batch."""
+    t = VersionedParquetTable(tmp_path / "t")
+    for i in range(7):
+        t.write(_load(spark, i * 10, i * 10 + 10), mode="append")
+    tail = TableTailer(t)
+    seen: list[tuple[int, int, int]] = []
+    ranges = tail.drain(
+        spark,
+        lambda df, a, b: seen.append((a, b, df.count())),
+        max_commits=3,
+    )
+    assert ranges == [(-1, 2), (2, 5), (5, 6)]
+    assert [s[2] for s in seen] == [30, 30, 10]
+    assert tail.last_processed() == 6
+    # caught up: another drain is a no-op
+    assert tail.drain(spark, lambda df, a, b: None, max_commits=3) == []
+
+
+def test_max_commits_stops_clean_before_rewrite_then_rebaselines(spark, tmp_path):
+    """With a rewrite mid-backlog, capped chunks consume the clean
+    append prefix as true deltas; the chunk containing the rewrite
+    re-baselines to the FULL head (cursor jumps to head — anything less
+    would double-deliver commits above the cap on top of a head
+    snapshot)."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_load(spark, 0, 10), mode="append")       # v0
+    t.write(_load(spark, 10, 20), mode="append")      # v1
+    t.write(_load(spark, 100, 105), mode="overwrite")  # v2 rewrite
+    t.write(_load(spark, 105, 110), mode="append")    # v3
+    tail = TableTailer(t)
+    batches: list[frozenset] = []
+    rngs = tail.drain(
+        spark,
+        lambda df, a, b: batches.append(frozenset(r["k"] for r in df.collect())),
+        on_rewrite="snapshot",
+        max_commits=2,
+    )
+    assert batches[0] == frozenset(range(20))          # clean prefix v0..v1
+    assert batches[1] == frozenset(range(100, 110))    # snapshot at head v3
+    assert rngs == [(-1, 1), (1, 3)]
+    assert tail.last_processed() == 3
+
+
+def test_max_commits_validation(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_load(spark, 0, 5), mode="append")
+    tail = TableTailer(t)
+    with pytest.raises(ValueError, match="max_commits"):
+        tail.process_available(spark, lambda df, a, b: None, max_commits=0)
