@@ -227,14 +227,23 @@ class MaterializedAggregate:
             return
         self._write_state(self._combine(self.view.read(spark), partial), to_v)
 
-    def refresh(self, spark: SparkSession) -> Optional[tuple[int, int]]:
+    def refresh(
+        self, spark: SparkSession, max_commits: Optional[int] = None
+    ) -> Optional[tuple[int, int]]:
         """Fold all unprocessed source commits into the view. Returns the
         processed (from, to] range, or None when already current. A
         range not readable as a delta — a source rewrite, or a cursor
         that lagged past the vacuum retention window
         (``ChangeFeedTruncatedError``) — falls back to one full
-        recompute pinned at the head version."""
+        recompute pinned at the head version.
+
+        ``max_commits`` paces a far-behind refresh into bounded chunks
+        (the tailer's admission control): each chunk folds and commits
+        with its own marker, so a crash mid-catch-up loses at most one
+        chunk to the idempotent replay. Returns the overall covered
+        range (first from, last to)."""
         delivered = False
+        ranges: list[tuple[int, int]] = []
 
         def fn(batch: DataFrame, from_v: int, to_v: int) -> None:
             nonlocal delivered
@@ -242,14 +251,33 @@ class MaterializedAggregate:
             self._apply(batch, from_v, to_v)
 
         try:
-            return self.tailer.process_available(spark, fn)
+            if max_commits is None:
+                return self.tailer.process_available(spark, fn)
+            # chunked drain with the delivered-flag reset PER CHUNK: a
+            # later chunk hitting a rewrite must re-baseline even though
+            # earlier chunks folded fine — only a ValueError raised
+            # inside the CURRENT chunk's fold means corruption
+            while True:
+                delivered = False
+                rng = self.tailer.process_available(
+                    spark, fn, max_commits=max_commits
+                )
+                if rng is None:
+                    break
+                ranges.append(rng)
+            if not ranges:
+                return None
+            return (ranges[0][0], ranges[-1][1])
         except ValueError:
             if delivered:
                 # the ValueError came from the fold itself, not from
                 # read_changes — propagate; swallowing it as "rewrite"
                 # would mask real corruption with a silent recompute
                 raise
-            last = self.tailer.last_processed()
+            # overall covered range includes chunks folded before the
+            # recovery (they advanced the cursor, so last_processed is
+            # their high-water mark only when ranges is empty)
+            last = ranges[0][0] if ranges else self.tailer.last_processed()
             to_v = self.source.version()
             # recompute AT to_v: reading the unpinned latest snapshot
             # would fold a concurrently-landed commit while leaving the

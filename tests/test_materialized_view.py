@@ -298,3 +298,31 @@ def test_mv_refuses_markerless_existing_view(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="mv.applied_to"):
         mv.refresh(spark)
+
+
+def test_mv_chunked_refresh_equals_recompute(spark, tmp_path):
+    """refresh(max_commits=2) over a 7-commit backlog: multiple folded
+    chunks, each with its own marker, ending with read == recompute; a
+    rewrite in a LATER chunk still re-baselines (earlier chunks' folds
+    must not be mistaken for corruption)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "landing")
+    for m in range(7):
+        t.write(ev.filter(F.col("event_id") % 7 == m), mode="append")
+    mv = MaterializedAggregate(
+        t, tmp_path / "view", ["event_type"],
+        {"n": ("count", None), "total": ("sum", "value")},
+    )
+    assert mv.refresh(spark, max_commits=2) == (-1, 6)
+    assert mv.applied_to() == 6
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    # backlog: two clean appends then a rewrite, capped chunks
+    t.write(ev.limit(50), mode="append")                       # v7
+    t.write(ev.limit(30), mode="append")                       # v8
+    t.write(ev.limit(10), mode="overwrite")                    # v9 rewrite
+    rng = mv.refresh(spark, max_commits=2)
+    assert rng == (6, t.version())
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    assert mv.refresh(spark, max_commits=2) is None
