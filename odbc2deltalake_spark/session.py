@@ -83,6 +83,12 @@ def get_spark(
         # no native type for: read as long and convert at load
         # (odbc2deltalake_spark/queries/registry.py:load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as INT64 micros, not Spark's legacy INT96:
+        # INT96 column chunks carry NO parquet statistics (footer-based
+        # per-file skipping reads [None, None] and cannot prune) and
+        # block parquet predicate pushdown on timestamp filters. INT64
+        # micros is what Delta/Iceberg writers emit for the same reason.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1066,7 +1066,9 @@ class VersionedParquetTable(TableStore):
         if partition_by:
             commit["partition_by"] = list(partition_by)
         if stats_cols and per_file_stats:
-            commit["stats"] = self._collect_file_stats(
+            commit["stats"] = self._footer_file_stats(
+                self._path(dir_name), stats_cols
+            ) or self._collect_file_stats(
                 df.sparkSession, self._path(dir_name), stats_cols
             )
         elif obs is not None:
@@ -1093,12 +1095,95 @@ class VersionedParquetTable(TableStore):
         self._write_commit(commit)
         return new_version
 
+    def _footer_file_stats(
+        self, dir_path: str, stats_cols: list[str]
+    ) -> Optional[dict[str, dict[str, list[Any]]]]:
+        """{relative_file: {col: [min, max]}} read from the parquet
+        FOOTERS of one written dir — pure driver-side metadata I/O, zero
+        Spark jobs (this is where Delta's writers get per-file stats
+        from). Returns None when footers are unreachable (non-local
+        backend, no pyarrow, unreadable file) so the caller falls back
+        to the aggregation-scan collector. Per the parquet spec the
+        stored min/max may be truncated bounds (still valid intervals);
+        a column chunk without statistics yields [None, None], which the
+        read side treats as always-keep — conservative by construction."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:
+            return None
+        root = Path(dir_path)
+        if not root.exists():
+            return None  # non-local data plane: footers not reachable
+        out: dict[str, dict[str, list[Any]]] = {}
+        want = set(stats_cols)
+        for f in sorted(root.rglob("*.parquet")):
+            try:
+                md = pq.ParquetFile(str(f)).metadata
+            except Exception:
+                return None
+            acc: dict[str, Optional[tuple[Any, Any]]] = {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    cc = row.column(ci)
+                    name = cc.path_in_schema
+                    if name not in want:
+                        continue
+                    st = cc.statistics
+                    if st is None or not st.has_min_max:
+                        acc[name] = None  # unknown somewhere => unknown
+                        continue
+                    prev = acc.get(name, ())
+                    if prev is None:
+                        continue  # already marked unknown
+                    mn, mx = st.min, st.max
+                    if prev != ():
+                        try:
+                            mn = min(prev[0], mn)
+                            mx = max(prev[1], mx)
+                        except TypeError:
+                            acc[name] = None
+                            continue
+                    acc[name] = (mn, mx)
+            def _norm(v: Any) -> Any:
+                # pyarrow surfaces TIMESTAMP(isAdjustedToUTC) stats as
+                # tz-AWARE datetimes; the engine's convention (and the
+                # scan collector under the pinned-UTC session) is naive
+                # UTC — normalize so aware-vs-naive comparisons on the
+                # read side never TypeError into a missed prune
+                import datetime as _dt
+
+                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                    return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return v
+
+            rel = str(f.relative_to(root))
+            out[rel] = {}
+            for c in stats_cols:
+                got = acc.get(c, None)
+                if got is not None and got != ():
+                    got = (_norm(got[0]), _norm(got[1]))
+                if got in (None, ()):
+                    # column absent (hive partition col) or statless:
+                    # record an unknown interval so the file is KEPT —
+                    # omitting the key would drop it from the read
+                    # side's file_stats map and skip it wrongly
+                    out[rel][c] = [None, None]
+                else:
+                    out[rel][c] = [
+                        self._stat_ser(got[0]),
+                        self._stat_ser(got[1]),
+                    ]
+        return out or None
+
     def _collect_file_stats(
         self, spark: SparkSession, dir_path: str, stats_cols: list[str]
     ) -> dict[str, dict[str, list[Any]]]:
         """{relative_file: {col: [min, max]}} over one written dir — a
         single aggregation grouped by input_file_name (column-pruned to
-        the stat columns, so the job reads only those pages)."""
+        the stat columns, so the job reads only those pages). The
+        fallback when :meth:`_footer_file_stats` cannot reach the
+        footers."""
         raw = spark.read.parquet(dir_path)
         cols = [c for c in stats_cols if c in raw.columns]
         if not cols:

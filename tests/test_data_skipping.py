@@ -263,8 +263,11 @@ def test_interval_may_match_is_sound_property():
     def run(a, b, v, op, probe):
         mn, mx = min(a, b), max(a, b)
         if not VersionedParquetTable._interval_may_match(mn, mx, op, v):
-            # sample a point inside the interval; it must NOT satisfy op
-            x = mn + (mx - mn) * probe
+            # sample a point inside the interval; it must NOT satisfy op.
+            # clamp: the affine sample can land a hair OUTSIDE [mn, mx]
+            # under float rounding (mn + (mx-mn)*1.0 != mx in general),
+            # which once produced a spurious falsifying example
+            x = min(max(mn + (mx - mn) * probe, mn), mx)
             sat = {
                 ">": x > v, ">=": x >= v, "<": x < v, "<=": x <= v, "=": x == v,
             }[op]
@@ -353,3 +356,32 @@ def test_current_rows_prune_keeps_statless_history(spark, tmp_path):
     )
     cur = read_current_rows(spark, d, ["pk"], "ts")
     assert sorted(r["pk"] for r in cur.collect()) == [1, 2]
+
+
+def test_footer_stats_match_scan_collected(spark, tmp_path):
+    """Parquet-footer per-file stats must produce the same pruning
+    intervals as the aggregation-scan collector (ints, strings,
+    timestamps), and plug into write(per_file_stats=True) with zero
+    Spark jobs."""
+    t = VersionedParquetTable(tmp_path / "t")
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id").alias("k"),
+            F.format_string("s%05d", F.col("id")).alias("name"),
+            F.timestamp_micros(F.col("id") * 1000000).alias("ts"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    t.write(df, mode="append", stats_cols=["k", "name", "ts"], per_file_stats=True)
+    dir_path = t._path(t._state_at()["dirs"][0]["dir"])
+    foot = t._footer_file_stats(dir_path, ["k", "name", "ts"])
+    scan = t._collect_file_stats(spark, dir_path, ["k", "name", "ts"])
+    assert foot is not None and set(foot) == set(scan)
+    for f in scan:
+        for c in ("k", "name", "ts"):
+            assert foot[f][c] == scan[f][c], (f, c)
+    # pruning through the commit behaves identically
+    pruned = t.read(spark, skip_where=("k", ">=", 300))
+    assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(300, 400))
