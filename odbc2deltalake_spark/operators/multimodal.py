@@ -171,6 +171,96 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(kernel, DECODE_RESULT_SCHEMA)
 
 
+def _parse_audio_header(payload: bytes) -> Optional[dict]:
+    """Pure-stdlib RIFF/WAVE header parse: sample rate, channels, bit
+    depth and frame count from the fmt/data chunks (little-endian; RIFF
+    spec chunks are [id 4B][size u32 LE][data], word-aligned). Returns
+    None for non-WAV payloads. Only the first few hundred bytes are
+    touched — the data chunk's SIZE field suffices for duration, its
+    samples are never read."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt: Optional[tuple] = None
+    data_size: Optional[int] = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+        elif cid == b"data":
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    _audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if channels == 0 or rate == 0:
+        return None
+    frames = (
+        data_size // block_align
+        if data_size is not None and block_align
+        else None
+    )
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_frames": frames,
+        "duration_ms": (
+            int(frames * 1000 / rate) if frames is not None else None
+        ),
+    }
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, sample_rate int, channels int, bits int, "
+    "n_frames long, duration_ms long, n_bytes int"
+)
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """Audio metadata → (media_id, sample_rate, channels, bits,
+    n_frames, duration_ms, n_bytes), Arrow-batched like decode_images.
+    Non-WAV payloads raise (loud, like the image stub gate) — route
+    mixed media by mime before decoding."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = _parse_audio_header(b)
+                if d is None:
+                    raise NotImplementedError(
+                        "payload is not RIFF/WAVE; non-WAV audio needs a "
+                        "codec library (soundfile/av) not present here"
+                    )
+                out.append(
+                    (
+                        mid,
+                        d["sample_rate"],
+                        d["channels"],
+                        d["bits"],
+                        d["n_frames"],
+                        d["duration_ms"],
+                        len(b),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "bits",
+                    "n_frames", "duration_ms", "n_bytes",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_META_SCHEMA
+    )
+
+
 def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Deterministic byte-level feature vector (stand-in for an embedding
     model): sha256-seeded floats in [0,1). The vector column has the same

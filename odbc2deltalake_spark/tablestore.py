@@ -1496,6 +1496,7 @@ class VersionedParquetTable(TableStore):
         self,
         retain_versions: int = 1,
         orphan_min_age_seconds: float = 3600.0,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data dirs unreferenced by any of the last
         ``retain_versions`` versions — time travel and ``restore`` to those
@@ -1522,6 +1523,10 @@ class VersionedParquetTable(TableStore):
         superseded commit carry proof their writer finished and are
         deleted regardless of age. Backends that cannot date a dir
         (``mtime`` → None) never reclaim orphans.
+
+        ``dry_run=True`` returns exactly what a real run would reclaim
+        without deleting anything — the operational preview (Delta's
+        VACUUM DRY RUN).
         """
         if not self.exists():
             return []
@@ -1559,7 +1564,8 @@ class VersionedParquetTable(TableStore):
                     age = self.backend.mtime(self._path(name))
                     if age is None or now - age < orphan_min_age_seconds:
                         continue  # possibly an in-flight writer's dir
-                self.backend.remove_recursive(self._path(name))
+                if not dry_run:
+                    self.backend.remove_recursive(self._path(name))
                 removed.append(name)
                 continue
             for child in self.backend.list_dir(self._path(name)):
@@ -1567,7 +1573,8 @@ class VersionedParquetTable(TableStore):
                     child.startswith(f"{_BUCKET_COL}=")
                     and f"{name}/{child}" not in live_entries
                 ):
-                    self.backend.remove_recursive(self._path(name, child))
+                    if not dry_run:
+                        self.backend.remove_recursive(self._path(name, child))
                     removed.append(f"{name}/{child}")
         return removed
 

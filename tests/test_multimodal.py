@@ -145,3 +145,65 @@ def test_header_parser_rejects_truncated_and_markerless(spark):
     assert _parse_image_header(b"GIF89a..") is None
     png = _real_png(5, 5)
     assert _parse_image_header(png[:20]) is None  # truncated mid-IHDR
+
+
+def test_decode_audio_meta_real_wav(spark):
+    """Genuine WAV bytes (written by stdlib `wave` — a real encoder, not
+    a handmade fixture) parse to exact sample rate / channels / frame
+    count through the Arrow-batched kernel; non-WAV payloads fail loud."""
+    import io
+    import wave
+
+    def real_wav(rate, channels, n_frames, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(b"\x00" * (n_frames * channels * width))
+        return buf.getvalue()
+
+    from odbc2deltalake_spark.operators.multimodal import decode_audio_meta
+
+    rows = [
+        (1, bytearray(real_wav(16000, 1, 16000)), "audio/wav", {}),
+        (2, bytearray(real_wav(44100, 2, 4410)), "audio/wav", {}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    got = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["bits"]) == (16000, 1, 16)
+    assert got[1]["n_frames"] == 16000 and got[1]["duration_ms"] == 1000
+    assert (got[2]["sample_rate"], got[2]["channels"]) == (44100, 2)
+    assert got[2]["n_frames"] == 4410 and got[2]["duration_ms"] == 100
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"NOTAUDIO" * 4), "audio/mp3", {})],
+        "media_id long, payload binary, mime string, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="RIFF|codec"):
+        decode_audio_meta(bad).collect()
+
+
+def test_parse_audio_header_edge_cases():
+    from odbc2deltalake_spark.operators.multimodal import _parse_audio_header
+
+    assert _parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt
+    assert _parse_audio_header(b"OggS\x00\x00") is None
+    # fmt chunk behind an odd-sized chunk exercises word alignment
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size, padded
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 20) + b"\x00" * 20
+    )
+    d = _parse_audio_header(payload)
+    assert d == {
+        "sample_rate": 8000, "channels": 1, "bits": 16,
+        "n_frames": 10, "duration_ms": 1,  # int(10 * 1000 / 8000)
+    }

@@ -873,3 +873,15 @@ def test_array_and_struct_columns_roundtrip(spark, tmp_path):
     # change feed path too
     ch = t.read_changes(spark, from_version=0)
     assert ch.count() == 3 and ch.select("emb").first()["emb"] is not None
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(10).select(F.col("id").alias("k")), mode="append")
+    t.write(spark.range(10).select(F.col("id").alias("k")), mode="overwrite")
+    preview = t.vacuum(retain_versions=1, dry_run=True)
+    assert preview
+    assert t.read(spark, version=0).count() == 10  # nothing deleted
+    real = t.vacuum(retain_versions=1)
+    assert sorted(real) == sorted(preview)  # preview was exact
+    assert t.read(spark).count() == 10
