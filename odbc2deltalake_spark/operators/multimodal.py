@@ -358,6 +358,58 @@ def _byte(col):
     return F.unhex(F.lpad(F.hex(col), 2, "0"))
 
 
+def _le16(col):
+    """Two little-endian bytes from an int column (JVM-side)."""
+    hi = F.floor(col / 256).cast("int")
+    lo = (col % 256).cast("int")
+    return F.concat(_byte(lo), _byte(hi))
+
+
+def _le32(col):
+    lo = (col % 65536).cast("int")
+    hi = F.floor(col / 65536).cast("int")
+    return F.concat(_le16(lo), _le16(hi))
+
+
+def make_fake_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic GENUINE WAV payloads from the documents fixture:
+    a structurally-valid RIFF/WAVE header (fmt + data chunks, correct
+    little-endian sizes) with rate/channels/frames derived from doc_id
+    and silence for samples — JVM-side byte concat only, so an oracle
+    recomputes every metadata field from doc_id without parsing bytes."""
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("int")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("int")
+    bits = F.lit(16)
+    n_frames = (F.lit(100) + F.col("doc_id") % 400).cast("int")
+    block_align = (channels * 2).cast("int")
+    data_size = (n_frames * block_align).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+    fmt_chunk = F.concat(
+        F.lit(b"fmt "), _le32(F.lit(16)),
+        _le16(F.lit(1)), _le16(channels), _le32(rate), _le32(byte_rate),
+        _le16(block_align), _le16(bits),
+    )
+    # silence samples: data_size zero bytes. Spark's repeat() returns
+    # STRING even for binary input (and would poison the whole concat
+    # into a non-UTF8 string); NUL is a 1-byte UTF-8 codepoint, so the
+    # string→binary cast restores exact zero bytes
+    silence = F.expr("cast(repeat(x'00', __ds) as binary)")
+    data_chunk = F.concat(F.lit(b"data"), _le32(data_size), silence)
+    riff_size = (F.lit(4 + 24 + 8) + data_size).cast("int")
+    payload = F.concat(
+        F.lit(b"RIFF"), _le32(riff_size), F.lit(b"WAVE"), fmt_chunk, data_chunk
+    )
+    return (
+        docs.withColumn("__ds", data_size)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            payload.alias("payload"),
+            F.lit("audio/wav").alias("mime"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        )
+    )
+
+
 RESIZE_RESULT_SCHEMA = (
     "media_id long, width int, height int, n_bytes int, resized_md5 string"
 )

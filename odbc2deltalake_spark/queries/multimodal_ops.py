@@ -148,3 +148,41 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = make_fake_media(load_table(spark, sf_dir, "documents"))
     return resize_images(media)
+
+
+# ------------------------------------------------------ audio metadata ----
+#
+# mm_audio_meta builds GENUINE RIFF/WAVE payloads JVM-side (make_fake_wav:
+# correct little-endian chunk structure + silence samples, every field a
+# deterministic function of doc_id) and decodes them back through the
+# Arrow-batched header parser. The oracle recomputes the metadata from
+# doc_id directly — matching outputs prove the byte ENCODER and the byte
+# PARSER agree on the WAV spec, a two-sided check no byte-free oracle
+# could give.
+
+_AUDIO_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+       CAST(((100 + doc_id % 400) * 1000) // (8000 + (doc_id % 8) * 1000)
+            AS BIGINT) AS duration_ms,
+       CAST(44 + (100 + doc_id % 400) * (1 + doc_id % 2) * 2
+            AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+@register("mm_audio_meta", _AUDIO_ORACLE, tags=("multimodal",), priority=100)
+def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV metadata extraction over a synthesized-but-genuine audio
+    corpus: rate/channels/bits/frames/duration from RIFF headers, one
+    linear Arrow-batched pass, samples never read."""
+    from odbc2deltalake_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_fake_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(make_fake_wav(docs))
