@@ -850,9 +850,12 @@ class VersionedParquetTable(TableStore):
         buckets are scanned — file-level pruning, the point of hash
         bucketing. Untagged dirs are always scanned.
 
-        ``skip_where=(col, op, value)`` (op in > >= < <= =) is DATA
-        SKIPPING over the commit-log file stats written by
-        ``write(stats_cols=[...])`` — the Delta data-skipping analog:
+        ``skip_where=(col, op, value)`` — or a LIST of such tuples,
+        ANDed — (op in > >= < <= =) is DATA SKIPPING over the commit-log
+        file stats written by ``write(stats_cols=[...])`` — the Delta
+        data-skipping analog. A conjunction composes with Z-order: the
+        layout clusters several columns' intervals at once, so each
+        added conjunct multiplies the file cut:
         files whose recorded [min, max] provably cannot satisfy the
         predicate are dropped from the scan BEFORE Spark sees them, and
         the predicate is also applied to the returned frame, so the
@@ -871,43 +874,51 @@ class VersionedParquetTable(TableStore):
             bset = set(buckets)
             dirs = [d for d in dirs if d.get("bucket") is None or d["bucket"] in bset]
         if skip_where is not None:
-            scol, sop, sval = skip_where
+            # one predicate or a CONJUNCTION of them — multi-column
+            # pruning is what Z-order lays files out for (each conjunct
+            # narrows the survivor set; intervals that cluster several
+            # columns at once multiply the cut)
+            conjuncts = self._skip_conjuncts(skip_where)
             pruned: list[dict[str, Any]] = []
             for d in dirs:
                 stats = d.get("stats") or {}
-                file_stats = {
-                    f: s for f, s in stats.items() if scol in s
-                }
-                if not file_stats:
-                    pruned.append(d)  # no stats for this col: keep whole dir
-                    continue
-                if "" in file_stats:
-                    # dir-level interval: all-or-nothing
-                    s = file_stats[""]
-                    if self._interval_may_match(
-                        self._stat_deser(s[scol][0]),
-                        self._stat_deser(s[scol][1]),
+                files_all = {f for f in stats if f != ""}
+                drop_dir = False
+                keep: Optional[set[str]] = None  # None => all files kept
+                for scol, sop, sval in conjuncts:
+                    dir_iv = stats.get("", {}).get(scol)
+                    if dir_iv is not None and not self._interval_may_match(
+                        self._stat_deser(dir_iv[0]),
+                        self._stat_deser(dir_iv[1]),
                         sop,
                         sval,
                     ):
-                        pruned.append(d)
-                    continue
-                keep_files = [
-                    f
-                    for f, s in file_stats.items()
-                    if self._interval_may_match(
-                        self._stat_deser(s[scol][0]),
-                        self._stat_deser(s[scol][1]),
-                        sop,
-                        sval,
-                    )
-                ]
-                if not keep_files:
-                    continue  # whole dir skipped
-                if len(keep_files) == len(file_stats) or d.get("partitioned"):
+                        drop_dir = True  # whole-commit interval excludes
+                        break
+                    per_file = {
+                        f: s for f, s in stats.items() if f != "" and scol in s
+                    }
+                    if not per_file:
+                        continue  # no file-level stats: conjunct keeps all
+                    k = {
+                        f
+                        for f, s in per_file.items()
+                        if self._interval_may_match(
+                            self._stat_deser(s[scol][0]),
+                            self._stat_deser(s[scol][1]),
+                            sop,
+                            sval,
+                        )
+                    }
+                    # files with no stats for THIS col stay (conservative)
+                    k |= files_all - set(per_file)
+                    keep = k if keep is None else (keep & k)
+                if drop_dir or keep == set():
+                    continue  # commit interval or every file excluded
+                if keep is None or keep == files_all or d.get("partitioned"):
                     pruned.append(d)
                 else:
-                    pruned.append({**d, "__files": keep_files})
+                    pruned.append({**d, "__files": sorted(keep)})
             dirs = pruned
         if not dirs:
             out = spark.createDataFrame([], target)
@@ -955,24 +966,31 @@ class VersionedParquetTable(TableStore):
         return self._apply_skip_filter(out, skip_where)
 
     @staticmethod
-    def _apply_skip_filter(
-        df: DataFrame, skip_where: Optional[tuple[str, str, Any]]
-    ) -> DataFrame:
+    def _skip_conjuncts(skip_where) -> list[tuple[str, str, Any]]:
+        """Normalize ``skip_where``: one (col, op, value) tuple or a
+        list of them (implicit AND)."""
+        if isinstance(skip_where[0], str):
+            return [tuple(skip_where)]
+        return [tuple(c) for c in skip_where]
+
+    @classmethod
+    def _apply_skip_filter(cls, df: DataFrame, skip_where) -> DataFrame:
         """Residual predicate after file skipping — pruning is a superset
         guarantee, the filter makes the result exact (and hands Spark the
-        same predicate for row-group pruning inside surviving files)."""
+        same predicates for row-group pruning inside surviving files)."""
         if skip_where is None:
             return df
-        col, op, value = skip_where
-        c = F.col(col)
-        expr = {
-            ">": c > F.lit(value),
-            ">=": c >= F.lit(value),
-            "<": c < F.lit(value),
-            "<=": c <= F.lit(value),
-            "=": c == F.lit(value),
-        }[op]
-        return df.filter(expr)
+        for col, op, value in cls._skip_conjuncts(skip_where):
+            c = F.col(col)
+            expr = {
+                ">": c > F.lit(value),
+                ">=": c >= F.lit(value),
+                "<": c < F.lit(value),
+                "<=": c <= F.lit(value),
+                "=": c == F.lit(value),
+            }[op]
+            df = df.filter(expr)
+        return df
 
     # ---------- writes ----------
 

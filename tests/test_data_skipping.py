@@ -385,3 +385,60 @@ def test_footer_stats_match_scan_collected(spark, tmp_path):
     pruned = t.read(spark, skip_where=("k", ">=", 300))
     assert len(pruned.inputFiles()) < len(t.read(spark).inputFiles())
     assert sorted(r["k"] for r in pruned.collect()) == list(range(300, 400))
+
+
+def test_conjunctive_skip_multiplies_zorder_prune(spark, tmp_path):
+    """skip_where as a LIST of predicates (ANDed): on a Z-ordered
+    commit with per-file stats on both columns, the conjunction must
+    prune at least as hard as the best single predicate, and the result
+    must equal the fully-filtered unpruned read."""
+    from odbc2deltalake_spark.operators.zorder import zorder_layout
+
+    t = VersionedParquetTable(tmp_path / "t")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.write(
+        zorder_layout(df, ["x", "y"], out_partitions=16),
+        mode="append",
+        stats_cols=["x", "y"],
+        per_file_stats=True,
+    )
+    full = t.read(spark)
+    both = t.read(spark, skip_where=[("x", "<", 8), ("y", "<", 8)])
+    only_x = t.read(spark, skip_where=("x", "<", 8))
+    only_y = t.read(spark, skip_where=("y", "<", 8))
+    expect = sorted(
+        tuple(r)
+        for r in full.filter((F.col("x") < 8) & (F.col("y") < 8)).collect()
+    )
+    assert sorted(map(tuple, both.collect())) == expect
+    nb = len(both.inputFiles())
+    assert nb <= min(len(only_x.inputFiles()), len(only_y.inputFiles()))
+    assert nb < len(full.inputFiles())
+
+
+def test_conjunct_on_statless_column_is_neutral(spark, tmp_path):
+    """A conjunct whose column has no recorded stats must not prune
+    anything (conservative), while still filtering rows exactly."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append", stats_cols=["k"])
+    t.write(_mk(spark, 100, 200), mode="append", stats_cols=["k"])
+    got = t.read(spark, skip_where=[("k", ">=", 150), ("v", "<", 320)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(150, 160))
+    # the k-conjunct still pruned the first commit
+    assert len(got.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+def test_conjunction_can_drop_dir_on_commit_interval(spark, tmp_path):
+    """Dir-level ('') intervals participate per conjunct: a commit
+    excluded by ANY conjunct disappears entirely."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append", known_stats={"k": (0, 99)})
+    t.write(_mk(spark, 100, 200), mode="append", known_stats={"k": (100, 199)})
+    got = t.read(spark, skip_where=[("k", ">", 150), ("k", "<", 160)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(151, 160))
+    assert len(got.inputFiles()) < len(t.read(spark).inputFiles())
