@@ -1379,10 +1379,12 @@ class VersionedParquetTable(TableStore):
         to_version = self.version() if to_version is None else to_version
         table_schema = self.schema(to_version)
         parts: list[DataFrame] = []
+        seen: set[int] = set()
         for name in self._commit_names():
             v = int(name.split(".")[0])
             if v <= from_version or v > to_version:
                 continue
+            seen.add(v)
             c = json.loads(
                 self.backend.read_text(self.backend.join(self._commits_dir, name))
             )
@@ -1417,6 +1419,18 @@ class VersionedParquetTable(TableStore):
                 ]
             ).withColumn("_commit_version", F.lit(v).cast("long"))
             parts.append(df)
+        missing = sorted(set(range(from_version + 1, to_version + 1)) - seen)
+        if missing:
+            # truncate_log removed commits inside the requested range:
+            # silently skipping them would deliver a change feed MISSING
+            # those commits' rows — fail with the recovery action instead
+            shown = missing[:5] if len(missing) <= 5 else missing[:5] + ["..."]
+            raise ChangeFeedTruncatedError(
+                f"change feed truncated: commits {shown} in "
+                f"({from_version}, {to_version}] were removed by log "
+                "truncation — re-baseline from read(version=...) and skip "
+                "the cursor forward"
+            )
         if not parts:
             empty = T.StructType(
                 list(table_schema.fields)
@@ -1594,6 +1608,56 @@ class VersionedParquetTable(TableStore):
                     if not dry_run:
                         self.backend.remove_recursive(self._path(name, child))
                     removed.append(f"{name}/{child}")
+        return removed
+
+    def truncate_log(self, before_version: int) -> list[str]:
+        """Delete commit JSONs for versions < ``before_version`` — the
+        control-plane half of retention (Delta's logRetentionDuration).
+        A daily-loaded table accumulates one commit file per load
+        forever; checkpoints bound the REPLAY cost but the listing and
+        vacuum's linear log pass still grow without bound. Truncation
+        caps that, at the documented cost: time travel and
+        ``restore`` below ``before_version`` stop working, and a change
+        feed whose cursor predates the truncation point raises
+        ``ChangeFeedTruncatedError`` (read_changes detects the hole in
+        the version sequence rather than silently skipping the missing
+        commits' rows).
+
+        Safety rails: refuses unless a CHECKPOINT at or below
+        ``before_version`` covers the truncated prefix (otherwise no
+        state below the head would be reconstructible at all), and
+        always keeps the head commit. Data dirs are untouched — vacuum
+        owns those."""
+        names = self._commit_names()
+        if not names:
+            return []
+        head = int(names[-1].split(".")[0])
+        before_version = min(before_version, head)  # never truncate head
+        # the checkpoint must sit at before_version-1 or before_version:
+        # only then is EVERY v >= before_version reconstructible (replay
+        # base <= v with all of (base, v] surviving). A checkpoint
+        # further ahead would leave the versions between unservable.
+        cps = [
+            cv
+            for cv in self._checkpoint_versions()
+            if before_version - 1 <= cv <= before_version
+        ]
+        if not cps:
+            raise ValueError(
+                f"refusing to truncate log below v{before_version}: need "
+                f"a checkpoint at v{before_version - 1} or "
+                f"v{before_version} — run checkpoint({before_version - 1}) "
+                "first"
+            )
+        removed = []
+        for name in names:
+            v = int(name.split(".")[0])
+            if v >= before_version:
+                break
+            self.backend.remove_recursive(
+                self.backend.join(self._commits_dir, name)
+            )
+            removed.append(name)
         return removed
 
     def delete_table(self) -> None:

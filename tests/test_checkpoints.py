@@ -212,3 +212,63 @@ def test_wrong_shape_checkpoint_falls_back(spark, tmp_path):
     st = _states_equal(t)
     assert st["version"] == 24
     assert t.read(spark).count() == 4
+
+
+def test_truncate_log_caps_control_plane(spark, tmp_path):
+    """Log retention (Delta logRetentionDuration analog): commits below
+    a checkpointed version can be deleted; head state, recent time
+    travel, reads and writes keep working; state below the cut raises
+    instead of silently mis-answering; a lagging change-feed cursor gets
+    the named truncation error and the snapshot policy recovers."""
+    from odbc2deltalake_spark.streaming import TableTailer
+    from odbc2deltalake_spark.tablestore import ChangeFeedTruncatedError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 5
+    for i in range(12):
+        t.write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    # no covering checkpoint at v6/v7 -> refuse
+    with pytest.raises(ValueError, match="checkpoint"):
+        t.truncate_log(before_version=7)
+    t.checkpoint(6)
+    removed = t.truncate_log(before_version=7)
+    assert [int(n.split(".")[0]) for n in removed] == list(range(7))
+
+    assert t.version() == 11
+    assert t.read(spark).count() == 120
+    assert t.read(spark, version=8).count() == 90  # above the cut: fine
+    with pytest.raises(Exception):
+        t.read(spark, version=3)  # below the cut: loud, not wrong
+    t.write(spark.range(120, 125).select(F.col("id").alias("k")), mode="append")
+    assert t.read(spark).count() == 125
+
+    # lagging cursor across the truncation point
+    tail = TableTailer(t)
+    with pytest.raises(ChangeFeedTruncatedError, match="log truncation"):
+        tail.process_available(spark, lambda df, a, b: None)
+    snaps = []
+    tail.process_available(
+        spark, lambda df, a, b: snaps.append(df.count()),
+        on_rewrite="snapshot",
+    )
+    assert snaps == [125]
+    # caught up: deltas flow again
+    t.write(spark.range(125, 130).select(F.col("id").alias("k")), mode="append")
+    got = []
+    tail.process_available(spark, lambda df, a, b: got.append(df.count()))
+    assert got == [5]
+
+
+def test_truncate_log_never_removes_head(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 2
+    for i in range(5):
+        t.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    t.checkpoint()  # at head (v4)
+    removed = t.truncate_log(before_version=99)
+    assert "0000000004.json" not in removed
+    assert t.version() == 4
+    assert t.read(spark).count() == 3 * 5
