@@ -778,3 +778,87 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * F.lit(1.0) / F.col("t"), 4).alias("p_next"),
         )
     )
+
+
+# ----------------------------------------------------- RFM segmentation ----
+#
+# Recency / Frequency / Monetary user segmentation — the classic
+# behavioral-cohort operator. Metrics aggregate per user (one shuffle on
+# user_id); the quintile scores are ntile windows over the AGGREGATED
+# |users|-sized frame with fully-deterministic orderings (metric +
+# user_id tiebreak — bare ntile over ties diverges between engines).
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT max(ts) AS mts FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('second', max(ts), (SELECT mts FROM mx)) AS recency_s,
+         count(*) AS frequency,
+         round(sum(value), 4) AS monetary
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, recency_s, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_s, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT user_id, CAST(recency_s AS BIGINT) AS recency_s, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN r_score <= 2 THEN 'recent'
+            WHEN f_score <= 2 THEN 'loyal_lapsing'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+@register("ev_rfm_segments", _RFM_ORACLE, tags=("events", "window"),
+          priority=100)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (seconds before the corpus's
+    last event), frequency and monetary value, quintile-scored and
+    bucketed into named segments.
+
+    Scale shape: the only corpus-wide work is ONE user_id aggregation
+    (map-side combined). The three ntile windows run over the
+    |users|-sized aggregate — at 100 TB that frame is still orders of
+    magnitude smaller than the events, and an unpartitioned ntile there
+    matches the documented aggregate-window policy (cf. corpus mixture /
+    supplier ranks); ordering is total (metric, user_id) so both engines
+    tile identically."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))  # packed single-row scalar
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_timestamp(F.col("mts")) - F.unix_timestamp(F.col("ts"))
+            ).alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    r_w = W.orderBy("recency_s", "user_id")
+    f_w = W.orderBy(F.col("frequency").desc(), "user_id")
+    m_w = W.orderBy(F.col("monetary").desc(), "user_id")
+    scored = per_user.select(
+        "user_id",
+        F.col("recency_s").cast("long").alias("recency_s"),
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
