@@ -117,7 +117,12 @@ class TableTailer:
             if on_rewrite != "snapshot":
                 raise
             to_v = self.table.version()  # snapshot covers the full head
-            batch = self.table.read(spark).withColumn(
+            # pin the read at to_v: an unpinned latest-snapshot read would
+            # include a commit landing between version() and read(), while
+            # the cursor stops at to_v — that commit would be redelivered
+            # and double-folded on the next drain (materialized.py pins
+            # its recovery read for the same reason)
+            batch = self.table.read(spark, version=to_v).withColumn(
                 "_commit_version", F.lit(to_v).cast("long")
             )
         fn(batch, last, to_v)

@@ -77,6 +77,18 @@ class ChangeFeedTruncatedError(ValueError):
     recover from truncation identically."""
 
 
+class TruncatedLogError(RuntimeError):
+    """State resolution needed commits that ``truncate_log`` removed and
+    no readable checkpoint covers the missing prefix. Distinct from
+    :class:`ChangeFeedTruncatedError` (a ValueError that MV re-baseline
+    handlers deliberately catch): re-baselining cannot recover here —
+    the base state itself is unreconstructible — so this must NOT be
+    swallowed by those handlers. Raised instead of silently replaying
+    from the oldest surviving commit, which would produce incomplete
+    state that ``checkpoint(full=True)`` would then persist and vacuum
+    would act on (deleting live data dirs)."""
+
+
 class SchemaDriftError(Exception):
     """Incompatible source schema change (e.g. string→binary,
     timestamp→int). Widening changes flow through; incompatible ones must
@@ -413,7 +425,7 @@ class TableStore(ABC):
         spark: SparkSession,
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
-        skip_where: Optional[tuple[str, str, Any]] = None,
+        skip_where: Optional[tuple[str, str, Any] | list[tuple[str, str, Any]]] = None,
     ) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``.
         ``buckets`` is an optional file-pruning hint; stores without
@@ -729,6 +741,24 @@ class VersionedParquetTable(TableStore):
                     last = -1
                     continue  # try the next older checkpoint
                 break
+        oldest = int(names[0].split(".")[0])
+        if last == -1 and oldest > 0:
+            # truncate_log removed versions < oldest and NO readable
+            # checkpoint covers the prefix (checkpoints skipped, all
+            # unreadable, or none at/below the target). Replaying from
+            # `oldest` would silently yield incomplete state — and a
+            # subsequent checkpoint(full=True) would PERSIST it, letting
+            # vacuum delete live data. Fail loudly instead.
+            raise TruncatedLogError(
+                f"log for {self._root_str} starts at v{oldest} (truncated) "
+                "and no readable checkpoint covers the missing prefix; "
+                "state cannot be reconstructed"
+                + (
+                    " without checkpoints (use_checkpoint=False)"
+                    if not use_checkpoint
+                    else ""
+                )
+            )
         for name in names:
             v = int(name.split(".")[0])
             if v <= last:
@@ -792,22 +822,28 @@ class VersionedParquetTable(TableStore):
     @staticmethod
     def _stat_ser(v: Any) -> Any:
         import datetime
+        import decimal
 
         if isinstance(v, datetime.datetime):
             return {"t": "ts", "v": v.isoformat()}
         if isinstance(v, datetime.date):
             return {"t": "date", "v": v.isoformat()}
+        if isinstance(v, decimal.Decimal):
+            return {"t": "dec", "v": str(v)}
         return v
 
     @staticmethod
     def _stat_deser(v: Any) -> Any:
         import datetime
+        import decimal
 
         if isinstance(v, dict):
             if v.get("t") == "ts":
                 return datetime.datetime.fromisoformat(v["v"])
             if v.get("t") == "date":
                 return datetime.date.fromisoformat(v["v"])
+            if v.get("t") == "dec":
+                return decimal.Decimal(v["v"])
         return v
 
     @staticmethod
@@ -837,7 +873,7 @@ class VersionedParquetTable(TableStore):
         spark: SparkSession,
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
-        skip_where: Optional[tuple[str, str, Any]] = None,
+        skip_where: Optional[tuple[str, str, Any] | list[tuple[str, str, Any]]] = None,
     ) -> DataFrame:
         """Time-travel read (reference:odbc2deltalake/reader/spark_reader.py:123-133).
 
@@ -968,7 +1004,9 @@ class VersionedParquetTable(TableStore):
     @staticmethod
     def _skip_conjuncts(skip_where) -> list[tuple[str, str, Any]]:
         """Normalize ``skip_where``: one (col, op, value) tuple or a
-        list of them (implicit AND)."""
+        list of them (implicit AND). An empty list means no predicate."""
+        if len(skip_where) == 0:
+            return []
         if isinstance(skip_where[0], str):
             return [tuple(skip_where)]
         return [tuple(c) for c in skip_where]

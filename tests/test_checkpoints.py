@@ -272,3 +272,45 @@ def test_truncate_log_never_removes_head(spark, tmp_path):
     assert "0000000004.json" not in removed
     assert t.version() == 4
     assert t.read(spark).count() == 3 * 5
+
+
+def test_truncated_log_without_checkpoint_raises_not_corrupts(spark, tmp_path):
+    """ADVICE r6: after truncate_log, a replay that cannot use a covering
+    checkpoint (use_checkpoint=False, or every checkpoint unreadable)
+    must raise TruncatedLogError — NOT silently start from the oldest
+    surviving commit. The silent path would let checkpoint(full=True)
+    persist incomplete state and vacuum delete live data dirs."""
+    from odbc2deltalake_spark.tablestore import TruncatedLogError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 5
+    for i in range(12):
+        t.write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    t.checkpoint(6)
+    t.truncate_log(before_version=7)
+
+    # checkpointed replay still fine
+    assert t._state_at()["version"] == 11
+    # full replay of a truncated log: loud, not wrong
+    with pytest.raises(TruncatedLogError, match="truncated"):
+        t._state_at(use_checkpoint=False)
+    # the documented recovery path checkpoint(full=True) fails loudly
+    # instead of persisting a wrong base
+    with pytest.raises(TruncatedLogError):
+        t.checkpoint(full=True)
+
+    # damage EVERY checkpoint -> head replay must also refuse (it would
+    # otherwise fold only surviving commits into empty state)
+    for cv in t._checkpoint_versions():
+        t.backend.write_text_atomic(
+            t._path("_checkpoints", f"{cv:010d}.json"), "{broken"
+        )
+    with pytest.raises(TruncatedLogError):
+        t._state_at()
+    # non-truncated tables are unaffected by the guard
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
+    assert t2._state_at(use_checkpoint=False)["version"] == 0

@@ -442,3 +442,13 @@ def test_conjunction_can_drop_dir_on_commit_interval(spark, tmp_path):
     got = t.read(spark, skip_where=[("k", ">", 150), ("k", "<", 160)])
     assert sorted(r["k"] for r in got.collect()) == list(range(151, 160))
     assert len(got.inputFiles()) < len(t.read(spark).inputFiles())
+
+
+def test_skip_where_empty_list_is_no_predicate(spark, tmp_path):
+    """ADVICE r6: read(skip_where=[]) must behave like no predicate,
+    not IndexError."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.range(10).selectExpr("id as k"), mode="append")
+    assert t.read(spark, skip_where=[]).count() == 10

@@ -186,3 +186,40 @@ def test_max_commits_validation(spark, tmp_path):
     tail = TableTailer(t)
     with pytest.raises(ValueError, match="max_commits"):
         tail.process_available(spark, lambda df, a, b: None, max_commits=0)
+
+
+def test_snapshot_rebaseline_pins_version_no_redelivery(spark, tmp_path):
+    """ADVICE r6: the on_rewrite='snapshot' re-baseline must READ the
+    same version it sets the cursor to. Simulate a commit landing
+    between version() and read(): the snapshot must exclude it (pinned
+    read) so the next drain delivers it exactly once — the unpinned
+    latest-snapshot read would include it AND redeliver it."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_load(spark, 0, 10), mode="append")   # v0
+    t.write(_load(spark, 10, 20), mode="append")  # v1
+    t.write(spark.range(5).select(F.col("id").alias("k")), mode="overwrite")  # v2: rewrite
+    t.write(_load(spark, 100, 105), mode="append")  # v3: the "racing" commit
+
+    tail = TableTailer(t)
+    # simulate: version() observed v2, then the v3 commit landed before read()
+    real_version = t.version
+    t.version = lambda: real_version() - 1  # head seen as v2
+
+    snaps = []
+    tail.process_available(
+        spark,
+        lambda df, a, b: snaps.append(frozenset(r["k"] for r in df.collect())),
+        on_rewrite="snapshot",
+    )
+    t.version = real_version
+    # snapshot pinned at v2: only the overwrite's 5 rows, NOT v3's
+    assert snaps == [frozenset(range(5))]
+    assert tail.last_processed() == 2
+
+    # v3 now arrives exactly once as a delta
+    got = []
+    tail.process_available(
+        spark, lambda df, a, b: got.append(frozenset(r["k"] for r in df.collect()))
+    )
+    assert got == [frozenset(range(100, 105))]
+    assert tail.last_processed() == 3

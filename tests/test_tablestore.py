@@ -885,3 +885,27 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     real = t.vacuum(retain_versions=1)
     assert sorted(real) == sorted(preview)  # preview was exact
     assert t.read(spark).count() == 10
+
+
+def test_analyze_decimal_column_roundtrip(spark, tmp_path):
+    """ADVICE r6: analyze() on a decimal column must not crash in
+    json.dumps; column_stats() round-trips Decimal min/max exactly."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(1, 6).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("decimal(10,2)") * F.lit(1.25).cast("decimal(10,2)")).cast("decimal(10,2)").alias("amt"),
+    )
+    t.write(df, mode="append")
+    stats = t.analyze(spark)  # returns the serialized (JSON-safe) form
+    assert stats["amt"]["min"] == {"t": "dec", "v": "1.25"}
+    assert stats["amt"]["max"] == {"t": "dec", "v": "6.25"}
+    got = t.column_stats()
+    assert got["amt"]["min"] == decimal.Decimal("1.25")
+    assert got["amt"]["max"] == decimal.Decimal("6.25")
+    assert isinstance(got["amt"]["min"], decimal.Decimal)
