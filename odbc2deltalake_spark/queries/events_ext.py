@@ -784,9 +784,62 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Recency / Frequency / Monetary user segmentation — the classic
 # behavioral-cohort operator. Metrics aggregate per user (one shuffle on
-# user_id); the quintile scores are ntile windows over the AGGREGATED
-# |users|-sized frame with fully-deterministic orderings (metric +
-# user_id tiebreak — bare ntile over ties diverges between engines).
+# user_id); quintile scores are DISTRIBUTED ntiles (exact ntile(5)
+# semantics, no single-partition window — see _dist_ntile) with
+# fully-deterministic orderings (metric + user_id tiebreak — bare ntile
+# over ties diverges between engines).
+
+
+def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
+                buckets: int = 32) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without the global
+    sort through one task that an unpartitioned Window costs (the r6
+    scale-killer in this file): (1) ``repartitionByRange`` on the
+    ordering — partition i's keys all sort before partition i+1's;
+    (2) ``row_number`` WITHIN each range partition — parallel windows;
+    (3) global position = local position + the partition's starting
+    offset, from a ≤``buckets``-row histogram (driver-tiny, broadcast —
+    the same two-level rank as ``corpus_shuffle_order``); (4) SQL ntile
+    arithmetic from (position, N): the first N%n tiles get ⌈N/n⌉ rows,
+    the rest ⌊N/n⌋ — bit-identical to the engines' ntile.
+
+    ``order_cols`` must be a total order (include a unique tiebreak):
+    equal keys land in one range partition, so ordering is well-defined
+    regardless of where sampling places the range boundaries."""
+    part = df.repartitionByRange(buckets, *order_cols)
+    keyed = part.withColumn("_pid", F.spark_partition_id())
+    local = keyed.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    )
+    hist = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # offsets WITHOUT a window (keeps the plan free of SinglePartition
+    # exchanges feeding Windows — the exact shape the plan gate bans):
+    # a ≤ buckets × buckets broadcast self-join computes each
+    # partition's running start, constant-sized by construction
+    prior = hist.select(
+        F.col("_pid").alias("_p2"), F.col("_c").alias("_c2")
+    )
+    offs = (
+        hist.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+        .crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_N"))))
+    )
+    g = local.join(F.broadcast(offs), "_pid")
+    pos = F.col("_off") + F.col("_rn")
+    q = F.floor(F.col("_N") / n)
+    r = F.col("_N") % n
+    head = r * (q + 1)  # rows covered by the first r (larger) tiles
+    tile = (
+        F.when(pos <= head, F.floor((pos - 1) / (q + 1)))
+        # greatest(q,1): q=0 only when N<n, where every row is in `head`
+        # and this branch is never taken — guard keeps ANSI div happy
+        .otherwise(r + F.floor((pos - head - 1) / F.greatest(q, F.lit(1))))
+        + 1
+    )
+    return g.withColumn(out_col, tile.cast("int")).drop(
+        "_pid", "_rn", "_off", "_N"
+    )
 
 _RFM_ORACLE = """
 WITH mx AS (SELECT max(ts) AS mts FROM events),
@@ -823,11 +876,12 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed into named segments.
 
     Scale shape: the only corpus-wide work is ONE user_id aggregation
-    (map-side combined). The three ntile windows run over the
-    |users|-sized aggregate — at 100 TB that frame is still orders of
-    magnitude smaller than the events, and an unpartitioned ntile there
-    matches the documented aggregate-window policy (cf. corpus mixture /
-    supplier ranks); ordering is total (metric, user_id) so both engines
+    (map-side combined). Quintiles over the |users|-sized aggregate use
+    ``_dist_ntile`` — exact ntile(5) output via range-partitioned local
+    ranks + broadcast offsets, because |users| is NOT constant-sized (at
+    100 TB of events it is billions of rows; an unpartitioned ntile
+    window there would be a global sort through one task — flagged by
+    the r6 review). Ordering is total (metric, user_id) so both engines
     tile identically."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("mts"))
@@ -841,18 +895,19 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("value"), 4).alias("monetary"),
         )
+        .select(
+            "user_id",
+            F.col("recency_s").cast("long").alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
     )
-    r_w = W.orderBy("recency_s", "user_id")
-    f_w = W.orderBy(F.col("frequency").desc(), "user_id")
-    m_w = W.orderBy(F.col("monetary").desc(), "user_id")
-    scored = per_user.select(
-        "user_id",
-        F.col("recency_s").cast("long").alias("recency_s"),
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+    scored = _dist_ntile(per_user, ["recency_s", "user_id"], "r_score")
+    scored = _dist_ntile(
+        scored, [F.col("frequency").desc(), F.col("user_id").asc()], "f_score"
+    )
+    scored = _dist_ntile(
+        scored, [F.col("monetary").desc(), F.col("user_id").asc()], "m_score"
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

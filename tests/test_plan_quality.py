@@ -17,6 +17,8 @@ from tools.explain_audit import (
     BROADCAST_EXPECTED,
     CROSS_JOIN_OK,
     PUSHDOWN_EXPECTED,
+    SINGLE_PARTITION_WINDOW_OK,
+    single_partition_windows,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -49,6 +51,12 @@ def test_plan_properties(plans, name):
     assert "ArrowEvalPython" not in plan, "scalar Python UDF in plan"
     if name not in CROSS_JOIN_OK:
         assert "CartesianProduct" not in plan
+    if name not in SINGLE_PARTITION_WINDOW_OK:
+        # an Exchange SinglePartition feeding a Window is a global sort
+        # through ONE task — the r6 ev_rfm_segments scale-killer; allowed
+        # only for constant-sized frames (allowlisted with justification)
+        hits = single_partition_windows(plan)
+        assert not hits, f"unpartitioned Window over a growing frame: {hits}"
     if name in PUSHDOWN_EXPECTED:
         assert re.search(r"PushedFilters: \[[^\]]", plan), "filters not pushed to scan"
     if name in BROADCAST_EXPECTED:

@@ -58,6 +58,43 @@ BROADCAST_EXPECTED = {
     "q18_large_orders",
     "text_unigram_logprob",  # broadcast vocab + one-row total
 }
+# queries allowed an Exchange SinglePartition feeding a Window — ONLY
+# for frames that are constant-sized BY CONSTRUCTION (the documented
+# aggregate-window policy). An unpartitioned window over a frame that
+# grows with the data is a global sort through one task (the r6
+# ev_rfm_segments scale-killer); everything not listed here is gated.
+SINGLE_PARTITION_WINDOW_OK = {
+    "q15_top_supplier",         # max over per-supplier revenue: |suppliers| frame (TPC-H dimension)
+    "corpus_shuffle_order",     # 64-row bucket histogram prefix sum
+    "corpus_temperature_sample",  # |languages| count frame
+    "ev_moving_avg",            # per-day rollup frame (bounded calendar)
+    "corpus_pack_sequences",    # partition histogram of the prefix sum
+}
+
+
+def single_partition_windows(plan: str) -> list[str]:
+    """Tree lines where a Window(/GroupLimit) is fed by an Exchange whose
+    arguments are SinglePartition — the unpartitioned-window shape."""
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Exchange\b[^(]*?Arguments: SinglePartition",
+            plan,
+            re.S,
+        )
+    }
+    hits: list[str] = []
+    lines = plan.split("\n\n")[0].splitlines()
+    for i, ln in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)? \(", ln):
+            # physical chain is Window -> Sort -> Exchange (Sort may be
+            # elided), so the feeding Exchange sits within 2 lines
+            for la in lines[i + 1 : i + 4]:
+                m = re.search(r"Exchange \((\d+)\)", la)
+                if m and m.group(1) in sp_ids:
+                    hits.append(ln.strip())
+                    break
+    return hits
 
 AUDIT = [
     "q1_pricing_summary",
@@ -139,6 +176,9 @@ AUDIT = [
     "corpus_decontaminate_fuzzy",
     # r6: global sequence packing (two-level distributed prefix sum)
     "corpus_pack_sequences",
+    # r7: RFM segmentation (distributed exact ntile — must stay free of
+    # single-partition windows, the r6 finding)
+    "ev_rfm_segments",
 ]
 
 
@@ -163,6 +203,10 @@ def main() -> int:
         )
         checks["no_cartesian"] = (
             "CartesianProduct" not in plan or name in CROSS_JOIN_OK
+        )
+        checks["no_single_partition_window"] = (
+            not single_partition_windows(plan)
+            or name in SINGLE_PARTITION_WINDOW_OK
         )
         if name in PUSHDOWN_EXPECTED:
             checks["pushdown"] = bool(re.search(r"PushedFilters: \[[^\]]", plan))
