@@ -130,3 +130,74 @@ def test_external_reader_props_and_version(spark, tmp_path):
     assert st["props"] == {"owner": "pipeline", "tier": "gold"}
     # the metadata-only commit (dir: null) must not add a scan entry
     _assert_match(t, root, spark)
+
+
+def test_conjunctive_skip_prunes_same_files_as_engine(spark, tmp_path):
+    """VERDICT r6 #5: the spec's reader algorithm supports the list form
+    of ``skip_where`` (implicit AND). On a Z-ordered commit with
+    per-file stats on two columns, the external reader must (a) return
+    exactly the rows of an unpruned filter and (b) OPEN the same file
+    set the engine opens — conjunctive pruning is part of the public
+    format contract, not an engine-private optimization."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        (F.col("id") % 100).alias("a"),
+        (F.col("id") / 100).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(df, mode="append")
+    t.compact(spark, zorder_by=["a", "b"], out_partitions=8)
+    pred = [("a", ">=", 50), ("b", "<", 10)]
+
+    # value parity: pruned conjunctive read == unpruned filter, both sides
+    want = sorted(
+        (r["a"], r["b"], r["payload"])
+        for r in t.read(spark).collect()
+        if r["a"] >= 50 and r["b"] < 10
+    )
+    eng = t.read(spark, skip_where=pred)
+    assert sorted(tuple(r) for r in eng.select("a", "b", "payload").collect()) == want
+    ext = read_table(tmp_path / "t", skip_where=pred)
+    assert sorted(
+        (d["a"], d["b"], d["payload"]) for d in ext.to_pylist()
+    ) == want
+
+    # file parity: same survivors, from the engine scan and the spec algo
+    eng_files = {f.rsplit("/", 1)[-1] for f in eng.inputFiles()}
+    st = snapshot(tmp_path / "t")
+    from tools.external_reader import _conjuncts, _may_match, _stat_deser
+
+    ext_files = set()
+    for e in st["entries"]:
+        stats = e.get("stats") or {}
+        files_all = {f for f in stats if f != ""}
+        keep = None
+        drop = False
+        for scol, sop, sval in _conjuncts(pred):
+            per_file = {f: s for f, s in stats.items() if f != "" and scol in s}
+            if not per_file:
+                continue
+            k = {
+                f
+                for f, s in per_file.items()
+                if _may_match(
+                    _stat_deser(s[scol][0]), _stat_deser(s[scol][1]), sop, sval
+                )
+            }
+            k |= files_all - set(per_file)
+            keep = k if keep is None else keep & k
+        if drop or keep == set():
+            continue
+        ext_files |= keep if keep is not None else files_all
+    assert ext_files == eng_files
+    # the AND prunes at least as hard as either conjunct alone
+    for single in pred:
+        single_files = {
+            f.rsplit("/", 1)[-1]
+            for f in t.read(spark, skip_where=single).inputFiles()
+        }
+        assert ext_files <= single_files
+    # and strictly harder than no predicate
+    assert len(ext_files) < len({f.rsplit("/", 1)[-1] for f in t.read(spark).inputFiles()})

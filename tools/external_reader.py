@@ -148,12 +148,15 @@ def _scan_entry(root: Path, entry: dict[str, Any], target: pa.Schema) -> pa.Tabl
 
 def _stat_deser(v: Any) -> Any:
     import datetime
+    import decimal
 
     if isinstance(v, dict):
         if v.get("t") == "ts":
             return datetime.datetime.fromisoformat(v["v"])
         if v.get("t") == "date":
             return datetime.date.fromisoformat(v["v"])
+        if v.get("t") == "dec":
+            return decimal.Decimal(v["v"])
     return v
 
 
@@ -172,62 +175,86 @@ def _may_match(mn: Any, mx: Any, op: str, value: Any) -> bool:
         return True
 
 
+def _conjuncts(skip_where) -> list[tuple[str, str, Any]]:
+    """Normalize ``skip_where``: None / one (col, op, value) tuple / a
+    list of tuples (implicit AND) — the same forms the engine's
+    ``read()`` accepts (docs/commit-format.md reader algorithm)."""
+    if skip_where is None or len(skip_where) == 0:
+        return []
+    if isinstance(skip_where[0], str):
+        return [tuple(skip_where)]
+    return [tuple(c) for c in skip_where]
+
+
 def read_table(
     root: str | Path,
     version: Optional[int] = None,
-    skip_where: Optional[tuple[str, str, Any]] = None,
+    skip_where: Optional[tuple[str, str, Any] | list[tuple[str, str, Any]]] = None,
 ) -> pa.Table:
     """Materialize a snapshot as one pyarrow Table (row order unspecified).
 
-    ``skip_where=(col, op, value)`` applies the spec's data-skipping
-    rules: entries/files whose recorded [min, max] provably cannot match
-    are never opened; the predicate is then applied to surviving rows so
-    the result equals an unpruned filter."""
+    ``skip_where=(col, op, value)`` — or a LIST of such tuples (AND of
+    all of them) — applies the spec's data-skipping rules: entries/files
+    whose recorded [min, max] provably cannot match every conjunct are
+    never opened; the predicates are then applied to surviving rows so
+    the result equals an unpruned filter. Conjunctive pruning intersects
+    the per-conjunct survivor sets — on Z-ordered commits each extra
+    clustered column multiplies the cut, exactly as in the engine."""
     root = Path(root)
     st = snapshot(root, version)
     target = _arrow_schema(st["schema"])
     entries = st["entries"]
-    if skip_where is not None:
-        scol, sop, sval = skip_where
+    conj = _conjuncts(skip_where)
+    if conj:
         kept = []
         for e in entries:
-            stats = {f: s for f, s in (e.get("stats") or {}).items() if scol in s}
-            if not stats:
-                kept.append(e)
+            stats = e.get("stats") or {}
+            files_all = {f for f in stats if f != ""}
+            drop = False
+            keep: Optional[set] = None  # None => all files kept
+            for scol, sop, sval in conj:
+                dir_iv = stats.get("", {}).get(scol)
+                if dir_iv is not None and not _may_match(
+                    _stat_deser(dir_iv[0]), _stat_deser(dir_iv[1]), sop, sval
+                ):
+                    drop = True  # whole-entry interval excludes
+                    break
+                per_file = {
+                    f: s for f, s in stats.items() if f != "" and scol in s
+                }
+                if not per_file:
+                    continue  # no file-level stats: conjunct keeps all
+                k = {
+                    f
+                    for f, s in per_file.items()
+                    if _may_match(
+                        _stat_deser(s[scol][0]), _stat_deser(s[scol][1]), sop, sval
+                    )
+                }
+                # files with no stats for THIS col stay (conservative)
+                k |= files_all - set(per_file)
+                keep = k if keep is None else (keep & k)
+            if drop or keep == set():
                 continue
-            if "" in stats:  # dir-level interval: all-or-nothing
-                s0 = stats[""][scol]
-                if _may_match(_stat_deser(s0[0]), _stat_deser(s0[1]), sop, sval):
-                    kept.append(e)
-                continue
-            files = [
-                f
-                for f, s in stats.items()
-                if _may_match(
-                    _stat_deser(s[scol][0]), _stat_deser(s[scol][1]), sop, sval
-                )
-            ]
-            if not files:
-                continue
-            if len(files) == len(stats) or e.get("partitioned"):
+            if keep is None or keep == files_all or e.get("partitioned"):
                 kept.append(e)
             else:
-                kept.append({**e, "__files": files})
+                kept.append({**e, "__files": sorted(keep)})
         entries = kept
     parts = [_scan_entry(root, e, target) for e in entries]
     out = pa.concat_tables(parts) if parts else target.empty_table()
-    if skip_where is not None:
+    if conj:
         import pyarrow.compute as pc
 
-        scol, sop, sval = skip_where
-        fn = {
-            ">": pc.greater,
-            ">=": pc.greater_equal,
-            "<": pc.less,
-            "<=": pc.less_equal,
-            "=": pc.equal,
-        }[sop]
-        out = out.filter(fn(out[scol], pa.scalar(sval)))
+        for scol, sop, sval in conj:
+            fn = {
+                ">": pc.greater,
+                ">=": pc.greater_equal,
+                "<": pc.less,
+                "<=": pc.less_equal,
+                "=": pc.equal,
+            }[sop]
+            out = out.filter(fn(out[scol], pa.scalar(sval)))
     return out
 
 
