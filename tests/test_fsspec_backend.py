@@ -171,3 +171,187 @@ def test_lifecycle_on_nonatomic_store_with_optin(spark, tmp_path):
     t.write(df.withColumn("k", F.col("k") + 50), mode="append")
     assert t.read(spark).count() == 100
     assert backend.exclusive_is_native is False
+
+
+# --------------------------------------------------------------- memory:// --
+
+
+class MemoryLikeFS:
+    """Faithful mimic of fsspec ``MemoryFileSystem`` semantics, which
+    differ from LocalLikeFS exactly where object stores differ from
+    POSIX: a flat key→bytes dict, NO directory objects (``ls``
+    synthesizes children from key prefixes, there is no mkdir), and
+    exclusive create decided against the store under a lock. Runs
+    UNCONDITIONALLY — no fsspec needed — so the memory-class coverage
+    carries even in containers without the real package; the
+    ``_memory_filesystems()`` parametrization adds the real
+    ``fsspec.filesystem("memory")`` whenever it is importable."""
+
+    def __init__(self):
+        import threading
+
+        self.store: dict[str, tuple[bytes, float]] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _norm(p) -> str:
+        return str(p).rstrip("/")
+
+    def exists(self, path) -> bool:
+        p = self._norm(path)
+        pref = p + "/"
+        return p in self.store or any(k.startswith(pref) for k in self.store)
+
+    def ls(self, path, detail=False):
+        p = self._norm(path)
+        pref = p + "/"
+        out = set()
+        for k in self.store:
+            if k == p:
+                out.add(k)
+            elif k.startswith(pref):
+                out.add(pref + k[len(pref):].split("/", 1)[0])
+        if not out:
+            raise FileNotFoundError(path)
+        return sorted(out)
+
+    def open(self, path, mode="r"):
+        import io as _io
+        import time as _time
+
+        p = self._norm(path)
+        fs = self
+
+        if mode == "r":
+            if p not in self.store:
+                raise FileNotFoundError(path)
+            return _io.StringIO(self.store[p][0].decode())
+
+        class _Writer(_io.StringIO):
+            def __enter__(inner):
+                return inner
+
+            def __exit__(inner, *exc):
+                if exc[0] is None:
+                    fs.store[p] = (inner.getvalue().encode(), _time.time())
+                inner.close()
+                return False
+
+        if mode == "x":
+            # linearization point: existence decided under the lock at
+            # open time (the conditional-create the backend relies on)
+            with self._lock:
+                if p in self.store:
+                    raise FileExistsError(path)
+                self.store[p] = (b"", _time.time())
+        elif mode != "w":
+            raise ValueError(f"mode {mode!r} unsupported")
+        return _Writer()
+
+    def rm(self, path, recursive=False):
+        p = self._norm(path)
+        pref = p + "/"
+        victims = [k for k in self.store if k == p or (recursive and k.startswith(pref))]
+        if not victims:
+            raise FileNotFoundError(path)
+        for k in victims:
+            del self.store[k]
+
+    def modified(self, path):
+        import datetime
+
+        p = self._norm(path)
+        if p not in self.store:
+            raise FileNotFoundError(path)
+        return datetime.datetime.fromtimestamp(self.store[p][1])
+
+    def du(self, path):
+        p = self._norm(path)
+        pref = p + "/"
+        return sum(
+            len(b)
+            for k, (b, _) in self.store.items()
+            if k == p or k.startswith(pref)
+        )
+
+
+def _memory_filesystems():
+    fss = [pytest.param(MemoryLikeFS, id="memory-double")]
+    try:
+        import fsspec
+
+        fss.append(
+            pytest.param(
+                lambda: fsspec.filesystem("memory"), id="fsspec-memory"
+            )
+        )
+    except ImportError:
+        pass
+    return fss
+
+
+@pytest.mark.parametrize("mkfs", _memory_filesystems())
+def test_commit_log_plane_on_memory_fs(mkfs):
+    """VERDICT r6 #7: the full commit-log plane — bootstrap, property
+    commits, auto-checkpoints, truncation, the truncated-replay guard —
+    over memory:// semantics (no directories), Spark-free."""
+    import json
+
+    from odbc2deltalake_spark.tablestore import TruncatedLogError
+
+    backend = FsspecStorageBackend(mkfs())
+    t = VersionedParquetTable("memtbl/t", backend=backend)
+    t.checkpoint_interval = 10
+    # bootstrap: a pure-metadata commit 0 (dir: null per the spec)
+    t._write_commit({"version": 0, "mode": "append", "dir": None,
+                     "set_props": {"seed": "0"}})
+    for i in range(1, 35):
+        t.set_properties({"tick": str(i)})
+    assert backend.exclusive_is_native is True  # 'x' mode did every commit
+    assert t.version() == 34
+    assert t.get_property("tick") == "34"
+    assert t._checkpoint_versions() == [10, 20, 30]
+    # state via checkpoint == full replay
+    assert t._state_at() == t._state_at(use_checkpoint=False)
+
+    removed = t.truncate_log(before_version=20)
+    assert len(removed) == 20
+    assert t.get_property("tick") == "34"  # checkpointed replay intact
+    with pytest.raises(TruncatedLogError):
+        t._state_at(use_checkpoint=False)  # guard holds on memory:// too
+
+    # commit JSONs round-trip bytes exactly through the memory plane
+    raw = json.loads(backend.read_text(backend.join("memtbl/t", "_commits", "0000000034.json")))
+    assert raw["set_props"] == {"tick": "34"}
+
+
+@pytest.mark.parametrize("mkfs", _memory_filesystems())
+def test_exclusive_race_two_threads_on_memory_fs(mkfs):
+    """VERDICT r6 #7: the CommitConflictError branch under a REAL race —
+    two threads contending for the same commit version on memory://
+    semantics; exactly one winner, loser's content never visible."""
+    import threading
+
+    backend = FsspecStorageBackend(mkfs())
+    path = "memtbl/race/_commits/0000000001.json"
+    results: list[str] = []
+    barrier = threading.Barrier(2)
+
+    def contender(who: str):
+        barrier.wait()
+        try:
+            backend.write_text_exclusive(path, '{"who": "%s"}' % who)
+            results.append(f"win:{who}")
+        except CommitConflictError:
+            results.append(f"lose:{who}")
+
+    threads = [threading.Thread(target=contender, args=(w,)) for w in "ab"]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [r for r in results if r.startswith("win")]
+    loses = [r for r in results if r.startswith("lose")]
+    assert len(wins) == 1 and len(loses) == 1, results
+    winner = wins[0].split(":")[1]
+    assert f'"who": "{winner}"' in backend.read_text(path)
