@@ -153,8 +153,31 @@ class JDBCSource(Source):
         (reference:odbc2deltalake/db_to_delta.py:584-610). tsql rowversion
         compares via CAST to bigint; postgres xmin needs the
         xid→text→bigint double cast
-        (reference:odbc2deltalake/db_to_delta.py:73-77)."""
+        (reference:odbc2deltalake/db_to_delta.py:73-77).
+
+        Postgres ``xid`` is a MODULO-2^32 counter: after txid wraparound
+        new rows carry numerically SMALL xmin values, so a plain
+        ``x > watermark`` silently misses every post-wrap delta. The xid
+        criterion therefore uses serial-number arithmetic (RFC 1982 /
+        Postgres' own TransactionIdPrecedes): a row is "after" the
+        watermark iff its modular distance from it is in (0, 2^31) —
+        correct on both sides of the wrap. Special xids < 3 (bootstrap /
+        frozen) are never deltas and are excluded. The watermark PROBE
+        near the wrap has its own caveat — see SCALE.md §CDC."""
         expr = self._hidden_convert_expr(column) or f"t.{self._q(column)}"
+        info = next(
+            (c for c in (self._col_cache or []) if c.column_name == column),
+            None,
+        )
+        ts = (info.data_type_str if info else "").split("(")[0].lower()
+        if self.dialect == "postgres" and ts == "xid" and op in (">", ">="):
+            w = sql_quote_value(value)
+            lo = "1" if op == ">" else "0"
+            return (
+                f"({expr} >= 3 AND "
+                f"(({expr} - {w} + 4294967296) % 4294967296) "
+                f"BETWEEN {lo} AND 2147483647)"
+            )
         return f"{expr} {op} {sql_quote_value(value)}"
 
     def keyset_join_sql(self, keys: list[dict[str, Any]], key_cols: list[str]) -> str:
