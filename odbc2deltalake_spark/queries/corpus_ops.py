@@ -755,8 +755,7 @@ FROM cum
 """
 
 
-@register("corpus_pack_sequences", _PACK_SEQ_ORACLE, tags=("corpus", "text"),
-          priority=100)
+@register("corpus_pack_sequences", _PACK_SEQ_ORACLE, tags=("corpus", "text"))  # r7: promoted (r6 flagship)
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing map: per document, its global token offset and
     the [seq_first, seq_last] range of fixed-{budget}-token training

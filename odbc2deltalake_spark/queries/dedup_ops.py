@@ -675,7 +675,7 @@ GROUP BY w.doc_id
 """
 
 
-@register("dedup_substring_strip", _STRIP_ORACLE, tags=("dedup",))
+@register("dedup_substring_strip", _STRIP_ORACLE, tags=("dedup",), priority=100)  # r7: rotated out (dedup_substring_spans keeps the family in-window)
 def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strip cross-doc duplicated spans from non-canonical documents:
     per doc, the original word count, how many words were removed, and

@@ -749,7 +749,7 @@ FROM pairs p JOIN tot t USING (prev_type)
 
 
 @register("ev_path_transitions", _TRANSITIONS_ORACLE,
-          tags=("events", "window"))
+          tags=("events", "window"), priority=100)  # r7: rotated out (ev_funnel keeps the family in-window)
 def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix with row-normalized
     probabilities.
@@ -868,8 +868,7 @@ FROM scored
 """
 
 
-@register("ev_rfm_segments", _RFM_ORACLE, tags=("events", "window"),
-          priority=100)
+@register("ev_rfm_segments", _RFM_ORACLE, tags=("events", "window"))  # r7: promoted post-dist-ntile fix
 def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency (seconds before the corpus's
     last event), frequency and monetary value, quintile-scored and

@@ -138,7 +138,7 @@ FROM p
 """
 
 
-@register("mm_resize", _RESIZE_ORACLE, tags=("multimodal",))
+@register("mm_resize", _RESIZE_ORACLE, tags=("multimodal",), priority=100)  # r7: rotated out (mm_frame_sample keeps the kernel family in-window)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-codec resize over binary payloads (mapInPandas) — completes
     the decode / feature-extract / resize / frame-sample kernel set. The
@@ -174,7 +174,7 @@ FROM documents
 """
 
 
-@register("mm_audio_meta", _AUDIO_ORACLE, tags=("multimodal",), priority=100)
+@register("mm_audio_meta", _AUDIO_ORACLE, tags=("multimodal",))  # r7: promoted (r6 flagship)
 def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV metadata extraction over a synthesized-but-genuine audio
     corpus: rate/channels/bits/frames/duration from RIFF headers, one

@@ -42,7 +42,7 @@ def test_core_set_fits_driver_cap():
     # operators rotated in from overflow in r4
     for name in ("q1_pricing_summary", "ev_sessionize", "sim_neardup_bucketed",
                  "mm_frame_sample", "dedup_cluster", "ev_asof_join",
-                 "ev_range_join", "text_pii_scrub", "mm_resize", "sim_ann_ivf",
+                 "ev_range_join", "text_pii_scrub", "sim_ann_ivf",
                  # r5 rotation: the second-wave LLM-pipeline shapes
                  "dedup_substring_spans", "text_unigram_logprob",
                  "ev_funnel",
@@ -50,8 +50,10 @@ def test_core_set_fits_driver_cap():
                  "hybrid_search_rrf", "corpus_dsir_sample",
                  # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
                  "mv_incremental_rollup", "corpus_leakage_safe_split",
-                 "bm25_search", "ev_path_transitions",
-                 "dedup_substring_strip", "corpus_decontaminate_fuzzy"):
+                 "bm25_search", "corpus_decontaminate_fuzzy",
+                 # r7 rotation: the round-6 flagships (VERDICT r6 #4)
+                 "mm_audio_meta", "corpus_pack_sequences",
+                 "ev_rfm_segments"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -72,7 +74,13 @@ def test_core_set_fits_driver_cap():
                  # ev_funnel covers sequential-behavior shapes)
                  "q3_shipping_priority", "q5_local_supplier",
                  "q6_forecast_revenue", "q10_returned_items",
-                 "ev_rollup", "ev_retention"):
+                 "ev_rollup", "ev_retention",
+                 # r7 rotation out (driver-green r5+r6; each family keeps
+                 # its representative in-window: ev_funnel for sequential
+                 # behavior, mm_frame_sample for the mapInPandas kernel,
+                 # dedup_substring_spans for positional-gram dedup)
+                 "ev_path_transitions", "mm_resize",
+                 "dedup_substring_strip"):
         assert name in overflow_names
 
 
