@@ -900,6 +900,13 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # each _dist_ntile's repartitionByRange SAMPLES its input (a
+        # RangePartitioner job), so without truncation the events
+        # aggregation lineage would re-execute for every sampling pass +
+        # every scoring pass. Persisting the |users|-sized aggregate once
+        # (lazy local checkpoint, same device as dedup_cluster's rounds)
+        # makes the three ntile passes operate on the small frame only.
+        .localCheckpoint(eager=False)
     )
     scored = _dist_ntile(per_user, ["recency_s", "user_id"], "r_score")
     scored = _dist_ntile(
