@@ -1302,6 +1302,202 @@ class VersionedParquetTable(TableStore):
         )
         return new_version
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Merge-on-write DELETE with file-level pruning (Delta's
+        ``DELETE FROM t WHERE ...``): only dirs whose recorded [min, max]
+        intervals MAY contain matching rows are rewritten; every other
+        live dir carries over BY REFERENCE in the new commit. On a
+        Z-ordered or load-partitioned layout a selective delete therefore
+        rewrites a small fraction of the table — the property that makes
+        DML affordable at 100 TB, where a full-table rewrite per delete
+        is operationally impossible.
+
+        ``predicate`` is one ``(col, op, value)`` or a list (AND), the
+        same shape as ``skip_where``. SQL DELETE semantics: rows where
+        the predicate is NULL are KEPT (``filter(~expr)`` alone would
+        drop them). Bucketized layouts rewrite per bucket, preserving
+        each bucket tag and its ``bucket_rows`` count, so later merges
+        still replace exactly the right files. Counts ride the rewrite
+        job as Observations (zero extra scans); per-file stats for the
+        rewritten dirs come from parquet footers (driver-side metadata
+        I/O), defaulting to the predicate columns plus every column the
+        affected dirs already had stats for — future skipping keeps
+        working after the delete.
+
+        A delete that turns out to match zero rows abandons its rewrite
+        (no commit; the orphan dirs age out via vacuum) so the log only
+        records deletes that changed state. Returns a summary dict:
+        {version, rows_deleted, dirs_rewritten, dirs_kept}."""
+        conj = self._skip_conjuncts(predicate)
+        if not conj:
+            raise ValueError("delete_where requires a predicate")
+        st = self._state_at()
+        dirs = st["dirs"]
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        kept_entries: list[dict[str, Any]] = []
+        affected: list[dict[str, Any]] = []
+        for d in dirs:
+            stats = d.get("stats") or {}
+            files_all = {f for f in stats if f != ""}
+            may = True
+            for scol, sop, sval in conj:
+                iv = stats.get("", {}).get(scol)
+                if iv is not None and not self._interval_may_match(
+                    self._stat_deser(iv[0]), self._stat_deser(iv[1]), sop, sval
+                ):
+                    may = False
+                    break
+                per_file = {
+                    f: s for f, s in stats.items() if f != "" and scol in s
+                }
+                # provably no matching row only when EVERY file carries
+                # stats for this column and none of their intervals match
+                if (
+                    per_file
+                    and set(per_file) == files_all
+                    and not any(
+                        self._interval_may_match(
+                            self._stat_deser(s[scol][0]),
+                            self._stat_deser(s[scol][1]),
+                            sop,
+                            sval,
+                        )
+                        for s in per_file.values()
+                    )
+                ):
+                    may = False
+                    break
+            (affected if may else kept_entries).append(d)
+        summary = {
+            "version": st["version"],
+            "rows_deleted": 0,
+            "dirs_rewritten": 0,
+            "dirs_kept": len(kept_entries),
+        }
+        if not affected:
+            return summary
+
+        pred_expr = None
+        for scol, sop, sval in conj:
+            c = F.col(scol)
+            e = {
+                ">": c > F.lit(sval),
+                ">=": c >= F.lit(sval),
+                "<": c < F.lit(sval),
+                "<=": c <= F.lit(sval),
+                "=": c == F.lit(sval),
+            }[sop]
+            pred_expr = e if pred_expr is None else (pred_expr & e)
+        keep_cond = ~F.coalesce(pred_expr, F.lit(False))
+
+        default_sc = {c for c, _, _ in conj}
+        for d in affected:
+            for s in (d.get("stats") or {}).values():
+                default_sc |= set(s)
+        sc = stats_cols if stats_cols is not None else sorted(default_sc)
+        sc = [c for c in sc if c in target.fieldNames()]
+
+        from collections import defaultdict
+
+        from pyspark.sql import Observation
+
+        groups: dict[Any, list[dict[str, Any]]] = defaultdict(list)
+        for d in affected:
+            groups[d.get("bucket")].append(d)
+
+        new_version = st["version"] + 1
+        new_entries: list[dict[str, Any]] = []
+        bucket_rows = dict(st["bucket_rows"] or {})
+        rows_deleted = 0
+        written_dirs: list[str] = []
+        tnames = set(target.fieldNames())
+        for bucket, ds in sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, kv[0])
+        ):
+            parts = []
+            for d in ds:
+                written = T.StructType.fromJson(json.loads(d["schema"]))
+                r = spark.read.schema(written).parquet(self._path(d["dir"]))
+                have = set(r.columns)
+                parts.append(
+                    r.select(
+                        *[
+                            (
+                                F.col(f.name).cast(
+                                    _relax_nullability(f.dataType)
+                                )
+                                if f.name in have
+                                else F.lit(None).cast(
+                                    _relax_nullability(f.dataType)
+                                )
+                            ).alias(f.name)
+                            for f in target.fields
+                            if f.name in tnames
+                        ]
+                    )
+                )
+            src = parts[0]
+            for p in parts[1:]:
+                src = src.unionByName(p)
+            obs_tot, obs_kept = Observation(), Observation()
+            src = src.observe(obs_tot, F.count(F.lit(1)).alias("n"))
+            survivors = src.filter(keep_cond).observe(
+                obs_kept, F.count(F.lit(1)).alias("n")
+            )
+            dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
+            survivors.write.mode("overwrite").parquet(self._path(dir_name))
+            written_dirs.append(dir_name)
+            tot, kept_n = int(obs_tot.get["n"]), int(obs_kept.get["n"])
+            rows_deleted += tot - kept_n
+            if bucket is not None:
+                bucket_rows[str(bucket)] = kept_n
+            if kept_n == 0:
+                continue  # fully-deleted group: no entry at all
+            entry: dict[str, Any] = {"dir": dir_name, "schema": target.json()}
+            if sc:
+                fstats = self._footer_file_stats(self._path(dir_name), sc)
+                if fstats:
+                    entry["stats"] = fstats
+            if bucket is not None:
+                entry["bucket"] = bucket
+            new_entries.append(entry)
+
+        if rows_deleted == 0:
+            # nothing actually matched inside the candidate dirs: abandon
+            # the rewrite (orphans age out via vacuum), commit nothing
+            for dn in written_dirs:
+                self.backend.remove_recursive(self._path(dn))
+            summary["dirs_kept"] = len(dirs)
+            return summary
+
+        self._write_commit(
+            {
+                "version": new_version,
+                "mode": "restore",
+                "dirs": kept_entries + new_entries,
+                "schema": st["schema"],
+                "num_buckets": st["num_buckets"],
+                "bucket_cols": st["bucket_cols"],
+                "bucket_key_types": st["bucket_key_types"],
+                "bucket_rows": bucket_rows,
+                "delete_where": [
+                    [c, op, self._stat_ser(v)] for c, op, v in conj
+                ],
+                "rows_deleted": rows_deleted,
+            }
+        )
+        summary.update(
+            version=new_version,
+            rows_deleted=rows_deleted,
+            dirs_rewritten=len(affected),
+        )
+        return summary
+
     def compact(
         self,
         spark: SparkSession,

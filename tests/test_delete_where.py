@@ -1,0 +1,131 @@
+"""delete_where (tablestore.py): merge-on-write DELETE with file-level
+pruning. Invariants: only stat-intersecting dirs are rewritten (the rest
+carry over BY REFERENCE), SQL NULL-predicate semantics (NULL keeps the
+row), bucketized layouts rewrite per bucket with bucket_rows maintained,
+zero-match deletes commit nothing, and time travel / change feed / the
+external reader all see a consistent restore commit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_delete_rewrites_only_intersecting_dirs(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        t.write(_mk(spark, lo, lo + 100), mode="append", stats_cols=["k"])
+    before = {d["dir"] for d in t._state_at()["dirs"]}
+    out = t.delete_where(spark, ("k", ">=", 350))
+    assert out["rows_deleted"] == 50
+    assert out["dirs_rewritten"] == 1 and out["dirs_kept"] == 3
+    assert out["version"] == t.version()
+    after = t._state_at()["dirs"]
+    # three dirs carried by reference, one rewritten
+    assert len({d["dir"] for d in after} & before) == 3
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(350))
+    # the rewritten dir recorded fresh per-file stats -> skipping works
+    pruned = t.read(spark, skip_where=("k", ">=", 300))
+    assert {r["k"] for r in pruned.collect()} == set(range(300, 350))
+    assert len(set(pruned.inputFiles())) < len(set(t.read(spark).inputFiles()))
+    # time travel below the delete still shows the full table
+    assert t.read(spark, version=out["version"] - 1).count() == 400
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate does NOT delete."""
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "k long, v long"
+    )
+    t.write(df, mode="append")
+    out = t.delete_where(spark, ("v", ">", 10))
+    assert out["rows_deleted"] == 1
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, 5), (2, None)]
+
+
+def test_delete_conjunctive_predicate(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")
+    out = t.delete_where(spark, [("k", ">=", 10), ("k", "<", 20)])
+    assert out["rows_deleted"] == 10
+    assert {r["k"] for r in t.read(spark).collect()} == (
+        set(range(10)) | set(range(20, 100))
+    )
+
+
+def test_delete_zero_match_commits_nothing(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")  # no stats: dir is a candidate
+    v = t.version()
+    out = t.delete_where(spark, ("k", ">", 10_000))
+    assert out["rows_deleted"] == 0
+    assert t.version() == v  # no commit recorded
+    assert t.read(spark).count() == 100
+    # a fully-pruned delete (stats prove no match) is also a no-op
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(_mk(spark, 0, 100), mode="append", stats_cols=["k"])
+    v2 = t2.version()
+    out2 = t2.delete_where(spark, ("k", ">", 10_000))
+    assert out2["rows_deleted"] == 0 and t2.version() == v2
+
+
+def test_delete_on_bucketized_layout(spark, tmp_path):
+    """Per-bucket rewrite: bucket tags and bucket_rows stay exact, so a
+    later merge still replaces the right files (no resurrection)."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 400), mode="append")
+    t.merge_upsert(spark, _mk(spark, 0, 400), key_cols=["k"], num_buckets=4)
+    st = t._state_at()
+    assert all(d.get("bucket") is not None for d in st["dirs"])
+
+    out = t.delete_where(spark, ("k", "<", 100))
+    assert out["rows_deleted"] == 100
+    st2 = t._state_at()
+    assert all(d.get("bucket") is not None for d in st2["dirs"])
+    assert sum(int(n) for n in st2["bucket_rows"].values()) == 300
+    # metadata count path agrees with the scan
+    assert t.count_rows(spark) == 300
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(100, 400))
+
+    # a post-delete merge re-inserting deleted keys must yield exactly
+    # one copy of each (per-bucket replace hits the rewritten dirs)
+    t.merge_upsert(spark, _mk(spark, 50, 150), key_cols=["k"])
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == sorted(range(50, 400))
+    assert t.count_rows(spark) == 350
+
+
+def test_delete_changefeed_rebaseline_and_external_reader(spark, tmp_path):
+    from tools.external_reader import read_table
+
+    from odbc2deltalake_spark.streaming import TableTailer
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")
+    tail = TableTailer(t)
+    tail.process_available(spark, lambda df, a, b: None)  # current at v0
+
+    t.delete_where(spark, ("k", ">=", 50))
+    # a delete is a rewrite: raise by default, snapshot policy recovers
+    with pytest.raises(ValueError):
+        tail.process_available(spark, lambda df, a, b: None)
+    seen = []
+    tail.process_available(
+        spark, lambda df, a, b: seen.append(df.count()), on_rewrite="snapshot"
+    )
+    assert seen == [50]
+
+    # external reader sees the same rows through the restore commit
+    ext = read_table(tmp_path / "t")
+    assert sorted(d["k"] for d in ext.to_pylist()) == sorted(range(50))
