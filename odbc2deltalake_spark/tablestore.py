@@ -1333,9 +1333,60 @@ class VersionedParquetTable(TableStore):
         (no commit; the orphan dirs age out via vacuum) so the log only
         records deletes that changed state. Returns a summary dict:
         {version, rows_deleted, dirs_rewritten, dirs_kept}."""
+        out = self._dml_rewrite(spark, predicate, None, stats_cols)
+        out["rows_deleted"] = out.pop("rows_changed")
+        return out
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, Any],
+        predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Merge-on-write UPDATE (Delta's ``UPDATE t SET ... WHERE ...``)
+        with the same file-level pruning as :meth:`delete_where`:
+        stat-intersecting dirs are rewritten with matching rows
+        transformed, everything else carries over by reference.
+
+        ``set_exprs`` maps column name → SQL expression string (or
+        Column) evaluated against the row; non-matching and
+        NULL-predicate rows keep their values. Updating a bucket key
+        column on a bucketized layout is refused — rewritten rows would
+        land in files whose bucket tag no longer matches their hash
+        route, silently corrupting later merges. Returns {version,
+        rows_updated, dirs_rewritten, dirs_kept}."""
+        if not set_exprs:
+            raise ValueError("update_where requires at least one SET expression")
+        st = self._state_at()
+        bcols = set(st["bucket_cols"] or [])
+        bad = bcols & set(set_exprs)
+        if bad:
+            raise ValueError(
+                f"update_where cannot modify bucket key column(s) {sorted(bad)}: "
+                "rows would no longer hash-route to their file's bucket"
+            )
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        unknown = set(set_exprs) - set(target.fieldNames())
+        if unknown:
+            raise ValueError(f"update_where: unknown column(s) {sorted(unknown)}")
+        out = self._dml_rewrite(spark, predicate, set_exprs, stats_cols)
+        out["rows_updated"] = out.pop("rows_changed")
+        return out
+
+    def _dml_rewrite(
+        self,
+        spark: SparkSession,
+        predicate,
+        set_exprs: Optional[dict[str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Shared engine for delete_where (set_exprs None) and
+        update_where: candidate selection from commit stats, per-bucket
+        rewrite, Observation counts, footer stats, restore commit."""
         conj = self._skip_conjuncts(predicate)
         if not conj:
-            raise ValueError("delete_where requires a predicate")
+            raise ValueError("a DML rewrite requires a predicate")
         st = self._state_at()
         dirs = st["dirs"]
         target = T.StructType.fromJson(json.loads(st["schema"]))
@@ -1375,7 +1426,7 @@ class VersionedParquetTable(TableStore):
             (affected if may else kept_entries).append(d)
         summary = {
             "version": st["version"],
-            "rows_deleted": 0,
+            "rows_changed": 0,
             "dirs_rewritten": 0,
             "dirs_kept": len(kept_entries),
         }
@@ -1393,7 +1444,7 @@ class VersionedParquetTable(TableStore):
                 "=": c == F.lit(sval),
             }[sop]
             pred_expr = e if pred_expr is None else (pred_expr & e)
-        keep_cond = ~F.coalesce(pred_expr, F.lit(False))
+        match = F.coalesce(pred_expr, F.lit(False))  # SQL: NULL never matches
 
         default_sc = {c for c, _, _ in conj}
         for d in affected:
@@ -1413,7 +1464,7 @@ class VersionedParquetTable(TableStore):
         new_version = st["version"] + 1
         new_entries: list[dict[str, Any]] = []
         bucket_rows = dict(st["bucket_rows"] or {})
-        rows_deleted = 0
+        rows_changed = 0
         written_dirs: list[str] = []
         tnames = set(target.fieldNames())
         for bucket, ds in sorted(
@@ -1445,15 +1496,36 @@ class VersionedParquetTable(TableStore):
             for p in parts[1:]:
                 src = src.unionByName(p)
             obs_tot, obs_kept = Observation(), Observation()
-            src = src.observe(obs_tot, F.count(F.lit(1)).alias("n"))
-            survivors = src.filter(keep_cond).observe(
-                obs_kept, F.count(F.lit(1)).alias("n")
+            src = src.observe(
+                obs_tot,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(match.cast("long")).alias("m"),
             )
+            if set_exprs is None:  # DELETE: matching rows dropped
+                out_df = src.filter(~match)
+            else:  # UPDATE: matching rows transformed in place
+                sets = {
+                    k: (v if not isinstance(v, str) else F.expr(v))
+                    for k, v in set_exprs.items()
+                }
+                out_df = src.select(
+                    *[
+                        (
+                            F.when(match, sets[f.name].cast(f.dataType))
+                            .otherwise(F.col(f.name))
+                            .alias(f.name)
+                            if f.name in sets
+                            else F.col(f.name)
+                        )
+                        for f in target.fields
+                    ]
+                )
+            out_df = out_df.observe(obs_kept, F.count(F.lit(1)).alias("n"))
             dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
-            survivors.write.mode("overwrite").parquet(self._path(dir_name))
+            out_df.write.mode("overwrite").parquet(self._path(dir_name))
             written_dirs.append(dir_name)
-            tot, kept_n = int(obs_tot.get["n"]), int(obs_kept.get["n"])
-            rows_deleted += tot - kept_n
+            kept_n = int(obs_kept.get["n"])
+            rows_changed += int(obs_tot.get["m"] or 0)
             if bucket is not None:
                 bucket_rows[str(bucket)] = kept_n
             if kept_n == 0:
@@ -1467,7 +1539,7 @@ class VersionedParquetTable(TableStore):
                 entry["bucket"] = bucket
             new_entries.append(entry)
 
-        if rows_deleted == 0:
+        if rows_changed == 0:
             # nothing actually matched inside the candidate dirs: abandon
             # the rewrite (orphans age out via vacuum), commit nothing
             for dn in written_dirs:
@@ -1485,15 +1557,16 @@ class VersionedParquetTable(TableStore):
                 "bucket_cols": st["bucket_cols"],
                 "bucket_key_types": st["bucket_key_types"],
                 "bucket_rows": bucket_rows,
-                "delete_where": [
+                "dml_op": "delete" if set_exprs is None else "update",
+                "dml_predicate": [
                     [c, op, self._stat_ser(v)] for c, op, v in conj
                 ],
-                "rows_deleted": rows_deleted,
+                "rows_changed": rows_changed,
             }
         )
         summary.update(
             version=new_version,
-            rows_deleted=rows_deleted,
+            rows_changed=rows_changed,
             dirs_rewritten=len(affected),
         )
         return summary

@@ -129,3 +129,69 @@ def test_delete_changefeed_rebaseline_and_external_reader(spark, tmp_path):
     # external reader sees the same rows through the restore commit
     ext = read_table(tmp_path / "t")
     assert sorted(d["k"] for d in ext.to_pylist()) == sorted(range(50))
+
+
+# ------------------------------------------------------------ update_where --
+
+
+def test_update_rewrites_only_intersecting_dirs(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        t.write(_mk(spark, lo, lo + 100), mode="append", stats_cols=["k"])
+    before = {d["dir"] for d in t._state_at()["dirs"]}
+    out = t.update_where(spark, {"v": "v + 1000"}, ("k", ">=", 350))
+    assert out["rows_updated"] == 50
+    assert out["dirs_rewritten"] == 1 and out["dirs_kept"] == 3
+    after = {d["dir"] for d in t._state_at()["dirs"]}
+    assert len(after & before) == 3
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 400  # no row count change
+    assert all(got[k] == k * 2 + 1000 for k in range(350, 400))
+    assert all(got[k] == k * 2 for k in range(350))
+    # time travel below the update shows the old values
+    old = {r["k"]: r["v"] for r in t.read(spark, version=out["version"] - 1).collect()}
+    assert old[399] == 798
+
+
+def test_update_null_predicate_rows_untouched(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.createDataFrame([(1, 5), (2, None), (3, 50)], "k long, v long"),
+        mode="append",
+    )
+    out = t.update_where(spark, {"v": "0"}, ("v", ">", 10))
+    assert out["rows_updated"] == 1
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == [
+        (1, 5), (2, None), (3, 0),
+    ]
+
+
+def test_update_refuses_bucket_key_and_unknown_column(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")
+    t.merge_upsert(spark, _mk(spark, 0, 100), key_cols=["k"], num_buckets=4)
+    with pytest.raises(ValueError, match="bucket key"):
+        t.update_where(spark, {"k": "k + 1"}, ("v", ">", 0))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"nope": "1"}, ("v", ">", 0))
+    # non-key update on the bucketized layout works, counts preserved
+    out = t.update_where(spark, {"v": "v * 10"}, ("k", "<", 10))
+    assert out["rows_updated"] == 10
+    assert t.count_rows(spark) == 100
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[5] == 100 and got[50] == 100
+    # later merge on the rewritten buckets stays exact
+    t.merge_upsert(spark, _mk(spark, 5, 15), key_cols=["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 100 and got[5] == 10 and got[9] == 18
+
+
+def test_update_zero_match_commits_nothing(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")
+    v = t.version()
+    out = t.update_where(spark, {"v": "0"}, ("k", ">", 10_000))
+    assert out["rows_updated"] == 0 and t.version() == v
+    assert {r["v"] for r in t.read(spark).collect()} == {
+        k * 2 for k in range(100)
+    }
