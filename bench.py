@@ -84,6 +84,9 @@ EXTRAS = [
     # r7: distributed-ntile RFM + audio metadata (promoted flagships)
     "ev_rfm_segments",
     "mm_audio_meta",
+    # r7 second wave: budget selection + keep-best retention
+    "corpus_token_budget_select",
+    "dedup_keep_best",
 ]
 
 

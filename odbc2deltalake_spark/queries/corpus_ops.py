@@ -814,3 +814,118 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------- token-budget data selection ----
+#
+# Quality-ordered greedy selection under a total token budget — the
+# "data selection" step of a pretraining recipe (take the
+# highest-quality documents until the compute budget's token count is
+# filled). The order must be a GLOBAL total order over the corpus, so
+# the naive plan is the same single-partition cumulative window
+# corpus_pack_sequences avoids; selection here reuses the distributed
+# prefix-sum shape over an ARBITRARY ordering (quality, not doc_id) via
+# range repartitioning.
+
+_BUDGET_TOKENS = 50_000
+
+# quality = unique-token ratio in parts-per-million, INTEGER arithmetic
+# so both engines order identically (float rounding could swap
+# near-ties and shift every later cumulative sum)
+_BUDGET_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           AS n_uniq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_uniq * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+           AS score_ppm
+  FROM toks
+),
+cum AS (
+  SELECT doc_id, score_ppm, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS cum_before
+  FROM scored
+)
+SELECT doc_id, score_ppm, n_tokens, cum_before
+FROM cum WHERE cum_before < {_BUDGET_TOKENS}
+"""
+
+
+def _dist_exclusive_prefix(
+    df: DataFrame, order_cols, value_col: str, out_col: str, buckets: int = 32
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` under an arbitrary total
+    order, with no single-partition window: range-repartition on the
+    ordering (partition i's keys all sort before partition i+1's), a
+    PARTITIONED running-sum window inside each range, and per-partition
+    totals folded into broadcast starting offsets via a
+    ≤buckets x buckets self-join (the corpus_pack_sequences two-level
+    shape, generalized from doc_id chunks to any ordering)."""
+    part = df.repartitionByRange(buckets, *order_cols)
+    keyed = part.withColumn("_pid", F.spark_partition_id())
+    w_in = (
+        W.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = keyed.withColumn(
+        "_loc", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    )
+    hist = keyed.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
+    prior = hist.select(F.col("_pid").alias("_p2"), F.col("_c").alias("_c2"))
+    offs = (
+        hist.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_loc")).cast("long"))
+        .drop("_pid", "_loc", "_off")
+    )
+
+
+@register("corpus_token_budget_select", _BUDGET_ORACLE,
+          tags=("corpus", "text"), priority=100)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: documents ordered by unique-token
+    ratio (integer ppm — float rounding must not reorder near-ties),
+    selected while the EXCLUSIVE cumulative token count stays under the
+    budget, so the first document crossing the budget line is still
+    taken — the standard "fill the compute budget" semantics.
+
+    Scale shape: one scan computes per-doc token stats; the global
+    cumulative sum over the quality order runs as a distributed prefix
+    sum (range repartition + partitioned windows + broadcast offsets —
+    `_dist_exclusive_prefix`), and the budget filter is a per-row
+    predicate on the result. Nothing global ever sits in one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_uniq"),
+    )
+    scored = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.col("n_uniq") * 1_000_000 / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).cast("long").alias("score_ppm"),
+    )
+    pre = _dist_exclusive_prefix(
+        scored,
+        [F.col("score_ppm").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        "cum_before",
+    )
+    return pre.filter(F.col("cum_before") < _BUDGET_TOKENS).select(
+        "doc_id", "score_ppm", "n_tokens", "cum_before"
+    )

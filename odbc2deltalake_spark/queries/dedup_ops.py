@@ -858,3 +858,79 @@ def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 from odbc2deltalake_spark.queries.registry import QUERIES as _QUERIES  # noqa: E402
 
 _QUERIES["corpus_decontaminate_fuzzy"].oracle = _fuzzy_decon_oracle()
+
+
+# ----------------------------------------- keep-best dedup retention ----
+#
+# The retention POLICY on top of near-dup clustering: real pipelines do
+# not keep an arbitrary cluster member — they keep the "best" one
+# (longest, or highest quality score; Lee et al. keep one canonical
+# copy). One row per SURVIVING document: singletons survive as
+# themselves, each near-dup cluster contributes exactly its best member
+# (longest text, doc_id tiebreak).
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u
+),
+clus AS (
+  SELECT u AS doc_id, min(v) AS cluster_id,
+         count(DISTINCT v) AS cluster_size
+  FROM walk GROUP BY u
+),
+everyone AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(c.cluster_size, 1) AS cluster_size,
+         d.n_chars
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars
+FROM everyone
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE, tags=("dedup",),
+          priority=100)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup retention: from each near-dup cluster keep
+    the best member (longest text, deterministic doc_id tiebreak);
+    unclustered docs survive as their own singleton cluster.
+
+    Scale shape: rides dedup_cluster's label propagation (per-round
+    checkpointed, rounds = cluster diameter), then one broadcast-safe
+    left join of clusters onto the corpus and ONE partitioned window
+    over cluster_id — near-dup clusters are small by construction, so
+    the argmax window never sees a skewed partition. No reference
+    analogue (the reference has no corpus surface)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clus = dedup_cluster(spark, sf_dir)
+    everyone = (
+        docs.join(clus, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        everyone.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -179,6 +179,10 @@ AUDIT = [
     # r7: RFM segmentation (distributed exact ntile — must stay free of
     # single-partition windows, the r6 finding)
     "ev_rfm_segments",
+    # r7: token-budget selection (distributed prefix sum over the
+    # quality order; dedup_keep_best excluded: drives dedup_cluster's
+    # iterative loop)
+    "corpus_token_budget_select",
 ]
 
 
