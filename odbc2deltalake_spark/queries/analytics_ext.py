@@ -305,9 +305,12 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 # tests/test_correctness_extras.py at priority 100.
 @register("q15_top_supplier", _Q15_ORACLE, tags=("bench", "window"), priority=100)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: revenue view + max-equality — the scalar subquery becomes
-    an unpartitioned window max (one extra tiny stage over |suppliers|
-    rows, no driver round-trip)."""
+    """TPC-H Q15: revenue view + max-equality — the scalar subquery is a
+    single-row broadcast crossJoin of the max aggregate (r7: replaced
+    the unpartitioned window max, which forced every per-supplier row
+    through ONE task; the aggregate + broadcast form keeps the revenue
+    frame fully parallel and frees q15 from the plan gate's
+    single-partition-window allowlist)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _TS("1997-04-01 00:00:00"))
@@ -317,7 +320,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    rev = rev.withColumn("__mx", F.max("total_revenue").over(W.partitionBy()))
+    rev = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_revenue").alias("__mx")))
+    )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.filter(F.col("total_revenue") == F.col("__mx"))

@@ -441,17 +441,18 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     tot = counts.agg(F.sum("c").alias("t"))
-    w = W.partitionBy()
-    rates = (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            F.pow(F.col("c") * 1.0 / F.col("t"), F.lit(_TEMP_ALPHA - 1.0)).alias(
-                "pr"
-            ),
-        )
-        .select("lang", (F.col("pr") / F.max("pr").over(w)).alias("r"))
+    prs = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.pow(F.col("c") * 1.0 / F.col("t"), F.lit(_TEMP_ALPHA - 1.0)).alias(
+            "pr"
+        ),
     )
+    # normalization to the rarest language as a single-row broadcast max
+    # (r7: was an unpartitioned window over the |languages| frame — tiny
+    # here, but the crossJoin form keeps the plan gate allowlist-free)
+    rates = prs.crossJoin(
+        F.broadcast(prs.agg(F.max("pr").alias("__mx")))
+    ).select("lang", (F.col("pr") / F.col("__mx")).alias("r"))
     return (
         docs.join(F.broadcast(rates), "lang")
         .filter(_doc_hash_spark() * 1.0 / _HASH_MOD < F.col("r"))

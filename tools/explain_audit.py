@@ -64,11 +64,12 @@ BROADCAST_EXPECTED = {
 # grows with the data is a global sort through one task (the r6
 # ev_rfm_segments scale-killer); everything not listed here is gated.
 SINGLE_PARTITION_WINDOW_OK = {
-    "q15_top_supplier",         # max over per-supplier revenue: |suppliers| frame (TPC-H dimension)
+    # (r7: q15_top_supplier and corpus_temperature_sample converted
+    # their scalar-max windows to single-row broadcast crossJoins and
+    # left this list)
     "corpus_shuffle_order",     # 64-row bucket histogram prefix sum
-    "corpus_temperature_sample",  # |languages| count frame
     "ev_moving_avg",            # per-day rollup frame (bounded calendar)
-    "corpus_pack_sequences",    # partition histogram of the prefix sum
+    "corpus_pack_sequences",    # |chunks| histogram of the prefix sum
 }
 
 
