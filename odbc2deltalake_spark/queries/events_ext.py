@@ -923,3 +923,112 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+# ----------------------------------------------- calendar gap filling ----
+#
+# Time-series gap fill + forward fill — an operator Spark has no native
+# construct for (DuckDB/Postgres: generate_series + IGNORE NULLS window;
+# Flink: temporal fill). Every user's activity span is densified to one
+# row per calendar day; days with no events carry n_events=0 and the
+# last prior day's value forward.
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n_events, round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+),
+cal AS (
+  SELECT user_id,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM spans
+)
+SELECT c.user_id, c.day,
+       coalesce(d.n_events, 0) AS n_events,
+       d.day_value,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+       ) AS filled_value
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+
+@register("ev_gap_fill_daily", _GAP_FILL_ORACLE, tags=("events", "window"),
+          priority=100)
+def ev_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's daily activity to a full calendar (SQL
+    generate_series analog: `sequence` + `explode`) and forward-fill the
+    last known day_value across the gaps (`last(ignorenulls)` — Spark's
+    IGNORE NULLS form).
+
+    Scale shape: the calendar explode multiplies rows by span length but
+    stays partition-local (explode is a narrow transform); the daily
+    rollup is one shuffle on (user, day); the fill window partitions by
+    user_id — per-user spans are calendar-bounded, so no skewed or
+    global window. At 100 TB the dominant cost is the rollup shuffle,
+    identical to ev_hourly_rollup's."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("day_value"),
+        )
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+# ------------------------------------------------------ CUBE aggregation --
+
+_CUBE_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS DATE))
+"""
+
+
+@register("ev_cube", _CUBE_ORACLE, tags=("events", "agg", "groupingsets"),
+          priority=100)
+def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, day): all four grouping sets (type+day, type,
+    day, grand total) in one pass — same single-scan grouping-set
+    expansion as ev_rollup, completing the GROUPING SETS family."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
