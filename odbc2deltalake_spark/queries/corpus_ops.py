@@ -16,6 +16,8 @@ shuffle, and the sample is shuffle-free.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -860,7 +862,8 @@ FROM cum WHERE cum_before < {_BUDGET_TOKENS}
 
 
 def _dist_exclusive_prefix(
-    df: DataFrame, order_cols, value_col: str, out_col: str, buckets: int = 32
+    df: DataFrame, order_cols, value_col: str, out_col: str,
+    buckets: Optional[int] = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` under an arbitrary total
     order, with no single-partition window: range-repartition on the
@@ -868,7 +871,16 @@ def _dist_exclusive_prefix(
     PARTITIONED running-sum window inside each range, and per-partition
     totals folded into broadcast starting offsets via a
     ≤buckets x buckets self-join (the corpus_pack_sequences two-level
-    shape, generalized from doc_id chunks to any ordering)."""
+    shape, generalized from doc_id chunks to any ordering).
+
+    ``buckets`` defaults to the session's shuffle parallelism so the
+    per-task slice shrinks as the cluster grows (a fixed 32 would cap
+    parallelism at 32 tasks on a 1000-executor cluster); the offsets
+    self-join stays broadcast-tiny (buckets^2 rows of two longs)."""
+    if buckets is None:
+        buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     part = df.repartitionByRange(buckets, *order_cols)
     keyed = part.withColumn("_pid", F.spark_partition_id())
     w_in = (

@@ -5,6 +5,8 @@ base inventory lacks, each pinned against a DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -791,7 +793,7 @@ def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
-                buckets: int = 32) -> DataFrame:
+                buckets: Optional[int] = None) -> DataFrame:
     """Exact ``ntile(n) OVER (ORDER BY order_cols)`` without the global
     sort through one task that an unpartitioned Window costs (the r6
     scale-killer in this file): (1) ``repartitionByRange`` on the
@@ -805,7 +807,13 @@ def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
 
     ``order_cols`` must be a total order (include a unique tiebreak):
     equal keys land in one range partition, so ordering is well-defined
-    regardless of where sampling places the range boundaries."""
+    regardless of where sampling places the range boundaries. ``buckets``
+    defaults to the session's shuffle parallelism so per-task slices
+    shrink with the cluster (a fixed constant would cap parallelism)."""
+    if buckets is None:
+        buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     part = df.repartitionByRange(buckets, *order_cols)
     keyed = part.withColumn("_pid", F.spark_partition_id())
     local = keyed.withColumn(
