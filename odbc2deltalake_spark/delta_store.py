@@ -231,3 +231,72 @@ class DeltaTableStore(TableStore):
         if extra_commit_fields and extra_commit_fields.get("set_props"):
             return self.set_properties(extra_commit_fields["set_props"])
         return self.version()
+
+    # ---------- merge-on-write DML ----------
+
+    @staticmethod
+    def _dml_condition(predicate):
+        """(col, op, value) conjuncts -> a Delta condition Column. SQL
+        match semantics (NULL never matches) are native to Delta's
+        DELETE/UPDATE condition, so no coalesce wrapper is needed."""
+        from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+        conj = VersionedParquetTable._skip_conjuncts(predicate)
+        if not conj:
+            raise ValueError("a DML rewrite requires a predicate")
+        cond = None
+        for scol, sop, sval in conj:
+            c = F.col(scol)
+            e = {
+                ">": c > F.lit(sval),
+                ">=": c >= F.lit(sval),
+                "<": c < F.lit(sval),
+                "<=": c <= F.lit(sval),
+                "=": c == F.lit(sval),
+            }[sop]
+            cond = e if cond is None else (cond & e)
+        return cond
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict:
+        """Delta DELETE — Delta itself rewrites only the files whose
+        stats intersect the condition (the same merge-on-write shape as
+        the parquet store's delete_where). ``stats_cols`` is ignored:
+        Delta collects native file stats. A zero-match delete is probed
+        first (pushdown LIMIT-1 existence check) so the log only records
+        deletes that changed state, matching the interface contract."""
+        s = self._session(spark)
+        cond = self._dml_condition(predicate)
+        if self.read(s).filter(cond).limit(1).count() == 0:
+            return {"version": self.version(), "rows_deleted": 0}
+        before = self.read(s).count()
+        self._dt(s).delete(cond)
+        after = self.read(s).count()
+        return {"version": self.version(), "rows_deleted": before - after}
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: dict,
+        predicate,
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict:
+        """Delta UPDATE with the same zero-match probe. ``set_exprs``
+        maps column -> SQL expression string or Column."""
+        if not set_exprs:
+            raise ValueError("update_where requires at least one SET expression")
+        s = self._session(spark)
+        cond = self._dml_condition(predicate)
+        n = self.read(s).filter(cond).count()
+        if n == 0:
+            return {"version": self.version(), "rows_updated": 0}
+        sets = {
+            k: (v if not isinstance(v, str) else F.expr(v))
+            for k, v in set_exprs.items()
+        }
+        self._dt(s).update(condition=cond, set=sets)
+        return {"version": self.version(), "rows_updated": n}

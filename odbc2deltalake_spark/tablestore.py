@@ -475,6 +475,31 @@ class TableStore(ABC):
     def delete_table(self) -> None: ...
 
     @abstractmethod
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Merge-on-write DELETE: remove rows matching the predicate
+        (one (col, op, value) or a list ANDed), rewriting only affected
+        files. SQL semantics — a NULL predicate keeps the row. Returns
+        {version, rows_deleted, ...}; a zero-match delete MUST NOT
+        commit. ``stats_cols`` is a skipping hint stores may ignore."""
+
+    @abstractmethod
+    def update_where(
+        self,
+        spark: SparkSession,
+        set_exprs: dict[str, Any],
+        predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Merge-on-write UPDATE: apply ``set_exprs`` (col → SQL
+        expression or Column) to rows matching the predicate. Returns
+        {version, rows_updated, ...}; zero-match MUST NOT commit."""
+
+    @abstractmethod
     def merge_upsert(
         self,
         spark: SparkSession,

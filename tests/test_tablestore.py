@@ -623,6 +623,16 @@ def test_table_store_interface_conformance(spark, tmp_path, factory):
     assert got == {1: "a", 2: "b", 3: "C", 4: "d"}
     t.set_properties({"engine.check": "1"})
     assert t.get_property("engine.check") == "1"
+    # merge-on-write DML (r7): same surface on both stores
+    out = t.update_where(spark, {"v": "upper(v)"}, ("id", "=", 4))
+    assert out["rows_updated"] == 1
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()}[4] == "D"
+    out = t.delete_where(spark, ("id", ">=", 4))
+    assert out["rows_deleted"] == 1
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3}
+    vz = t.version()
+    assert t.delete_where(spark, ("id", ">", 999))["rows_deleted"] == 0
+    assert t.version() == vz  # zero-match MUST NOT commit
     v_before = t.version()
     t.restore(v0)
     assert t.version() > v_before
