@@ -681,3 +681,91 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HYBRID_TOPK)
         .select("doc_id", F.round("bm25", 4).alias("bm25_score"))
     )
+
+
+# ------------------------------------------------ bigram LM scoring ----
+#
+# Per-document average bigram negative log-likelihood under the
+# corpus's own add-k-smoothed bigram LM — the step up from
+# text_unigram_logprob: word-ORDER anomalies (shuffled text, templated
+# boilerplate, wrong-language interleaving) that unigram stats cannot
+# see show up as improbable transitions.
+
+_BIGRAM_K = 0.5  # add-k smoothing
+
+_BIGRAM_ORACLE = rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents
+),
+bigr AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM arrs, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t
+),
+ctx AS (SELECT w1, count(*) AS c1 FROM bigr GROUP BY w1),
+pair AS (SELECT w1, w2, count(*) AS c12 FROM bigr GROUP BY w1, w2),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(a) AS w FROM arrs)
+)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(-ln((p.c12 + {_BIGRAM_K}) / (c.c1 + {_BIGRAM_K} * v.v))), 4)
+         AS avg_nll
+FROM bigr b
+JOIN pair p USING (w1, w2)
+JOIN ctx c USING (w1)
+CROSS JOIN vocab v
+GROUP BY b.doc_id
+"""
+
+
+@register("text_bigram_logprob", _BIGRAM_ORACLE, tags=("text", "corpus"),
+          priority=100)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram NLL per document under the corpus's own add-k
+    bigram LM: P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V). Documents shorter
+    than two tokens have no bigrams and drop out, matching the SQL's
+    inner joins.
+
+    Scale shape: bigrams come from slicing each doc's token array and
+    zipping it against its own tail — a narrow per-row transform, no
+    window, no shuffle. The model tables are two hash aggregations
+    (context and pair counts, uniform word keys); scoring joins the
+    bigram stream back to them — the context table is Zipf-bounded
+    (broadcast), the pair table grows faster than the vocab so its join
+    is left to AQE: broadcast at small scale, uniform shuffle-hash on
+    (w1, w2) at corpus scale. The vocab-size scalar is a one-row
+    broadcast cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    arrs = docs.select("doc_id", a.alias("a"))
+    pairs_col = F.arrays_zip(
+        F.expr("slice(a, 1, size(a) - 1)").alias("w1"),
+        F.expr("slice(a, 2, size(a) - 1)").alias("w2"),
+    )
+    bigr = (
+        arrs.filter(F.size("a") >= 2)
+        .select("doc_id", F.explode(pairs_col).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    ctx = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pair = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        arrs.select(F.explode("a").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c12") + F.lit(_BIGRAM_K))
+        / (F.col("c1") + F.lit(_BIGRAM_K) * F.col("v"))
+    )
+    return (
+        bigr.join(pair, ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
