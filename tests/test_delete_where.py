@@ -195,3 +195,34 @@ def test_update_zero_match_commits_nothing(spark, tmp_path):
     assert {r["v"] for r in t.read(spark).collect()} == {
         k * 2 for k in range(100)
     }
+
+
+def test_delete_on_schema_evolved_table(spark, tmp_path):
+    """An old dir written BEFORE a column existed reads that column as
+    NULL — SQL semantics keep its rows under a predicate on the new
+    column, and the rewrite must not corrupt the null-filled frame."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.createDataFrame([(1,), (2,)], "k long"), mode="append")
+    t.write(
+        spark.createDataFrame([(3, 30), (4, 40)], "k long, v long"),
+        mode="append",
+        merge_schema=True,
+    )
+    out = t.delete_where(spark, ("v", ">", 35))
+    assert out["rows_deleted"] == 1
+    assert sorted((r["k"], r["v"]) for r in t.read(spark).collect()) == [
+        (1, None), (2, None), (3, 30),
+    ]
+
+
+def test_delete_on_hive_partitioned_commit(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, "x", 50), (3, "y", 7)], "k long, pt string, v long"
+    )
+    t.write(df, mode="append", partition_by=["pt"])
+    out = t.delete_where(spark, ("v", ">=", 50))
+    assert out["rows_deleted"] == 1
+    assert sorted((r["k"], r["pt"], r["v"]) for r in t.read(spark).collect()) == [
+        (1, "x", 5), (3, "y", 7),
+    ]
