@@ -1399,23 +1399,14 @@ class VersionedParquetTable(TableStore):
         out["rows_updated"] = out.pop("rows_changed")
         return out
 
-    def _dml_rewrite(
-        self,
-        spark: SparkSession,
-        predicate,
-        set_exprs: Optional[dict[str, Any]],
-        stats_cols: Optional[list[str]] = None,
-    ) -> dict[str, Any]:
-        """Shared engine for delete_where (set_exprs None) and
-        update_where: candidate selection from commit stats, per-bucket
-        rewrite, Observation counts, footer stats, restore commit."""
-        conj = self._skip_conjuncts(predicate)
-        if not conj:
-            raise ValueError("a DML rewrite requires a predicate")
-        st = self._state_at()
-        dirs = st["dirs"]
-        target = T.StructType.fromJson(json.loads(st["schema"]))
-        kept_entries: list[dict[str, Any]] = []
+    def _split_dirs_by_predicate(
+        self, dirs: list[dict[str, Any]], conj: list[tuple[str, str, Any]]
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+        """(kept, affected): dirs whose recorded stats PROVE no row can
+        match every conjunct vs. dirs that may contain matches — the
+        candidate-selection half shared by DML rewrites and partial
+        compaction."""
+        kept: list[dict[str, Any]] = []
         affected: list[dict[str, Any]] = []
         for d in dirs:
             stats = d.get("stats") or {}
@@ -1448,7 +1439,26 @@ class VersionedParquetTable(TableStore):
                 ):
                     may = False
                     break
-            (affected if may else kept_entries).append(d)
+            (affected if may else kept).append(d)
+        return kept, affected
+
+    def _dml_rewrite(
+        self,
+        spark: SparkSession,
+        predicate,
+        set_exprs: Optional[dict[str, Any]],
+        stats_cols: Optional[list[str]] = None,
+    ) -> dict[str, Any]:
+        """Shared engine for delete_where (set_exprs None) and
+        update_where: candidate selection from commit stats, per-bucket
+        rewrite, Observation counts, footer stats, restore commit."""
+        conj = self._skip_conjuncts(predicate)
+        if not conj:
+            raise ValueError("a DML rewrite requires a predicate")
+        st = self._state_at()
+        dirs = st["dirs"]
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        kept_entries, affected = self._split_dirs_by_predicate(dirs, conj)
         summary = {
             "version": st["version"],
             "rows_changed": 0,
@@ -1604,6 +1614,9 @@ class VersionedParquetTable(TableStore):
         out_partitions: Optional[int] = None,
         partition_by: Optional[list[str]] = None,
         stats_cols: Optional[list[str]] = None,
+        where: Optional[
+            tuple[str, str, Any] | list[tuple[str, str, Any]]
+        ] = None,
     ) -> int:
         """Rewrite the current snapshot's many small files into
         ~``target_file_bytes`` files as ONE new overwrite commit — the
@@ -1625,12 +1638,28 @@ class VersionedParquetTable(TableStore):
         their layout is maintained per-merge (each merge rewrites whole
         buckets; adaptive rebucketing handles growth), so file-level
         compaction would destroy the routing invariant.
+
+        ``where`` makes the compaction PARTIAL (Delta's ``OPTIMIZE ...
+        WHERE``): only dirs whose recorded stats may contain matching
+        rows are rewritten (skip_where-style conjuncts against the same
+        commit stats DML pruning uses); every other dir carries over by
+        reference in a restore commit. At 100 TB a nightly OPTIMIZE
+        never rewrites the whole table — it compacts the day's small
+        load commits (``where=("__timestamp", ">=", <day>)`` on the SCD2
+        history), leaving the cold majority untouched. Rows are NOT
+        filtered — the predicate only selects which dirs to rewrite —
+        and a selection that matches no dir commits nothing.
         """
         st = self._state_at()
         if st["num_buckets"]:
             raise ValueError(
                 "compact() on a bucketized table would break bucket "
                 "routing; merges already rewrite whole buckets"
+            )
+        if where is not None:
+            return self._compact_partial(
+                spark, st, where, target_file_bytes, zorder_by,
+                out_partitions, stats_cols,
             )
         snapshot = self.read(spark)
         n = out_partitions
@@ -1669,6 +1698,95 @@ class VersionedParquetTable(TableStore):
                 "zorder_by": zorder_by or [],
             },
         )
+
+    def _compact_partial(
+        self,
+        spark: SparkSession,
+        st: dict[str, Any],
+        where,
+        target_file_bytes: int,
+        zorder_by: Optional[list[str]],
+        out_partitions: Optional[int],
+        stats_cols: Optional[list[str]],
+    ) -> int:
+        conj = self._skip_conjuncts(where)
+        if not conj:
+            raise ValueError("compact(where=...) requires a predicate")
+        kept, affected = self._split_dirs_by_predicate(st["dirs"], conj)
+        if not affected:
+            return st["version"]  # nothing to rewrite: no commit
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        tnames = set(target.fieldNames())
+        parts = []
+        for d in affected:
+            written = T.StructType.fromJson(json.loads(d["schema"]))
+            r = spark.read.schema(written).parquet(self._path(d["dir"]))
+            have = set(r.columns)
+            parts.append(
+                r.select(
+                    *[
+                        (
+                            F.col(f.name).cast(_relax_nullability(f.dataType))
+                            if f.name in have
+                            else F.lit(None).cast(
+                                _relax_nullability(f.dataType)
+                            )
+                        ).alias(f.name)
+                        for f in target.fields
+                        if f.name in tnames
+                    ]
+                )
+            )
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        n = out_partitions
+        if n is None:
+            total = sum(
+                self.backend.du(self._path(d["dir"])) or 0 for d in affected
+            )
+            if total:
+                n = max(1, min(total // max(1, target_file_bytes), 4096))
+        if n is None:
+            n = spark.sparkContext.defaultParallelism
+        if zorder_by:
+            from odbc2deltalake_spark.operators.zorder import zorder_layout
+
+            src = zorder_layout(src, zorder_by, out_partitions=n)
+        else:
+            src = src.coalesce(n)
+        if stats_cols is None:
+            sc = {c for c, _, _ in conj} | set(zorder_by or [])
+            for d in affected:
+                for s_ in (d.get("stats") or {}).values():
+                    sc |= set(s_)
+            stats_cols = sorted(c for c in sc if c in tnames)
+        new_version = st["version"] + 1
+        dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
+        src.write.mode("overwrite").parquet(self._path(dir_name))
+        entry: dict[str, Any] = {"dir": dir_name, "schema": target.json()}
+        if stats_cols:
+            fstats = self._footer_file_stats(self._path(dir_name), stats_cols)
+            if fstats:
+                entry["stats"] = fstats
+        self._write_commit(
+            {
+                "version": new_version,
+                "mode": "restore",
+                "dirs": kept + [entry],
+                "schema": st["schema"],
+                "num_buckets": st["num_buckets"],
+                "bucket_cols": st["bucket_cols"],
+                "bucket_key_types": st["bucket_key_types"],
+                "bucket_rows": st["bucket_rows"],
+                "compacted_from": st["version"],
+                "compact_where": [
+                    [c, op, self._stat_ser(v)] for c, op, v in conj
+                ],
+                "zorder_by": zorder_by or [],
+            }
+        )
+        return new_version
 
     def history(self) -> list[dict[str, Any]]:
         """Commit metadata, newest first (DESCRIBE HISTORY analog):

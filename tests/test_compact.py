@@ -79,3 +79,38 @@ def test_compact_refuses_bucketized(spark, tmp_path):
     t.merge_upsert(spark, df, key_cols=["id"])
     with pytest.raises(ValueError, match="bucketized"):
         t.compact(spark)
+
+
+def test_partial_compact_rewrites_only_matching_dirs(spark, tmp_path):
+    """compact(where=...): OPTIMIZE-WHERE — dirs whose stats exclude the
+    predicate carry over by reference; matching dirs merge into one new
+    dir; rows are never filtered; time travel and skipping survive."""
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        t.write(
+            spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            mode="append",
+            stats_cols=["k"],
+        )
+    before = {d["dir"] for d in t._state_at()["dirs"]}
+    v = t.compact(spark, where=("k", ">=", 200), out_partitions=1)
+    st = t._state_at()
+    after = {d["dir"] for d in st["dirs"]}
+    # two cold dirs untouched, two hot dirs merged into one new dir
+    assert len(after & before) == 2 and len(after) == 3
+    assert t.read(spark).count() == 400  # no rows filtered
+    assert t.read(spark, version=v - 1).count() == 400  # time travel
+    # fresh footer stats on the compacted dir keep pruning working
+    pruned = t.read(spark, skip_where=("k", ">=", 350))
+    assert {r["k"] for r in pruned.collect()} == set(range(350, 400))
+    assert len(set(pruned.inputFiles())) < len(set(t.read(spark).inputFiles()))
+    # a predicate matching nothing commits nothing
+    v2 = t.version()
+    assert t.compact(spark, where=("k", ">", 10_000)) == v2
+    assert t.version() == v2
