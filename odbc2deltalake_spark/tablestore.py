@@ -1825,6 +1825,15 @@ class VersionedParquetTable(TableStore):
         commits rewrite rather than add, so their dirs do not represent
         a delta (the consumer should re-baseline from a snapshot read,
         exactly like Delta CDF's backfill story).
+
+        Exception: commits tagged ``compacted_from`` are ROWS-PRESERVING
+        rewrites (full or partial OPTIMIZE — layout only, row set
+        unchanged by construction) and contribute zero change rows, so
+        the feed skips them and the cursor advances straight through —
+        Delta CDF likewise emits nothing for OPTIMIZE. Without this, a
+        nightly compaction would force every downstream incremental
+        consumer (tailer, MV, index) into a full re-baseline it does not
+        need.
         """
         to_version = self.version() if to_version is None else to_version
         table_schema = self.schema(to_version)
@@ -1839,6 +1848,8 @@ class VersionedParquetTable(TableStore):
                 self.backend.read_text(self.backend.join(self._commits_dir, name))
             )
             if c["mode"] != "append":
+                if "compacted_from" in c:
+                    continue  # rows-preserving OPTIMIZE: zero change rows
                 raise ValueError(
                     f"version {v} is a {c['mode']} commit — not representable "
                     "as a change feed; re-baseline from read(version=...)"

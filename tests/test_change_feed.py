@@ -56,11 +56,13 @@ def test_read_changes_refuses_rewrites(spark, tmp_path):
     t = VersionedParquetTable(tmp_path / "t")
     t.write(spark.range(0, 5).select(F.col("id")), mode="overwrite")
     t.write(spark.range(5, 10).select(F.col("id")), mode="append")
-    t.compact(spark, out_partitions=1)  # overwrite commit
+    t.restore(0)  # a genuine row-set rewrite
     with pytest.raises(ValueError, match="not representable"):
         t.read_changes(spark, from_version=0)
     # but a range that stops before the rewrite still works
     assert t.read_changes(spark, from_version=0, to_version=1).count() == 5
+    # r7: compaction is rows-preserving and passes through silently
+    # (see test_compaction_is_transparent_to_change_feed)
 
 
 def test_history_surfaces_audit_fields(spark, tmp_path):
@@ -73,3 +75,63 @@ def test_history_surfaces_audit_fields(spark, tmp_path):
     assert h[0]["mode"] == "overwrite"
     assert h[0]["compacted_from"] == 1
     assert all("schema" not in c for c in h)
+
+
+def test_compaction_is_transparent_to_change_feed(spark, tmp_path):
+    """OPTIMIZE (full or partial) is a rows-preserving rewrite: the feed
+    skips it (zero change rows) instead of forcing a re-baseline —
+    Delta CDF's behavior for OPTIMIZE. Deletes still re-baseline."""
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.streaming import (
+        MaterializedAggregate,
+        TableTailer,
+    )
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+
+    def _load(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+        )
+
+    t.write(_load(0, 50), mode="append", stats_cols=["v"])
+    t.write(_load(50, 100), mode="append", stats_cols=["v"])
+    tail = TableTailer(t)
+    tail.process_available(spark, lambda df, a, b: None)  # current at v1
+    mv = MaterializedAggregate(
+        t, tmp_path / "mv", group_cols=["g"],
+        aggs={"n": ("count", None), "total": ("sum", "v")},
+    )
+    mv.refresh(spark)
+
+    t.compact(spark, out_partitions=1)  # full OPTIMIZE (overwrite commit)
+    t.write(_load(100, 120), mode="append", stats_cols=["v"])
+    seen = []
+    tail.process_available(spark, lambda df, a, b: seen.append(df.count()))
+    assert seen == [20], "feed must deliver only the append, skip OPTIMIZE"
+    assert tail.last_processed() == t.version()
+
+    rng = mv.refresh(spark)  # incremental, NOT a re-baseline recompute
+    assert rng is not None
+    assert sorted(tuple(r) for r in mv.read(spark).collect()) == sorted(
+        tuple(r) for r in mv.recompute(spark).collect()
+    )
+
+    t.compact(spark, where=("v", ">=", 100), out_partitions=1)  # partial
+    t.write(_load(120, 130), mode="append", stats_cols=["v"])
+    seen2 = []
+    tail.process_available(spark, lambda df, a, b: seen2.append(df.count()))
+    assert seen2 == [10]
+    assert mv.refresh(spark) is not None
+    assert sorted(tuple(r) for r in mv.read(spark).collect()) == sorted(
+        tuple(r) for r in mv.recompute(spark).collect()
+    )
+
+    # a DML rewrite is NOT rows-preserving: feed still raises
+    t.delete_where(spark, ("v", ">=", 125))
+    import pytest
+
+    with pytest.raises(ValueError):
+        tail.process_available(spark, lambda df, a, b: None)
