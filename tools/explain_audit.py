@@ -184,6 +184,10 @@ AUDIT = [
     # quality order; dedup_keep_best excluded: drives dedup_cluster's
     # iterative loop)
     "corpus_token_budget_select",
+    # r7 second wave: calendar gap fill, CUBE grouping sets, bigram LM
+    "ev_gap_fill_daily",
+    "ev_cube",
+    "text_bigram_logprob",
 ]
 
 
