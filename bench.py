@@ -144,6 +144,50 @@ def _bench_cdc_engine(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _bench_store_maintenance(spark, sf_dir: str) -> dict[str, float]:
+    """r7 DML + OPTIMIZE trend line: a 10-commit events-derived table,
+    one selective delete (stats-pruned rewrite), one partial compact
+    (OPTIMIZE WHERE over the last 3 commits' key range), one full
+    compact. Timed under the same session as the rest of the bench."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dest = tempfile.mkdtemp(prefix="bench_dml_")
+    out: dict[str, float] = {}
+    try:
+        t = VersionedParquetTable(dest + "/t")
+        n = ev.count()
+        step = max(1, n // 10)
+        for i in range(10):
+            t.write(
+                ev.filter(
+                    (F.col("event_id") >= i * step)
+                    & (F.col("event_id") < (i + 1) * step)
+                ),
+                mode="append",
+                stats_cols=["event_id"],
+            )
+        t0 = time.time()
+        t.delete_where(spark, ("event_id", ">=", 9 * step))
+        out["store_delete_where"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        t.compact(spark, where=("event_id", ">=", 6 * step))
+        out["store_compact_partial"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        t.compact(spark)
+        out["store_compact_full"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return out
+
+
 def _contending_jvms() -> int:
     """Count OTHER Spark JVMs on the host. Concurrent local[32] sessions
     inflate timings 25-40% uniformly (measured r7: 41.9 s contended vs
@@ -211,6 +255,8 @@ def main() -> None:
         timings[name] = min(dt, cdc_second[name])
         total += timings[name]
 
+    extras_pre = _bench_store_maintenance(spark, sf_dir)
+
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).collect()
@@ -251,6 +297,7 @@ def main() -> None:
             dt = min(dt, rerun)
         extras[name] = dt
 
+    extras.update(extras_pre)
     print(
         json.dumps(
             {
