@@ -529,3 +529,42 @@ def test_spark_timestamp_never_autopicked_as_delta_col(spark, tmp_path):
     df.write.parquet(p)
     src = ParquetTableSource(p, primary_keys=["id"])
     assert src.default_delta_col(spark) is None
+
+
+# --------------------------- r7: GDPR point erasure over the history -------
+
+
+def test_gdpr_erasure_via_delete_where(spark, dest):
+    """Right-to-be-forgotten at the store level: `delete_where` erases a
+    subject's rows from the SCD2 HISTORY (a file-pruned rewrite, not a
+    tombstone — tombstones don't satisfy erasure), the consistency
+    check flags the now-phantom latest_pk entry, auto_fix repairs it,
+    and subsequent delta loads continue. This is the operational path a
+    100 TB lake needs: the rewrite touches only stat-intersecting
+    files, and the erased key may later re-enter as a fresh insert."""
+    src = make_source(spark)
+    infos, _ = run_load(spark, src, dest)
+    d = DeltaDestination(dest)
+    assert len(history_rows(spark, dest)) == 3
+
+    # erase subject 2 from history entirely (update + delete rows alike)
+    out = d.delta.delete_where(spark, ("User_-_iD", "=", 2))
+    assert out["rows_deleted"] == 1
+    assert {r[0] for r in history_rows(spark, dest)} == {1, 3}
+
+    # the latest_pk index now references a key history cannot derive
+    with pytest.raises(InconsistentPrimaryKeyError):
+        check_latest_pk(infos)
+    issues = check_delta_consistency(infos, auto_fix=True)
+    assert issues
+    check_latest_pk(infos)  # consistent again
+
+    # the subject's key can re-enter later as a brand-new insert
+    rows2 = [r for r in ROWS_V1 if r[0] != 2] + [
+        (2, "New", "Person", 30.0, "c9", 2000)
+    ]
+    src.set_df(spark.createDataFrame(rows2, USER_SCHEMA))
+    run_load(spark, src, dest)
+    cur = {r[0]: r[1] for r in current_rows(spark, dest)}
+    assert cur[2] == "New" and set(cur) == {1, 2, 3}
+    check_latest_pk(infos)
