@@ -909,10 +909,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rides dedup_cluster's label propagation (per-round
     checkpointed, rounds = cluster diameter), then one broadcast-safe
-    left join of clusters onto the corpus and ONE partitioned window
-    over cluster_id — near-dup clusters are small by construction, so
-    the argmax window never sees a skewed partition. No reference
-    analogue (the reference has no corpus surface)."""
+    left join of clusters onto the corpus and a PARTIAL-AGGREGABLE
+    argmax per cluster — ``max(struct(n_chars, -doc_id, ...))`` instead
+    of a row_number window, because an adversarial corpus (millions of
+    identical docs) makes one cluster arbitrarily large: a window
+    partition skews onto one task, while the struct-max combines
+    map-side and never materializes a cluster in one place. The struct
+    ordering is lexicographic, so (n_chars, -doc_id) reproduces the
+    policy's exact tie-break (longest, then smallest doc_id). No
+    reference analogue (the reference has no corpus surface)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     clus = dedup_cluster(spark, sf_dir)
     everyone = (
@@ -926,11 +931,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
-    w = W.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("cluster_size"),
+        )
+    ).alias("b")
     return (
-        everyone.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        everyone.groupBy("cluster_id")
+        .agg(best)
+        .select(
+            (-F.col("b.neg_id")).alias("doc_id"),
+            "cluster_id",
+            F.col("b.cluster_size").alias("cluster_size"),
+            F.col("b.n_chars").alias("n_chars"),
+        )
     )
