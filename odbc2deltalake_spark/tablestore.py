@@ -2121,6 +2121,62 @@ class VersionedParquetTable(TableStore):
             removed.append(name)
         return removed
 
+    def maintenance_report(
+        self, target_file_bytes: int = 128 << 20
+    ) -> dict[str, Any]:
+        """Operational health snapshot from METADATA ONLY (no Spark
+        jobs): what a nightly maintenance job reads to decide whether to
+        compact, checkpoint, truncate the log, or vacuum. At 100 TB the
+        decision inputs must never require scanning the data — every
+        number here comes from the commit log, checkpoint listing, and
+        backend `du`/listing calls.
+
+        Keys: version, n_live_dirs, live_bytes, small_dirs (< target,
+        each {dir, bytes}), advise_compact, log_commits,
+        newest_checkpoint, commits_since_checkpoint,
+        truncate_eligible_below (highest checkpoint-covered cut, or
+        None), vacuum_reclaimable_dirs (dry-run count)."""
+        st = self._state_at()
+        dirs = st["dirs"]
+        small: list[dict[str, Any]] = []
+        total = 0
+        for d in dirs:
+            b = self.backend.du(self._path(d["dir"]))
+            if b is not None:
+                total += b
+                if b < target_file_bytes:
+                    small.append({"dir": d["dir"], "bytes": b})
+        names = self._commit_names()
+        cps = self._checkpoint_versions()
+        newest_cp = cps[-1] if cps else None
+        head = st["version"]
+        oldest = int(names[0].split(".")[0]) if names else 0
+        # truncate_log needs a checkpoint at cut-1 or cut; the highest
+        # useful cut below the head is newest_cp + 1 (or newest_cp)
+        trunc_below = None
+        if newest_cp is not None:
+            cut = min(newest_cp + 1, head)
+            if cut > oldest:
+                trunc_below = cut
+        return {
+            "version": head,
+            "n_live_dirs": len(dirs),
+            "live_bytes": total,
+            "small_dirs": small,
+            "advise_compact": (
+                not st["num_buckets"] and len(small) > 1
+            ),
+            "log_commits": len(names),
+            "newest_checkpoint": newest_cp,
+            "commits_since_checkpoint": (
+                head - newest_cp if newest_cp is not None else head + 1
+            ),
+            "truncate_eligible_below": trunc_below,
+            "vacuum_reclaimable_dirs": len(
+                self.vacuum(dry_run=True, orphan_min_age_seconds=3600.0)
+            ),
+        }
+
     def delete_table(self) -> None:
         self.backend.remove_recursive(self._root_str)
 

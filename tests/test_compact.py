@@ -114,3 +114,40 @@ def test_partial_compact_rewrites_only_matching_dirs(spark, tmp_path):
     v2 = t.version()
     assert t.compact(spark, where=("k", ">", 10_000)) == v2
     assert t.version() == v2
+
+
+def test_maintenance_report_metadata_only(spark, tmp_path):
+    """maintenance_report: the nightly-job decision inputs from pure
+    metadata — small-dir census, checkpoint/log state, truncation
+    eligibility, vacuum dry-run — with zero Spark jobs."""
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 5
+    for i in range(8):
+        t.write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    r = t.maintenance_report()
+    assert r["version"] == 7 and r["n_live_dirs"] == 8
+    assert len(r["small_dirs"]) == 8 and r["advise_compact"]
+    assert r["newest_checkpoint"] == 5 and r["commits_since_checkpoint"] == 2
+    assert r["truncate_eligible_below"] == 6
+    assert r["vacuum_reclaimable_dirs"] == 0
+
+    # act on the advice: compact, vacuum, truncate — report goes quiet
+    t.compact(spark, out_partitions=1)
+    r2 = t.maintenance_report()
+    assert r2["n_live_dirs"] == 1
+    assert r2["vacuum_reclaimable_dirs"] == 8  # superseded generations
+    t.vacuum(retain_versions=1, orphan_min_age_seconds=0)
+    t.checkpoint()
+    t.truncate_log(before_version=t.maintenance_report()["truncate_eligible_below"])
+    r3 = t.maintenance_report()
+    assert not r3["advise_compact"] or len(r3["small_dirs"]) <= 1
+    assert r3["vacuum_reclaimable_dirs"] == 0
+    assert r3["log_commits"] < r["log_commits"] + 2
+    assert t.read(spark).count() == 80
