@@ -151,3 +151,32 @@ def test_maintenance_report_metadata_only(spark, tmp_path):
     assert r3["vacuum_reclaimable_dirs"] == 0
     assert r3["log_commits"] < r["log_commits"] + 2
     assert t.read(spark).count() == 80
+
+
+def test_partial_compact_with_zorder(spark, tmp_path):
+    """compact(where=..., zorder_by=...): the rewritten subset carries
+    Z-order clustering + fresh per-file stats; untouched dirs keep their
+    old layout."""
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo in (0, 1000):
+        df = spark.range(lo, lo + 1000).select(
+            (F.col("id") % 50).alias("a"),
+            (F.col("id") / 50).cast("long").alias("b"),
+            F.col("id").alias("k"),
+        )
+        t.write(df, mode="append", stats_cols=["k"])
+    v = t.compact(
+        spark, where=("k", ">=", 1000), zorder_by=["a", "b"], out_partitions=4
+    )
+    assert t.version() == v
+    assert t.read(spark).count() == 2000
+    # conjunctive pruning works inside the z-ordered rewrite
+    pruned = t.read(spark, skip_where=[("a", ">=", 40), ("b", "<", 25)])
+    got = {(r["a"], r["b"]) for r in pruned.collect()}
+    assert all(a >= 40 and b < 25 for a, b in got)
+    all_files = set(t.read(spark).inputFiles())
+    assert set(pruned.inputFiles()) < all_files
