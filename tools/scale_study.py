@@ -49,6 +49,10 @@ QUERIES = [
     "text_unigram_logprob",
     "text_quality_score",
     "bm25_search",
+    # r7 additions: budget selection (distributed prefix sum) and
+    # bigram LM (pair-count join growth)
+    "corpus_token_budget_select",
+    "text_bigram_logprob",
 ]
 
 
