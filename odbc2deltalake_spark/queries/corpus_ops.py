@@ -942,3 +942,138 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.filter(F.col("cum_before") < _BUDGET_TOKENS).select(
         "doc_id", "score_ppm", "n_tokens", "cum_before"
     )
+
+
+# ------------------------------------------- end-to-end corpus recipe ----
+#
+# The COMPOSED pipeline a pretraining data team actually runs, as one
+# oracle-verified query: near-dup keep-best retention -> quality gate ->
+# token-budget selection -> sequence packing. Each stage is an
+# already-verified operator; the composition pins that the stages agree
+# on token semantics, ordering determinism and survivor flow — the
+# integration bugs (a stage reordering ties, a tokenizer mismatch)
+# that per-operator oracles cannot see.
+
+_RECIPE_QUALITY_PPM = 500_000  # >= 50% unique tokens
+_RECIPE_BUDGET = 30_000        # total training-token budget
+_RECIPE_SEQ = 512              # packed sequence length
+
+_RECIPE_ORACLE_TMPL = """
+WITH RECURSIVE pairs AS ({minhash}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+walk(u, v) AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u
+),
+clus AS (
+  SELECT u AS doc_id, min(v) AS cluster_id FROM walk GROUP BY u
+),
+everyone AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN clus c USING (doc_id)
+),
+keepers AS (
+  SELECT doc_id FROM everyone
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) = 1
+),
+toks AS (
+  SELECT d.doc_id,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))
+           AS n_uniq
+  FROM documents d JOIN keepers USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(n_uniq * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+           AS score_ppm
+  FROM toks
+),
+gated AS (SELECT * FROM scored WHERE score_ppm >= {qppm}),
+cum AS (
+  SELECT doc_id, score_ppm, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY score_ppm DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS cum_before
+  FROM gated
+),
+sel AS (SELECT * FROM cum WHERE cum_before < {budget}),
+packed AS (
+  SELECT doc_id, score_ppm, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS off
+  FROM sel
+)
+SELECT doc_id, score_ppm, n_tokens, off AS offset,
+       CAST(off // {seq} AS BIGINT) AS seq_first,
+       CAST((off + n_tokens - 1) // {seq} AS BIGINT) AS seq_last
+FROM packed
+"""
+
+
+def _recipe_oracle() -> str:
+    from odbc2deltalake_spark.queries.dedup_ops import _MINHASH_ORACLE
+
+    return _RECIPE_ORACLE_TMPL.format(
+        minhash=_MINHASH_ORACLE,
+        qppm=_RECIPE_QUALITY_PPM,
+        budget=_RECIPE_BUDGET,
+        seq=_RECIPE_SEQ,
+    )
+
+
+@register("corpus_e2e_recipe", None, tags=("corpus", "dedup", "text"),
+          priority=100)
+def corpus_e2e_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus recipe: keep-best near-dup retention, a
+    unique-token-ratio quality gate, greedy token-budget selection, and
+    fixed-length sequence packing over the survivors — every global
+    ordering runs through `_dist_exclusive_prefix` (no single-partition
+    windows), every score is integer arithmetic (engines order
+    identically), every stage reuses an independently-verified
+    operator."""
+    from odbc2deltalake_spark.queries.dedup_ops import dedup_keep_best
+
+    keep = dedup_keep_best(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(keep, "doc_id")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.floor(
+            F.size(F.array_distinct(words)) * 1_000_000
+            / F.greatest(F.size(words), F.lit(1))
+        ).cast("long").alias("score_ppm"),
+    )
+    gated = scored.filter(F.col("score_ppm") >= _RECIPE_QUALITY_PPM)
+    sel = _dist_exclusive_prefix(
+        gated,
+        [F.col("score_ppm").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        "cum_before",
+    ).filter(F.col("cum_before") < _RECIPE_BUDGET)
+    packed = _dist_exclusive_prefix(
+        sel.select("doc_id", "score_ppm", "n_tokens"),
+        [F.col("doc_id").asc()],
+        "n_tokens",
+        "offset",
+    )
+    off = F.col("offset")
+    return packed.select(
+        "doc_id",
+        "score_ppm",
+        "n_tokens",
+        off.alias("offset"),
+        F.floor(off / _RECIPE_SEQ).alias("seq_first"),
+        F.floor((off + F.col("n_tokens") - 1) / _RECIPE_SEQ).alias("seq_last"),
+    )
+
+
+_Q["corpus_e2e_recipe"].oracle = _recipe_oracle()
