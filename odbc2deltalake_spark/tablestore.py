@@ -1357,7 +1357,14 @@ class VersionedParquetTable(TableStore):
         A delete that turns out to match zero rows abandons its rewrite
         (no commit; the orphan dirs age out via vacuum) so the log only
         records deletes that changed state. Returns a summary dict:
-        {version, rows_deleted, dirs_rewritten, dirs_kept}."""
+        {version, rows_deleted, dirs_rewritten, dirs_kept}.
+
+        Concurrency: the restore commit claims its version via the
+        log's atomic create-if-absent, so ANY commit landing between the
+        state read and the publish makes this raise
+        :class:`CommitConflictError` — a lost update (the restore
+        silently dropping the racer's dirs) is impossible; retry from
+        fresh state, the abandoned rewrite dirs age out via vacuum."""
         out = self._dml_rewrite(spark, predicate, None, stats_cols)
         out["rows_deleted"] = out.pop("rows_changed")
         return out

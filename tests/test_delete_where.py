@@ -226,3 +226,57 @@ def test_delete_on_hive_partitioned_commit(spark, tmp_path):
     assert sorted((r["k"], r["pt"], r["v"]) for r in t.read(spark).collect()) == [
         (1, "x", 5), (3, "y", 7),
     ]
+
+
+def test_dml_racing_commit_conflicts_never_lost_update(spark, tmp_path):
+    """A commit landing between the DML's state read and its commit
+    write claims the version first; the DML's exclusive create then
+    raises CommitConflictError instead of publishing a restore commit
+    that would silently DROP the racer's dirs. A retry sees the new
+    state and succeeds."""
+    import json
+
+    import pytest as _pytest
+
+    from odbc2deltalake_spark.tablestore import CommitConflictError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 100), mode="append")  # v0
+
+    orig = t.backend.write_text_exclusive
+    fired = []
+
+    def race(path, text):
+        if not fired and path.endswith("0000000001.json"):
+            fired.append(1)
+            # the racer publishes v1 first (metadata commit)
+            orig(
+                path,
+                json.dumps(
+                    {
+                        "version": 1,
+                        "mode": "append",
+                        "dir": None,
+                        "set_props": {"race": "won"},
+                    }
+                ),
+            )
+        orig(path, text)
+
+    t.backend.write_text_exclusive = race
+    try:
+        with _pytest.raises(CommitConflictError):
+            t.delete_where(spark, ("k", ">=", 50))
+    finally:
+        t.backend.write_text_exclusive = orig
+
+    # the racer's commit is intact, nothing was lost
+    assert t.version() == 1
+    assert t.get_property("race") == "won"
+    assert t.read(spark).count() == 100
+
+    # retry from fresh state succeeds and preserves the racer's effect
+    out = t.delete_where(spark, ("k", ">=", 50))
+    assert out["rows_deleted"] == 50 and out["version"] == 2
+    assert t.get_property("race") == "won"
+    assert {r["k"] for r in t.read(spark).collect()} == set(range(50))
