@@ -36,3 +36,17 @@ def test_ntile_parity_other_n(spark):
     rows = [(i, (i * 31) % 17) for i in range(50)]
     _parity(spark, rows, [F.col("v").asc(), F.col("k").asc()], 4)
     _parity(spark, rows, [F.col("v").asc(), F.col("k").asc()], 7)
+
+
+def test_dist_helpers_empty_input(spark):
+    """Empty frames flow through the distributed ntile / prefix-sum
+    machinery (empty histogram -> empty offsets -> empty join)."""
+    from odbc2deltalake_spark.queries.corpus_ops import _dist_exclusive_prefix
+
+    df = spark.createDataFrame([], "k long, v long")
+    assert _dist_ntile(df, [F.col("v").asc(), F.col("k").asc()], "t").count() == 0
+    assert (
+        _dist_exclusive_prefix(
+            df, [F.col("k").asc()], "v", "off"
+        ).count() == 0
+    )
