@@ -389,12 +389,16 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("bucket").orderBy("k", "doc_id")),
     )
     counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    offsets = counts.select(
-        "bucket",
-        (
-            F.sum("n").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
-        ).alias("offset"),
-    ).fillna(0, subset=["offset"])
+    # offsets via a 64x64 broadcast self-join instead of a window — zero
+    # single-partition exchanges anywhere in the plan (r7 gate tightening)
+    prior = counts.select(
+        F.col("bucket").alias("b2"), F.col("n").alias("n2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("b2") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("n2"), F.lit(0)).alias("offset"))
+    )
     return (
         local.join(F.broadcast(offsets), "bucket")
         .select(
@@ -778,44 +782,28 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory). No reference analogue (the reference has no corpus
     surface)."""
     docs = load_table(spark, sf_dir, "documents")
-    chunk_width = 1000
     toks = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-        (F.col("doc_id") / chunk_width).cast("long").alias("__chunk"),
     )
-    # level 1: per-chunk totals -> exclusive prefix over chunks (tiny)
-    chunk_tot = toks.groupBy("__chunk").agg(
-        F.sum("n_tokens").alias("__chunk_n")
+    # r7: the generalized distributed prefix sum (range repartition +
+    # partitioned windows + broadcast offsets from a tiny self-join)
+    # replaced the doc_id-chunk two-level form — the chunk variant's
+    # level-1 cumsum was an unpartitioned window over the |chunks| frame,
+    # which GROWS with the corpus (1M single-task rows at 1B docs); the
+    # prefix helper's offsets frame is bounded by shuffle parallelism.
+    pre = _dist_exclusive_prefix(
+        toks, [F.col("doc_id").asc()], "n_tokens", "offset"
     )
-    w_chunks = W.orderBy("__chunk").rowsBetween(W.unboundedPreceding, -1)
-    chunk_off = chunk_tot.select(
-        "__chunk",
-        F.coalesce(F.sum("__chunk_n").over(w_chunks), F.lit(0)).alias(
-            "__chunk_off"
+    off = F.col("offset")
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        F.floor(off / _PACK_BUDGET).alias("seq_first"),
+        F.floor((off + F.col("n_tokens") - 1) / _PACK_BUDGET).alias(
+            "seq_last"
         ),
-    )
-    # level 2: within-chunk exclusive prefix, partitioned window
-    w_in = (
-        W.partitionBy("__chunk")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    off = (
-        F.col("__chunk_off")
-        + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    )
-    return (
-        toks.join(F.broadcast(chunk_off), "__chunk")
-        .select(
-            "doc_id",
-            "n_tokens",
-            off.alias("offset"),
-            F.floor(off / _PACK_BUDGET).alias("seq_first"),
-            F.floor((off + F.col("n_tokens") - 1) / _PACK_BUDGET).alias(
-                "seq_last"
-            ),
-        )
     )
 
 

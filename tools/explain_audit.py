@@ -64,12 +64,12 @@ BROADCAST_EXPECTED = {
 # grows with the data is a global sort through one task (the r6
 # ev_rfm_segments scale-killer); everything not listed here is gated.
 SINGLE_PARTITION_WINDOW_OK = {
-    # (r7: q15_top_supplier and corpus_temperature_sample converted
-    # their scalar-max windows to single-row broadcast crossJoins and
-    # left this list)
-    "corpus_shuffle_order",     # 64-row bucket histogram prefix sum
-    "ev_moving_avg",            # per-day rollup frame (bounded calendar)
-    "corpus_pack_sequences",    # |chunks| histogram of the prefix sum
+    # (r7: q15_top_supplier, corpus_temperature_sample,
+    # corpus_shuffle_order and corpus_pack_sequences all converted their
+    # windows to broadcast-join forms and left this list)
+    "ev_moving_avg",  # ordered sliding window over the per-day rollup
+                      # frame — bounded by the calendar, and a moving
+                      # average genuinely needs the ordered frame
 }
 
 
