@@ -201,3 +201,20 @@ def test_conjunctive_skip_prunes_same_files_as_engine(spark, tmp_path):
         assert ext_files <= single_files
     # and strictly harder than no predicate
     assert len(ext_files) < len({f.rsplit("/", 1)[-1] for f in t.read(spark).inputFiles()})
+
+
+def test_external_reader_sees_update_where(spark, tmp_path):
+    """update_where's restore commit reads back identically through the
+    spec reader (delete is covered by the conjunctive-skip test)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        mode="append",
+    )
+    t.update_where(spark, {"v": "v + 100"}, ("k", ">=", 5))
+    eng = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    ext = sorted((d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist())
+    assert ext == eng
+    assert ext[9] == (9, 118)
