@@ -180,11 +180,32 @@ class JDBCSource(Source):
             )
         return f"{expr} {op} {sql_quote_value(value)}"
 
+    def _key_collate(self, column: str) -> str:
+        """Binary-collation pin for string key columns on tsql
+        (reference:odbc2deltalake/db_to_delta.py:913-916 emits
+        ``COLLATE Latin1_General_100_BIN`` on the source side of every
+        string-typed key comparison): SQL Server's default collations
+        are case/accent-insensitive, so without the pin the server-side
+        key join would MATCH keys Spark treats as distinct byte strings
+        ('a' = 'A') — fetching and flagging the wrong rows. Non-string
+        keys and other dialects (postgres compares bytewise already)
+        need nothing."""
+        if self.dialect != "tsql":
+            return ""
+        info = next(
+            (c for c in (self._col_cache or []) if c.column_name == column),
+            None,
+        )
+        if info is not None and isinstance(info.data_type, T.StringType):
+            return " COLLATE Latin1_General_100_BIN"
+        return ""
+
     def keyset_join_sql(self, keys: list[dict[str, Any]], key_cols: list[str]) -> str:
         """VALUES-derived-table semi join for an explicit key list — the
         pushdown alternative to a broadcast join, equivalent to the
         reference's OPENJSON/JSON_TABLE join
-        (reference:odbc2deltalake/db_to_delta.py:907-992)."""
+        (reference:odbc2deltalake/db_to_delta.py:907-992); string keys
+        carry the binary-collation pin (see :meth:`_key_collate`)."""
         if not keys:
             # "VALUES ()" is invalid SQL on every dialect — fail loudly
             # rather than ship an unparseable statement to the server
@@ -194,7 +215,10 @@ class JDBCSource(Source):
             for k in keys
         )
         klist = ", ".join(self._q(c) for c in key_cols)
-        cond = " AND ".join(f"t.{self._q(c)} = k.{self._q(c)}" for c in key_cols)
+        cond = " AND ".join(
+            f"t.{self._q(c)}{self._key_collate(c)} = k.{self._q(c)}"
+            for c in key_cols
+        )
         return (
             f"SELECT {self._select_list()} FROM {self.from_clause()} "
             f"INNER JOIN (VALUES {rows}) AS k ({klist}) ON {cond}"

@@ -301,3 +301,25 @@ def test_keyset_join_sql_rejects_empty_keys():
 
     with pytest.raises(ValueError):
         _tsql().keyset_join_sql([], ["id"])
+
+
+def test_keyset_join_collation_pin_for_string_keys():
+    """Dialect edge (conformance corpus growth): tsql string-key joins
+    carry COLLATE Latin1_General_100_BIN so the server compares keys
+    byte-exactly like Spark does — default SQL Server collations are
+    case-insensitive and would match keys ('a' vs 'A') the engine
+    treats as distinct (reference:odbc2deltalake/db_to_delta.py:913-916)."""
+    s = _tsql()
+    s._col_cache = [
+        ColInfo("code", T.StringType(), "varchar(10)"),
+        ColInfo("n", T.IntegerType(), "int"),
+    ]
+    sql = s.keyset_join_sql([{"code": "a", "n": 1}], ["code", "n"])
+    assert "t.[code] COLLATE Latin1_General_100_BIN = k.[code]" in sql
+    assert "t.[n] = k.[n]" in sql  # non-string keys: no pin
+
+    # postgres compares bytewise already: no collate clause
+    p = _pg()
+    p._col_cache = [ColInfo("code", T.StringType(), "varchar")]
+    psql = p.keyset_join_sql([{"code": "a"}], ["code"])
+    assert "COLLATE" not in psql
