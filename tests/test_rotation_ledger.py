@@ -34,6 +34,36 @@ def test_committed_ledger_is_current():
     )
 
 
+def test_untracked_round_file_is_ignored():
+    """Simulate judge time exactly: the driver writes the new round's
+    CORRECTNESS json AFTER the builder's last commit, so it is untracked
+    — build_ledger must not fold it, keeping the committed ledger
+    current (VERDICT r7 task #1)."""
+    import json
+
+    before = render(build_ledger())
+    fake = REPO / "CORRECTNESS_r99.json"
+    assert not fake.exists(), "leftover fixture from a previous run"
+    try:
+        fake.write_text(
+            json.dumps(
+                {
+                    "q1_pricing_summary": {
+                        "rows_match": True,
+                        "schema_match": True,
+                        "hash_match": True,
+                    }
+                }
+            )
+        )
+        assert render(build_ledger()) == before, (
+            "build_ledger folded an untracked CORRECTNESS file — the "
+            "committed-ledger currency gate would go red at judge time"
+        )
+    finally:
+        fake.unlink(missing_ok=True)
+
+
 def test_every_red_row_was_eventually_green():
     """A shape that went red in some round must have a later green round
     (the project's fix-forward discipline) — guards against quietly
