@@ -313,6 +313,24 @@ def main() -> None:
             }
         )
     )
+    # The driver archives only the last ~2000 chars of output and the full
+    # dict above is ~2.3KB, which truncated the r7 total out of the
+    # artifact (VERDICT r7 "what's wrong" #2). Repeat the headline number
+    # in a compact final line (metric/value/unit/queries/sf only — no
+    # extras/reruns bulk) so the tail always carries it; the full dict
+    # stays for auditing.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "contending_jvms": contended,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
