@@ -894,7 +894,7 @@ def _dist_exclusive_prefix(
 
 
 @register("corpus_token_budget_select", _BUDGET_ORACLE,
-          tags=("corpus", "text"), priority=100)
+          tags=("corpus", "text"))  # r8: rotated into the driver window
 def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection: documents ordered by unique-token
     ratio (integer ppm — float rounding must not reorder near-ties),
@@ -1017,8 +1017,7 @@ def _recipe_oracle() -> str:
     )
 
 
-@register("corpus_e2e_recipe", None, tags=("corpus", "dedup", "text"),
-          priority=100)
+@register("corpus_e2e_recipe", None, tags=("corpus", "dedup", "text"))  # r8: rotated in (rows-only: rides iterative dedup_cluster)
 def corpus_e2e_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus recipe: keep-best near-dup retention, a
     unique-token-ratio quality gate, greedy token-budget selection, and

@@ -368,7 +368,8 @@ FROM bitsums
 """
 
 
-@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",))
+@register("dedup_simhash", _SIMHASH_ORACLE, tags=("dedup",),
+          priority=100)  # r8: rotated out (minhash_lsh keeps fuzzy-dedup in-window; green r2-r7)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint: 60-bit hash per distinct word
     (md5-hex → bigint), each bit votes +1/-1, fingerprint bit = sign of
@@ -900,8 +901,7 @@ QUALIFY row_number() OVER (PARTITION BY cluster_id
 """
 
 
-@register("dedup_keep_best", _KEEP_BEST_ORACLE, tags=("dedup",),
-          priority=100)
+@register("dedup_keep_best", _KEEP_BEST_ORACLE, tags=("dedup",))  # r8: rotated into the driver window
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware dedup retention: from each near-dup cluster keep
     the best member (longest text, deterministic doc_id tiebreak);

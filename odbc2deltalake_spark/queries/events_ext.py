@@ -323,7 +323,8 @@ SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
 """
 
 
-@register("ev_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"))
+@register("ev_funnel", _FUNNEL_ORACLE, tags=("events", "funnel"),
+          priority=100)  # r8: rotated out (ev_rfm_segments keeps the family in-window; green r5-r7)
 def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-step ordered funnel with min-timestamp entry semantics. Each
     stage is one groupBy(user_id) over a type-filtered scan joined to the

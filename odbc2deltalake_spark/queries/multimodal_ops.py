@@ -59,7 +59,8 @@ FROM documents
 """
 
 
-@register("mm_payload_digest", _DIGEST_ORACLE, tags=("multimodal",))
+@register("mm_payload_digest", _DIGEST_ORACLE, tags=("multimodal",),
+          priority=100)  # r8: rotated out (4 mm_* kernels stay in-window; green r3-r7)
 def mm_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-exact payload check: both engines hash the lowercase hex of
     the constructed payload (DuckDB's sha256 is VARCHAR-only) — proves the

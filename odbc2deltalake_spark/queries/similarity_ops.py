@@ -227,7 +227,8 @@ GROUP BY 1
 """
 
 
-@register("sim_lsh_buckets", _LSH_ORACLE, tags=("similarity",))
+@register("sim_lsh_buckets", _LSH_ORACLE, tags=("similarity",),
+          priority=100)  # r8: rotated out (sim_neardup_bucketed covers the banding shape; green r2-r7)
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 4 sign bits → 16 buckets. This is
     the ANN scale path — probes compare only within their bucket. The

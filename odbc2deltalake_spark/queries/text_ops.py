@@ -720,8 +720,7 @@ GROUP BY b.doc_id
 """
 
 
-@register("text_bigram_logprob", _BIGRAM_ORACLE, tags=("text", "corpus"),
-          priority=100)
+@register("text_bigram_logprob", _BIGRAM_ORACLE, tags=("text", "corpus"))  # r8: rotated into the driver window
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average bigram NLL per document under the corpus's own add-k
     bigram LM: P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V). Documents shorter

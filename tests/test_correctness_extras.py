@@ -45,7 +45,6 @@ def test_core_set_fits_driver_cap():
                  "ev_range_join", "text_pii_scrub", "sim_ann_ivf",
                  # r5 rotation: the second-wave LLM-pipeline shapes
                  "dedup_substring_spans", "text_unigram_logprob",
-                 "ev_funnel",
                  # r5 in-round rotation: retrieval fusion + DSIR
                  "hybrid_search_rrf", "corpus_dsir_sample",
                  # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
@@ -53,7 +52,12 @@ def test_core_set_fits_driver_cap():
                  "bm25_search", "corpus_decontaminate_fuzzy",
                  # r7 rotation: the round-6 flagships (VERDICT r6 #4)
                  "mm_audio_meta", "corpus_pack_sequences",
-                 "ev_rfm_segments"):
+                 "ev_rfm_segments",
+                 # r8 rotation: the round-7 flagships + the DML lifecycle
+                 # query (VERDICT r7 tasks #2-#3)
+                 "corpus_e2e_recipe", "dedup_keep_best",
+                 "corpus_token_budget_select", "text_bigram_logprob",
+                 "store_dml_roundtrip"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -80,7 +84,14 @@ def test_core_set_fits_driver_cap():
                  # behavior, mm_frame_sample for the mapInPandas kernel,
                  # dedup_substring_spans for positional-gram dedup)
                  "ev_path_transitions", "mm_resize",
-                 "dedup_substring_strip"):
+                 "dedup_substring_strip",
+                 # r8 rotation out (each driver-green 3+ rounds; family
+                 # representatives stay in-window: w1/j2 cover the SCD2
+                 # current-row shape, ev_rfm_segments the events family,
+                 # sim_neardup_bucketed the banding shape, mm_decode_meta
+                 # the header-parse kernel, dedup_minhash_lsh fuzzy dedup)
+                 "ev_funnel", "scd2_current_rows", "sim_lsh_buckets",
+                 "mm_payload_digest", "dedup_simhash"):
         assert name in overflow_names
 
 
