@@ -257,6 +257,15 @@ class DeltaTableStore(TableStore):
             cond = e if cond is None else (cond & e)
         return cond
 
+    def _last_op_metric(self, s: SparkSession, key: str) -> Optional[int]:
+        """``operationMetrics[key]`` from the table's newest history
+        entry (stringly-typed in delta-spark), or None when the metric
+        is absent (older writer protocols)."""
+        row = self._dt(s).history(1).select("operationMetrics").first()
+        metrics = (row and row[0]) or {}
+        val = metrics.get(key)
+        return int(val) if val is not None else None
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -268,15 +277,21 @@ class DeltaTableStore(TableStore):
         the parquet store's delete_where). ``stats_cols`` is ignored:
         Delta collects native file stats. A zero-match delete is probed
         first (pushdown LIMIT-1 existence check) so the log only records
-        deletes that changed state, matching the interface contract."""
+        deletes that changed state, matching the interface contract.
+
+        ``rows_deleted`` comes from the commit's own
+        ``operationMetrics.numDeletedRows`` (ADVICE r7) — exact for THIS
+        commit even under concurrent writers, and two full-table count
+        scans cheaper than the before/after difference it replaces
+        (which was also TOCTOU-racy: a concurrent append between the
+        counts misattributed its rows to the delete)."""
         s = self._session(spark)
         cond = self._dml_condition(predicate)
         if self.read(s).filter(cond).limit(1).count() == 0:
             return {"version": self.version(), "rows_deleted": 0}
-        before = self.read(s).count()
         self._dt(s).delete(cond)
-        after = self.read(s).count()
-        return {"version": self.version(), "rows_deleted": before - after}
+        n = self._last_op_metric(s, "numDeletedRows")
+        return {"version": self.version(), "rows_deleted": n if n is not None else 0}
 
     def update_where(
         self,
@@ -285,18 +300,21 @@ class DeltaTableStore(TableStore):
         predicate,
         stats_cols: Optional[list[str]] = None,
     ) -> dict:
-        """Delta UPDATE with the same zero-match probe. ``set_exprs``
-        maps column -> SQL expression string or Column."""
+        """Delta UPDATE with the same zero-match probe; ``rows_updated``
+        reads ``operationMetrics.numUpdatedRows`` from the commit instead
+        of a separate pre-count scan (exact under concurrency, one fewer
+        full scan). ``set_exprs`` maps column -> SQL expression string or
+        Column."""
         if not set_exprs:
             raise ValueError("update_where requires at least one SET expression")
         s = self._session(spark)
         cond = self._dml_condition(predicate)
-        n = self.read(s).filter(cond).count()
-        if n == 0:
+        if self.read(s).filter(cond).limit(1).count() == 0:
             return {"version": self.version(), "rows_updated": 0}
         sets = {
             k: (v if not isinstance(v, str) else F.expr(v))
             for k, v in set_exprs.items()
         }
         self._dt(s).update(condition=cond, set=sets)
-        return {"version": self.version(), "rows_updated": n}
+        n = self._last_op_metric(s, "numUpdatedRows")
+        return {"version": self.version(), "rows_updated": n if n is not None else 0}

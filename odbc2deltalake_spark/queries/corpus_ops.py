@@ -866,9 +866,9 @@ def _dist_exclusive_prefix(
     parallelism at 32 tasks on a 1000-executor cluster); the offsets
     self-join stays broadcast-tiny (buckets^2 rows of two longs)."""
     if buckets is None:
-        buckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        from odbc2deltalake_spark.session import shuffle_parallelism
+
+        buckets = shuffle_parallelism(df.sparkSession)
     part = df.repartitionByRange(buckets, *order_cols)
     keyed = part.withColumn("_pid", F.spark_partition_id())
     w_in = (

@@ -812,9 +812,9 @@ def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
     defaults to the session's shuffle parallelism so per-task slices
     shrink with the cluster (a fixed constant would cap parallelism)."""
     if buckets is None:
-        buckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        from odbc2deltalake_spark.session import shuffle_parallelism
+
+        buckets = shuffle_parallelism(df.sparkSession)
     part = df.repartitionByRange(buckets, *order_cols)
     keyed = part.withColumn("_pid", F.spark_partition_id())
     local = keyed.withColumn(

@@ -15,6 +15,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def shuffle_parallelism(spark: SparkSession, default: int = 32) -> int:
+    """The session's shuffle parallelism as an int, robust to platforms
+    where ``spark.sql.shuffle.partitions`` is non-numeric (``'auto'``
+    under AQE-managed sizing on some distros; ADVICE r7): fall back to
+    ``sparkContext.defaultParallelism``, then to ``default``. Used by
+    operators that size their own range-bucket counts so per-task slices
+    shrink with the cluster."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default
+
+
 def get_spark(
     app_name: str = "odbc2deltalake_spark",
     master: str | None = None,

@@ -767,17 +767,23 @@ class VersionedParquetTable(TableStore):
                     continue  # try the next older checkpoint
                 break
         oldest = int(names[0].split(".")[0])
-        if last == -1 and oldest > 0:
-            # truncate_log removed versions < oldest and NO readable
-            # checkpoint covers the prefix (checkpoints skipped, all
-            # unreadable, or none at/below the target). Replaying from
-            # `oldest` would silently yield incomplete state — and a
-            # subsequent checkpoint(full=True) would PERSIST it, letting
-            # vacuum delete live data. Fail loudly instead.
+        if oldest > last + 1 and (version is None or version > last):
+            # (version == last needs no fold: the checkpoint alone is
+            # the complete state, so the gap above it is irrelevant)
+            # truncate_log removed versions < oldest and the selected
+            # replay base does not reach the cut: either NO readable
+            # checkpoint loaded (last == -1), or the newest READABLE
+            # checkpoint is OLDER than the truncation cut (e.g.
+            # checkpoints at v20/v40, log truncated below v41, v40
+            # corrupt → base v20 would silently fold v41+ and lose
+            # v21-v40; ADVICE r7). Replaying would yield incomplete
+            # state — and a subsequent checkpoint(full=True) would
+            # PERSIST it, letting vacuum delete live data. Fail loudly.
             raise TruncatedLogError(
                 f"log for {self._root_str} starts at v{oldest} (truncated) "
-                "and no readable checkpoint covers the missing prefix; "
-                "state cannot be reconstructed"
+                f"and the best readable replay base is v{last}; commits "
+                f"v{last + 1}-v{oldest - 1} are unrecoverable and state "
+                "cannot be reconstructed"
                 + (
                     " without checkpoints (use_checkpoint=False)"
                     if not use_checkpoint
@@ -2129,7 +2135,10 @@ class VersionedParquetTable(TableStore):
         return removed
 
     def maintenance_report(
-        self, target_file_bytes: int = 128 << 20
+        self,
+        target_file_bytes: int = 128 << 20,
+        retain_versions: int = 1,
+        orphan_min_age_seconds: float = 3600.0,
     ) -> dict[str, Any]:
         """Operational health snapshot from METADATA ONLY (no Spark
         jobs): what a nightly maintenance job reads to decide whether to
@@ -2142,7 +2151,13 @@ class VersionedParquetTable(TableStore):
         each {dir, bytes}), advise_compact, log_commits,
         newest_checkpoint, commits_since_checkpoint,
         truncate_eligible_below (highest checkpoint-covered cut, or
-        None), vacuum_reclaimable_dirs (dry-run count)."""
+        None), vacuum_reclaimable_dirs (dry-run count).
+
+        ``retain_versions`` / ``orphan_min_age_seconds`` flow into the
+        dry-run vacuum (ADVICE r7): an operator planning
+        ``vacuum(retain_versions=7)`` passes the same 7 here, so the
+        report predicts exactly what THAT vacuum would reclaim instead
+        of overstating with the default retention."""
         st = self._state_at()
         dirs = st["dirs"]
         small: list[dict[str, Any]] = []
@@ -2180,7 +2195,11 @@ class VersionedParquetTable(TableStore):
             ),
             "truncate_eligible_below": trunc_below,
             "vacuum_reclaimable_dirs": len(
-                self.vacuum(dry_run=True, orphan_min_age_seconds=3600.0)
+                self.vacuum(
+                    retain_versions=retain_versions,
+                    orphan_min_age_seconds=orphan_min_age_seconds,
+                    dry_run=True,
+                )
             ),
         }
 

@@ -314,3 +314,34 @@ def test_truncated_log_without_checkpoint_raises_not_corrupts(spark, tmp_path):
     t2 = VersionedParquetTable(tmp_path / "t2")
     t2.write(spark.range(3).select(F.col("id").alias("k")), mode="append")
     assert t2._state_at(use_checkpoint=False)["version"] == 0
+
+def test_stale_checkpoint_below_truncation_cut_raises(spark, tmp_path):
+    """ADVICE r7: checkpoints at v4 and v8, log truncated below v9, v8
+    checkpoint corrupted. Falling back to the READABLE-but-STALE v4 base
+    and folding the surviving v9+ commits would silently lose v5-v8 —
+    the guard must treat a gap between the replay base and the oldest
+    surviving commit exactly like the no-checkpoint case."""
+    from odbc2deltalake_spark.tablestore import TruncatedLogError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.checkpoint_interval = 0  # manual checkpoints only
+    for i in range(12):
+        t.write(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")),
+            mode="append",
+        )
+    t.checkpoint(4)
+    t.checkpoint(8)
+    t.truncate_log(before_version=9)
+    assert t._state_at()["version"] == 11  # healthy: v8 base + v9..v11
+
+    t.backend.write_text_atomic(
+        t._path("_checkpoints", f"{8:010d}.json"), "{broken"
+    )
+    with pytest.raises(TruncatedLogError, match="v5-v8"):
+        t._state_at()
+    with pytest.raises(TruncatedLogError):
+        t.checkpoint(full=True)  # must not persist the incomplete base
+    # time travel AT the stale base itself is complete state — allowed
+    assert t._state_at(4)["version"] == 4
+    assert t.read(spark, version=4).count() == 50

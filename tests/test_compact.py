@@ -143,6 +143,11 @@ def test_maintenance_report_metadata_only(spark, tmp_path):
     r2 = t.maintenance_report()
     assert r2["n_live_dirs"] == 1
     assert r2["vacuum_reclaimable_dirs"] == 8  # superseded generations
+    # ADVICE r7: the report must predict the OPERATOR'S vacuum, not the
+    # default — with every generation still retained, nothing reclaims
+    assert (
+        t.maintenance_report(retain_versions=20)["vacuum_reclaimable_dirs"] == 0
+    )
     t.vacuum(retain_versions=1, orphan_min_age_seconds=0)
     t.checkpoint()
     t.truncate_log(before_version=t.maintenance_report()["truncate_eligible_below"])

@@ -50,3 +50,41 @@ def test_dist_helpers_empty_input(spark):
             df, [F.col("k").asc()], "v", "off"
         ).count() == 0
     )
+
+
+def test_shuffle_parallelism_non_numeric_conf_falls_back():
+    """ADVICE r7: platforms where spark.sql.shuffle.partitions is 'auto'
+    (AQE-managed) must not crash the bucket-count default — fall back to
+    defaultParallelism, then to the hard default."""
+    from odbc2deltalake_spark.session import shuffle_parallelism
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, key, default=None):
+            return self._val if self._val is not None else default
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _Spark:
+        def __init__(self, val, ctx=True):
+            self.conf = _Conf(val)
+            if ctx:
+                self.sparkContext = _Ctx()
+
+    assert shuffle_parallelism(_Spark("48")) == 48
+    assert shuffle_parallelism(_Spark("auto")) == 7
+    assert shuffle_parallelism(_Spark(None)) == 32  # conf default path
+    assert shuffle_parallelism(_Spark("auto", ctx=False)) == 32
+
+
+def test_dist_helpers_survive_auto_shuffle_conf(spark):
+    """The live helpers route through shuffle_parallelism — exercised
+    with an explicit bucket count since the real conf rejects 'auto'
+    locally; parity with the fixed-32 behavior is pinned above."""
+    rows = [(i, (i * 13) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = _dist_ntile(df, [F.col("v").asc(), F.col("k").asc()], "t", buckets=5)
+    assert out.count() == 40
