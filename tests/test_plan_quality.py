@@ -62,3 +62,27 @@ def test_plan_properties(plans, name):
     if name in BROADCAST_EXPECTED:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ"
+
+
+def test_audit_coverage_is_exhaustive():
+    """VERDICT r7 #5: every registry query is either plan-audited or in
+    the documented exclusion map — the partition is exhaustive BY
+    CONSTRUCTION, so a new query cannot silently skip the plan gate, a
+    stale AUDIT name cannot linger after a rename, and exclusion always
+    carries a written structural reason."""
+    from tools.explain_audit import EXCLUDED
+    from odbc2deltalake_spark.queries import registry
+
+    registry.load_all()
+    names = {s.name for s in registry.ordered_specs()}
+    audited = set(AUDIT)
+    excluded = set(EXCLUDED)
+
+    assert not audited & excluded, sorted(audited & excluded)
+    assert audited | excluded == names, {
+        "unaudited": sorted(names - audited - excluded),
+        "stale": sorted((audited | excluded) - names),
+    }
+    assert len(AUDIT) == len(audited), "duplicate names in AUDIT"
+    for name, reason in EXCLUDED.items():
+        assert isinstance(reason, str) and len(reason) > 40, name
