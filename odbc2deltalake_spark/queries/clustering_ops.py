@@ -95,11 +95,13 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     left, right, freq). Iterative and tie-broken lexicographically, so
     rows-only for the driver; the exact merge table is pinned against a
     pure-Python BPE reference in tests/test_bpe.py. See
-    operators/bpe.py for the word-frequency-table scale design."""
-    from odbc2deltalake_spark.operators.bpe import fit_bpe_merges
+    operators/bpe.py for the word-frequency-table scale design; uses
+    the batched trainer (r8) — identical merges, count-collect rounds
+    amortized over provably order-equivalent batches."""
+    from odbc2deltalake_spark.operators.bpe import fit_bpe_merges_batched
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = fit_bpe_merges(docs, _BPE_MERGES)
+    merges = fit_bpe_merges_batched(docs, _BPE_MERGES)
     rows = [
         (i + 1, a, b, freq) for i, (a, b, freq) in enumerate(merges)
     ]

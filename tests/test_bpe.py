@@ -135,3 +135,48 @@ def test_merge_fold_matches_python_on_random_sequences(spark):
         }
         for i, syms in enumerate(cases):
             assert got[i] == _py_merge(syms, a, b), (a, b, syms)
+
+
+def test_batched_merges_exactly_match_sequential(spark, docs, py_word_counts):
+    """VERDICT r7 #7: fit_bpe_merges_batched must produce the IDENTICAL
+    merge table (pairs, order, frequencies) as the one-merge-per-round
+    reference — on the corpus and on an adversarial vocab where the
+    top pairs share symbols (batching must degenerate to size 1, not
+    go wrong)."""
+    from odbc2deltalake_spark.operators.bpe import fit_bpe_merges_batched
+
+    ref_merges, _ = _py_bpe(py_word_counts, 25)
+    got = fit_bpe_merges_batched(docs, 25)
+    assert got == ref_merges
+
+    # adversarial: 'aaaa...' makes every top pair share the symbol 'a';
+    # interacting merges (a,a) -> (aa,aa) must stay strictly sequential
+    rows = [(1, "aaaa aaaa aaaa"), (2, "abab abab"), (3, "aaaa abab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref, _ = _py_bpe(wc, 6)
+    assert fit_bpe_merges_batched(df, 6) == ref
+
+
+def test_batched_merges_use_fewer_rounds(spark, docs):
+    """The point of batching: fewer count-collect rounds than merges on
+    a natural corpus (tie-heavy adversarial inputs may degenerate)."""
+    from odbc2deltalake_spark.operators import bpe as bpe_mod
+
+    calls = {"n": 0}
+    orig = bpe_mod._per_symbol_top2
+
+    def counting(pc):
+        calls["n"] += 1
+        return orig(pc)
+
+    bpe_mod._per_symbol_top2 = counting
+    try:
+        merges = bpe_mod.fit_bpe_merges_batched(docs, 20)
+    finally:
+        bpe_mod._per_symbol_top2 = orig
+    assert len(merges) == 20
+    assert calls["n"] < 20, f"batching never batched: {calls['n']} rounds"
