@@ -155,6 +155,43 @@ def test_strange_updates_rewind_path(spark, dest):
     assert d.delta_2.read(spark).count() == 0  # rewind path leaves delta_2 empty
 
 
+def test_strange_updates_rewind_includes_ties_at_min(spark, dest):
+    """Dialect edge (VERDICT r7 #8): a tsql temporal-table ROW START (and
+    a restored multi-row transaction's rowversion snapshot) can TIE
+    across several rows. When every strange row of one transaction
+    shares the rewound MIN timestamp, the re-extraction criterion must
+    be `>=` — the reference's strict `>`
+    (reference:odbc2deltalake/db_to_delta.py:1120-1127) would skip ALL
+    rows of exactly that transaction, leaving phantom stale values that
+    re-trigger the strange-update path on every subsequent load."""
+    src = make_source(spark)
+    run_load(spark, src, dest)
+    rows = [
+        # one restored transaction: rows 1 AND 2 share the backdated
+        # ROW START 900 — the tie sits exactly AT the rewound MIN
+        (1, "Gianni", "Anders", 33.0, "c1", 900),
+        (2, "Pietro", "Johniingham", 41.0, "c1", 900),
+        (3, "Petra", "wayne", 28.0, "c2 ", 1002),
+        # three more strange rows ABOVE the min to push update_count
+        # over the cutoff without moving the min
+        (100, "Extra0", "Strange", 0.0, "cx", 950),
+        (101, "Extra1", "Strange", 1.0, "cx", 951),
+        (102, "Extra2", "Strange", 2.0, "cx", 952),
+    ]
+    src.set_df(spark.createDataFrame(rows, USER_SCHEMA))
+    infos, r = run_load(spark, src, dest, WriteConfig(max_complex_entries=2))
+    cur = current_rows(spark, dest)
+    # BOTH min-tied rows carry their restored values
+    assert (1, "Gianni", "Anders", 33.0) in cur
+    assert (2, "Pietro", "Johniingham", 41.0) in cur
+    assert len(cur) == 6
+    d = DeltaDestination(dest)
+    assert d.delta_2.read(spark).count() == 0  # rewind, not keyset
+    # and the NEXT load is clean: no phantom strange updates re-detected
+    _, r2 = run_load(spark, src, dest, check=False)
+    assert isinstance(r2, NoLoadResult)
+
+
 # -------------------------------------------- test_06: append inserts mode --
 
 
