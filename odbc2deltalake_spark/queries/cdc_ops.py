@@ -567,3 +567,67 @@ def store_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------- incremental join view ----
+# Delta-join IVM with a cross-engine oracle (the r8 flagship, mirroring
+# how mv_incremental_rollup oracles the aggregate path): orders land as
+# three commits and customer as two, interleaved with refreshes so BOTH
+# delta directions (dA x B_old, A_new x dB) and the both-sides case
+# fire; the driver then checks the maintained view against a plain SQL
+# join — incremental maintenance must be EXACTLY recomputation.
+
+_MV_JOIN_ORACLE = """
+SELECT o.o_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       round(o.o_totalprice, 2) AS price,
+       c.c_name AS c_name,
+       c.c_mktsegment AS c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("mv_incremental_join", _MV_JOIN_ORACLE,
+          tags=("cdc", "streaming", "flagship"))
+def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained orders x customer join == one-shot JOIN.
+
+    Schedule: customer half 1 + orders third 1 -> refresh (baseline);
+    orders third 2 -> refresh (left-delta path against pinned old
+    customer); customer half 2 + orders third 3 -> refresh (both paths
+    in one refresh — the dA x dB overlap must land exactly once). The
+    final view is checkpointed before the temp stores are removed."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.streaming import MaterializedJoin
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="mv_join_")
+    try:
+        fact = VersionedParquetTable(f"{root}/orders")
+        dim = VersionedParquetTable(f"{root}/customer")
+        mv = MaterializedJoin(
+            fact, dim, f"{root}/view", on=["custkey"],
+            left_cols=["orderkey", "price"],
+            right_cols=["c_name", "c_mktsegment"],
+        )
+        dim.write(cust.filter(F.col("custkey") % 2 == 0), mode="append")
+        fact.write(orders.filter(F.col("orderkey") % 3 == 0), mode="append")
+        mv.refresh(spark)
+        fact.write(orders.filter(F.col("orderkey") % 3 == 1), mode="append")
+        mv.refresh(spark)
+        dim.write(cust.filter(F.col("custkey") % 2 == 1), mode="append")
+        fact.write(orders.filter(F.col("orderkey") % 3 == 2), mode="append")
+        mv.refresh(spark)
+        return mv.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

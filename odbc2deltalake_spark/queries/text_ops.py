@@ -153,7 +153,8 @@ FROM documents
 """
 
 
-@register("text_fingerprint", _FP_ORACLE, tags=("text",))
+@register("text_fingerprint", _FP_ORACLE, tags=("text",),
+          priority=100)  # r8: rotated out for mv_incremental_join (hash-projection shape widely covered; green r1-r7)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (md5 over lowercased alnum text) —
     the key for exact dedup; identical hex output in Spark and DuckDB."""

@@ -12,6 +12,7 @@ from odbc2deltalake_spark.streaming.events import (
     clicks_purchases_join_stream,
 )
 from odbc2deltalake_spark.streaming.materialized import MaterializedAggregate
+from odbc2deltalake_spark.streaming.materialized_join import MaterializedJoin
 from odbc2deltalake_spark.streaming.table_tailer import TableTailer
 from odbc2deltalake_spark.streaming.corpus import (
     corpus_ingest_stream,
@@ -31,6 +32,7 @@ __all__ = [
     "sessionize_stream",
     "clicks_purchases_join_stream",
     "MaterializedAggregate",
+    "MaterializedJoin",
     "TableTailer",
     "corpus_ingest_stream",
     "start_corpus_ingest",

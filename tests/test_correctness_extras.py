@@ -57,7 +57,9 @@ def test_core_set_fits_driver_cap():
                  # query (VERDICT r7 tasks #2-#3)
                  "corpus_e2e_recipe", "dedup_keep_best",
                  "corpus_token_budget_select", "text_bigram_logprob",
-                 "store_dml_roundtrip"):
+                 "store_dml_roundtrip",
+                 # r8 in-round addition: delta-join IVM flagship
+                 "mv_incremental_join"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -91,7 +93,10 @@ def test_core_set_fits_driver_cap():
                  # sim_neardup_bucketed the banding shape, mm_decode_meta
                  # the header-parse kernel, dedup_minhash_lsh fuzzy dedup)
                  "ev_funnel", "scd2_current_rows", "sim_lsh_buckets",
-                 "mm_payload_digest", "dedup_simhash"):
+                 "mm_payload_digest", "dedup_simhash",
+                 # r8 in-round rotation out for mv_incremental_join
+                 # (hash-projection shape widely covered; green r1-r7)
+                 "text_fingerprint"):
         assert name in overflow_names
 
 

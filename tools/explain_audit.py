@@ -213,6 +213,7 @@ AUDIT = [
     "mm_payload_digest",
     "mm_resize",
     "mv_incremental_rollup",
+    "mv_incremental_join",
     "p10_full_load_snapshot",
     "p2_cast_trim_projection",
     "p6_delta_filter",
