@@ -87,6 +87,9 @@ EXTRAS = [
     # r7 second wave: budget selection + keep-best retention
     "corpus_token_budget_select",
     "dedup_keep_best",
+    # r8: delta-join IVM + the DML lifecycle (trend lines from day 1)
+    "mv_incremental_join",
+    "store_dml_roundtrip",
 ]
 
 

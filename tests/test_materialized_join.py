@@ -246,3 +246,52 @@ def test_random_schedules_match_model(spark, tmp_path_factory, schedule):
                 model[(k, la, rb)] += 1
     got = collections.Counter(tuple(r) for r in mv.read(spark).collect())
     assert got == model
+
+
+def test_chained_ivm_join_then_aggregate(spark, tmp_path):
+    """Composition: a MaterializedAggregate TAILING the join view gives a
+    maintained join-then-aggregate (the star-schema rollup) with no new
+    machinery — the join view's append commits flow through the change
+    feed; its re-baseline overwrites trigger the aggregate's own
+    snapshot recovery."""
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+
+    a, b, mv = _mvj(tmp_path)
+    a.write(_mk(spark, [(1, 10), (2, 20)], "k long, la long"))
+    b.write(_mk(spark, [(1, 100), (2, 200)], "k long, rb long"))
+    mv.refresh(spark)
+    agg = MaterializedAggregate(
+        mv.view,
+        tmp_path / "rollup",
+        group_cols=["rb"],
+        aggs={"n": ("count", None), "s": ("sum", "la")},
+    )
+    agg.refresh(spark)
+
+    def expect():
+        model = {}
+        for r in mv.recompute(spark).collect():
+            key = r["rb"]
+            n, s = model.get(key, (0, 0))
+            model[key] = (n + 1, s + r["la"])
+        return {(k, n, s) for k, (n, s) in model.items()}
+
+    def got():
+        return {tuple(r) for r in agg.read(spark).select("rb", "n", "s").collect()}
+
+    assert got() == expect()
+
+    # incremental flow: appends on both base tables -> join appends ->
+    # aggregate folds only the join's delta
+    a.write(_mk(spark, [(1, 11), (3, 30)], "k long, la long"))
+    b.write(_mk(spark, [(3, 300)], "k long, rb long"))
+    mv.refresh(spark)
+    agg.refresh(spark)
+    assert got() == expect()
+
+    # DML on a base table: join re-baselines (overwrite commit) -> the
+    # aggregate's tailer hits a non-delta range and snapshot-recovers
+    a.delete_where(spark, ("k", "=", 2))
+    mv.refresh(spark)
+    agg.refresh(spark)
+    assert got() == expect()
