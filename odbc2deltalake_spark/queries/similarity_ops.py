@@ -593,3 +593,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
     )
+
+
+# ------------------------------------ semantic decontamination ------------
+# Embedding-level analogue of corpus_decontaminate_fuzzy: drop every
+# corpus vector whose max cosine against ANY eval vector crosses the
+# threshold — the asymmetric "don't train on anything semantically
+# identical to the benchmark" gate. The fixture plants exact clones of
+# the eval vectors (vec_id + 50000) so the gate provably has work: the
+# clones score 1.0 and must all fall.
+#
+# Scale shape: the eval side is benchmark-sized (thousands), broadcast;
+# the corpus side is one scan — broadcast nested-loop + map-side partial
+# max collapses each partition to its surviving rows before the
+# |corpus|-group shuffle. No |corpus| x |corpus| pass anywhere; cost is
+# |corpus| x |eval| dot products, embarrassingly parallel, the same
+# shape a 100 TB corpus sweep needs. At larger eval sets the IVF/LSH
+# bucketing (sim_lsh_buckets / IvfIndex) prunes the eval candidates per
+# corpus row first.
+
+_EVAL_MOD = 20  # vec_id % 20 == 0 -> eval set
+_SEM_TAU = 0.95
+
+_SEM_DECON_ORACLE = f"""
+WITH eval AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % {_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_EVAL_MOD} <> 0
+  UNION ALL
+  SELECT vec_id + 50000, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % {_EVAL_MOD} = 0
+),
+scored AS (
+  SELECT c.vec_id,
+         max(list_dot_product(c.v, e.v)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(e.v, e.v)))) AS m
+  FROM corpus c, eval e
+  GROUP BY c.vec_id
+)
+SELECT vec_id, round(m, 4) AS max_eval_cosine
+FROM scored WHERE m < {_SEM_TAU}
+"""
+
+
+@register("corpus_semantic_decontaminate", _SEM_DECON_ORACLE,
+          tags=("corpus", "similarity"), priority=100)
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving corpus vectors after eval-embedding decontamination:
+    (vec_id, max_eval_cosine) for every corpus vector whose best eval
+    match stays under the threshold. Planted exact clones of the eval
+    vectors are provably removed (cosine 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("v"))
+    ev = base.filter(F.col("vec_id") % _EVAL_MOD == 0)
+    corpus = base.filter(F.col("vec_id") % _EVAL_MOD != 0).unionByName(
+        ev.select((F.col("vec_id") + 50000).alias("vec_id"), "v")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(ev.select(F.col("v").alias("ev"))))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("ev"))
+             / (_norm(F.col("v")) * _norm(F.col("ev")))).alias("c"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("c").alias("m"))
+    )
+    return scored.filter(F.col("m") < F.lit(_SEM_TAU)).select(
+        "vec_id", F.round("m", 4).alias("max_eval_cosine")
+    )

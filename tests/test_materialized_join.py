@@ -295,3 +295,33 @@ def test_chained_ivm_join_then_aggregate(spark, tmp_path):
     mv.refresh(spark)
     agg.refresh(spark)
     assert got() == expect()
+
+
+def test_composite_keys_and_null_keys(spark, tmp_path):
+    """Multi-column equi-join keys, and SQL null semantics: a NULL in
+    any key column never matches (both incrementally and in the
+    recompute), so the invariant holds with nulls present."""
+    a = VersionedParquetTable(tmp_path / "a")
+    b = VersionedParquetTable(tmp_path / "b")
+    mv = MaterializedJoin(
+        a, b, tmp_path / "view", on=["k1", "k2"],
+        left_cols=["la"], right_cols=["rb"],
+    )
+    a.write(_mk(spark, [(1, "x", "a1"), (None, "x", "a2")],
+                "k1 long, k2 string, la string"))
+    b.write(_mk(spark, [(1, "x", "b1"), (None, "x", "b2")],
+                "k1 long, k2 string, rb string"))
+    mv.refresh(spark)
+    _check(spark, mv)
+    assert _sorted_rows(mv.read(spark)) == [(1, "x", "a1", "b1")]
+
+    # delta with a null key joins nothing; delta with both keys matches
+    a.write(_mk(spark, [(1, "x", "a3"), (2, None, "a4")],
+                "k1 long, k2 string, la string"))
+    mv.refresh(spark)
+    _check(spark, mv)
+    b.write(_mk(spark, [(2, "y", "b3")], "k1 long, k2 string, rb string"))
+    a.write(_mk(spark, [(2, "y", "a5")], "k1 long, k2 string, la string"))
+    mv.refresh(spark)
+    _check(spark, mv)
+    assert (2, "y", "a5", "b3") in _sorted_rows(mv.read(spark))

@@ -223,6 +223,7 @@ AUDIT = [
     "sim_ann_pq",
     "sim_embedding_neardup",
     "sim_neardup_bucketed",
+    "corpus_semantic_decontaminate",
     "text_fingerprint",
     "text_lang_id",
     "text_token_count",
