@@ -666,3 +666,59 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     return scored.filter(F.col("m") < F.lit(_SEM_TAU)).select(
         "vec_id", F.round("m", 4).alias("max_eval_cosine")
     )
+
+
+# ------------------------------------ IVF-PQ index, end-to-end oracle -----
+# The persisted IvfPqIndex (operators/ivfpq.py) is exercised end-to-end
+# against an independent engine by running it in its EXACT-equivalence
+# configuration: probe every cell and rerank the full candidate slice
+# with raw vectors — coarse assignment, residual PQ encoding, ADC
+# ranking, partition-pruned cell reads and the rerank join all execute,
+# and the final top-k must equal brute-force squared-L2 regardless of
+# quantizer quality. (Recall at the DEFAULT nprobe is gated separately:
+# tests/test_ivfpq.py::test_recall_floor_at_30x_scale.)
+
+_IVFPQ_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id,
+       round(list_sum([ (x[1] - x[2]) ^ 2
+                        for x in list_zip(e.embedding::DOUBLE[], q.qv) ]),
+             6) AS exact_dist
+FROM embeddings e, q
+ORDER BY exact_dist, e.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@register("sim_ann_ivfpq_search", _IVFPQ_ORACLE,
+          tags=("similarity", "index"), priority=100)
+def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by squared L2 for the fixed probe, THROUGH the IVF-PQ
+    index in exact mode (nprobe = all cells, candidates = corpus). The
+    self-match (dist 0) is included — deterministic on both sides."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.operators.clustering import fit_kmeans_centroids
+    from odbc2deltalake_spark.operators.ivfpq import IvfPqIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
+    n = corpus.count()  # control-plane scalar (sizes ncent/candidates)
+    ncent = max(4, int(n ** 0.5))
+    dim = len(corpus.first()["v"])
+    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["v"]
+    root = tempfile.mkdtemp(prefix="ivfpq_query_")
+    try:
+        idx = IvfPqIndex(root, dim, 8, 16)
+        idx.build(corpus, fit_kmeans_centroids(corpus, ncent, 2))
+        out = idx.search(
+            spark, q, nprobe=ncent, k=_TOP_K, candidates=n,
+            rerank_vectors=corpus,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

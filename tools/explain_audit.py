@@ -224,6 +224,7 @@ AUDIT = [
     "sim_embedding_neardup",
     "sim_neardup_bucketed",
     "corpus_semantic_decontaminate",
+    "sim_ann_ivfpq_search",
     "text_fingerprint",
     "text_lang_id",
     "text_token_count",
