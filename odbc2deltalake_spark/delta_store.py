@@ -102,9 +102,16 @@ class DeltaTableStore(TableStore):
         per_file_stats: bool = False,
         known_stats: Optional[dict] = None,
         extra_commit_fields: Optional[dict] = None,
+        txn: Optional[tuple] = None,
     ) -> int:
         assert mode in ("append", "overwrite"), mode
         writer = df.write.format("delta").mode(mode)
+        if txn is not None:
+            # Delta's native idempotent-writer options: the commit records
+            # (txnAppId, txnVersion) and a replay at or below it no-ops
+            writer = writer.option("txnAppId", str(txn[0])).option(
+                "txnVersion", str(int(txn[1]))
+            )
         if merge_schema:
             writer = writer.option("mergeSchema", "true")
         if overwrite_schema:

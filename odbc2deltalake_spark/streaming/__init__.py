@@ -1,6 +1,7 @@
 from odbc2deltalake_spark.streaming.driver import (
     stream_db_to_delta,
     foreach_batch_scd2,
+    foreach_batch_append,
 )
 from odbc2deltalake_spark.streaming.events import (
     windowed_rollup_stream,
@@ -24,6 +25,7 @@ from odbc2deltalake_spark.streaming.corpus import (
 __all__ = [
     "stream_db_to_delta",
     "foreach_batch_scd2",
+    "foreach_batch_append",
     "windowed_rollup_stream",
     "deduped_stream",
     "funnel_steps_batch",

@@ -68,6 +68,25 @@ def foreach_batch_scd2(
     return apply
 
 
+def foreach_batch_append(
+    table,
+    app_id: str = "stream_append",
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once plain-append sink for ``foreachBatch``: each
+    micro-batch lands via ``table.write(df, txn=(app_id, batch_id))`` —
+    Spark's post-crash redelivery of the last batch is skipped by the
+    txn marker (Delta's ``txnAppId``/``txnVersion`` contract), so the
+    sink needs no dedup keys and no watermark. ``transform`` maps the
+    batch before the write (stateless, e.g. a scrub/projection)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        df = transform(batch_df) if transform is not None else batch_df
+        table.write(df, mode="append", txn=(app_id, int(batch_id)))
+
+    return apply
+
+
 def stream_db_to_delta(
     spark: SparkSession,
     stream_df: DataFrame,

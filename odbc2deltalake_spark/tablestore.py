@@ -448,13 +448,18 @@ class TableStore(ABC):
         stats_cols: Optional[list[str]] = None,
         per_file_stats: bool = False,
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
+        txn: Optional[tuple[str, int]] = None,
     ) -> int:
         """Write one commit. The stats/commit-field parameters are
         data-skipping and audit metadata hints: a store without its own
         stats machinery MUST accept and may ignore them (Delta collects
         native file stats, so its implementation treats them as no-ops);
         ignoring ``skip_where``'s pruning half is always safe because
-        the read applies the residual predicate."""
+        the read applies the residual predicate.
+
+        ``txn=(app_id, version)`` requests idempotent-writer semantics
+        (Delta's ``txnAppId``/``txnVersion``): the write is SKIPPED when
+        the table already records that app at or past that version."""
 
     @abstractmethod
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int: ...
@@ -1074,6 +1079,7 @@ class VersionedParquetTable(TableStore):
         stats_cols: Optional[list[str]] = None,
         per_file_stats: bool = False,
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
+        txn: Optional[tuple[str, int]] = None,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
@@ -1097,8 +1103,28 @@ class VersionedParquetTable(TableStore):
         delta load's appends). Intervals may be conservatively WIDE
         (skipping only ever keeps extra files, never drops a matching
         one); the SCD2 engine uses this for ``__timestamp``, which is a
-        per-load constant it already holds."""
+        per-load constant it already holds.
+
+        ``txn=(app_id, version)`` is the idempotent-writer contract
+        (Delta's ``txnAppId``/``txnVersion``, the foreachBatch
+        exactly-once sink): the commit records ``txn.<app_id> =
+        version`` atomically with the data, and a write whose version is
+        at or below the recorded one is SKIPPED before any job runs —
+        a replayed micro-batch (Spark redelivers the last batch after a
+        crash) lands exactly once. On a ``CommitConflictError`` race the
+        caller retries; the retry re-reads the marker and skips if the
+        racer was the same (app, version)."""
         assert mode in ("append", "overwrite"), mode
+        if txn is not None:
+            app_id, txn_version = txn
+            if self.exists():
+                recorded = self.get_property(f"txn.{app_id}")
+                if recorded is not None and int(recorded) >= int(txn_version):
+                    return self.version()  # already applied — skip
+            sp = dict((extra_commit_fields or {}).get("set_props") or {})
+            sp[f"txn.{app_id}"] = str(int(txn_version))
+            extra_commit_fields = dict(extra_commit_fields or {})
+            extra_commit_fields["set_props"] = sp
         new_version = (self.version() + 1) if self.exists() else 0
         new_schema = df.schema
         if self.exists() and mode == "append":

@@ -364,3 +364,50 @@ def test_funnel_stream_keeps_finalized_gate_across_batches(spark, tmp_path):
         if r["user_id"] == 1
     }
     assert {(u, s, t) for (u, s, t) in got if u == 1} == batch_steps
+
+
+def test_foreach_batch_append_exactly_once(spark, tmp_path):
+    """r8: the txn-backed append sink — a file stream drains into a
+    versioned table via foreach_batch_append; restarting the SAME query
+    from its checkpoint (Spark may redeliver the last batch) never
+    duplicates rows, and a manual replay of a batch id is a no-op."""
+    from odbc2deltalake_spark.streaming import foreach_batch_append
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    src_dir = tmp_path / "in"
+    ckpt = tmp_path / "ckpt"
+    src_dir.mkdir()
+    t = VersionedParquetTable(tmp_path / "t")
+    sink = foreach_batch_append(t, app_id="ingest")
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 11)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    assert t.read(spark).count() == 2
+
+    # more input, restart from the same checkpoint
+    spark.createDataFrame(
+        [(3, "c", 12)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(src_dir))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wait(q)
+    assert t.read(spark).count() == 3
+
+    # crash-redelivery shape: re-apply the last committed batch id
+    last = int(t.get_property("txn.ingest"))
+    sink(spark.createDataFrame([(3, "c", 12)], SCHEMA), last)
+    assert t.read(spark).count() == 3  # skipped, not duplicated

@@ -919,3 +919,69 @@ def test_analyze_decimal_column_roundtrip(spark, tmp_path):
     assert got["amt"]["min"] == decimal.Decimal("1.25")
     assert got["amt"]["max"] == decimal.Decimal("6.25")
     assert isinstance(got["amt"]["min"], decimal.Decimal)
+
+
+def test_txn_idempotent_writer(spark, tmp_path):
+    """write(txn=(app, v)) is Delta's txnAppId/txnVersion contract: a
+    replayed batch at-or-below the recorded version is skipped BEFORE
+    any job runs; distinct apps are independent; the marker lands
+    atomically with the data commit."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+
+    v0 = t.write(df, txn=("streamA", 0))
+    assert t.read(spark).count() == 5
+    assert t.get_property("txn.streamA") == "0"
+
+    # exact replay: skipped, version unchanged, no extra rows
+    assert t.write(df, txn=("streamA", 0)) == v0
+    assert t.read(spark).count() == 5
+    # stale replay (below the marker): also skipped
+    t.write(df, txn=("streamA", 3))
+    assert t.write(df, txn=("streamA", 1)) == t.version()
+    assert t.read(spark).count() == 10
+
+    # a different app's version space is independent
+    t.write(df, txn=("streamB", 0))
+    assert t.read(spark).count() == 15
+    assert t.get_property("txn.streamA") == "3"
+    assert t.get_property("txn.streamB") == "0"
+
+    # foreachBatch replay shape: same fn, redelivered batch_id
+    def sink(batch_df, batch_id):
+        t.write(batch_df, txn=("job", batch_id))
+
+    sink(df, 7)
+    sink(df, 7)  # Spark redelivers the last batch after recovery
+    assert t.read(spark).count() == 20
+
+    # the marker is in the SAME commit as the data (atomicity): the
+    # commit that added rows carries set_props
+    import json
+
+    commits = [
+        json.loads(
+            t.backend.read_text(t.backend.join(t._commits_dir, n))
+        )
+        for n in t._commit_names()
+    ]
+    data_commits = [c for c in commits if c.get("dir")]
+    assert all("set_props" in c for c in data_commits)
+
+
+def test_txn_composes_with_caller_set_props(spark, tmp_path):
+    """A caller's own set_props (e.g. an IVM marker) and the txn marker
+    ride the same commit without clobbering each other."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(3).select(F.col("id").alias("k"))
+    t.write(
+        df,
+        txn=("app", 5),
+        extra_commit_fields={"set_props": {"mv.applied_to": "9"}},
+    )
+    assert t.get_property("txn.app") == "5"
+    assert t.get_property("mv.applied_to") == "9"
