@@ -719,12 +719,28 @@ def read_current_rows(
     lpk = dest.latest_pk_version.read(spark)
     skip = None
     if prune:
-        min_ts = lpk.agg(F.min(delta_col).alias("m")).first()["m"]
-        if min_ts is not None:
-            skip = (delta_col, ">=", min_ts)
-    hist = dest.delta.read(spark, skip_where=skip)
+        # one control-plane probe for BOTH the prune scalar and NULL
+        # presence: a nullable delta col (legacy temporal rows, a
+        # restore nulling the column) makes the residual `ts >= min`
+        # filter drop NULL-ts current rows, so pruning is disabled
+        # whenever the index holds any NULL — conservative and exact
+        probe = lpk.agg(
+            F.min(delta_col).alias("m"),
+            F.max(F.col(delta_col).isNull()).alias("has_null"),
+        ).first()
+        if probe["m"] is not None and not probe["has_null"]:
+            skip = (delta_col, ">=", probe["m"])
+    hist = dest.delta.read(spark, skip_where=skip).alias("h")
+    right = lpk.select(*pk_cols, delta_col).alias("l")
+    # pks are non-null (plain =); the delta col joins NULL-SAFELY so a
+    # current version whose delta value is NULL (nullable datetime delta
+    # col) still matches its index entry — `=` would silently drop it
+    cond = F.col(f"h.`{delta_col}`").eqNullSafe(F.col(f"l.`{delta_col}`"))
+    for c in pk_cols:
+        cond = cond & (F.col(f"h.`{c}`") == F.col(f"l.`{c}`"))
     return (
-        hist.join(lpk.select(*pk_cols, delta_col), on=pk_cols + [delta_col])
+        hist.join(right, on=cond, how="inner")
+        .select("h.*")
         .filter(~F.col(SYS.is_deleted))
         .distinct()
     )

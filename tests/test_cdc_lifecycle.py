@@ -605,3 +605,58 @@ def test_gdpr_erasure_via_delete_where(spark, dest):
     cur = {r[0]: r[1] for r in current_rows(spark, dest)}
     assert cur[2] == "New" and set(cur) == {1, 2, 3}
     check_latest_pk(infos)
+
+
+def test_nullable_delta_col_rows_ride_keyset_path(spark, dest):
+    """Dialect edge: a NULLABLE datetime delta column (temporal tables
+    allow it on legacy rows; a restore can null it). NULL never passes
+    `ts > wm`, so such rows are invisible to the timestamp criterion —
+    they must surface through the strange-update detection (the (pk, ts)
+    EXCEPT is null-safe set algebra in both engines) and load via the
+    keyset fetch. Also pins load-to-load stability: a NULL-ts row must
+    not re-trigger the strange path forever."""
+    from tests.cdc_utils import ColInfo, DataFrameSource
+
+    schema = T.StructType(
+        [
+            T.StructField("User - iD", T.LongType(), False),
+            T.StructField("FirstName", T.StringType(), True),
+            T.StructField("LastName", T.StringType(), True),
+            T.StructField("Age", T.DoubleType(), True),
+            T.StructField("companyid", T.StringType(), True),
+            T.StructField("time stamp", T.LongType(), True),  # nullable!
+        ]
+    )
+    cols = [
+        ColInfo("User - iD", T.LongType(), "bigint", False),
+        ColInfo("FirstName", T.StringType(), "varchar(100)"),
+        ColInfo("LastName", T.StringType(), "varchar(100)"),
+        ColInfo("Age", T.DoubleType(), "float"),
+        ColInfo("companyid", T.StringType(), "varchar(10)"),
+        ColInfo("time stamp", T.LongType(), "bigint", True),  # nullable!
+    ]
+    # datetime2 is never auto-detected as a delta col (only rowversion /
+    # ROW START are) — a nullable delta col enters via explicit config
+    cfg = WriteConfig(delta_col="time stamp")
+    df = spark.createDataFrame(ROWS_V1, schema)
+    src = DataFrameSource(df, cols, primary_keys=["User - iD"])
+    run_load(spark, src, dest, cfg)
+
+    rows2 = [
+        (1, "John", "Anders", 32.0, "c1", 1000),
+        (2, "Peter", "Johniingham", 41.0, "c1", None),  # ts nulled by restore
+        (3, "Petra", "wayne", 28.0, "c2 ", 1002),
+        (4, "Nadia", "Null", 50.0, "c9", None),  # inserted with NULL ts
+    ]
+    src.set_df(spark.createDataFrame(rows2, schema))
+    infos, r = run_load(spark, src, dest, cfg)
+    d = DeltaDestination(dest)
+    fetched = sorted(x["User_-_iD"] for x in d.delta_2.read(spark).collect())
+    assert fetched == [2, 4]  # both NULL-ts rows came via the keyset join
+    cur = current_rows(spark, dest)
+    assert (4, "Nadia", "Null", 50.0) in cur
+    assert len(cur) == 4
+
+    # stable: the very next load must short-circuit, not re-detect them
+    _, r2 = run_load(spark, src, dest, cfg, check=False)
+    assert isinstance(r2, NoLoadResult)
