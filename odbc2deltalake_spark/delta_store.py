@@ -130,6 +130,26 @@ class DeltaTableStore(TableStore):
         self._dt().restoreToVersion(version)
         return self.version()
 
+    def set_check_constraint(self, spark: SparkSession, name: str, predicate) -> int:
+        """Native Delta CHECK constraint (ALTER TABLE ADD CONSTRAINT):
+        Delta validates existing rows and enforces every subsequent
+        write, matching the parquet store's semantics."""
+        from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+        conj = VersionedParquetTable._skip_conjuncts(predicate)
+        sql_pred = " AND ".join(f"`{c}` {op} {v!r}" for c, op, v in conj)
+        self._session(spark).sql(
+            f"ALTER TABLE delta.`{self.root}` ADD CONSTRAINT {name} "
+            f"CHECK ({sql_pred})"
+        )
+        return self.version()
+
+    def drop_check_constraint(self, name: str, spark: SparkSession = None) -> int:
+        self._session(spark).sql(
+            f"ALTER TABLE delta.`{self.root}` DROP CONSTRAINT {name}"
+        )
+        return self.version()
+
     def set_properties(self, props: dict[str, str]) -> int:
         kv = ", ".join(
             f"'{k}' = '{str(v).replace(chr(39), chr(39) * 2)}'"

@@ -89,6 +89,15 @@ class TruncatedLogError(RuntimeError):
     would act on (deleting live data dirs)."""
 
 
+class ConstraintViolationError(Exception):
+    """A write/update would land rows that violate a table CHECK
+    constraint (Delta's ``ALTER TABLE ADD CONSTRAINT`` enforcement).
+    The offending data dir is removed un-committed (vacuum backstops a
+    failed removal), so the table state never contains the bad rows.
+    SQL CHECK semantics: a row violates only when the predicate is
+    FALSE — NULL passes."""
+
+
 class SchemaDriftError(Exception):
     """Incompatible source schema change (e.g. string→binary,
     timestamp→int). Widening changes flow through; incompatible ones must
@@ -1066,6 +1075,116 @@ class VersionedParquetTable(TableStore):
             df = df.filter(expr)
         return df
 
+    # ---------- CHECK constraints ----------
+
+    CONSTRAINT_PREFIX = "constraint."
+
+    @classmethod
+    def _conjuncts_predicate(cls, conj: list[tuple[str, str, Any]]):
+        """AND of (col, op, value) conjuncts as a Column (same predicate
+        shape as ``skip_where``/DML)."""
+        expr = None
+        for col, op, value in conj:
+            c = F.col(col)
+            e = {
+                ">": c > F.lit(value),
+                ">=": c >= F.lit(value),
+                "<": c < F.lit(value),
+                "<=": c <= F.lit(value),
+                "=": c == F.lit(value),
+            }[op]
+            expr = e if expr is None else expr & e
+        return expr
+
+    def check_constraints(self) -> dict[str, list[tuple[str, str, Any]]]:
+        """Active CHECK constraints: {name: conjunct list}. Stored as
+        table properties (``constraint.<name>``) so they replicate with
+        the commit log and survive restores; an empty value is a
+        dropped-constraint tombstone."""
+        if not self.exists():
+            return {}
+        return self._constraints_from_props(self._state_at()["props"])
+
+    @classmethod
+    def _constraints_from_props(
+        cls, props: dict[str, str]
+    ) -> dict[str, list[tuple[str, str, Any]]]:
+        out: dict[str, list[tuple[str, str, Any]]] = {}
+        plen = len(cls.CONSTRAINT_PREFIX)
+        for k, v in props.items():
+            if k.startswith(cls.CONSTRAINT_PREFIX) and v:
+                out[k[plen:]] = [
+                    (c, op, cls._stat_deser(val))
+                    for c, op, val in json.loads(v)
+                ]
+        return out
+
+    def set_check_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
+    ) -> int:
+        """Add a CHECK constraint (Delta's ``ALTER TABLE ADD
+        CONSTRAINT``): every subsequent ``write``/``update_where`` /
+        ``merge_upsert`` enforces it. Like Delta, the EXISTING rows must
+        already satisfy it — validated here with one pushdown LIMIT-1
+        existence scan, so a constraint can never be added that the
+        table already violates. SQL CHECK semantics: NULL passes."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        conj = self._skip_conjuncts(predicate)
+        if not conj:
+            raise ValueError("a CHECK constraint requires a predicate")
+        pred = self._conjuncts_predicate(conj)
+        viol = pred.isNotNull() & ~pred
+        if self.exists():
+            schema_cols = set(self.schema().fieldNames())
+            missing = sorted({c for c, _, _ in conj} - schema_cols)
+            if missing:
+                raise ValueError(
+                    f"constraint {name!r} references unknown column(s) "
+                    f"{missing}"
+                )
+            if self.read(spark).filter(viol).limit(1).count() > 0:
+                raise ConstraintViolationError(
+                    f"cannot add constraint {name!r}: existing rows "
+                    "violate it"
+                )
+        return self.set_properties(
+            {
+                f"{self.CONSTRAINT_PREFIX}{name}": json.dumps(
+                    [[c, op, self._stat_ser(v)] for c, op, v in conj]
+                )
+            }
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        return self.set_properties({f"{self.CONSTRAINT_PREFIX}{name}": ""})
+
+    @classmethod
+    def _constraint_viol_aggs(
+        cls,
+        cons: dict[str, list[tuple[str, str, Any]]],
+        df_cols: Iterable[str],
+    ) -> list[tuple[str, Any]]:
+        """(name, sum-of-violations aggregate) per enforceable
+        constraint. Constraints whose columns are absent from the
+        written frame are skipped (an appended frame missing a column
+        stores NULL there, which CHECK passes by SQL semantics)."""
+        have = set(df_cols)
+        out = []
+        for name, conj in cons.items():
+            if not {c for c, _, _ in conj} <= have:
+                continue
+            pred = cls._conjuncts_predicate(conj)
+            out.append(
+                (name, F.sum((pred.isNotNull() & ~pred).cast("long")))
+            )
+        return out
+
     # ---------- writes ----------
 
     def write(
@@ -1162,6 +1281,24 @@ class VersionedParquetTable(TableStore):
                     aggs.append(F.max(c).alias(f"__mx_{c}"))
                 obs = Observation()
                 df = df.observe(obs, *aggs)
+        cons_obs = None
+        cons_names: list[str] = []
+        if self.exists():
+            viol_aggs = self._constraint_viol_aggs(
+                self.check_constraints(), df.columns
+            )
+            if viol_aggs:
+                from pyspark.sql import Observation
+
+                cons_obs = Observation()
+                cons_names = [n for n, _ in viol_aggs]
+                df = df.observe(
+                    cons_obs,
+                    *[
+                        agg.alias(f"v{i}")
+                        for i, (_n, agg) in enumerate(viol_aggs)
+                    ],
+                )
         writer = df.write.mode("overwrite")
         if partition_by:
             # hive-style subdirs inside this commit's dir; reads prune on
@@ -1169,6 +1306,21 @@ class VersionedParquetTable(TableStore):
             # history table is implicitly load-partitioned on top of this)
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(dir_name))
+        if cons_obs is not None:
+            vals = cons_obs.get
+            bad = {
+                cons_names[i]: int(vals[f"v{i}"] or 0)
+                for i in range(len(cons_names))
+            }
+            bad = {k: v for k, v in bad.items() if v}
+            if bad:
+                # enforcement rides the write job as an Observation (zero
+                # extra scans); the bad dir is abandoned UN-committed so
+                # table state never contains the rows (vacuum reclaims it)
+                self.backend.remove_recursive(self._path(dir_name))
+                raise ConstraintViolationError(
+                    f"write rejected: CHECK violations {bad}"
+                )
         commit = {
             "version": new_version,
             "mode": mode,
@@ -1531,6 +1683,17 @@ class VersionedParquetTable(TableStore):
 
         from pyspark.sql import Observation
 
+        # UPDATE can write new values that break a CHECK constraint;
+        # DELETE can only remove rows. Violations ride the per-group
+        # rewrite jobs' Observations — the commit is withheld entirely
+        # on any violation, so enforcement is atomic across groups.
+        viol_aggs: list[tuple[str, Any]] = []
+        if set_exprs is not None:
+            viol_aggs = self._constraint_viol_aggs(
+                self._constraints_from_props(st["props"]),
+                target.fieldNames(),
+            )
+
         groups: dict[Any, list[dict[str, Any]]] = defaultdict(list)
         for d in affected:
             groups[d.get("bucket")].append(d)
@@ -1594,11 +1757,27 @@ class VersionedParquetTable(TableStore):
                         for f in target.fields
                     ]
                 )
-            out_df = out_df.observe(obs_kept, F.count(F.lit(1)).alias("n"))
+            out_df = out_df.observe(
+                obs_kept,
+                F.count(F.lit(1)).alias("n"),
+                *[a.alias(f"v{i}") for i, (_n, a) in enumerate(viol_aggs)],
+            )
             dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
             out_df.write.mode("overwrite").parquet(self._path(dir_name))
             written_dirs.append(dir_name)
-            kept_n = int(obs_kept.get["n"])
+            kept_vals = obs_kept.get
+            kept_n = int(kept_vals["n"])
+            bad = {
+                viol_aggs[i][0]: int(kept_vals[f"v{i}"] or 0)
+                for i in range(len(viol_aggs))
+            }
+            bad = {k: v for k, v in bad.items() if v}
+            if bad:
+                for dn in written_dirs:
+                    self.backend.remove_recursive(self._path(dn))
+                raise ConstraintViolationError(
+                    f"update_where rejected: CHECK violations {bad}"
+                )
             rows_changed += int(obs_tot.get["m"] or 0)
             if bucket is not None:
                 bucket_rows[str(bucket)] = kept_n
@@ -2371,6 +2550,18 @@ class VersionedParquetTable(TableStore):
                 "would lose their current values. Provide the columns or "
                 "drop them from the table first."
             )
+        # CHECK constraints gate the merge SOURCE (existing rows already
+        # passed at their own write time): one pushdown LIMIT-1 existence
+        # probe per constraint over the delta-sized source
+        for cname, conj in self._constraints_from_props(st["props"]).items():
+            if not {c for c, _, _ in conj} <= set(source.columns):
+                continue
+            pred = self._conjuncts_predicate(conj)
+            if source.filter(pred.isNotNull() & ~pred).limit(1).count() > 0:
+                raise ConstraintViolationError(
+                    f"merge_upsert rejected: source violates CHECK "
+                    f"constraint {cname!r}"
+                )
         tagged = bool(st["dirs"]) and all(
             d.get("bucket") is not None for d in st["dirs"]
         )
