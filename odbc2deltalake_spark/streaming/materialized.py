@@ -279,6 +279,10 @@ class MaterializedAggregate:
             # their high-water mark only when ranges is empty)
             last = ranges[0][0] if ranges else self.tailer.last_processed()
             to_v = self.source.version()
+            if self._fold_cdf(spark, to_v):
+                # retraction fold succeeded: DML handled incrementally,
+                # no table-sized recompute
+                return (last, to_v)
             # recompute AT to_v: reading the unpinned latest snapshot
             # would fold a concurrently-landed commit while leaving the
             # cursor behind it — that commit would then fold twice
@@ -287,6 +291,60 @@ class MaterializedAggregate:
             )
             self.tailer.skip_to(to_v)
             return (last, to_v)
+
+    def _fold_cdf(self, spark: SparkSession, to_v: int) -> bool:
+        """Try folding the blocked range through the DML-aware CDF
+        (``read_changes_cdf``): inserts and update post-images ADD,
+        deletes and update pre-images SUBTRACT (negated counters), so a
+        source DELETE/UPDATE maintains the view in O(change set) instead
+        of a table-sized recompute. Returns False — caller re-baselines —
+        when the aggregates are not retractable (min/max cannot un-take
+        an extremum), when no ``count`` aggregate tracks group liveness
+        (a sum-only view cannot distinguish an emptied group from
+        sum==0, and recompute drops emptied groups), when the view holds
+        no prior state, or when the range itself is not CDF-representable
+        (overwrite, Column-SET update, truncation)."""
+        kinds = {kind for kind, _ in self.aggs.values()}
+        if not kinds <= {"count", "sum", "avg"}:
+            return False
+        count_cols = [
+            f"__c_{out}"
+            for out, (kind, _c) in self.aggs.items()
+            if kind == "count"
+        ]
+        if not count_cols:
+            return False
+        applied = self.applied_to()
+        if applied == -1:
+            return False
+        try:
+            cdf = self.source.read_changes_cdf(spark, applied, to_v)
+        except ValueError:
+            return False
+        except AttributeError:  # source store without CDF support
+            return False
+        adds = cdf.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        subs = cdf.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop("_change_type", "_commit_version")
+        neg = self._partial(subs)
+        neg = neg.select(
+            *self.group_cols,
+            *[
+                (-F.col(c)).alias(c)
+                for c in neg.columns
+                if c not in self.group_cols
+            ],
+        )
+        state = self._combine(
+            self.view.read(spark),
+            self._partial(adds).unionByName(neg),
+        ).filter(F.col(count_cols[0]) > 0)
+        self._write_state(state.localCheckpoint(eager=True), to_v)
+        self.tailer.skip_to(to_v)
+        return True
 
     # ---------- reads ----------
 

@@ -1815,6 +1815,17 @@ class VersionedParquetTable(TableStore):
                     [c, op, self._stat_ser(v)] for c, op, v in conj
                 ],
                 "rows_changed": rows_changed,
+                # SET expressions recorded when they are plain SQL text —
+                # read_changes_cdf re-applies them to the pre-images to
+                # synthesize post-images (a Column-object SET cannot be
+                # serialized; such commits read as non-CDF and the
+                # consumer re-baselines)
+                **(
+                    {"dml_set_exprs": dict(set_exprs)}
+                    if set_exprs is not None
+                    and all(isinstance(v, str) for v in set_exprs.values())
+                    else {}
+                ),
             }
         )
         summary.update(
@@ -2114,6 +2125,178 @@ class VersionedParquetTable(TableStore):
             empty = T.StructType(
                 list(table_schema.fields)
                 + [T.StructField("_commit_version", T.LongType())]
+            )
+            return spark.createDataFrame([], empty)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_dir_entries(
+        self,
+        spark: SparkSession,
+        entries: list[dict[str, Any]],
+        target: T.StructType,
+    ) -> DataFrame:
+        """Cast-union the given live-dir entries (each with its own
+        written schema) to the target schema — the shared reader for DML
+        rewrites and the CDF synthesizer."""
+        parts = []
+        for d in entries:
+            written = T.StructType.fromJson(json.loads(d["schema"]))
+            r = spark.read.schema(written).parquet(self._path(d["dir"]))
+            have = set(r.columns)
+            parts.append(
+                r.select(
+                    *[
+                        (
+                            F.col(f.name).cast(_relax_nullability(f.dataType))
+                            if f.name in have
+                            else F.lit(None).cast(
+                                _relax_nullability(f.dataType)
+                            )
+                        ).alias(f.name)
+                        for f in target.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_changes_cdf(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level change feed WITH DML support — the Delta CDF analog
+        including ``_change_type``: appends emit ``insert`` rows, and the
+        store's merge-on-write DML commits are synthesized into
+        ``delete`` / ``update_preimage`` / ``update_postimage`` rows, so
+        a retraction-capable consumer (an incremental sum/count view)
+        folds deletes and updates WITHOUT re-baselining.
+
+        Synthesis is metadata-driven and delta-sized: a DML commit's
+        replaced dirs are exactly the previous version's dirs missing
+        from its dir list (time travel keeps them readable until
+        vacuumed); the recorded predicate selects the changed rows, and
+        for updates the recorded SET expressions re-derive the
+        post-images from the pre-images — no diffing of old-vs-new data.
+        An update whose SET was passed as Column objects (not SQL text)
+        is not representable and raises; rows-preserving OPTIMIZE
+        commits emit nothing; overwrite/merge/plain-restore raise like
+        :meth:`read_changes` (re-baseline); vacuumed pre-image dirs
+        raise :class:`ChangeFeedTruncatedError` at plan time."""
+        to_version = self.version() if to_version is None else to_version
+        table_schema = self.schema(to_version)
+        parts: list[DataFrame] = []
+        seen: set[int] = set()
+
+        def tag(df: DataFrame, ct: str, v: int) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(ct)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+
+        for name in self._commit_names():
+            v = int(name.split(".")[0])
+            if v <= from_version or v > to_version:
+                continue
+            seen.add(v)
+            c = json.loads(
+                self.backend.read_text(
+                    self.backend.join(self._commits_dir, name)
+                )
+            )
+            mode = c["mode"]
+            if mode == "append":
+                if not c.get("dir"):
+                    continue  # metadata-only commit (set_properties)
+                if not self.backend.exists(self._path(c["dir"])):
+                    raise ChangeFeedTruncatedError(
+                        f"change feed truncated: version {v}'s data dir "
+                        f"{c['dir']!r} was vacuumed — re-baseline"
+                    )
+                entry = {"dir": c["dir"], "schema": c["written_schema"]}
+                parts.append(
+                    tag(
+                        self._read_dir_entries(spark, [entry], table_schema),
+                        "insert",
+                        v,
+                    )
+                )
+                continue
+            if "compacted_from" in c:
+                continue  # rows-preserving OPTIMIZE: zero change rows
+            if mode == "restore" and c.get("dml_op"):
+                prev = self._state_at(v - 1)
+                cur_names = {d["dir"] for d in c["dirs"]}
+                replaced = [
+                    d for d in prev["dirs"] if d["dir"] not in cur_names
+                ]
+                for d in replaced:
+                    if not self.backend.exists(self._path(d["dir"])):
+                        raise ChangeFeedTruncatedError(
+                            f"change feed truncated: version {v}'s "
+                            f"pre-image dir {d['dir']!r} was vacuumed — "
+                            "re-baseline"
+                        )
+                conj = [
+                    (cc, op, self._stat_deser(val))
+                    for cc, op, val in c["dml_predicate"]
+                ]
+                match = F.coalesce(
+                    self._conjuncts_predicate(conj), F.lit(False)
+                )
+                pre = self._read_dir_entries(
+                    spark, replaced, table_schema
+                ).filter(match)
+                if c["dml_op"] == "delete":
+                    parts.append(tag(pre, "delete", v))
+                    continue
+                if "dml_set_exprs" not in c:
+                    raise ValueError(
+                        f"version {v} is an UPDATE whose SET expressions "
+                        "were not recorded (Column objects) — not "
+                        "CDF-representable; re-baseline from "
+                        "read(version=...)"
+                    )
+                sets = {
+                    k: F.expr(s) for k, s in c["dml_set_exprs"].items()
+                }
+                post = pre.select(
+                    *[
+                        (
+                            sets[f.name].cast(f.dataType).alias(f.name)
+                            if f.name in sets
+                            else F.col(f.name)
+                        )
+                        for f in table_schema.fields
+                    ]
+                )
+                parts.append(tag(pre, "update_preimage", v))
+                parts.append(tag(post, "update_postimage", v))
+                continue
+            raise ValueError(
+                f"version {v} is a {mode} commit — not representable as "
+                "a change feed; re-baseline from read(version=...)"
+            )
+        missing = sorted(set(range(from_version + 1, to_version + 1)) - seen)
+        if missing:
+            shown = missing[:5] if len(missing) <= 5 else missing[:5] + ["..."]
+            raise ChangeFeedTruncatedError(
+                f"change feed truncated: commits {shown} in "
+                f"({from_version}, {to_version}] were removed by log "
+                "truncation — re-baseline"
+            )
+        if not parts:
+            empty = T.StructType(
+                list(table_schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
             )
             return spark.createDataFrame([], empty)
         out = parts[0]

@@ -135,3 +135,102 @@ def test_compaction_is_transparent_to_change_feed(spark, tmp_path):
 
     with pytest.raises(ValueError):
         tail.process_available(spark, lambda df, a, b: None)
+
+
+# ----------------------- r8: CDF with DML pre/post images -----------------
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdf_synthesizes_dml_changes(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(1, 5)], "k long, v long"
+        ),
+        stats_cols=["k"],
+    )  # v0
+    t.write(
+        spark.createDataFrame([(5, 50), (6, 60)], "k long, v long"),
+        stats_cols=["k"],
+    )  # v1
+    t.update_where(spark, {"v": "v * 2"}, ("k", "<=", 2))  # v2
+    t.delete_where(spark, ("k", "=", 5))  # v3
+
+    cdf = t.read_changes_cdf(spark, -1)
+    by_type = {
+        ct: _rows(
+            cdf.filter(F.col("_change_type") == ct).select("k", "v")
+        )
+        for ct in (
+            "insert", "update_preimage", "update_postimage", "delete"
+        )
+    }
+    assert by_type["insert"] == [(k, k * 10) for k in range(1, 7)]
+    assert by_type["update_preimage"] == [(1, 10), (2, 20)]
+    assert by_type["update_postimage"] == [(1, 20), (2, 40)]
+    assert by_type["delete"] == [(5, 50)]
+
+    # tail-only read: just the DML rounds
+    tail = t.read_changes_cdf(spark, 1)
+    assert tail.filter("_change_type = 'insert'").count() == 0
+    assert tail.count() == 5
+
+    # folding the full CDF reproduces the live table: inserts + posts
+    # minus deletes + pres
+    adds = cdf.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("k", "v")
+    subs = cdf.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("k", "v")
+    folded = _rows(adds.exceptAll(subs))
+    assert folded == _rows(t.read(spark))
+
+
+def test_cdf_update_changing_predicate_column(spark, tmp_path):
+    """The post-image can STOP matching the predicate (v < 0 set to 0) —
+    synthesis applies the recorded SET to the pre-images, never
+    re-filters the new dirs, so this case is exact."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.createDataFrame([(1, -5), (2, 3)], "k long, v long"),
+        stats_cols=["v"],
+    )
+    t.update_where(spark, {"v": "0"}, ("v", "<", 0))
+    cdf = t.read_changes_cdf(spark, 0)
+    assert _rows(cdf.select("k", "v", "_change_type")) == [
+        (1, -5, "update_preimage"),
+        (1, 0, "update_postimage"),
+    ]
+
+
+def test_cdf_column_set_exprs_not_representable(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(spark.createDataFrame([(1, 5)], "k long, v long"),
+            stats_cols=["k"])
+    t.update_where(spark, {"v": F.col("v") + 1}, ("k", "=", 1))
+    assert t.read(spark).first()["v"] == 6  # the update itself works
+    with pytest.raises(ValueError, match="not\\s+CDF-representable"):
+        t.read_changes_cdf(spark, 0).count()
+
+
+def test_cdf_on_bucketized_dml(spark, tmp_path):
+    """Per-bucket DML rewrites synthesize the same pre/post images."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(20)], "k long, v long"
+        ),
+        key_cols=["k"],
+        num_buckets=4,
+    )
+    base_v = t.version()
+    t.delete_where(spark, ("k", "=", 7))
+    cdf = t.read_changes_cdf(spark, base_v)
+    assert _rows(cdf.select("k", "v", "_change_type")) == [
+        (7, 70, "delete")
+    ]

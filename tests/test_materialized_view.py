@@ -326,3 +326,110 @@ def test_mv_chunked_refresh_equals_recompute(spark, tmp_path):
     assert rng == (6, t.version())
     assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
     assert mv.refresh(spark, max_commits=2) is None
+
+
+# ------------------- r8: DML folds through the CDF, no recompute ----------
+
+
+def _retractable_mv(t, tmp_path):
+    return MaterializedAggregate(
+        t,
+        tmp_path / "mv_retractable",
+        group_cols=["event_type"],
+        aggs={
+            "n_events": ("count", None),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+        },
+    )
+
+
+def _no_snapshot(t):
+    """Fail the test if anyone re-baselines via a full source read."""
+    orig = t.read
+
+    def guarded(spark_, version=None, buckets=None, skip_where=None):
+        raise AssertionError("full source re-baseline — CDF fold expected")
+
+    t.read = guarded
+    return orig
+
+
+def test_source_dml_folds_without_recompute(spark, source, tmp_path):
+    """delete_where / update_where on the source maintain a
+    count/sum/avg view through CDF retraction — the source is never
+    re-scanned."""
+    ev, t = source
+    mv = _retractable_mv(t, tmp_path)
+    mv.refresh(spark)
+    expected_before = _rows(mv.read(spark))
+
+    t.update_where(spark, {"value": "value * 2"}, ("event_id", "<=", 40))
+    t.delete_where(spark, ("event_type", "=", "error"))
+    orig = _no_snapshot(t)
+    try:
+        rng = mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert rng is not None
+    got = _rows(mv.read(spark))
+    assert got == _rows(mv.recompute(spark))
+    assert got != expected_before  # the DML really changed the rollup
+    # the emptied group is GONE, exactly like a recompute
+    assert not any(r[0] == "error" for r in got)
+    # and the next refresh is a clean no-op
+    assert mv.refresh(spark) is None
+
+
+def test_minmax_view_rebaselines_on_dml(spark, source, tmp_path):
+    """min/max cannot retract: DML must fall back to the snapshot
+    recompute (and still be exact)."""
+    ev, t = source
+    mv = _mv(t, tmp_path)
+    mv.refresh(spark)
+    t.delete_where(spark, ("event_type", "=", "error"))
+    reads = {"n": 0}
+    orig = t.read
+
+    def counting(spark_, version=None, buckets=None, skip_where=None):
+        reads["n"] += 1
+        return orig(spark_, version=version, buckets=buckets,
+                    skip_where=skip_where)
+
+    t.read = counting
+    try:
+        mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert reads["n"] >= 1  # snapshot path taken
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+
+
+def test_sum_only_view_rebaselines_on_dml(spark, source, tmp_path):
+    """Without a count aggregate, an emptied group is indistinguishable
+    from sum==0 — the fold refuses and the recompute stays exact."""
+    ev, t = source
+    mv = MaterializedAggregate(
+        t,
+        tmp_path / "mv_sum_only",
+        group_cols=["event_type"],
+        aggs={"total_value": ("sum", "value")},
+    )
+    mv.refresh(spark)
+    t.delete_where(spark, ("event_type", "=", "error"))
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    assert not any(r[0] == "error" for r in _rows(mv.read(spark)))
+
+
+def test_cdf_fold_after_column_set_exprs_falls_back(spark, source, tmp_path):
+    """An UPDATE whose SET was a Column object is not CDF-representable:
+    the fold declines and the recompute keeps the invariant."""
+    ev, t = source
+    mv = _retractable_mv(t, tmp_path)
+    mv.refresh(spark)
+    t.update_where(
+        spark, {"value": F.col("value") + 1}, ("event_id", "<=", 10)
+    )
+    mv.refresh(spark)
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
