@@ -2186,9 +2186,19 @@ class VersionedParquetTable(TableStore):
         post-images from the pre-images — no diffing of old-vs-new data.
         An update whose SET was passed as Column objects (not SQL text)
         is not representable and raises; rows-preserving OPTIMIZE
-        commits emit nothing; overwrite/merge/plain-restore raise like
+        commits emit nothing; overwrite/plain-restore raise like
         :meth:`read_changes` (re-baseline); vacuumed pre-image dirs
-        raise :class:`ChangeFeedTruncatedError` at plan time."""
+        raise :class:`ChangeFeedTruncatedError` at plan time.
+
+        MERGE commits (``merge_upsert``) ARE representable: the commit
+        names the replaced buckets, so the pre-images are the prior
+        version's dirs for exactly those buckets and the post-state is
+        ``dirs_added`` — a full-outer key join over that k/NB slice
+        (never the whole table) classifies each key as
+        insert / update / unchanged in ONE pass (exploded event array,
+        no per-change-type re-scan), and matched-but-identical rows emit
+        nothing. This keeps an incremental view incremental across the
+        CDC hot path, which maintains its key index via merge."""
         to_version = self.version() if to_version is None else to_version
         table_schema = self.schema(to_version)
         parts: list[DataFrame] = []
@@ -2278,6 +2288,9 @@ class VersionedParquetTable(TableStore):
                 parts.append(tag(pre, "update_preimage", v))
                 parts.append(tag(post, "update_postimage", v))
                 continue
+            if mode == "merge":
+                parts.append(self._merge_cdf(spark, c, v, table_schema))
+                continue
             raise ValueError(
                 f"version {v} is a {mode} commit — not representable as "
                 "a change feed; re-baseline from read(version=...)"
@@ -2303,6 +2316,100 @@ class VersionedParquetTable(TableStore):
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _merge_cdf(
+        self,
+        spark: SparkSession,
+        c: dict[str, Any],
+        v: int,
+        table_schema: T.StructType,
+    ) -> DataFrame:
+        """Synthesize CDF rows for one MERGE commit (see
+        :meth:`read_changes_cdf`). Reads ONLY the replaced buckets'
+        pre-image dirs and the commit's added dirs; a null-safe
+        full-outer join on the merge keys classifies every key, and an
+        exploded event array yields all change rows in a single pass:
+        new key -> insert, changed payload -> pre+post images, identical
+        payload (merge rewrote it byte-for-byte, or the row merely rode
+        along in a rewritten bucket) -> nothing. old-only keys cannot
+        occur under upsert semantics but would emit an exact delete."""
+        prev = self._state_at(v - 1)
+        rb = set(c.get("buckets_replaced") or [])
+        replaced = [d for d in prev["dirs"] if d.get("bucket") in rb]
+        for d in replaced:
+            if not self.backend.exists(self._path(d["dir"])):
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s pre-image "
+                    f"bucket dir {d['dir']!r} was vacuumed — re-baseline"
+                )
+        keys = c["bucket_cols"]
+        non_keys = [f.name for f in table_schema.fields if f.name not in keys]
+
+        def side(entries: list[dict[str, Any]]) -> DataFrame:
+            base = (
+                self._read_dir_entries(spark, entries, table_schema)
+                if entries
+                else spark.createDataFrame([], table_schema)
+            )
+            # keys-only tables have no payload: a constant stands in so
+            # matched keys always compare equal (a keys-only row cannot
+            # change) and only inserts survive
+            pay = F.struct(*non_keys) if non_keys else F.struct(F.lit(0))
+            return base.select(*keys, pay.alias("__p"))
+
+        o = side(replaced).alias("__o")
+        n = side(list(c["dirs_added"])).alias("__n")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        pre, post = F.col("__o.__p"), F.col("__n.__p")
+        ev = T.StructType(
+            [
+                T.StructField("ct", T.StringType()),
+                T.StructField("p", o.schema["__p"].dataType),
+            ]
+        )
+        events = (
+            F.when(
+                pre.isNull() & post.isNotNull(),
+                F.array(F.struct(F.lit("insert").alias("ct"), post.alias("p"))),
+            )
+            .when(
+                post.isNull() & pre.isNotNull(),
+                F.array(F.struct(F.lit("delete").alias("ct"), pre.alias("p"))),
+            )
+            .when(
+                ~pre.eqNullSafe(post),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("ct"), pre.alias("p")
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("ct"), post.alias("p")
+                    ),
+                ),
+            )
+            .otherwise(F.lit(None).cast(T.ArrayType(ev)))
+        )
+        joined = o.join(n, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+                for k in keys
+            ],
+            F.explode(events).alias("__e"),  # null array -> row dropped
+        )
+        return joined.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in keys
+                    else F.col("__e.p")[f.name].alias(f.name)
+                )
+                for f in table_schema.fields
+            ],
+            F.col("__e.ct").alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
 
     def set_properties(self, props: dict[str, str]) -> int:
         st = self._state_at()

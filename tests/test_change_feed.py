@@ -234,3 +234,125 @@ def test_cdf_on_bucketized_dml(spark, tmp_path):
     assert _rows(cdf.select("k", "v", "_change_type")) == [
         (7, 70, "delete")
     ]
+
+
+# ----------------------- r8: CDF across MERGE commits ----------------------
+
+
+def test_cdf_on_merge_commit(spark, tmp_path):
+    """A merge emits insert for new keys, pre/post for changed payloads,
+    and NOTHING for matched-but-identical rows or rows that merely rode
+    along in a rewritten bucket."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(8)], "k long, v long"
+        ),
+        key_cols=["k"],
+        num_buckets=4,
+    )
+    base = t.version()
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(100, 1000), (2, 999), (3, 30)], "k long, v long"
+        ),
+        key_cols=["k"],
+    )
+    cdf = t.read_changes_cdf(spark, base)
+    assert _rows(cdf.select("k", "v", "_change_type")) == sorted(
+        [
+            (100, 1000, "insert"),
+            (2, 20, "update_preimage"),
+            (2, 999, "update_postimage"),
+        ]
+    )
+    # folding the changes onto the base snapshot reproduces the live table
+    folded = _rows(
+        t.read(spark, version=base)
+        .unionByName(
+            cdf.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select("k", "v")
+        )
+        .exceptAll(
+            cdf.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select("k", "v")
+        )
+    )
+    assert folded == _rows(t.read(spark))
+
+
+def test_cdf_merge_composite_keys(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+            "k1 long, k2 string, v long",
+        ),
+        key_cols=["k1", "k2"],
+        num_buckets=2,
+    )
+    base = t.version()
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1, "b", 25), (3, "c", 99)], "k1 long, k2 string, v long"
+        ),
+        key_cols=["k1", "k2"],
+    )
+    cdf = t.read_changes_cdf(spark, base)
+    assert _rows(cdf.select("k1", "k2", "v", "_change_type")) == sorted(
+        [
+            (1, "b", 20, "update_preimage"),
+            (1, "b", 25, "update_postimage"),
+            (3, "c", 99, "insert"),
+        ]
+    )
+
+
+def test_cdf_merge_keys_only_table(spark, tmp_path):
+    """Keys-only index (no payload columns): matched keys can never
+    change, so a merge's CDF is pure inserts."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(k,) for k in range(5)], "k long"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    base = t.version()
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(3,), (9,)], "k long"),
+        key_cols=["k"],
+    )
+    cdf = t.read_changes_cdf(spark, base)
+    assert _rows(cdf.select("k", "_change_type")) == [(9, "insert")]
+
+
+def test_cdf_merge_vacuumed_preimage_truncates(spark, tmp_path):
+    from odbc2deltalake_spark.tablestore import ChangeFeedTruncatedError
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(8)], "k long, v long"
+        ),
+        key_cols=["k"],
+        num_buckets=4,
+    )
+    base = t.version()
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, 999)], "k long, v long"),
+        key_cols=["k"],
+    )
+    t.checkpoint(full=True)
+    t.vacuum(retain_versions=1)
+    with pytest.raises(ChangeFeedTruncatedError):
+        t.read_changes_cdf(spark, base).count()

@@ -433,3 +433,44 @@ def test_cdf_fold_after_column_set_exprs_falls_back(spark, source, tmp_path):
     )
     mv.refresh(spark)
     assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+
+
+def test_merge_source_folds_without_recompute(spark, tmp_path):
+    """The CDC hot path maintains its tables via merge_upsert; a
+    retractable view over such a source folds each merge through the
+    CDF diff of the replaced buckets — never a full source re-scan."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "cdc_index")
+    t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=8)
+    mv = _retractable_mv(t, tmp_path)
+    mv.refresh(spark)  # initial baseline (overwrite commit)
+    before = _rows(mv.read(spark))
+
+    # CDC batch: updated values for some existing keys + brand-new keys
+    batch = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") * 3
+    ).unionByName(
+        ev.limit(0)
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_001, 1, "merge_new", 5.0),
+                 (10_000_002, 2, "merge_new", 7.0)],
+                "event_id long, user_id long, event_type string, value double",
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    t.merge_upsert(spark, batch, key_cols=["event_id"])
+    orig = _no_snapshot(t)
+    try:
+        rng = mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert rng is not None
+    got = _rows(mv.read(spark))
+    assert got == _rows(mv.recompute(spark))
+    assert got != before
+    assert any(r[0] == "merge_new" for r in got)
+    assert mv.refresh(spark) is None
