@@ -631,3 +631,96 @@ def mv_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- CDF-retraction view maintenance ----
+# r8 flagship #2 with a cross-engine oracle: a retractable rollup view
+# over a MERGE-maintained store (the CDC hot path's layout) is refreshed
+# across an upsert batch, a predicate UPDATE, and a predicate DELETE —
+# every one of them folds through read_changes_cdf (pre-images retract,
+# post-images add) rather than re-scanning the source, and the driver
+# checks the final view against DuckDB replaying the same lifecycle as
+# plain SQL. Integer cents (floor(value*100), the events_ext.py:261
+# pattern) keep the retraction arithmetic exact across engines.
+
+_MV_CDF_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         (CASE WHEN event_id % 7 = 0
+               THEN CAST(floor(value * 100) AS BIGINT) * 3
+               ELSE CAST(floor(value * 100) AS BIGINT) END)
+         * (CASE WHEN event_id <= (SELECT max(event_id) // 10 FROM events)
+                 THEN 2 ELSE 1 END) AS cents
+  FROM events
+  WHERE event_type IS DISTINCT FROM 'error'
+)
+SELECT event_type,
+       count(*) AS n_events,
+       sum(cents) AS total_cents,
+       round(avg(cents), 4) AS avg_cents
+FROM f
+GROUP BY event_type
+"""
+
+
+@register("mv_cdf_retraction", _MV_CDF_ORACLE,
+          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+def mv_cdf_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup view maintained through merge + UPDATE + DELETE == the
+    same lifecycle replayed as one SQL query.
+
+    Schedule: bucketized initial load -> refresh (baseline); merge
+    batch tripling cents for event_id % 7 == 0 -> refresh (merge-CDF
+    fold: update pre/post images from the replaced buckets only);
+    UPDATE doubling cents below the id cut, then DELETE of the 'error'
+    type -> one refresh folding BOTH DML commits (deletes and
+    pre-images as negated partials). The emptied 'error' group must
+    vanish from the view exactly as a recompute would drop it."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cut = max_id // 10
+    root = tempfile.mkdtemp(prefix="mv_cdf_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=8)
+        mv = MaterializedAggregate(
+            t,
+            f"{root}/view",
+            group_cols=["event_type"],
+            aggs={
+                "n_events": ("count", None),
+                "total_cents": ("sum", "cents"),
+                "avg_cents": ("avg", "cents"),
+            },
+        )
+        mv.refresh(spark)  # baseline over the overwrite commit
+        t.merge_upsert(
+            spark,
+            ev.filter(F.col("event_id") % 7 == 0).withColumn(
+                "cents", F.col("cents") * 3
+            ),
+            key_cols=["event_id"],
+        )
+        mv.refresh(spark)  # merge-CDF fold
+        t.update_where(spark, {"cents": "cents * 2"}, ("event_id", "<=", cut))
+        t.delete_where(spark, ("event_type", "=", "error"))
+        mv.refresh(spark)  # DML-CDF fold (both commits, one range)
+        out = mv.read(spark).select(
+            "event_type",
+            "n_events",
+            "total_cents",
+            F.round("avg_cents", 4).alias("avg_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
