@@ -703,6 +703,11 @@ def mv_cdf_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_cents": ("avg", "cents"),
             },
         )
+        # pin the fold-vs-recompute cost guard OPEN: this fixture's 1/7
+        # batch hashes into all 8 buckets, where production-sized tables
+        # would route to recompute — the point here is that the FOLD
+        # arithmetic is exact against the oracle, so force it
+        mv.FOLD_COST_FACTOR = 100.0
         mv.refresh(spark)  # baseline over the overwrite commit
         t.merge_upsert(
             spark,

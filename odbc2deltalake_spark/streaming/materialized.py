@@ -292,18 +292,27 @@ class MaterializedAggregate:
             self.tailer.skip_to(to_v)
             return (last, to_v)
 
+    # A fold scans ~fold_rows (two map-side partial aggregations, no
+    # join); one recompute scans table_rows once. Past this ratio the
+    # recompute wins — e.g. a merge batch whose keys hash into every
+    # bucket makes fold_rows ~ 2x table_rows.
+    FOLD_COST_FACTOR = 0.8
+
     def _fold_cdf(self, spark: SparkSession, to_v: int) -> bool:
-        """Try folding the blocked range through the DML-aware CDF
-        (``read_changes_cdf``): inserts and update post-images ADD,
-        deletes and update pre-images SUBTRACT (negated counters), so a
-        source DELETE/UPDATE maintains the view in O(change set) instead
-        of a table-sized recompute. Returns False — caller re-baselines —
-        when the aggregates are not retractable (min/max cannot un-take
-        an extremum), when no ``count`` aggregate tracks group liveness
-        (a sum-only view cannot distinguish an emptied group from
-        sum==0, and recompute drops emptied groups), when the view holds
-        no prior state, or when the range itself is not CDF-representable
-        (overwrite, Column-SET update, truncation)."""
+        """Try folding the blocked range through the coarse retraction
+        feed (``read_changes_fold``): adds ADD, subs SUBTRACT (negated
+        partials), so a source DELETE/UPDATE/MERGE maintains the view in
+        O(change set) instead of a table-sized recompute — with no
+        classification join: a merge's unchanged rows appear in both
+        adds and subs and cancel arithmetically. Returns False — caller
+        re-baselines — when the aggregates are not retractable (min/max
+        cannot un-take an extremum), when no ``count`` aggregate tracks
+        group liveness (a sum-only view cannot distinguish an emptied
+        group from sum==0, and recompute drops emptied groups), when the
+        view holds no prior state, when the range is not
+        fold-representable (overwrite, Column-SET update, truncation),
+        or when the feed's metadata cost estimate says one recompute
+        scan is cheaper than the fold's."""
         kinds = {kind for kind, _ in self.aggs.values()}
         if not kinds <= {"count", "sum", "avg"}:
             return False
@@ -318,17 +327,16 @@ class MaterializedAggregate:
         if applied == -1:
             return False
         try:
-            cdf = self.source.read_changes_cdf(spark, applied, to_v)
+            adds, subs, cost = self.source.read_changes_fold(
+                spark, applied, to_v
+            )
         except ValueError:
             return False
-        except AttributeError:  # source store without CDF support
+        except AttributeError:  # source store without a fold feed
             return False
-        adds = cdf.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).drop("_change_type", "_commit_version")
-        subs = cdf.filter(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ).drop("_change_type", "_commit_version")
+        fr, tr = cost.get("fold_rows"), cost.get("table_rows")
+        if fr and tr and fr > self.FOLD_COST_FACTOR * tr:
+            return False  # metadata says the recompute scan is cheaper
         neg = self._partial(subs)
         neg = neg.select(
             *self.group_cols,

@@ -2240,51 +2240,10 @@ class VersionedParquetTable(TableStore):
             if "compacted_from" in c:
                 continue  # rows-preserving OPTIMIZE: zero change rows
             if mode == "restore" and c.get("dml_op"):
-                prev = self._state_at(v - 1)
-                cur_names = {d["dir"] for d in c["dirs"]}
-                replaced = [
-                    d for d in prev["dirs"] if d["dir"] not in cur_names
-                ]
-                for d in replaced:
-                    if not self.backend.exists(self._path(d["dir"])):
-                        raise ChangeFeedTruncatedError(
-                            f"change feed truncated: version {v}'s "
-                            f"pre-image dir {d['dir']!r} was vacuumed — "
-                            "re-baseline"
-                        )
-                conj = [
-                    (cc, op, self._stat_deser(val))
-                    for cc, op, val in c["dml_predicate"]
-                ]
-                match = F.coalesce(
-                    self._conjuncts_predicate(conj), F.lit(False)
-                )
-                pre = self._read_dir_entries(
-                    spark, replaced, table_schema
-                ).filter(match)
-                if c["dml_op"] == "delete":
+                pre, post = self._dml_images(spark, c, v, table_schema)
+                if post is None:
                     parts.append(tag(pre, "delete", v))
                     continue
-                if "dml_set_exprs" not in c:
-                    raise ValueError(
-                        f"version {v} is an UPDATE whose SET expressions "
-                        "were not recorded (Column objects) — not "
-                        "CDF-representable; re-baseline from "
-                        "read(version=...)"
-                    )
-                sets = {
-                    k: F.expr(s) for k, s in c["dml_set_exprs"].items()
-                }
-                post = pre.select(
-                    *[
-                        (
-                            sets[f.name].cast(f.dataType).alias(f.name)
-                            if f.name in sets
-                            else F.col(f.name)
-                        )
-                        for f in table_schema.fields
-                    ]
-                )
                 parts.append(tag(pre, "update_preimage", v))
                 parts.append(tag(post, "update_postimage", v))
                 continue
@@ -2317,6 +2276,82 @@ class VersionedParquetTable(TableStore):
             out = out.unionByName(p)
         return out
 
+    def _dml_images(
+        self,
+        spark: SparkSession,
+        c: dict[str, Any],
+        v: int,
+        table_schema: T.StructType,
+    ) -> tuple[DataFrame, Optional[DataFrame]]:
+        """(pre-image, post-image) rows of one DML commit, synthesized
+        from metadata: the replaced dirs are the prior version's dirs
+        missing from the commit's dir list, the recorded predicate
+        selects the changed rows, and for updates the recorded SET text
+        re-derives the post-images. Post is None for a delete; an
+        update whose SET was passed as Column objects raises."""
+        prev = self._state_at(v - 1)
+        cur_names = {d["dir"] for d in c["dirs"]}
+        replaced = [d for d in prev["dirs"] if d["dir"] not in cur_names]
+        for d in replaced:
+            if not self.backend.exists(self._path(d["dir"])):
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s pre-image "
+                    f"dir {d['dir']!r} was vacuumed — re-baseline"
+                )
+        conj = [
+            (cc, op, self._stat_deser(val))
+            for cc, op, val in c["dml_predicate"]
+        ]
+        match = F.coalesce(self._conjuncts_predicate(conj), F.lit(False))
+        pre = self._read_dir_entries(spark, replaced, table_schema).filter(
+            match
+        )
+        if c["dml_op"] == "delete":
+            return pre, None
+        if "dml_set_exprs" not in c:
+            raise ValueError(
+                f"version {v} is an UPDATE whose SET expressions were "
+                "not recorded (Column objects) — not CDF-representable; "
+                "re-baseline from read(version=...)"
+            )
+        sets = {k: F.expr(s) for k, s in c["dml_set_exprs"].items()}
+        post = pre.select(
+            *[
+                (
+                    sets[f.name].cast(f.dataType).alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in table_schema.fields
+            ]
+        )
+        return pre, post
+
+    def _merge_preimage_entries(
+        self, c: dict[str, Any], v: int
+    ) -> tuple[list[dict[str, Any]], Optional[int]]:
+        """The prior version's dir entries for the buckets a merge
+        commit replaced, plus their metadata row count (None when any
+        replaced bucket lacks a recorded count). Raises
+        ChangeFeedTruncatedError when a pre-image dir was vacuumed."""
+        prev = self._state_at(v - 1)
+        rb = set(c.get("buckets_replaced") or [])
+        replaced = [d for d in prev["dirs"] if d.get("bucket") in rb]
+        for d in replaced:
+            if not self.backend.exists(self._path(d["dir"])):
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s pre-image "
+                    f"bucket dir {d['dir']!r} was vacuumed — re-baseline"
+                )
+        br = prev.get("bucket_rows") or {}
+        bids = {d.get("bucket") for d in replaced}
+        old_rows = (
+            sum(int(br[str(b)]) for b in bids)
+            if all(str(b) in br for b in bids)
+            else None
+        )
+        return replaced, old_rows
+
     def _merge_cdf(
         self,
         spark: SparkSession,
@@ -2332,16 +2367,13 @@ class VersionedParquetTable(TableStore):
         new key -> insert, changed payload -> pre+post images, identical
         payload (merge rewrote it byte-for-byte, or the row merely rode
         along in a rewritten bucket) -> nothing. old-only keys cannot
-        occur under upsert semantics but would emit an exact delete."""
-        prev = self._state_at(v - 1)
-        rb = set(c.get("buckets_replaced") or [])
-        replaced = [d for d in prev["dirs"] if d.get("bucket") in rb]
-        for d in replaced:
-            if not self.backend.exists(self._path(d["dir"])):
-                raise ChangeFeedTruncatedError(
-                    f"change feed truncated: version {v}'s pre-image "
-                    f"bucket dir {d['dir']!r} was vacuumed — re-baseline"
-                )
+        occur under upsert semantics but would emit an exact delete.
+
+        NOTE the classification join costs O(touched-bucket rows) with a
+        shuffle — consumers that only FOLD changes into sums/counts
+        should use :meth:`read_changes_fold`, where unchanged rows
+        cancel arithmetically and no join runs at all."""
+        replaced, _old_rows = self._merge_preimage_entries(c, v)
         keys = c["bucket_cols"]
         non_keys = [f.name for f in table_schema.fields if f.name not in keys]
 
@@ -2409,6 +2441,138 @@ class VersionedParquetTable(TableStore):
             ],
             F.col("__e.ct").alias("_change_type"),
             F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    def read_changes_fold(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> tuple[DataFrame, DataFrame, dict[str, Optional[int]]]:
+        """Coarse retraction feed for incremental aggregate maintenance:
+        ``(adds, subs, cost)``, where folding ``partial(adds) -
+        partial(subs)`` into a sum/count/avg view is EXACTLY equivalent
+        to folding the labeled :meth:`read_changes_cdf` rows — but with
+        no classification join. A MERGE commit contributes its entire
+        replaced buckets as subs and its replacement buckets as adds:
+        unchanged and ride-along rows appear identically on both sides
+        and cancel arithmetically, so correctness needs no per-key diff.
+        Appends contribute adds; DML deletes contribute their pre-images
+        as subs; DML updates contribute pre-images as subs and
+        SET-derived post-images as adds.
+
+        ``cost`` carries a metadata-only estimate so the consumer can
+        choose fold-vs-recompute without running a job:
+        ``fold_rows`` = rows the fold must scan beyond what any strategy
+        would read (merge old+new bucket rows from recorded per-bucket
+        counts, 2x rows_changed per DML commit; appends count zero —
+        a recompute reads them too), and ``table_rows`` = the snapshot
+        size at ``to_version`` when the layout is fully bucketized
+        (exact parquet-footer counts), else None. A fold whose
+        ``fold_rows`` approaches ``table_rows`` — e.g. a merge batch
+        whose keys hash into every bucket — is dominated by one
+        recompute scan, and the consumer should take that instead.
+
+        Same truncation contract as :meth:`read_changes_cdf`: vacuumed
+        pre-image dirs or log gaps raise ChangeFeedTruncatedError; a
+        non-representable commit (overwrite, Column-SET update) raises
+        ValueError."""
+        to_version = self.version() if to_version is None else to_version
+        table_schema = self.schema(to_version)
+        adds: list[DataFrame] = []
+        subs: list[DataFrame] = []
+        seen: set[int] = set()
+        fold_rows = 0
+        for name in self._commit_names():
+            v = int(name.split(".")[0])
+            if v <= from_version or v > to_version:
+                continue
+            seen.add(v)
+            c = json.loads(
+                self.backend.read_text(
+                    self.backend.join(self._commits_dir, name)
+                )
+            )
+            mode = c["mode"]
+            if mode == "append":
+                if not c.get("dir"):
+                    continue  # metadata-only commit
+                if not self.backend.exists(self._path(c["dir"])):
+                    raise ChangeFeedTruncatedError(
+                        f"change feed truncated: version {v}'s data dir "
+                        f"{c['dir']!r} was vacuumed — re-baseline"
+                    )
+                adds.append(
+                    self._read_dir_entries(
+                        spark,
+                        [{"dir": c["dir"], "schema": c["written_schema"]}],
+                        table_schema,
+                    )
+                )
+                continue
+            if "compacted_from" in c:
+                continue  # rows-preserving OPTIMIZE
+            if mode == "restore" and c.get("dml_op"):
+                pre, post = self._dml_images(spark, c, v, table_schema)
+                subs.append(pre)
+                if post is not None:
+                    adds.append(post)
+                fold_rows += 2 * int(c.get("rows_changed") or 0)
+                continue
+            if mode == "merge":
+                replaced, old_rows = self._merge_preimage_entries(c, v)
+                if replaced:
+                    subs.append(
+                        self._read_dir_entries(spark, replaced, table_schema)
+                    )
+                new_entries = list(c.get("dirs_added") or [])
+                if new_entries:
+                    adds.append(
+                        self._read_dir_entries(
+                            spark, new_entries, table_schema
+                        )
+                    )
+                new_rows = sum(
+                    int(r) for r in (c.get("bucket_rows") or {}).values()
+                )
+                fold_rows += (old_rows or 0) + new_rows
+                continue
+            raise ValueError(
+                f"version {v} is a {mode} commit — not representable as "
+                "a change feed; re-baseline from read(version=...)"
+            )
+        missing = sorted(set(range(from_version + 1, to_version + 1)) - seen)
+        if missing:
+            shown = missing[:5] if len(missing) <= 5 else missing[:5] + ["..."]
+            raise ChangeFeedTruncatedError(
+                f"change feed truncated: commits {shown} in "
+                f"({from_version}, {to_version}] were removed by log "
+                "truncation — re-baseline"
+            )
+        st = self._state_at(to_version)
+        dirs = st["dirs"]
+        table_rows: Optional[int] = None
+        if (
+            dirs
+            and all(d.get("bucket") is not None for d in dirs)
+            and st["bucket_rows"]
+            and {d["bucket"] for d in dirs}
+            == {int(b) for b in st["bucket_rows"]}
+        ):
+            table_rows = int(sum(st["bucket_rows"].values()))
+
+        def union(parts: list[DataFrame]) -> DataFrame:
+            if not parts:
+                return spark.createDataFrame([], table_schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        return (
+            union(adds),
+            union(subs),
+            {"fold_rows": fold_rows, "table_rows": table_rows},
         )
 
     def set_properties(self, props: dict[str, str]) -> int:

@@ -438,13 +438,17 @@ def test_cdf_fold_after_column_set_exprs_falls_back(spark, source, tmp_path):
 def test_merge_source_folds_without_recompute(spark, tmp_path):
     """The CDC hot path maintains its tables via merge_upsert; a
     retractable view over such a source folds each merge through the
-    CDF diff of the replaced buckets — never a full source re-scan."""
+    coarse retraction feed (replaced buckets subtract, replacements
+    add) — never a full source re-scan. The cost guard is pinned open
+    because this small fixture's batch hashes into most of its 8
+    buckets; the guard's own behavior has a dedicated test below."""
     ev = load_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     t = VersionedParquetTable(tmp_path / "cdc_index")
     t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=8)
     mv = _retractable_mv(t, tmp_path)
+    mv.FOLD_COST_FACTOR = 100.0
     mv.refresh(spark)  # initial baseline (overwrite commit)
     before = _rows(mv.read(spark))
 
@@ -474,3 +478,41 @@ def test_merge_source_folds_without_recompute(spark, tmp_path):
     assert got != before
     assert any(r[0] == "merge_new" for r in got)
     assert mv.refresh(spark) is None
+
+
+def test_fold_cost_guard_prefers_recompute(spark, tmp_path):
+    """A merge batch whose keys hash into every bucket makes the fold
+    scan ~2x the table; the metadata cost estimate must route the
+    refresh to one recompute scan instead (still exact)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "cdc_index")
+    t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=4)
+    mv = _retractable_mv(t, tmp_path)
+    mv.refresh(spark)
+    t.merge_upsert(
+        spark,
+        ev.withColumn("value", F.col("value") * 2),  # every key, every bucket
+        key_cols=["event_id"],
+    )
+    calls = {"fold_feed": 0, "snapshot": 0}
+    orig_fold, orig_read = t.read_changes_fold, t.read
+
+    def counting_fold(*a, **k):
+        calls["fold_feed"] += 1
+        return orig_fold(*a, **k)
+
+    def counting_read(*a, **k):
+        calls["snapshot"] += 1
+        return orig_read(*a, **k)
+
+    t.read_changes_fold, t.read = counting_fold, counting_read
+    try:
+        assert mv.refresh(spark) is not None
+    finally:
+        t.read_changes_fold, t.read = orig_fold, orig_read
+    # the feed was consulted (metadata only), but the data path was the
+    # single snapshot scan
+    assert calls["fold_feed"] == 1 and calls["snapshot"] >= 1
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
