@@ -269,6 +269,12 @@ EXCLUDED = {
         "tested (tests/test_dml_properties.py) and the query itself "
         "asserts stats pruning confined the UPDATE"
     ),
+    "mv_cdf_retraction": (
+        "multi-commit merge+DML lifecycle whose refreshes fold through "
+        "read_changes_fold; returns a checkpointed view — the fold "
+        "shape (no classification join, cost-guard routing) is pinned "
+        "by tests/test_materialized_view.py and the SCALE.md study"
+    ),
 }
 
 
