@@ -3057,6 +3057,68 @@ class VersionedParquetTable(TableStore):
             extra_commit_fields=extra_commit_fields,
         )
 
+    def merge_delete_keys(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        key_cols: list[str],
+        extra_commit_fields: Optional[dict[str, Any]] = None,
+    ) -> int:
+        """Delete the rows whose key tuple appears in ``keys`` — Delta
+        MERGE's ``whenMatchedDelete`` (the shape CDC hard-deletes arrive
+        in: a key SET, not a predicate, so ``delete_where``'s conjunct
+        predicates can't express it). On a bucketized table this
+        rewrites ONLY the buckets containing the victim keys (same
+        asymptotics as ``merge_upsert``); the commit is mode ``merge``,
+        so the change feed synthesizes exact ``delete`` rows for the
+        vanished keys and ``read_changes_fold`` retracts them — a
+        keyed delete never forces a view re-baseline.
+
+        On an unbucketized table this falls back to one full anti-join
+        rewrite THROUGH ``_bucketize_full`` (an overwrite commit — the
+        one-time conversion cost ``merge_upsert`` also pays, after
+        which deletes are partial)."""
+        st = self._state_at()
+        keys = keys.select(*key_cols).distinct()
+        tagged = bool(st["dirs"]) and all(
+            d.get("bucket") is not None for d in st["dirs"]
+        )
+        if not tagged:
+            target = self.read(spark)
+            kept = target.join(keys, on=key_cols, how="left_anti")
+            return self._bucketize_full(
+                kept, key_cols, st["num_buckets"],
+                self.DEFAULT_TARGET_BUCKET_ROWS,
+                extra_commit_fields=extra_commit_fields,
+            )
+        if list(st.get("bucket_cols") or []) != list(key_cols):
+            raise ValueError(
+                f"table is bucketized on {st.get('bucket_cols')}, not on "
+                f"{key_cols} — keyed delete must use the bucket keys"
+            )
+        stored_kt = self._bucket_key_schema(st, key_cols)
+        if stored_kt is None:
+            raise ValueError("bucket key types unavailable; cannot route")
+        nb = st["num_buckets"]
+        key_types = {f.name: f.dataType for f in stored_kt.fields}
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
+            F.lit(nb),
+        ).cast("int")
+        touched = sorted(
+            r[0]
+            for r in keys.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
+        )
+        if not touched:
+            return self.version()  # empty key set: nothing to do
+        kept = self.read(spark, buckets=touched).join(
+            keys, on=key_cols, how="left_anti"
+        )
+        return self._write_bucketized(
+            kept, key_cols, nb, replace=touched, key_types=key_types,
+            extra_commit_fields=extra_commit_fields,
+        )
+
     def _bucketize_full(
         self,
         df: DataFrame,

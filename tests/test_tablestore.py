@@ -985,3 +985,86 @@ def test_txn_composes_with_caller_set_props(spark, tmp_path):
     )
     assert t.get_property("txn.app") == "5"
     assert t.get_property("mv.applied_to") == "9"
+
+
+# ----------------------- r8: keyed deletes (whenMatchedDelete) ------------
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_delete_keys_partial_rewrite(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark, _df(spark, [(i, f"v{i}") for i in range(40)]), ["id"],
+        num_buckets=8,
+    )
+    dirs_before = {d["dir"] for d in t._state_at()["dirs"]}
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(3,), (17,)], "id long"), ["id"]
+    )
+    st = t._state_at()
+    assert _sorted(t.read(spark)) == [
+        (i, f"v{i}") for i in range(40) if i not in (3, 17)
+    ]
+    # only the victim keys' buckets were rewritten
+    untouched = {d["dir"] for d in st["dirs"]} & dirs_before
+    assert untouched and len(untouched) >= 6 - 2
+    # metadata row count stays exact
+    assert t.count_rows(spark) == 38
+    # absent keys are a no-op delete (no rows vanish)
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(999,)], "id long"), ["id"]
+    )
+    assert t.count_rows(spark) == 38
+
+
+def test_merge_delete_keys_empty_set_is_noop(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(spark, _df(spark, [(1, "a")]), ["id"], num_buckets=2)
+    v = t.version()
+    empty = spark.createDataFrame([], "id long")
+    assert t.merge_delete_keys(spark, empty, ["id"]) == v
+
+
+def test_merge_delete_keys_unbucketized_converts(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(2,)], "id long"), ["id"]
+    )
+    assert _sorted(t.read(spark)) == [(1, "a"), (3, "c")]
+    # the conversion bucketized the table: the NEXT delete is partial
+    assert t._state_at()["num_buckets"] is not None
+
+
+def test_merge_delete_keys_wrong_keys_rejected(spark, tmp_path):
+    import pytest
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(spark, _df(spark, [(1, "a")]), ["id"], num_buckets=2)
+    with pytest.raises(ValueError, match="bucketized on"):
+        t.merge_delete_keys(
+            spark, spark.createDataFrame([("a",)], "v string"), ["v"]
+        )
+
+
+def test_merge_delete_keys_emits_cdf_deletes(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark, _df(spark, [(i, f"v{i}") for i in range(10)]), ["id"],
+        num_buckets=4,
+    )
+    base = t.version()
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(4,), (7,)], "id long"), ["id"]
+    )
+    cdf = t.read_changes_cdf(spark, base)
+    assert _sorted(cdf.select("id", "v", "_change_type")) == [
+        (4, "v4", "delete"), (7, "v7", "delete")
+    ]
+    adds, subs, cost = t.read_changes_fold(spark, base)
+    # coarse feed retracts exactly the victims: subs minus adds
+    assert _sorted(subs.exceptAll(adds)) == [(4, "v4"), (7, "v7")]
+    assert cost["table_rows"] == 8
