@@ -38,6 +38,25 @@ heads, exactly Delta CDF's re-backfill story. Rows-preserving OPTIMIZE
 commits contribute zero change rows and flow straight through
 (tablestore.read_changes skips them), so nightly compaction never
 forces a re-baseline.
+
+**Retraction mode** (``left_key=...``, r8): when the left side declares
+a unique key (the fact PK — view rows are then keyed by it, provided
+the right side is unique on the join keys, the star-schema dim
+contract), source DML and merges fold INCREMENTALLY through the labeled
+change feed instead of re-baselining:
+
+  - left changes: post-images join the pinned right and MERGE into the
+    view by ``left_key``; keys whose post-image no longer joins (or
+    that were deleted) are dropped in the SAME commit
+    (``merge_upsert(delete_keys=...)``), so the marker stays atomic
+    with both the adds and the retractions.
+  - right changes: the affected join keys' fact slice (bucket-pruned)
+    re-joins the new right; vanished matches (dim delete, dim key
+    moved) delete by the slice's left keys, again one commit.
+
+Without a declared key, multiset retraction on an append-only view
+would need weighted rows (the differential-dataflow route) or a
+rewrite; the class keeps the re-baseline fallback for that case.
 """
 
 from __future__ import annotations
@@ -73,18 +92,27 @@ class MaterializedJoin:
         on: list[str],
         left_cols: list[str],
         right_cols: list[str],
+        left_key: Optional[list[str]] = None,
     ):
         overlap = set(left_cols) & set(right_cols)
         if overlap:
             raise ValueError(f"left/right column collision: {sorted(overlap)}")
         if set(on) & (set(left_cols) | set(right_cols)):
             raise ValueError("join keys are carried implicitly; do not list them")
+        if left_key:
+            unknown = set(left_key) - set(on) - set(left_cols)
+            if unknown:
+                raise ValueError(
+                    f"left_key columns {sorted(unknown)} are not part of "
+                    "the view (must be join keys or left_cols)"
+                )
         self.left = left
         self.right = right
         self.view = VersionedParquetTable(root)
         self.on = list(on)
         self.left_cols = list(left_cols)
         self.right_cols = list(right_cols)
+        self.left_key = list(left_key) if left_key else None
 
     # ---------- cursors ----------
 
@@ -132,14 +160,133 @@ class MaterializedJoin:
             ),
             on=self.on,
         )
-        self.view.write(
-            self._project(joined),
-            mode="overwrite",
+        rows = self._project(joined)
+        props = {
+            "set_props": {
+                self.APPLIED_LEFT: str(va),
+                self.APPLIED_RIGHT: str(vb),
+            }
+        }
+        if self.left_key:
+            # keep the view bucketized through (re-)baselines so every
+            # subsequent fold is a partial merge, never a conversion
+            # rewrite; stale keys (a re-baseline after a source
+            # overwrite may shrink the row set) delete in the same
+            # commit
+            stale = None
+            if self.view.exists():
+                stale = (
+                    self.view.read(spark)
+                    .select(*self.left_key)
+                    .distinct()
+                    .join(
+                        rows.select(*self.left_key),
+                        on=self.left_key,
+                        how="left_anti",
+                    )
+                )
+            self.view.merge_upsert(
+                spark, rows, key_cols=self.left_key, delete_keys=stale,
+                extra_commit_fields=props,
+            )
+            return
+        self.view.write(rows, mode="overwrite", extra_commit_fields=props)
+
+    # ---------- retraction mode (left_key) ----------
+
+    def _cdf_sides(
+        self, table: VersionedParquetTable, spark: SparkSession,
+        lo: int, hi: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        cdf = table.read_changes_cdf(spark, lo, hi)
+        adds = cdf.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type", "_commit_version")
+        subs = cdf.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).drop("_change_type", "_commit_version")
+        return adds, subs
+
+    def _present_in_view(
+        self, spark: SparkSession, keys: DataFrame
+    ) -> DataFrame:
+        """Restrict candidate delete keys to ones actually in the view —
+        a fact row that never matched a dim has no view row, and
+        deleting an absent key would still rewrite its bucket."""
+        buckets = self.view.buckets_for_keys(keys, self.left_key)
+        view_keys = (
+            self.view.read(spark, buckets=buckets)
+            if buckets is not None
+            else self.view.read(spark)
+        ).select(*self.left_key)
+        return keys.join(view_keys, on=self.left_key, how="left_semi")
+
+    def _fold_left(
+        self, spark: SparkSession, applied_a: int, head_a: int,
+        applied_b: int,
+    ) -> None:
+        """Fold left-side changes (appends, merges, DML alike) against
+        the right pinned BELOW its unfolded commits; adds upsert, keys
+        whose post-image vanished or no longer joins delete — one
+        commit, marker included."""
+        adds, subs = self._cdf_sides(self.left, spark, applied_a, head_a)
+        adds = adds.select(*self._side(self.left, self.left_cols))
+        pinned_b = self._pinned(
+            spark, self.right, applied_b, self.right_cols,
+            adds.select(*self.on).distinct(),
+        )
+        new_rows = self._project(adds.join(pinned_b, on=self.on))
+        cand = (
+            adds.select(*self.left_key)
+            .unionByName(subs.select(*self.left_key))
+            .distinct()
+        )
+        gone = self._present_in_view(
+            spark,
+            cand.join(
+                new_rows.select(*self.left_key),
+                on=self.left_key, how="left_anti",
+            ),
+        )
+        self.view.merge_upsert(
+            spark, new_rows, key_cols=self.left_key, delete_keys=gone,
             extra_commit_fields={
-                "set_props": {
-                    self.APPLIED_LEFT: str(va),
-                    self.APPLIED_RIGHT: str(vb),
-                }
+                "set_props": {self.APPLIED_LEFT: str(head_a)}
+            },
+        )
+
+    def _fold_right(
+        self, spark: SparkSession, applied_b: int, head_b: int,
+        head_a: int,
+    ) -> None:
+        """Fold right-side changes: the affected join keys' fact slice
+        (bucket-pruned when the fact is bucketized on the join keys)
+        re-joins the new right; vanished matches delete by the slice's
+        left keys — one commit, marker included."""
+        adds, subs = self._cdf_sides(self.right, spark, applied_b, head_b)
+        jk = (
+            adds.select(*self.on)
+            .unionByName(subs.select(*self.on))
+            .distinct()
+        )
+        a_slice = self._pinned(
+            spark, self.left, head_a, self.left_cols, jk
+        ).join(jk, on=self.on, how="left_semi")
+        pinned_b = self._pinned(spark, self.right, head_b, self.right_cols, jk)
+        new_rows = self._project(a_slice.join(pinned_b, on=self.on))
+        gone = self._present_in_view(
+            spark,
+            a_slice.select(*self.left_key)
+            .distinct()
+            .join(
+                new_rows.select(*self.left_key),
+                on=self.left_key, how="left_anti",
+            ),
+        )
+        self.view.merge_upsert(
+            spark, new_rows, key_cols=self.left_key, delete_keys=gone,
+            extra_commit_fields={
+                "set_props": {self.APPLIED_RIGHT: str(head_b)}
             },
         )
 
@@ -147,7 +294,9 @@ class MaterializedJoin:
         """Fold both sides' unprocessed commits into the view. Returns
         the new (left, right) applied versions, or None when already
         current. A non-delta range on either side re-baselines once at
-        the current heads."""
+        the current heads — unless ``left_key`` retraction mode is on,
+        where DML/merge commits fold incrementally and only
+        overwrites/truncation re-baseline."""
         head_a = self.left.version()
         head_b = self.right.version()
         applied_a = self._applied(self.APPLIED_LEFT)
@@ -157,6 +306,20 @@ class MaterializedJoin:
             return (head_a, head_b)
         if head_a <= applied_a and head_b <= applied_b:
             return None
+        if self.left_key:
+            try:
+                if head_a > applied_a:
+                    self._fold_left(spark, applied_a, head_a, applied_b)
+                    applied_a = head_a
+                if head_b > applied_b:
+                    self._fold_right(spark, applied_b, head_b, applied_a)
+                    applied_b = head_b
+            except (ValueError, ChangeFeedTruncatedError):
+                head_a = self.left.version()
+                head_b = self.right.version()
+                self._baseline(spark, head_a, head_b)
+                return (head_a, head_b)
+            return (applied_a, applied_b)
         try:
             # step L: left deltas against the OLD right
             if head_a > applied_a:

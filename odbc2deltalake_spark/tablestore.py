@@ -2948,9 +2948,18 @@ class VersionedParquetTable(TableStore):
         num_buckets: Optional[int] = None,
         target_bucket_rows: Optional[int] = None,
         extra_commit_fields: Optional[dict[str, Any]] = None,
+        delete_keys: Optional[DataFrame] = None,
     ) -> int:
         """MERGE on key equality: whenMatchedUpdateAll /
-        whenNotMatchedInsertAll (reference:odbc2deltalake/reader/spark_reader.py:329-350).
+        whenNotMatchedInsertAll (reference:odbc2deltalake/reader/spark_reader.py:329-350),
+        plus whenMatchedDelete when ``delete_keys`` is given: those key
+        tuples are dropped in the SAME commit the upserts land in —
+        consumers that must apply adds and retractions atomically (an
+        incremental join view's exactly-once marker) get one commit,
+        one marker, no crash window between an upsert and its paired
+        delete. A key appearing in both ``source`` and ``delete_keys``
+        is an upsert (the delete targets only pre-existing rows, like
+        Delta's clause ordering).
 
         Hash-bucketed: rows are stored in ``pmod(xxhash64(keys), NB)``
         buckets (one parquet dir each), and a merge rewrites ONLY the
@@ -2983,6 +2992,8 @@ class VersionedParquetTable(TableStore):
         history table is append-only.
         """
         target_rows = target_bucket_rows or self.DEFAULT_TARGET_BUCKET_ROWS
+        if delete_keys is not None:
+            delete_keys = delete_keys.select(*key_cols).distinct()
         if not self.exists():
             return self._bucketize_full(
                 source, key_cols, num_buckets, target_rows,
@@ -3041,6 +3052,7 @@ class VersionedParquetTable(TableStore):
                 return self._merge_partial(
                     spark, source, key_cols, st, stored_kt,
                     extra_commit_fields=extra_commit_fields,
+                    delete_keys=delete_keys,
                 )
             # key-type drift or grown table: one full rewrite re-pins
             # types / doubles NB, then merges go back to partial
@@ -3051,6 +3063,14 @@ class VersionedParquetTable(TableStore):
         # unbucketed table (or drift/rebucket fall-through): full conversion
         target = self.read(spark)
         keep = target.join(source.select(*key_cols), on=key_cols, how="left_anti")
+        if delete_keys is not None:
+            keep = keep.join(
+                delete_keys.join(
+                    source.select(*key_cols), on=key_cols, how="left_anti"
+                ),
+                on=key_cols,
+                how="left_anti",
+            )
         merged = source.unionByName(keep, allowMissingColumns=True)
         return self._bucketize_full(
             merged, key_cols, num_buckets or st["num_buckets"], target_rows,
@@ -3158,23 +3178,37 @@ class VersionedParquetTable(TableStore):
         st: dict[str, Any],
         stored_kt: T.StructType,
         extra_commit_fields: Optional[dict[str, Any]] = None,
+        delete_keys: Optional[DataFrame] = None,
     ) -> int:
-        """Partial merge: rewrite only buckets containing source keys."""
+        """Partial merge: rewrite only buckets containing source (or
+        delete) keys."""
         nb = st["num_buckets"]
         key_types = {f.name: f.dataType for f in stored_kt.fields}
         bexpr = F.pmod(
             F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
             F.lit(nb),
         ).cast("int")
+        probe = source.select(*key_cols)
+        if delete_keys is not None:
+            probe = probe.unionByName(delete_keys)
         touched = sorted(
             r[0]
-            for r in source.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
+            for r in probe.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
         )
         # scan ONLY touched-bucket dirs (file-level pruning via the log)
         target_touched = self.read(spark, buckets=touched)
         keep = target_touched.join(
             source.select(*key_cols), on=key_cols, how="left_anti"
         )
+        if delete_keys is not None:
+            # delete only keys NOT being re-upserted this commit
+            keep = keep.join(
+                delete_keys.join(
+                    source.select(*key_cols), on=key_cols, how="left_anti"
+                ),
+                on=key_cols,
+                how="left_anti",
+            )
         merged = source.unionByName(keep, allowMissingColumns=True)
         return self._write_bucketized(
             merged, key_cols, nb, replace=touched, key_types=key_types,

@@ -325,3 +325,165 @@ def test_composite_keys_and_null_keys(spark, tmp_path):
     mv.refresh(spark)
     _check(spark, mv)
     assert (2, "y", "a5", "b3") in _sorted_rows(mv.read(spark))
+
+
+# ------------------- r8: retraction mode (left_key) -----------------------
+
+
+def _commit_modes(t, since=0):
+    import json as _json
+
+    out = []
+    for name in t._commit_names():
+        v = int(name.split(".")[0])
+        if v >= since:
+            out.append(
+                _json.loads(
+                    t.backend.read_text(t.backend.join(t._commits_dir, name))
+                )["mode"]
+            )
+    return out
+
+
+def _mvj_keyed(tmp_path, tag=""):
+    a = VersionedParquetTable(tmp_path / f"ka{tag}")
+    b = VersionedParquetTable(tmp_path / f"kb{tag}")
+    mv = MaterializedJoin(
+        a, b, tmp_path / f"kview{tag}", on=["ck"],
+        left_cols=["ok", "price"], right_cols=["seg"],
+        left_key=["ok"],
+    )
+    return a, b, mv
+
+
+def test_left_key_rejects_unknown_columns(tmp_path):
+    import pytest
+
+    a = VersionedParquetTable(tmp_path / "a")
+    b = VersionedParquetTable(tmp_path / "b")
+    with pytest.raises(ValueError, match="left_key"):
+        MaterializedJoin(a, b, tmp_path / "v", on=["ck"],
+                         left_cols=["ok"], right_cols=["seg"],
+                         left_key=["nope"])
+
+
+def test_keyed_view_folds_left_dml(spark, tmp_path):
+    """Fact UPDATE/DELETE/keyed-delete fold through the change feed —
+    no overwrite commit lands on the view after the baseline, and the
+    fact table itself is never snapshot-read."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.write(_mk(spark, [(o, o % 4, float(o)) for o in range(20)],
+                "ok long, ck long, price double"))
+    b.write(_mk(spark, [(c, f"s{c}") for c in range(4)], "ck long, seg string"))
+    mv.refresh(spark)
+    _check(spark, mv)
+    base_view_v = mv.view.version()
+
+    a.update_where(spark, {"price": "price * 10"}, ("ok", "<=", 5))
+    a.delete_where(spark, ("ok", "=", 11))
+    orig = a.read
+    a.read = lambda *x, **k: (_ for _ in ()).throw(
+        AssertionError("fact snapshot read — fold expected")
+    )
+    try:
+        assert mv.refresh(spark) is not None
+    finally:
+        a.read = orig
+    _check(spark, mv)
+    assert mv.read(spark).filter("ok = 11").count() == 0
+    assert mv.read(spark).filter("ok = 2").first()["price"] == 20.0
+    assert "overwrite" not in _commit_modes(mv.view, since=base_view_v + 1)
+    assert mv.refresh(spark) is None
+
+
+def test_keyed_view_folds_fact_join_key_move(spark, tmp_path):
+    """A fact UPDATE that MOVES the join key re-homes the view row to
+    the new dim (or drops it when the new key has no dim)."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.write(_mk(spark, [(1, 0, 5.0), (2, 1, 7.0)],
+                "ok long, ck long, price double"))
+    b.write(_mk(spark, [(0, "s0"), (1, "s1")], "ck long, seg string"))
+    mv.refresh(spark)
+    a.update_where(spark, {"ck": "1"}, ("ok", "=", 1))   # 0 -> 1 (has dim)
+    a.update_where(spark, {"ck": "9"}, ("ok", "=", 2))   # 1 -> 9 (no dim)
+    assert mv.refresh(spark) is not None
+    _check(spark, mv)
+    got = {r["ok"]: r["seg"] for r in mv.read(spark).collect()}
+    assert got == {1: "s1"}  # ok=1 re-homed, ok=2 dropped
+
+
+def test_keyed_view_folds_right_dml(spark, tmp_path):
+    """Dim UPDATE rewrites the affected orders' rows; dim DELETE drops
+    them — incrementally (no overwrite commit on the view)."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.write(_mk(spark, [(o, o % 4, float(o)) for o in range(20)],
+                "ok long, ck long, price double"))
+    b.write(_mk(spark, [(c, f"s{c}") for c in range(4)], "ck long, seg string"))
+    mv.refresh(spark)
+    base_view_v = mv.view.version()
+
+    b.update_where(spark, {"seg": "'gold'"}, ("ck", "=", 1))
+    b.delete_where(spark, ("ck", "=", 3))
+    assert mv.refresh(spark) is not None
+    _check(spark, mv)
+    segs = {r["ok"]: r["seg"] for r in mv.read(spark).collect()}
+    assert segs[1] == "gold" and segs[5] == "gold"
+    assert all(ok % 4 != 3 for ok in segs)  # ck=3 orders gone
+    assert "overwrite" not in _commit_modes(mv.view, since=base_view_v + 1)
+
+
+def test_keyed_view_folds_merge_sources(spark, tmp_path):
+    """Both sides maintained by merge_upsert (the CDC layout): upsert
+    batches fold; a keyed delete on the fact retracts its view row."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.merge_upsert(spark, _mk(spark, [(o, o % 4, float(o)) for o in range(20)],
+                              "ok long, ck long, price double"),
+                   key_cols=["ok"], num_buckets=4)
+    b.merge_upsert(spark, _mk(spark, [(c, f"s{c}") for c in range(4)],
+                              "ck long, seg string"),
+                   key_cols=["ck"], num_buckets=2)
+    mv.refresh(spark)
+    _check(spark, mv)
+
+    a.merge_upsert(spark, _mk(spark, [(2, 2, 99.0), (100, 1, 1.0)],
+                              "ok long, ck long, price double"),
+                   key_cols=["ok"])
+    b.merge_upsert(spark, _mk(spark, [(2, "platinum")], "ck long, seg string"),
+                   key_cols=["ck"])
+    assert mv.refresh(spark) is not None
+    _check(spark, mv)
+    a.merge_delete_keys(spark, _mk(spark, [(7,)], "ok long"), ["ok"])
+    assert mv.refresh(spark) is not None
+    _check(spark, mv)
+    assert mv.read(spark).filter("ok = 7").count() == 0
+
+
+def test_keyed_view_unmatched_insert_then_dim_arrives(spark, tmp_path):
+    """A fact row landing before its dim is invisible; when the dim
+    arrives the right-side fold surfaces it."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.write(_mk(spark, [(1, 0, 5.0)], "ok long, ck long, price double"))
+    b.write(_mk(spark, [(0, "s0")], "ck long, seg string"))
+    mv.refresh(spark)
+    a.write(_mk(spark, [(2, 8, 6.0)], "ok long, ck long, price double"))
+    mv.refresh(spark)
+    assert mv.read(spark).filter("ok = 2").count() == 0
+    b.write(_mk(spark, [(8, "s8")], "ck long, seg string"))
+    mv.refresh(spark)
+    _check(spark, mv)
+    assert mv.read(spark).filter("ok = 2").first()["seg"] == "s8"
+
+
+def test_keyed_view_overwrite_still_rebaselines(spark, tmp_path):
+    """A source overwrite is not fold-representable even in retraction
+    mode — one re-baseline, then incremental again."""
+    a, b, mv = _mvj_keyed(tmp_path)
+    a.write(_mk(spark, [(1, 0, 5.0), (2, 0, 6.0)],
+                "ok long, ck long, price double"))
+    b.write(_mk(spark, [(0, "s0")], "ck long, seg string"))
+    mv.refresh(spark)
+    a.write(_mk(spark, [(3, 0, 9.0)], "ok long, ck long, price double"),
+            mode="overwrite")
+    assert mv.refresh(spark) is not None
+    _check(spark, mv)
+    assert {r["ok"] for r in mv.read(spark).collect()} == {3}

@@ -1068,3 +1068,34 @@ def test_merge_delete_keys_emits_cdf_deletes(spark, tmp_path):
     # coarse feed retracts exactly the victims: subs minus adds
     assert _sorted(subs.exceptAll(adds)) == [(4, "v4"), (7, "v7")]
     assert cost["table_rows"] == 8
+
+
+def test_merge_upsert_with_delete_keys_one_commit(spark, tmp_path):
+    """Upserts + keyed deletes land atomically: ONE commit, marker
+    included — the shape an incremental join view applies."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark, _df(spark, [(i, f"v{i}") for i in range(10)]), ["id"],
+        num_buckets=4,
+    )
+    v0 = t.version()
+    t.merge_upsert(
+        spark,
+        _df(spark, [(3, "NEW3"), (42, "ins")]),
+        ["id"],
+        delete_keys=spark.createDataFrame([(5,), (3,)], "id long"),
+        extra_commit_fields={"set_props": {"m": "1"}},
+    )
+    assert t.version() == v0 + 1  # exactly one commit
+    assert t.get_property("m") == "1"
+    got = dict(_sorted(t.read(spark)))
+    assert got[3] == "NEW3"      # upsert wins over its own delete key
+    assert 5 not in got          # pre-existing row deleted
+    assert got[42] == "ins"
+    assert len(got) == 10        # 10 - 1 deleted + 1 inserted
+    # CDF of the combined commit: update pair for 3, delete for 5,
+    # insert for 42
+    cdf = t.read_changes_cdf(spark, v0)
+    by = _sorted(cdf.select("id", "_change_type"))
+    assert by == [(3, "update_postimage"), (3, "update_preimage"),
+                  (5, "delete"), (42, "insert")]
