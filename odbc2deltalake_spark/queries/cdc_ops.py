@@ -729,3 +729,122 @@ def mv_cdf_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------------------------- retraction-mode join view ----
+# The keyed-join-view path (MaterializedJoin(left_key=...)) with a
+# cross-engine oracle: a star-schema orders x customer view whose fact
+# side takes UPDATEs (one of them MOVING the join key), a band DELETE,
+# and a re-pricing merge batch, and whose dim side takes an UPDATE and
+# a DELETE — every commit folds incrementally (the final history check
+# pins that no re-baseline happened), and the maintained view must
+# equal DuckDB replaying the whole lifecycle as plain SQL. Integer
+# cents keep the x2/x3 arithmetic exact across engines.
+
+_MV_JOIN_RETRACT_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN o_orderkey > (SELECT max(o_orderkey) - max(o_orderkey) // 10
+                                 FROM orders)
+              THEN o_custkey + 1 ELSE o_custkey END AS custkey,
+         o_orderkey AS orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           * (CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 10 FROM orders)
+                   THEN 2
+                   WHEN o_orderkey > 2 * (SELECT max(o_orderkey) // 10 FROM orders)
+                        AND o_orderkey <= 3 * (SELECT max(o_orderkey) // 10 FROM orders)
+                   THEN 3
+                   ELSE 1 END) AS cents
+  FROM orders
+  WHERE NOT (o_orderkey > (SELECT max(o_orderkey) // 10 FROM orders)
+             AND o_orderkey <= 2 * (SELECT max(o_orderkey) // 10 FROM orders))
+),
+d AS (
+  SELECT c_custkey AS custkey, c_name,
+         CASE WHEN c_custkey <= (SELECT max(c_custkey) // 10 FROM customer)
+              THEN 'GOLD' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  WHERE c_custkey <= (SELECT max(c_custkey) - max(c_custkey) // 10 FROM customer)
+)
+SELECT f.custkey, f.orderkey, f.cents, d.c_name, d.c_mktsegment
+FROM f JOIN d ON f.custkey = d.custkey
+"""
+
+
+@register("mv_join_retraction", _MV_JOIN_RETRACT_ORACLE,
+          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+def mv_join_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed join view maintained through DML + merges == the same
+    lifecycle replayed as one SQL join (Delta CDF folded into a MERGE'd
+    view; reference:odbc2deltalake/reader/spark_reader.py:329-350 owns
+    the writer-side MERGE this view applies its deltas with).
+
+    Schedule: bucketized loads -> refresh (baseline, view bucketized by
+    the fact PK); fact UPDATE doubling cents below the id cut + fact
+    UPDATE moving the top decile's JOIN KEY (custkey+1 — the max key's
+    orders now point at a customer that does not exist and must vanish)
+    + fact band DELETE -> one refresh folding all three; fact merge
+    batch tripling a band's cents -> refresh; dim UPDATE (segment ->
+    'GOLD') + dim DELETE of the top custkey decile -> one refresh
+    retracting every affected order row — including rows the key-move
+    re-homed INTO the deleted decile. The history check pins that the
+    view never re-baselined: every post-baseline commit is a merge."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.streaming import MaterializedJoin
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    # control-plane scalars, same discipline as a watermark probe
+    maxok = orders.agg(F.max("orderkey")).collect()[0][0] or 0
+    maxck = cust.agg(F.max("custkey")).collect()[0][0] or 0
+    cut, top = maxok // 10, maxok - maxok // 10
+    dcut, dtop = maxck // 10, maxck - maxck // 10
+    root = tempfile.mkdtemp(prefix="mv_join_retract_")
+    try:
+        fact = VersionedParquetTable(f"{root}/orders")
+        dim = VersionedParquetTable(f"{root}/customer")
+        fact.merge_upsert(spark, orders, key_cols=["orderkey"], num_buckets=8)
+        dim.merge_upsert(spark, cust, key_cols=["custkey"], num_buckets=4)
+        mv = MaterializedJoin(
+            fact, dim, f"{root}/view", on=["custkey"],
+            left_cols=["orderkey", "cents"],
+            right_cols=["c_name", "c_mktsegment"],
+            left_key=["orderkey"],
+        )
+        mv.refresh(spark)  # baseline
+        base_v = mv.view.version()
+        fact.update_where(spark, {"cents": "cents * 2"}, ("orderkey", "<=", cut))
+        fact.update_where(
+            spark, {"custkey": "custkey + 1"}, ("orderkey", ">", top)
+        )
+        fact.delete_where(
+            spark, [("orderkey", ">", cut), ("orderkey", "<=", 2 * cut)]
+        )
+        mv.refresh(spark)  # left fold: three DML commits, one view merge
+        fact.merge_upsert(
+            spark,
+            orders.filter(
+                (F.col("orderkey") > 2 * cut) & (F.col("orderkey") <= 3 * cut)
+            ).withColumn("cents", F.col("cents") * 3),
+            key_cols=["orderkey"],
+        )
+        mv.refresh(spark)  # left fold: merge commit
+        dim.update_where(
+            spark, {"c_mktsegment": "'GOLD'"}, ("custkey", "<=", dcut)
+        )
+        dim.delete_where(spark, ("custkey", ">", dtop))
+        mv.refresh(spark)  # right fold: affected custkeys' fact slice
+        assert mv.refresh(spark) is None  # cursors current, idempotent
+        modes = {h["mode"] for h in mv.view.history() if h["version"] > base_v}
+        assert modes <= {"merge"}, f"view re-baselined: {modes}"
+        return mv.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -275,6 +275,14 @@ EXCLUDED = {
         "shape (no classification join, cost-guard routing) is pinned "
         "by tests/test_materialized_view.py and the SCALE.md study"
     ),
+    "mv_join_retraction": (
+        "multi-commit DML+merge lifecycle on a keyed join view "
+        "(MaterializedJoin left_key retraction mode); returns a "
+        "checkpointed view — the fold shape (CDF images merged by fact "
+        "PK, bucket-pruned delete keys, no re-baseline) is pinned by "
+        "tests/test_materialized_join.py and the query's own history "
+        "assertion"
+    ),
 }
 
 
