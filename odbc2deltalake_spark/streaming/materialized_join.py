@@ -198,7 +198,16 @@ class MaterializedJoin:
         self, table: VersionedParquetTable, spark: SparkSession,
         lo: int, hi: int,
     ) -> tuple[DataFrame, DataFrame]:
-        cdf = table.read_changes_cdf(spark, lo, hi)
+        """Delta-sized add/retract images, materialized ONCE: the CDF
+        synthesis (predicate-filtered replaced-dir reads, merge-slice
+        classification joins) feeds 3-4 downstream jobs per fold (bucket
+        probes, the view merge, the vanished-key anti-join) — without
+        the checkpoint every one of them would re-run the synthesis, and
+        the fold's wall time would scale with job COUNT x synthesis
+        cost instead of once-per-refresh."""
+        cdf = table.read_changes_cdf(spark, lo, hi).localCheckpoint(
+            eager=True
+        )
         adds = cdf.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         ).drop("_change_type", "_commit_version")
@@ -207,19 +216,29 @@ class MaterializedJoin:
         ).drop("_change_type", "_commit_version")
         return adds, subs
 
-    def _present_in_view(
+    def _vanished(
         self, spark: SparkSession, keys: DataFrame
-    ) -> DataFrame:
-        """Restrict candidate delete keys to ones actually in the view —
-        a fact row that never matched a dim has no view row, and
-        deleting an absent key would still rewrite its bucket."""
+    ) -> Optional[DataFrame]:
+        """Delete keys for the view merge, or None when nothing
+        vanished. Two scans are avoided here: the common fold (append /
+        value-update — every changed key still joins) short-circuits on
+        the delta-sized candidate set WITHOUT touching the view at all,
+        and when keys did vanish the presence check is restricted to
+        ones actually in the view — a fact row that never matched a dim
+        has no view row, and deleting an absent key would still rewrite
+        its bucket."""
+        keys = keys.localCheckpoint(eager=True)
+        if keys.isEmpty():
+            return None
         buckets = self.view.buckets_for_keys(keys, self.left_key)
         view_keys = (
             self.view.read(spark, buckets=buckets)
             if buckets is not None
             else self.view.read(spark)
         ).select(*self.left_key)
-        return keys.join(view_keys, on=self.left_key, how="left_semi")
+        return keys.join(
+            view_keys, on=self.left_key, how="left_semi"
+        ).localCheckpoint(eager=True)
 
     def _fold_left(
         self, spark: SparkSession, applied_a: int, head_a: int,
@@ -235,13 +254,17 @@ class MaterializedJoin:
             spark, self.right, applied_b, self.right_cols,
             adds.select(*self.on).distinct(),
         )
-        new_rows = self._project(adds.join(pinned_b, on=self.on))
+        # delta-sized; pin once — merge consumes it for the bucket
+        # probe, the write, and the vanished-key anti-join below
+        new_rows = self._project(
+            adds.join(pinned_b, on=self.on)
+        ).localCheckpoint(eager=True)
         cand = (
             adds.select(*self.left_key)
             .unionByName(subs.select(*self.left_key))
             .distinct()
         )
-        gone = self._present_in_view(
+        gone = self._vanished(
             spark,
             cand.join(
                 new_rows.select(*self.left_key),
@@ -273,8 +296,13 @@ class MaterializedJoin:
             spark, self.left, head_a, self.left_cols, jk
         ).join(jk, on=self.on, how="left_semi")
         pinned_b = self._pinned(spark, self.right, head_b, self.right_cols, jk)
-        new_rows = self._project(a_slice.join(pinned_b, on=self.on))
-        gone = self._present_in_view(
+        # the affected slice and its re-join feed three jobs (probe,
+        # write, anti-join) — pin both once, delta-sized
+        a_slice = a_slice.localCheckpoint(eager=True)
+        new_rows = self._project(
+            a_slice.join(pinned_b, on=self.on)
+        ).localCheckpoint(eager=True)
+        gone = self._vanished(
             spark,
             a_slice.select(*self.left_key)
             .distinct()
