@@ -416,7 +416,7 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
         )
 
     if simple:
-        return _finish_simple(ctx, res, src_count, simple_check)
+        return _finish_simple(ctx, res, src_count, simple_check, delta_rows=n1)
 
     # step 3 — strange updates (reference:db_to_delta.py:995-1184)
     assert old_pk_version is not None
@@ -458,7 +458,11 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
 
 
 def _finish_simple(
-    ctx: _Ctx, res: DeltaLoadResult, src_count: int, simple_check: bool
+    ctx: _Ctx,
+    res: DeltaLoadResult,
+    src_count: int,
+    simple_check: bool,
+    delta_rows: Optional[int] = None,
 ) -> LoadResult:
     """Simple-delta tail: merge delta_1 keys into latest_pk, drop the
     snapshot, count-check, optionally escalate
@@ -480,9 +484,25 @@ def _finish_simple(
         ctx.pk_names,
         ctx.delta_name,
     )
-    dest.latest_pk_version.merge_upsert(ctx.spark, merged, ctx.pk_names)
-    # metadata-backed count: the merge just recorded exact per-bucket row
-    # counts in its commit, so the reconcile costs zero jobs
+    # write-optimized merge: the keys index is written every load and
+    # read rarely (bucket probes, counts), so merge-on-read fits — a
+    # small delta commits as one O(|batch|) patch dir instead of
+    # rewriting every bucket its uniformly-hashed keys touch; the auto
+    # bounds fold the chain back into the bucketized base before
+    # read-side reconciliation cost can accumulate
+    dest.latest_pk_version.merge_upsert(
+        ctx.spark,
+        merged,
+        ctx.pk_names,
+        strategy="auto",
+        # delta_1's exact row count was observed at write time;
+        # latest-per-pk of it can only be smaller, so the auto fraction
+        # decision needs no extra count job (None → merge counts once)
+        batch_rows_hint=delta_rows,
+    )
+    # count reconcile: metadata-backed when unpatched (zero jobs); with
+    # an outstanding patch chain only the patch-touched buckets are
+    # count-read — cost scales with the delta, not the index
     target_count = dest.latest_pk_version.count_rows(ctx.spark)
     res.dirty = src_count != target_count
     if res.dirty:

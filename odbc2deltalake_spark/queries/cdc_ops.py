@@ -848,3 +848,113 @@ def mv_join_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------- merge-on-read roundtrip ----
+# Lifecycle proof for strategy="patch" (the r8 merge-on-read engine):
+# three patch commits — upsert, keyed delete, then a latest-wins
+# re-upsert that RESURRECTS part of the deleted keys — are read back
+# with the chain still outstanding, so the driver hashes the read-time
+# reconciliation (_reconcile_patches) against an independent DuckDB
+# rendering of the same lifecycle, not against the store itself. The
+# CASE order in the oracle encodes newest-commit-wins.
+
+_MOR_ORACLE = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM (
+    SELECT o.event_id,
+           o.user_id,
+           CASE WHEN o.event_id <= m.mx // 10 THEN 'patched2'
+                WHEN o.event_id <= m.mx // 5 THEN 'patched'
+                ELSE o.event_type END AS event_type,
+           CASE WHEN o.event_id <= m.mx // 10 THEN o.value * 3
+                WHEN o.event_id <= m.mx // 5 THEN o.value * 2
+                ELSE o.value END AS value
+    FROM events o, m
+    WHERE o.event_id <= m.mx // 10
+       OR o.event_type IS DISTINCT FROM 'error'
+    UNION ALL
+    SELECT o.event_id + m.mx + 1, o.user_id, 'inserted', o.value + 1
+    FROM events o, m
+    WHERE o.event_id <= m.mx // 20
+)
+"""
+
+
+@register(
+    "store_mor_roundtrip",
+    _MOR_ORACLE,
+    tags=("store", "merge", "flagship"),
+    priority=100,
+)
+def store_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle == the same mutations rendered as SQL.
+
+    Delta Lake's deletion-vector MERGE / Iceberg merge-on-read shape:
+    each mutation commits as ONE delta-sized patch dir (O(|batch|)
+    write cost however the keys hash across buckets — the
+    merge-on-write alternative rewrites every touched bucket, which for
+    a uniformly-hashed delta approaches a table rewrite; the reference
+    leans on Delta MERGE for this,
+    reference:odbc2deltalake/reader/spark_reader.py:329-350). Reads
+    reconcile the chain: newest patch commit wins per key, tombstones
+    drop, patched keys anti-join out of the base. Three commits here —
+    (1) upsert: transform the low fifth of keys + insert clones above
+    max_id, (2) delete every 'error' key, (3) re-upsert the low tenth,
+    which must override commit 1's values AND resurrect the error keys
+    commit 2 deleted. The returned read happens with all three patches
+    outstanding (asserted), so the value hash certifies read-time
+    reconciliation, not a folded rewrite."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    root = tempfile.mkdtemp(prefix="store_mor_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.merge_upsert(spark, ev, ["event_id"])  # bucketized base
+        up1 = ev.filter(F.col("event_id") <= mx // 5).select(
+            "event_id",
+            "user_id",
+            F.lit("patched").alias("event_type"),
+            (F.col("value") * 2).alias("value"),
+        )
+        ins = ev.filter(F.col("event_id") <= mx // 20).select(
+            (F.col("event_id") + mx + 1).alias("event_id"),
+            "user_id",
+            F.lit("inserted").alias("event_type"),
+            (F.col("value") + 1).alias("value"),
+        )
+        t.merge_upsert(
+            spark, up1.unionByName(ins), ["event_id"], strategy="patch"
+        )
+        t.merge_delete_keys(
+            spark,
+            ev.filter(F.col("event_type") == "error").select("event_id"),
+            ["event_id"],
+            strategy="patch",
+        )
+        up3 = ev.filter(F.col("event_id") <= mx // 10).select(
+            "event_id",
+            "user_id",
+            F.lit("patched2").alias("event_type"),
+            (F.col("value") * 3).alias("value"),
+        )
+        t.merge_upsert(spark, up3, ["event_id"], strategy="patch")
+        st = t._state_at()
+        assert len(st["patches"]) == 3, st["patches"]  # chain outstanding
+        out = t.read(spark).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

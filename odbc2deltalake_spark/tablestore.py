@@ -588,6 +588,7 @@ class TableStore(ABC):
 # ------------------------------------------------------------------------
 
 _BUCKET_COL = "__bucket"
+_PATCH_DEL_COL = "__patch_deleted"
 
 
 def _relax_nullability(dt: T.DataType) -> T.DataType:
@@ -739,6 +740,7 @@ class VersionedParquetTable(TableStore):
         if not names:
             raise TableNotFoundError(self._root_str)
         live: list[dict[str, Any]] = []
+        patches: list[dict[str, Any]] = []
         schema_json: str | None = None
         props: dict[str, str] = {}
         num_buckets: Optional[int] = None
@@ -766,6 +768,7 @@ class VersionedParquetTable(TableStore):
                         )
                     )
                     live = list(base["dirs"])
+                    patches = list(base.get("patches") or [])
                     schema_json = base["schema"]
                     props = dict(base["props"])
                     num_buckets = base["num_buckets"]
@@ -774,7 +777,7 @@ class VersionedParquetTable(TableStore):
                     bucket_rows = dict(base["bucket_rows"] or {})
                     last = int(base["version"])
                 except Exception:
-                    live, props, bucket_rows = [], {}, {}
+                    live, patches, props, bucket_rows = [], [], {}, {}
                     schema_json = None
                     num_buckets = bucket_cols = bucket_key_types = None
                     last = -1
@@ -815,17 +818,31 @@ class VersionedParquetTable(TableStore):
             mode = c["mode"]
             if mode == "overwrite":
                 live = []
+                patches = []
                 bucket_rows = {}
             if mode == "restore":
                 live = list(c["dirs"])
+                patches = list(c.get("patches") or [])
                 bucket_rows = dict(c.get("bucket_rows") or {})
             elif mode == "merge":
+                # every merge writer folds outstanding patches into the
+                # rewritten buckets (probe expansion) — cleared here
                 replaced = set(c.get("buckets_replaced") or [])
                 live = [d for d in live if d.get("bucket") not in replaced]
                 live.extend(c.get("dirs_added") or [])
+                patches = []
                 for b in replaced:
                     bucket_rows.pop(str(b), None)
                 bucket_rows.update(c.get("bucket_rows") or {})
+            elif mode == "patch":
+                patches.append(
+                    {
+                        "dir": c["dir"],
+                        "schema": c["written_schema"],
+                        "version": v,
+                        "rows": c.get("patch_rows"),
+                    }
+                )
             elif c.get("dirs_added"):
                 live.extend(c["dirs_added"])
                 bucket_rows.update(c.get("bucket_rows") or {})
@@ -849,6 +866,7 @@ class VersionedParquetTable(TableStore):
             raise ValueError(f"version {version} does not exist for {self._root_str}")
         return {
             "dirs": live,
+            "patches": patches,
             "schema": schema_json,
             "props": props,
             "version": last,
@@ -1001,8 +1019,11 @@ class VersionedParquetTable(TableStore):
                 else:
                     pruned.append({**d, "__files": sorted(keep)})
             dirs = pruned
+        patches = st.get("patches") or []
         if not dirs:
             out = spark.createDataFrame([], target)
+            if patches:
+                out = self._reconcile_patches(spark, out, st, buckets)
             return self._apply_skip_filter(out, skip_where)
         groups: dict[str, list[str]] = {}
         for d in dirs:
@@ -1044,7 +1065,97 @@ class VersionedParquetTable(TableStore):
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if patches:
+            out = self._reconcile_patches(spark, out, st, buckets)
         return self._apply_skip_filter(out, skip_where)
+
+    def _patch_frame(
+        self,
+        spark: SparkSession,
+        st: dict[str, Any],
+        buckets: Optional[Iterable[int]] = None,
+    ) -> Optional[DataFrame]:
+        """Union of a state's patch dirs cast to the table schema, with
+        ``__patch_deleted`` (tombstone flag) and ``__patch_v`` (commit
+        version) carried — the raw merge-on-read side before
+        reconciliation. Delta-sized by the patch-chain bound. ``buckets``
+        filters rows by the stored hash routing, mirroring the base
+        side's dir pruning."""
+        patches = st.get("patches") or []
+        if not patches:
+            return None
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        parts = []
+        for p in patches:
+            written = T.StructType.fromJson(json.loads(p["schema"]))
+            raw = spark.read.schema(written).parquet(self._path(p["dir"]))
+            have = set(raw.columns)
+            parts.append(
+                raw.select(
+                    *[
+                        (
+                            F.col(f.name).cast(_relax_nullability(f.dataType))
+                            if f.name in have
+                            else F.lit(None).cast(
+                                _relax_nullability(f.dataType)
+                            )
+                        ).alias(f.name)
+                        for f in target.fields
+                    ],
+                    F.col(_PATCH_DEL_COL),
+                ).withColumn("__patch_v", F.lit(p["version"]).cast("long"))
+            )
+        pdf = parts[0]
+        for p in parts[1:]:
+            pdf = pdf.unionByName(p)
+        if buckets is not None:
+            key_cols = st["bucket_cols"] or []
+            kt = self._bucket_key_schema(st, key_cols)
+            if kt is not None and st["num_buckets"]:
+                key_types = {f.name: f.dataType for f in kt.fields}
+                bexpr = F.pmod(
+                    F.xxhash64(
+                        *[F.col(c).cast(key_types[c]) for c in key_cols]
+                    ),
+                    F.lit(st["num_buckets"]),
+                ).cast("int")
+                pdf = pdf.filter(bexpr.isin(*[int(b) for b in buckets]))
+        return pdf
+
+    def _reconcile_patches(
+        self,
+        spark: SparkSession,
+        base: DataFrame,
+        st: dict[str, Any],
+        buckets: Optional[Iterable[int]] = None,
+    ) -> DataFrame:
+        """Merge-on-read: apply a state's patch chain over the base scan.
+        Per key, the NEWEST patch commit wins (rank over ``__patch_v`` —
+        rank, not row_number, so duplicate-key sources keep every row of
+        the winning commit exactly as the rewrite path would); tombstoned
+        keys drop; every patched key is anti-joined out of the base. The
+        patch side is delta-sized (bounded by PATCH_MAX_FRACTION x table
+        and the PATCH_MAX_CHAIN fold trigger), so the anti-join
+        broadcasts under AQE — read cost is base + |patches|, never a
+        bucket rewrite. This is the Delta deletion-vector / Iceberg
+        merge-on-read shape: mutations are delta-sized at write time and
+        reconciled at read time, with ``fold_patches`` (or any merge /
+        DML / overwrite) amortizing the chain back into the base."""
+        from pyspark.sql.window import Window
+
+        pdf = self._patch_frame(spark, st, buckets)
+        if pdf is None:
+            return base
+        key_cols = st["bucket_cols"] or []
+        w = Window.partitionBy(*key_cols).orderBy(F.col("__patch_v").desc())
+        latest = (
+            pdf.withColumn("__patch_rk", F.rank().over(w))
+            .filter(F.col("__patch_rk") == 1)
+            .drop("__patch_rk", "__patch_v")
+        )
+        ups = latest.filter(~F.col(_PATCH_DEL_COL)).drop(_PATCH_DEL_COL)
+        keys = latest.select(*key_cols).distinct()
+        return base.join(keys, on=key_cols, how="left_anti").unionByName(ups)
 
     @staticmethod
     def _skip_conjuncts(skip_where) -> list[tuple[str, str, Any]]:
@@ -1234,6 +1345,16 @@ class VersionedParquetTable(TableStore):
         caller retries; the retry re-reads the marker and skips if the
         racer was the same (app, version)."""
         assert mode in ("append", "overwrite"), mode
+        if (
+            mode == "append"
+            and self.exists()
+            and self._state_at().get("patches")
+        ):
+            # an appended row for a patched key would be (wrongly)
+            # overridden by the older patch at read time — appends to a
+            # merge-on-read table fold the chain first (overwrites clear
+            # it by replacing the whole state)
+            self.fold_patches(df.sparkSession)
         if txn is not None:
             app_id, txn_version = txn
             if self.exists():
@@ -1501,6 +1622,7 @@ class VersionedParquetTable(TableStore):
                 "version": new_version,
                 "mode": "restore",
                 "dirs": st["dirs"],
+                "patches": st["patches"],
                 "schema": st["schema"],
                 "num_buckets": st["num_buckets"],
                 "bucket_cols": st["bucket_cols"],
@@ -1647,6 +1769,13 @@ class VersionedParquetTable(TableStore):
         if not conj:
             raise ValueError("a DML rewrite requires a predicate")
         st = self._state_at()
+        if st.get("patches"):
+            # DML rewrites dirs directly and its CDF synthesis derives
+            # pre-images from replaced dirs — both require an unpatched
+            # layout; fold the merge-on-read chain first (one merge
+            # commit over the patch keys' buckets)
+            self.fold_patches(spark)
+            st = self._state_at()
         dirs = st["dirs"]
         target = T.StructType.fromJson(json.loads(st["schema"]))
         kept_entries, affected = self._split_dirs_by_predicate(dirs, conj)
@@ -2250,6 +2379,9 @@ class VersionedParquetTable(TableStore):
             if mode == "merge":
                 parts.append(self._merge_cdf(spark, c, v, table_schema))
                 continue
+            if mode == "patch":
+                parts.append(self._patch_cdf(spark, c, v, table_schema))
+                continue
             raise ValueError(
                 f"version {v} is a {mode} commit — not representable as "
                 "a change feed; re-baseline from read(version=...)"
@@ -2443,6 +2575,123 @@ class VersionedParquetTable(TableStore):
             F.lit(v).cast("long").alias("_commit_version"),
         )
 
+    def _patch_cdf(
+        self,
+        spark: SparkSession,
+        c: dict[str, Any],
+        v: int,
+        table_schema: T.StructType,
+    ) -> DataFrame:
+        """Synthesize CDF rows for one merge-on-read PATCH commit. The
+        new side is the patch dir itself (delta-sized); the old side is
+        the prior version's rows for the patch keys' buckets (patch-
+        aware, bucket-pruned read). The same null-safe full-outer
+        classification as :meth:`_merge_cdf`, with two patch-specific
+        outcomes: a tombstone row whose key existed emits an exact
+        ``delete`` (absent-key tombstones emit nothing), and old-side
+        rows NOT in the patch are ride-alongs that emit nothing."""
+        if not self.backend.exists(self._path(c["dir"])):
+            raise ChangeFeedTruncatedError(
+                f"change feed truncated: version {v}'s patch dir "
+                f"{c['dir']!r} was vacuumed — re-baseline"
+            )
+        prev = self._state_at(v - 1)
+        keys = list(prev.get("bucket_cols") or [])
+        written = T.StructType.fromJson(json.loads(c["written_schema"]))
+        raw = spark.read.schema(written).parquet(self._path(c["dir"]))
+        have = set(raw.columns)
+        pr = raw.select(
+            *[
+                (
+                    F.col(f.name).cast(_relax_nullability(f.dataType))
+                    if f.name in have
+                    else F.lit(None).cast(_relax_nullability(f.dataType))
+                ).alias(f.name)
+                for f in table_schema.fields
+            ],
+            F.col(_PATCH_DEL_COL),
+        )
+        kt = self._bucket_key_schema(prev, keys)
+        pb = None
+        if kt is not None and prev.get("num_buckets"):
+            key_types = {f.name: f.dataType for f in kt.fields}
+            bexpr = F.pmod(
+                F.xxhash64(*[F.col(k).cast(key_types[k]) for k in keys]),
+                F.lit(prev["num_buckets"]),
+            ).cast("int")
+            pb = sorted(
+                r[0]
+                for r in pr.select(bexpr.alias("__b")).distinct().collect()
+            )
+        old = self.read(spark, version=v - 1, buckets=pb)
+        non_keys = [f.name for f in table_schema.fields if f.name not in keys]
+        pay = (
+            (lambda cols: F.struct(*cols))(non_keys)
+            if non_keys
+            else F.struct(F.lit(0))
+        )
+        o = old.select(*keys, pay.alias("__p")).alias("__o")
+        n = pr.select(
+            *keys, pay.alias("__p"), F.col(_PATCH_DEL_COL).alias("__del")
+        ).alias("__n")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        pre, post = F.col("__o.__p"), F.col("__n.__p")
+        dele = F.col("__n.__del")
+        ev = T.StructType(
+            [
+                T.StructField("ct", T.StringType()),
+                T.StructField("p", o.schema["__p"].dataType),
+            ]
+        )
+        null_arr = F.lit(None).cast(T.ArrayType(ev))
+        events = (
+            F.when(
+                dele.isNull(), null_arr  # old-only ride-along: nothing
+            )
+            .when(
+                dele & pre.isNotNull(),
+                F.array(F.struct(F.lit("delete").alias("ct"), pre.alias("p"))),
+            )
+            .when(dele, null_arr)  # tombstone for an absent key
+            .when(
+                pre.isNull(),
+                F.array(F.struct(F.lit("insert").alias("ct"), post.alias("p"))),
+            )
+            .when(
+                ~pre.eqNullSafe(post),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("ct"), pre.alias("p")
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("ct"), post.alias("p")
+                    ),
+                ),
+            )
+            .otherwise(null_arr)
+        )
+        joined = o.join(n, cond, "full_outer").select(
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+                for k in keys
+            ],
+            F.explode(events).alias("__e"),
+        )
+        return joined.select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in keys
+                    else F.col("__e.p")[f.name].alias(f.name)
+                )
+                for f in table_schema.fields
+            ],
+            F.col("__e.ct").alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
     def read_changes_fold(
         self,
         spark: SparkSession,
@@ -2536,6 +2785,41 @@ class VersionedParquetTable(TableStore):
                     int(r) for r in (c.get("bucket_rows") or {}).values()
                 )
                 fold_rows += (old_rows or 0) + new_rows
+                continue
+            if mode == "patch":
+                # merge-on-read commit: the exact pre/post images come
+                # from the same classification _patch_cdf synthesizes
+                # (delta-sized patch vs bucket-pruned prior read) —
+                # unlike a merge there are no ride-along rows to cancel,
+                # so the fold is already minimal
+                ch = self._patch_cdf(spark, c, v, table_schema)
+                aux = ["_change_type", "_commit_version"]
+                subs.append(
+                    ch.filter(
+                        F.col("_change_type").isin(
+                            "delete", "update_preimage"
+                        )
+                    ).drop(*aux)
+                )
+                adds.append(
+                    ch.filter(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        )
+                    ).drop(*aux)
+                )
+                n = int(c.get("patch_rows") or 0)
+                # classification scans the prior touched buckets: bound
+                # by one bucket per patch key (metadata-only estimate)
+                prev = self._state_at(v - 1)
+                meta = prev.get("bucket_rows") or {}
+                if meta and prev.get("num_buckets"):
+                    avg = sum(int(r) for r in meta.values()) / len(meta)
+                    fold_rows += int(
+                        avg * min(len(meta), max(n, 1))
+                    ) + n
+                else:
+                    fold_rows += 2 * n
                 continue
             raise ValueError(
                 f"version {v} is a {mode} commit — not representable as "
@@ -2707,6 +2991,11 @@ class VersionedParquetTable(TableStore):
             except ValueError:
                 continue  # version numbers need not be dense
             live_entries.update(d["dir"] for d in st["dirs"])
+            # merge-on-read patch dirs are as live as the base dirs they
+            # reconcile over — without this a retained patch commit's dir
+            # would be reclaimed as "superseded" (it IS in referenced_ever)
+            # and every read of the retained versions would lose its rows
+            live_entries.update(p["dir"] for p in (st.get("patches") or []))
         live_top = {e.split("/", 1)[0] for e in live_entries}
         # every top dir ANY commit ever referenced — one linear pass over
         # the raw log (no replay); membership proves the writer published
@@ -2717,7 +3006,11 @@ class VersionedParquetTable(TableStore):
             )
             if c.get("dir"):
                 referenced_ever.add(c["dir"].split("/", 1)[0])
-            for e in (c.get("dirs_added") or []) + (c.get("dirs") or []):
+            for e in (
+                (c.get("dirs_added") or [])
+                + (c.get("dirs") or [])
+                + (c.get("patches") or [])
+            ):
                 referenced_ever.add(e["dir"].split("/", 1)[0])
         now = _time.time()
         removed = []
@@ -2878,7 +3171,37 @@ class VersionedParquetTable(TableStore):
             and {d["bucket"] for d in dirs}
             == {int(b) for b in st["bucket_rows"]}
         ):
-            return int(sum(st["bucket_rows"].values()))
+            meta = {int(b): int(n) for b, n in st["bucket_rows"].items()}
+            if not st.get("patches"):
+                return sum(meta.values())
+            # patch inserts/tombstones shift the count off the recorded
+            # numbers — but only inside the buckets the patch keys hash
+            # to. Count-read just those (patch-aware) and take the rest
+            # from metadata: cost scales with the patch footprint, not
+            # the table.
+            key_cols = list(st["bucket_cols"] or [])
+            kt = self._bucket_key_schema(st, key_cols)
+            if kt is not None and st["num_buckets"]:
+                key_types = {f.name: f.dataType for f in kt.fields}
+                bexpr = F.pmod(
+                    F.xxhash64(
+                        *[F.col(c).cast(key_types[c]) for c in key_cols]
+                    ),
+                    F.lit(st["num_buckets"]),
+                ).cast("int")
+                pdf = self._patch_frame(spark, st)
+                touched = {
+                    r[0]
+                    for r in pdf.select(bexpr.alias("__b"))
+                    .distinct()
+                    .collect()
+                }
+                untouched = sum(
+                    n for b, n in meta.items() if b not in touched
+                )
+                return untouched + self.read(
+                    spark, buckets=sorted(touched)
+                ).count()
         return self.read(spark).count()
 
     # ---------- merge ----------
@@ -2940,6 +3263,15 @@ class VersionedParquetTable(TableStore):
                 return T.StructType([have[c] for c in key_cols])
         return None
 
+    # merge-on-read knobs: a patch commit is allowed while the chain is
+    # shorter than PATCH_MAX_CHAIN and the chain's total rows (including
+    # this batch) stay under PATCH_MAX_FRACTION of the table's recorded
+    # rows; past either bound the merge folds (rewrites buckets),
+    # amortizing the chain. Bounds both the read-side reconciliation
+    # cost and the CDF synthesis per patch commit.
+    PATCH_MAX_CHAIN = 8
+    PATCH_MAX_FRACTION = 0.2
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -2949,6 +3281,8 @@ class VersionedParquetTable(TableStore):
         target_bucket_rows: Optional[int] = None,
         extra_commit_fields: Optional[dict[str, Any]] = None,
         delete_keys: Optional[DataFrame] = None,
+        strategy: str = "rewrite",
+        batch_rows_hint: Optional[int] = None,
     ) -> int:
         """MERGE on key equality: whenMatchedUpdateAll /
         whenNotMatchedInsertAll (reference:odbc2deltalake/reader/spark_reader.py:329-350),
@@ -2990,6 +3324,25 @@ class VersionedParquetTable(TableStore):
         to bucketed layout in one rewrite; subsequent merges are partial.
         Used on the keys-only ``latest_pk_version`` index; the SCD2
         history table is append-only.
+
+        ``strategy`` picks merge-on-write vs merge-on-read:
+
+        - ``"rewrite"`` (default): today's behavior — rewrite the
+          touched buckets. A delta of uniformly-hashed keys touches ~all
+          buckets, so small-batch cost approaches a table rewrite —
+          Delta MERGE's profile without deletion vectors.
+        - ``"patch"``: write the batch as ONE delta-sized patch dir
+          (upserts + tombstones) and reconcile at read time — the
+          deletion-vector / Iceberg merge-on-read shape. Write cost is
+          O(|batch|) regardless of key spread. Requires the bucketized
+          layout on exactly ``key_cols`` and an unevolved schema.
+        - ``"auto"``: patch while the chain stays under
+          ``PATCH_MAX_CHAIN`` commits and ``PATCH_MAX_FRACTION`` of the
+          table's rows; otherwise rewrite (which folds the chain).
+
+        Any rewrite-path merge, DML, or overwrite folds outstanding
+        patches into the base (the probe expands to every patch key's
+        bucket), so a patch chain never survives a bucket rewrite.
         """
         target_rows = target_bucket_rows or self.DEFAULT_TARGET_BUCKET_ROWS
         if delete_keys is not None:
@@ -3049,6 +3402,17 @@ class VersionedParquetTable(TableStore):
                 and sum(rows.values()) / nb > self.REBUCKET_FACTOR * target_rows
             )
             if not drift and not oversize:
+                if strategy not in ("rewrite", "patch", "auto"):
+                    raise ValueError(f"unknown merge strategy {strategy!r}")
+                if strategy != "rewrite" and self._patch_route(
+                    spark, source, key_cols, st, delete_keys,
+                    forced=strategy == "patch",
+                    batch_rows_hint=batch_rows_hint,
+                ):
+                    return self._write_patch(
+                        spark, source, delete_keys, key_cols, st,
+                        extra_commit_fields=extra_commit_fields,
+                    )
                 return self._merge_partial(
                     spark, source, key_cols, st, stored_kt,
                     extra_commit_fields=extra_commit_fields,
@@ -3083,6 +3447,7 @@ class VersionedParquetTable(TableStore):
         keys: DataFrame,
         key_cols: list[str],
         extra_commit_fields: Optional[dict[str, Any]] = None,
+        strategy: str = "rewrite",
     ) -> int:
         """Delete the rows whose key tuple appears in ``keys`` — Delta
         MERGE's ``whenMatchedDelete`` (the shape CDC hard-deletes arrive
@@ -3119,15 +3484,31 @@ class VersionedParquetTable(TableStore):
         stored_kt = self._bucket_key_schema(st, key_cols)
         if stored_kt is None:
             raise ValueError("bucket key types unavailable; cannot route")
+        if strategy not in ("rewrite", "patch", "auto"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
+        if strategy != "rewrite" and self._patch_route(
+            spark, None, key_cols, st, keys, forced=strategy == "patch"
+        ):
+            return self._write_patch(
+                spark, None, keys, key_cols, st,
+                extra_commit_fields=extra_commit_fields,
+            )
         nb = st["num_buckets"]
         key_types = {f.name: f.dataType for f in stored_kt.fields}
         bexpr = F.pmod(
             F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
             F.lit(nb),
         ).cast("int")
+        probe = keys
+        if st.get("patches"):
+            # fold-through, same as _merge_partial: the merge commit
+            # clears the chain, so every patch key's bucket must rewrite
+            probe = probe.unionByName(
+                self._patch_frame(spark, st).select(*key_cols)
+            )
         touched = sorted(
             r[0]
-            for r in keys.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
+            for r in probe.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
         )
         if not touched:
             return self.version()  # empty key set: nothing to do
@@ -3137,6 +3518,170 @@ class VersionedParquetTable(TableStore):
         return self._write_bucketized(
             kept, key_cols, nb, replace=touched, key_types=key_types,
             extra_commit_fields=extra_commit_fields,
+        )
+
+    def _patch_route(
+        self,
+        spark: SparkSession,
+        source: Optional[DataFrame],
+        key_cols: list[str],
+        st: dict[str, Any],
+        delete_keys: Optional[DataFrame],
+        forced: bool,
+        batch_rows_hint: Optional[int] = None,
+    ) -> bool:
+        """Decide patch vs rewrite for an eligible merge. ``forced``
+        (strategy="patch") only validates the hard requirements and
+        raises when they don't hold; "auto" additionally applies the
+        chain/fraction bounds (one delta-sized count job — skipped when
+        the caller passes ``batch_rows_hint``, any UPPER bound on the
+        batch size: the bound only ever steers toward the rewrite
+        fallback, never past it) and falls back to rewrite quietly."""
+        tbl_cols = {f["name"] for f in json.loads(st["schema"])["fields"]}
+        extra = (
+            sorted(set(source.columns) - tbl_cols)
+            if source is not None
+            else []
+        )
+        same_keys = list(st.get("bucket_cols") or []) == list(key_cols)
+        if forced:
+            if extra:
+                raise ValueError(
+                    f"patch strategy cannot evolve schema (extra source "
+                    f"columns {extra}); use strategy='rewrite'"
+                )
+            if not same_keys:
+                raise ValueError(
+                    f"patch strategy requires the bucket keys "
+                    f"{st.get('bucket_cols')}, got {key_cols}"
+                )
+            return True
+        if extra or not same_keys:
+            return False
+        rows_meta = st.get("bucket_rows") or {}
+        if not rows_meta or len(st["patches"]) >= self.PATCH_MAX_CHAIN:
+            return False
+        table_rows = sum(int(r) for r in rows_meta.values())
+        chain_rows = sum(int(p.get("rows") or 0) for p in st["patches"])
+        if batch_rows_hint is not None:
+            batch = int(batch_rows_hint)
+        else:
+            batch = source.count() if source is not None else 0
+            if delete_keys is not None:
+                batch += delete_keys.count()
+        return chain_rows + batch <= self.PATCH_MAX_FRACTION * table_rows
+
+    def _write_patch(
+        self,
+        spark: SparkSession,
+        source: Optional[DataFrame],
+        delete_keys: Optional[DataFrame],
+        key_cols: list[str],
+        st: dict[str, Any],
+        extra_commit_fields: Optional[dict[str, Any]] = None,
+    ) -> int:
+        """One merge-on-read patch commit: the batch's upserts plus
+        tombstones for ``delete_keys`` not re-upserted, written as a
+        single delta-sized dir — O(|batch|) write cost regardless of how
+        the keys hash across buckets (the merge-on-write alternative
+        rewrites every touched bucket; Delta without deletion vectors).
+        Reads reconcile via :meth:`_reconcile_patches`; any rewrite
+        merge / DML / overwrite folds the chain. Commit-on-change: an
+        empty batch abandons its dir and commits nothing."""
+        from pyspark.sql import Observation
+
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        relaxed = [
+            T.StructField(f.name, _relax_nullability(f.dataType), True)
+            for f in target.fields
+        ]
+        parts = []
+        if source is not None:
+            have = set(source.columns)
+            parts.append(
+                source.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in have
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in relaxed
+                    ]
+                ).withColumn(_PATCH_DEL_COL, F.lit(False))
+            )
+        if delete_keys is not None:
+            tomb = delete_keys
+            if source is not None:
+                tomb = tomb.join(
+                    source.select(*key_cols), on=key_cols, how="left_anti"
+                )
+            parts.append(
+                tomb.select(
+                    *[
+                        (
+                            F.col(f.name).cast(f.dataType)
+                            if f.name in key_cols
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in relaxed
+                    ]
+                ).withColumn(_PATCH_DEL_COL, F.lit(True))
+            )
+        pdf = parts[0]
+        for p in parts[1:]:
+            pdf = pdf.unionByName(p)
+        new_version = st["version"] + 1
+        dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
+        obs = Observation()
+        pdf = pdf.observe(obs, F.count(F.lit(1)).alias("n"))
+        pdf.write.mode("overwrite").parquet(self._path(dir_name))
+        n = int(obs.get["n"])
+        if n == 0:
+            self.backend.remove_recursive(self._path(dir_name))
+            return st["version"]
+        commit: dict[str, Any] = {
+            "version": new_version,
+            "mode": "patch",
+            "dir": dir_name,
+            "schema": st["schema"],
+            "written_schema": pdf.schema.json(),
+            "patch_rows": n,
+        }
+        if extra_commit_fields:
+            commit.update(extra_commit_fields)
+        self._write_commit(commit)
+        return new_version
+
+    def fold_patches(self, spark: SparkSession) -> int:
+        """Amortize the outstanding patch chain into the bucketized base
+        as ONE merge commit: only buckets containing patch keys rewrite
+        (via the patch-aware :meth:`read`, so reconciliation happens
+        exactly once, at fold time). No-op when the chain is empty.
+        Runs implicitly before any operation that must see an
+        unpatched dir layout (DML rewrites, appends to a patched
+        table)."""
+        st = self._state_at()
+        if not st["patches"]:
+            return st["version"]
+        key_cols = list(st["bucket_cols"] or [])
+        kt = self._bucket_key_schema(st, key_cols)
+        if kt is None or not st["num_buckets"]:
+            raise ValueError("patched table lacks bucket metadata")
+        key_types = {f.name: f.dataType for f in kt.fields}
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(c).cast(key_types[c]) for c in key_cols]),
+            F.lit(st["num_buckets"]),
+        ).cast("int")
+        pdf = self._patch_frame(spark, st)
+        touched = sorted(
+            r[0]
+            for r in pdf.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
+        )
+        merged = self.read(spark, buckets=touched)
+        return self._write_bucketized(
+            merged, key_cols, st["num_buckets"], replace=touched,
+            key_types=key_types,
         )
 
     def _bucketize_full(
@@ -3191,11 +3736,19 @@ class VersionedParquetTable(TableStore):
         probe = source.select(*key_cols)
         if delete_keys is not None:
             probe = probe.unionByName(delete_keys)
+        if st.get("patches"):
+            # fold-through: every patch key's bucket must rewrite, or
+            # the merge commit (which clears the chain) would drop the
+            # patch rows living in untouched buckets
+            pf = self._patch_frame(spark, st)
+            probe = probe.unionByName(pf.select(*key_cols))
         touched = sorted(
             r[0]
             for r in probe.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
         )
-        # scan ONLY touched-bucket dirs (file-level pruning via the log)
+        # scan ONLY touched-bucket dirs (file-level pruning via the log;
+        # patch-aware read — outstanding patches reconcile here and are
+        # cleared by this commit)
         target_touched = self.read(spark, buckets=touched)
         keep = target_touched.join(
             source.select(*key_cols), on=key_cols, how="left_anti"

@@ -269,6 +269,14 @@ EXCLUDED = {
         "tested (tests/test_dml_properties.py) and the query itself "
         "asserts stats pruning confined the UPDATE"
     ),
+    "store_mor_roundtrip": (
+        "multi-commit merge-on-read lifecycle (three patch commits) "
+        "executed at build; returns a checkpointed frame — the "
+        "read-time reconciliation plan (rank over delta-sized patches, "
+        "AQE-broadcast anti-join) is exercised with the chain "
+        "outstanding and pinned CDF/row-exact vs the rewrite path in "
+        "tests/test_merge_patch.py"
+    ),
     "mv_cdf_retraction": (
         "multi-commit merge+DML lifecycle whose refreshes fold through "
         "read_changes_fold; returns a checkpointed view — the fold "
