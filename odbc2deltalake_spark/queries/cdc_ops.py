@@ -958,3 +958,83 @@ def store_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------ lazy GDPR erasure ----
+# Lifecycle proof for delete_where(lazy=True) (r8 predicate tombstones):
+# three lazy deletes — a range predicate whose mask must be confined to
+# one commit by stats pruning, a type predicate over all commits, and a
+# user-scope predicate (the GDPR right-to-erasure shape) — are read back
+# with ALL masks outstanding, so the driver hashes the read-time per-dir
+# filtering against plain DuckDB WHERE semantics, not a folded rewrite.
+# NULL semantics ride along: SQL DELETE keeps NULL-predicate rows, so the
+# oracle keeps NULL event_type / user_id.
+
+_LAZY_ORACLE = """
+WITH m AS (
+    SELECT max(event_id) AS mx, max(user_id) AS mxu FROM events
+)
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM events, m
+WHERE event_id > m.mx // 10
+  AND event_type IS DISTINCT FROM 'error'
+  AND (user_id IS NULL OR user_id > m.mxu // 2)
+"""
+
+
+@register(
+    "store_gdpr_erasure",
+    _LAZY_ORACLE,
+    tags=("store", "dml", "lazy"),
+    priority=100,
+)
+def store_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three outstanding lazy deletes == the same predicates as SQL WHERE.
+
+    A right-to-erasure request against a 100 TB history cannot afford a
+    rewrite per request; ``delete_where(lazy=True)`` commits the
+    predicate plus the stats-pruned dirs it applies to as ONE metadata
+    write (the predicate-tombstone analog of Delta deletion vectors;
+    the reference relies on Delta DELETE semantics,
+    reference:odbc2deltalake/reader/spark_reader.py:329-350), and reads
+    filter those dirs until ``fold_masks`` or any rewrite materializes
+    the chain during a maintenance window. Asserts pin that the range
+    mask was confined to one of the three commits by stats pruning and
+    that all three masks are still OUTSTANDING at read time, so the
+    driver's value hash certifies the mask filters themselves."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx, mxu = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    mx, mxu = mx or 0, mxu or 0
+    root = tempfile.mkdtemp(prefix="store_gdpr_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        thirds = [mx // 3, 2 * (mx // 3)]
+        for lo, hi in ((None, thirds[0]), (thirds[0], thirds[1]), (thirds[1], None)):
+            part = ev
+            if lo is not None:
+                part = part.filter(F.col("event_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("event_id") <= hi)
+            t.write(part, mode="append", stats_cols=["event_id"])
+        s1 = t.delete_where(spark, ("event_id", "<=", mx // 10), lazy=True)
+        assert s1["dirs_masked"] == 1, s1  # stats confined the range mask
+        t.delete_where(spark, ("event_type", "=", "error"), lazy=True)
+        t.delete_where(spark, ("user_id", "<=", mxu // 2), lazy=True)
+        st = t._state_at()
+        assert len(st["masks"]) == 3, st["masks"]  # chain outstanding
+        out = t.read(spark).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -741,6 +741,7 @@ class VersionedParquetTable(TableStore):
             raise TableNotFoundError(self._root_str)
         live: list[dict[str, Any]] = []
         patches: list[dict[str, Any]] = []
+        masks: list[dict[str, Any]] = []
         schema_json: str | None = None
         props: dict[str, str] = {}
         num_buckets: Optional[int] = None
@@ -769,6 +770,7 @@ class VersionedParquetTable(TableStore):
                     )
                     live = list(base["dirs"])
                     patches = list(base.get("patches") or [])
+                    masks = list(base.get("masks") or [])
                     schema_json = base["schema"]
                     props = dict(base["props"])
                     num_buckets = base["num_buckets"]
@@ -777,7 +779,8 @@ class VersionedParquetTable(TableStore):
                     bucket_rows = dict(base["bucket_rows"] or {})
                     last = int(base["version"])
                 except Exception:
-                    live, patches, props, bucket_rows = [], [], {}, {}
+                    live, patches, masks = [], [], []
+                    props, bucket_rows = {}, {}
                     schema_json = None
                     num_buckets = bucket_cols = bucket_key_types = None
                     last = -1
@@ -819,11 +822,24 @@ class VersionedParquetTable(TableStore):
             if mode == "overwrite":
                 live = []
                 patches = []
+                masks = []
                 bucket_rows = {}
             if mode == "restore":
                 live = list(c["dirs"])
                 patches = list(c.get("patches") or [])
+                masks = list(c.get("masks") or [])
                 bucket_rows = dict(c.get("bucket_rows") or {})
+            elif mode == "mask":
+                # lazy predicate tombstone: matching rows in the named
+                # dirs are dead as of this version; reads filter, folds
+                # materialize
+                masks.append(
+                    {
+                        "predicate": c["predicate"],
+                        "dirs": [e["dir"] for e in c["dirs_masked"]],
+                        "version": v,
+                    }
+                )
             elif mode == "merge":
                 # every merge writer folds outstanding patches into the
                 # rewritten buckets (probe expansion) — cleared here
@@ -864,9 +880,24 @@ class VersionedParquetTable(TableStore):
             props.update(c.get("set_props", {}))
         if version is not None and last < version:
             raise ValueError(f"version {version} does not exist for {self._root_str}")
+        if masks:
+            # rewrites retire masked dirs over time (merges replace
+            # buckets, folds materialize) — a mask survives only for the
+            # dirs still live; dir names are uuid-unique so a name never
+            # comes back except via restore, which resets masks anyway
+            live_names = {d["dir"] for d in live}
+            masks = [
+                m2
+                for m2 in (
+                    {**m, "dirs": [x for x in m["dirs"] if x in live_names]}
+                    for m in masks
+                )
+                if m2["dirs"]
+            ]
         return {
             "dirs": live,
             "patches": patches,
+            "masks": masks,
             "schema": schema_json,
             "props": props,
             "version": last,
@@ -1020,22 +1051,35 @@ class VersionedParquetTable(TableStore):
                     pruned.append({**d, "__files": sorted(keep)})
             dirs = pruned
         patches = st.get("patches") or []
+        masks = st.get("masks") or []
         if not dirs:
             out = spark.createDataFrame([], target)
             if patches:
                 out = self._reconcile_patches(spark, out, st, buckets)
             return self._apply_skip_filter(out, skip_where)
-        groups: dict[str, list[str]] = {}
+        # lazy predicate tombstones apply per dir (only rows written
+        # BEFORE the mask commit are dead), so dirs group by (schema,
+        # applicable-mask set) — each group is still one scan, and the
+        # mask filter is a plain JVM predicate on it
+        mask_dirsets = [set(m["dirs"]) for m in masks]
+
+        def _msig(name: str) -> tuple[int, ...]:
+            return tuple(
+                i for i, s in enumerate(mask_dirsets) if name in s
+            )
+
+        groups: dict[tuple[str, tuple[int, ...]], list[str]] = {}
         for d in dirs:
+            key = (d["schema"], _msig(d["dir"]))
             if d.get("__files"):
                 for f in d["__files"]:
-                    groups.setdefault(d["schema"], []).append(
+                    groups.setdefault(key, []).append(
                         self._path(d["dir"], f)
                     )
             else:
-                groups.setdefault(d["schema"], []).append(self._path(d["dir"]))
+                groups.setdefault(key, []).append(self._path(d["dir"]))
         parts: list[DataFrame] = []
-        for schema_json, paths in groups.items():
+        for (schema_json, msig), paths in groups.items():
             written = T.StructType.fromJson(json.loads(schema_json))
             try:
                 df = spark.read.schema(written).parquet(*paths)
@@ -1061,6 +1105,8 @@ class VersionedParquetTable(TableStore):
                     for f in target.fields
                 ]
             )
+            for i in msig:
+                df = df.filter(self._mask_keep_expr(masks[i]["predicate"]))
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1206,6 +1252,17 @@ class VersionedParquetTable(TableStore):
             }[op]
             expr = e if expr is None else expr & e
         return expr
+
+    @classmethod
+    def _mask_keep_expr(cls, predicate_ser: list) -> Any:
+        """Survivor predicate for one mask: rows NOT matching the
+        (serialized) conjunction stay — SQL DELETE semantics, so a
+        NULL-valued predicate keeps the row (coalesce to false before
+        negating)."""
+        conj = [
+            (c, op, cls._stat_deser(v)) for c, op, v in predicate_ser
+        ]
+        return ~F.coalesce(cls._conjuncts_predicate(conj), F.lit(False))
 
     def check_constraints(self) -> dict[str, list[tuple[str, str, Any]]]:
         """Active CHECK constraints: {name: conjunct list}. Stored as
@@ -1623,6 +1680,7 @@ class VersionedParquetTable(TableStore):
                 "mode": "restore",
                 "dirs": st["dirs"],
                 "patches": st["patches"],
+                "masks": st["masks"],
                 "schema": st["schema"],
                 "num_buckets": st["num_buckets"],
                 "bucket_cols": st["bucket_cols"],
@@ -1638,6 +1696,7 @@ class VersionedParquetTable(TableStore):
         spark: SparkSession,
         predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
         stats_cols: Optional[list[str]] = None,
+        lazy: bool = False,
     ) -> dict[str, Any]:
         """Merge-on-write DELETE with file-level pruning (Delta's
         ``DELETE FROM t WHERE ...``): only dirs whose recorded [min, max]
@@ -1647,6 +1706,18 @@ class VersionedParquetTable(TableStore):
         rewrites a small fraction of the table — the property that makes
         DML affordable at 100 TB, where a full-table rewrite per delete
         is operationally impossible.
+
+        ``lazy=True`` skips the rewrite entirely: the commit records the
+        predicate plus the (stats-pruned) dirs it applies to, and every
+        read filters those dirs — a deletion at METADATA cost, the
+        predicate-tombstone analog of Delta's deletion vectors for the
+        non-keyed case (a GDPR erasure over a 100 TB history becomes one
+        JSON write; the I/O is paid later, amortized, by
+        :meth:`fold_masks` or any rewrite that retires the masked dirs).
+        Returns {version, rows_deleted: None, dirs_masked, dirs_kept} —
+        the row count is unknown by design (counting would cost the scan
+        lazy exists to avoid). The mask chain is bounded by
+        ``MASK_MAX_CHAIN``; past it the next lazy delete folds first.
 
         ``predicate`` is one ``(col, op, value)`` or a list (AND), the
         same shape as ``skip_where``. SQL DELETE semantics: rows where
@@ -1671,9 +1742,146 @@ class VersionedParquetTable(TableStore):
         :class:`CommitConflictError` — a lost update (the restore
         silently dropping the racer's dirs) is impossible; retry from
         fresh state, the abandoned rewrite dirs age out via vacuum."""
+        if lazy:
+            return self._lazy_delete(spark, predicate)
         out = self._dml_rewrite(spark, predicate, None, stats_cols)
         out["rows_deleted"] = out.pop("rows_changed")
         return out
+
+    # mask-chain bound: past this many outstanding lazy deletes the next
+    # one folds first — bounds both the per-read filter stack and the
+    # mask bookkeeping replay carries
+    MASK_MAX_CHAIN = 8
+
+    def _lazy_delete(self, spark: SparkSession, predicate) -> dict[str, Any]:
+        conj = self._skip_conjuncts(predicate)
+        if not conj:
+            raise ValueError("a lazy delete requires a predicate")
+        st = self._state_at()
+        if st.get("patches"):
+            # mask semantics are per-DIR; reconciled patch rows live in
+            # no dir until folded (and a patch upsert must beat an older
+            # mask, which per-dir filtering cannot express)
+            self.fold_patches(spark)
+            st = self._state_at()
+        if len(st.get("masks") or []) >= self.MASK_MAX_CHAIN:
+            self.fold_masks(spark)
+            st = self._state_at()
+        _, affected = self._split_dirs_by_predicate(st["dirs"], conj)
+        summary = {
+            "version": st["version"],
+            "rows_deleted": None,
+            "dirs_masked": len(affected),
+            "dirs_kept": len(st["dirs"]) - len(affected),
+        }
+        if not affected:
+            return summary  # provably no matching row: no commit
+        new_version = st["version"] + 1
+        self._write_commit(
+            {
+                "version": new_version,
+                "mode": "mask",
+                "schema": st["schema"],
+                "predicate": [
+                    [c, op, self._stat_ser(v)] for c, op, v in conj
+                ],
+                # full entries (dir + written schema [+ bucket]) so the
+                # change feed can re-read exactly these dirs later
+                "dirs_masked": [
+                    {
+                        k: v
+                        for k, v in d.items()
+                        if k in ("dir", "schema", "bucket", "partitioned")
+                    }
+                    for d in affected
+                ],
+            }
+        )
+        summary["version"] = new_version
+        return summary
+
+    def fold_masks(self, spark: SparkSession) -> int:
+        """Materialize the outstanding mask chain: rewrite each masked
+        dir with its masks' filters applied, as ONE restore commit that
+        clears the chain. Rows-preserving from the reader's point of
+        view (every surviving row was already visible, every removed row
+        was already masked out), so the commit carries
+        ``masks_folded`` and change feeds skip it like an OPTIMIZE.
+        No-op when no masks are outstanding."""
+        st = self._state_at()
+        masks = st.get("masks") or []
+        if not masks:
+            return st["version"]
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        mask_dirsets = [set(m["dirs"]) for m in masks]
+        masked_names = set().union(*mask_dirsets)
+        kept_entries = [
+            d for d in st["dirs"] if d["dir"] not in masked_names
+        ]
+        new_version = st["version"] + 1
+        new_entries: list[dict[str, Any]] = []
+        bucket_rows = dict(st["bucket_rows"] or {})
+        written_dirs: list[str] = []
+        from pyspark.sql import Observation
+
+        for d in st["dirs"]:
+            if d["dir"] not in masked_names:
+                continue
+            written = T.StructType.fromJson(json.loads(d["schema"]))
+            r = spark.read.schema(written).parquet(self._path(d["dir"]))
+            have = set(r.columns)
+            out_df = r.select(
+                *[
+                    (
+                        F.col(f.name).cast(_relax_nullability(f.dataType))
+                        if f.name in have
+                        else F.lit(None).cast(_relax_nullability(f.dataType))
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            for i, s in enumerate(mask_dirsets):
+                if d["dir"] in s:
+                    out_df = out_df.filter(
+                        self._mask_keep_expr(masks[i]["predicate"])
+                    )
+            obs = Observation()
+            out_df = out_df.observe(obs, F.count(F.lit(1)).alias("n"))
+            dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
+            out_df.write.mode("overwrite").parquet(self._path(dir_name))
+            written_dirs.append(dir_name)
+            kept_n = int(obs.get["n"])
+            if d.get("bucket") is not None:
+                bucket_rows[str(d["bucket"])] = kept_n
+            if kept_n == 0:
+                continue  # fully-masked dir: no survivor entry
+            entry: dict[str, Any] = {"dir": dir_name, "schema": target.json()}
+            sc = sorted(
+                {c for m in masks for c, _, _ in m["predicate"]}
+                & set(target.fieldNames())
+            )
+            if sc:
+                fstats = self._footer_file_stats(self._path(dir_name), sc)
+                if fstats:
+                    entry["stats"] = fstats
+            if d.get("bucket") is not None:
+                entry["bucket"] = d["bucket"]
+            new_entries.append(entry)
+        self._write_commit(
+            {
+                "version": new_version,
+                "mode": "restore",
+                "dirs": kept_entries + new_entries,
+                "schema": st["schema"],
+                "num_buckets": st["num_buckets"],
+                "bucket_cols": st["bucket_cols"],
+                "bucket_key_types": st["bucket_key_types"],
+                "bucket_rows": bucket_rows,
+                # rows-preserving for readers: change feeds skip it
+                "masks_folded": len(masks),
+            }
+        )
+        return new_version
 
     def update_where(
         self,
@@ -1775,6 +1983,11 @@ class VersionedParquetTable(TableStore):
             # layout; fold the merge-on-read chain first (one merge
             # commit over the patch keys' buckets)
             self.fold_patches(spark)
+            st = self._state_at()
+        if st.get("masks"):
+            # same reason for lazy tombstones: the rewrite reads dirs
+            # raw, so outstanding masks must be materialized first
+            self.fold_masks(spark)
             st = self._state_at()
         dirs = st["dirs"]
         target = T.StructType.fromJson(json.loads(st["schema"]))
@@ -2070,6 +2283,12 @@ class VersionedParquetTable(TableStore):
         conj = self._skip_conjuncts(where)
         if not conj:
             raise ValueError("compact(where=...) requires a predicate")
+        if st.get("masks"):
+            # partial compaction reads dirs raw; materialize lazy
+            # tombstones first (full compact reads mask-aware and needs
+            # no fold)
+            self.fold_masks(spark)
+            st = self._state_at()
         kept, affected = self._split_dirs_by_predicate(st["dirs"], conj)
         if not affected:
             return st["version"]  # nothing to rewrite: no commit
@@ -2158,7 +2377,9 @@ class VersionedParquetTable(TableStore):
             )
             out.append(
                 {
-                    k: v
+                    k: (
+                        [e["dir"] for e in v] if k == "dirs_masked" else v
+                    )
                     for k, v in c.items()
                     if k not in ("schema", "written_schema", "dirs", "dirs_added")
                 }
@@ -2208,6 +2429,8 @@ class VersionedParquetTable(TableStore):
             if c["mode"] != "append":
                 if "compacted_from" in c:
                     continue  # rows-preserving OPTIMIZE: zero change rows
+                if "masks_folded" in c:
+                    continue  # rows-preserving tombstone materialization
                 raise ValueError(
                     f"version {v} is a {c['mode']} commit — not representable "
                     "as a change feed; re-baseline from read(version=...)"
@@ -2294,6 +2517,69 @@ class VersionedParquetTable(TableStore):
             out = out.unionByName(p)
         return out
 
+    def _read_dir_entries_masked(
+        self,
+        spark: SparkSession,
+        entries: list[dict[str, Any]],
+        target: T.StructType,
+        masks: list[dict[str, Any]],
+    ) -> DataFrame:
+        """:meth:`_read_dir_entries` with the given masks' filters
+        applied per dir — the pre-image reader for commits whose old
+        side may carry lazy tombstones (rows already dead under a mask
+        must not re-appear as pre-images)."""
+        if not masks:
+            return self._read_dir_entries(spark, entries, target)
+        dirsets = [set(m["dirs"]) for m in masks]
+        from collections import defaultdict
+
+        groups: dict[tuple[int, ...], list[dict[str, Any]]] = defaultdict(
+            list
+        )
+        for e in entries:
+            sig = tuple(
+                i for i, s in enumerate(dirsets) if e["dir"] in s
+            )
+            groups[sig].append(e)
+        parts = []
+        for sig, es in groups.items():
+            df = self._read_dir_entries(spark, es, target)
+            for i in sig:
+                df = df.filter(self._mask_keep_expr(masks[i]["predicate"]))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _mask_removed(
+        self,
+        spark: SparkSession,
+        c: dict[str, Any],
+        v: int,
+        table_schema: T.StructType,
+    ) -> DataFrame:
+        """The rows one mask commit killed: predicate matches inside its
+        masked dirs, minus rows already dead under EARLIER masks on the
+        same dirs (a re-masked dir must not re-emit old deletes)."""
+        entries = c["dirs_masked"]
+        for e in entries:
+            if not self.backend.exists(self._path(e["dir"])):
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s masked dir "
+                    f"{e['dir']!r} was vacuumed — re-baseline"
+                )
+        prior = self._state_at(v - 1).get("masks") or []
+        df = self._read_dir_entries_masked(
+            spark, entries, table_schema, prior
+        )
+        conj = [
+            (cc, op, self._stat_deser(val)) for cc, op, val in c["predicate"]
+        ]
+        return df.filter(
+            F.coalesce(self._conjuncts_predicate(conj), F.lit(False))
+        )
+
     def read_changes_cdf(
         self,
         spark: SparkSession,
@@ -2368,6 +2654,8 @@ class VersionedParquetTable(TableStore):
                 continue
             if "compacted_from" in c:
                 continue  # rows-preserving OPTIMIZE: zero change rows
+            if "masks_folded" in c:
+                continue  # rows-preserving tombstone materialization
             if mode == "restore" and c.get("dml_op"):
                 pre, post = self._dml_images(spark, c, v, table_schema)
                 if post is None:
@@ -2381,6 +2669,12 @@ class VersionedParquetTable(TableStore):
                 continue
             if mode == "patch":
                 parts.append(self._patch_cdf(spark, c, v, table_schema))
+                continue
+            if mode == "mask":
+                parts.append(
+                    tag(self._mask_removed(spark, c, v, table_schema),
+                        "delete", v)
+                )
                 continue
             raise ValueError(
                 f"version {v} is a {mode} commit — not representable as "
@@ -2506,12 +2800,20 @@ class VersionedParquetTable(TableStore):
         should use :meth:`read_changes_fold`, where unchanged rows
         cancel arithmetically and no join runs at all."""
         replaced, _old_rows = self._merge_preimage_entries(c, v)
+        # rows already dead under a lazy tombstone at v-1 must not
+        # resurface as pre-images (the mask commit emitted their deletes)
+        prior_masks = self._state_at(v - 1).get("masks") or []
         keys = c["bucket_cols"]
         non_keys = [f.name for f in table_schema.fields if f.name not in keys]
 
-        def side(entries: list[dict[str, Any]]) -> DataFrame:
+        def side(
+            entries: list[dict[str, Any]],
+            masks: Optional[list[dict[str, Any]]] = None,
+        ) -> DataFrame:
             base = (
-                self._read_dir_entries(spark, entries, table_schema)
+                self._read_dir_entries_masked(
+                    spark, entries, table_schema, masks or []
+                )
                 if entries
                 else spark.createDataFrame([], table_schema)
             )
@@ -2521,7 +2823,7 @@ class VersionedParquetTable(TableStore):
             pay = F.struct(*non_keys) if non_keys else F.struct(F.lit(0))
             return base.select(*keys, pay.alias("__p"))
 
-        o = side(replaced).alias("__o")
+        o = side(replaced, prior_masks).alias("__o")
         n = side(list(c["dirs_added"])).alias("__n")
         cond = F.lit(True)
         for k in keys:
@@ -2761,6 +3063,8 @@ class VersionedParquetTable(TableStore):
                 continue
             if "compacted_from" in c:
                 continue  # rows-preserving OPTIMIZE
+            if "masks_folded" in c:
+                continue  # rows-preserving tombstone materialization
             if mode == "restore" and c.get("dml_op"):
                 pre, post = self._dml_images(spark, c, v, table_schema)
                 subs.append(pre)
@@ -2768,11 +3072,30 @@ class VersionedParquetTable(TableStore):
                     adds.append(post)
                 fold_rows += 2 * int(c.get("rows_changed") or 0)
                 continue
+            if mode == "mask":
+                # lazy delete: its killed rows are exactly the CDF
+                # deletes — predicate matches inside the masked dirs,
+                # minus rows older masks already killed
+                sub = self._mask_removed(spark, c, v, table_schema)
+                subs.append(sub)
+                # cost: the masked dirs are re-scanned (no recorded row
+                # counts for them; charge the bucket metadata when tagged)
+                br = self._state_at(v - 1).get("bucket_rows") or {}
+                fold_rows += sum(
+                    int(br.get(str(e.get("bucket")), 0))
+                    for e in c["dirs_masked"]
+                )
+                continue
             if mode == "merge":
                 replaced, old_rows = self._merge_preimage_entries(c, v)
                 if replaced:
+                    prior_masks = (
+                        self._state_at(v - 1).get("masks") or []
+                    )
                     subs.append(
-                        self._read_dir_entries(spark, replaced, table_schema)
+                        self._read_dir_entries_masked(
+                            spark, replaced, table_schema, prior_masks
+                        )
                     )
                 new_entries = list(c.get("dirs_added") or [])
                 if new_entries:
@@ -3153,6 +3476,14 @@ class VersionedParquetTable(TableStore):
                     dry_run=True,
                 )
             ),
+            # deferred-mutation chains a maintenance window should fold
+            # (fold_patches / fold_masks): each outstanding entry adds
+            # read-time reconciliation work
+            "patch_chain": len(st.get("patches") or []),
+            "mask_chain": len(st.get("masks") or []),
+            "advise_fold": bool(
+                st.get("patches") or st.get("masks")
+            ),
         }
 
     def delete_table(self) -> None:
@@ -3166,6 +3497,9 @@ class VersionedParquetTable(TableStore):
         dirs = st["dirs"]
         if (
             dirs
+            and not st.get("masks")  # lazy tombstones invalidate the
+            # recorded counts until folded — the row cost is unknown by
+            # design, so a count pays the scan the mask deferred
             and all(d.get("bucket") is not None for d in dirs)
             and st["bucket_rows"]
             and {d["bucket"] for d in dirs}

@@ -1,0 +1,290 @@
+"""Lazy predicate tombstones (`delete_where(lazy=True)`): deletion at
+metadata cost — the commit records the predicate plus the stats-pruned
+dirs it applies to, reads filter those dirs, and `fold_masks` (or any
+rewrite that retires the dirs) materializes later. The predicate-
+tombstone analog of Delta's deletion vectors for the non-keyed case
+(the reference leans on Delta DELETE semantics;
+reference:odbc2deltalake/reader/spark_reader.py:329-350 owns the
+writer-side mutations). This suite pins observational equivalence with
+the eager rewrite path: same rows, same CDF, same lifecycle under
+fold / DML / merge / append / restore / checkpoint / time travel."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _table(spark, tmp_path, n=300):
+    """Three id-range append commits with id/grp stats."""
+    t = VersionedParquetTable(tmp_path / f"t{uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(n)], "id int, val string, grp int"
+    )
+    third = n // 3
+    for lo, hi in ((0, third), (third, 2 * third), (2 * third, n)):
+        t.write(
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+            mode="append",
+            stats_cols=["id", "grp"],
+        )
+    return t
+
+
+def _ids(spark, t, version=None):
+    return sorted(
+        r["id"] for r in t.read(spark, version=version).collect()
+    )
+
+
+def test_lazy_delete_masks_rows_and_prunes_dirs(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    s = t.delete_where(spark, ("id", "<", 50), lazy=True)
+    # stats pruning: only the first range commit can match
+    assert s["dirs_masked"] == 1 and s["dirs_kept"] == 2
+    assert s["rows_deleted"] is None  # unknown by design (no scan ran)
+    assert _ids(spark, t) == list(range(50, 300))
+    # conjunction + a second mask over all dirs
+    t.delete_where(spark, ("grp", "=", 2), lazy=True)
+    assert _ids(spark, t) == [i for i in range(50, 300) if i % 4 != 2]
+    assert len(t._state_at()["masks"]) == 2
+
+
+def test_lazy_delete_null_predicate_keeps_rows(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "nulls")
+    t.write(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id int, x int"
+        ),
+        mode="append",
+    )
+    t.delete_where(spark, ("x", ">", 5), lazy=True)
+    # SQL DELETE: NULL predicate -> row kept
+    assert _ids(spark, t) == [2]
+
+
+def test_lazy_matches_eager_rows_and_cdf(spark, tmp_path):
+    tl, te = _table(spark, tmp_path), _table(spark, tmp_path)
+    v0 = tl.version()
+    for pred in (("id", "<", 50), ("grp", "=", 2)):
+        tl.delete_where(spark, pred, lazy=True)
+        te.delete_where(spark, pred)
+
+    def rows(t):
+        return sorted(map(tuple, t.read(spark).collect()))
+
+    assert rows(tl) == rows(te)
+
+    def cdf(t):
+        return sorted(
+            (r["_change_type"], r["id"], r["val"], r["grp"])
+            for r in t.read_changes_cdf(spark, from_version=v0).collect()
+        )
+
+    # the second mask must NOT re-emit rows the first already killed
+    assert cdf(tl) == cdf(te)
+
+
+def test_fold_masks_materializes_and_feed_skips(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    t.delete_where(spark, ("id", "<", 50), lazy=True)
+    before = _ids(spark, t)
+    cdf_before = t.read_changes_cdf(spark, from_version=v0).count()
+    v = t.fold_masks(spark)
+    st = t._state_at()
+    assert st["version"] == v and not st["masks"]
+    assert _ids(spark, t) == before
+    # rows-preserving: the fold contributes zero change rows
+    assert (
+        t.read_changes_cdf(spark, from_version=v0).count() == cdf_before
+    )
+    # and the adds-only feed skips it too (after re-baselining past the
+    # mask commit itself)
+    assert t.read_changes(spark, from_version=v).count() == 0
+    assert t.fold_masks(spark) == v  # no-op on an empty chain
+
+
+def test_append_after_mask_is_not_masked(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("grp", "=", 2), lazy=True)
+    t.write(
+        spark.createDataFrame([(2, "back", 2)], "id int, val string, grp int"),
+        mode="append",
+    )
+    # the masked dir lost its grp=2 rows; the NEW row survives (masks
+    # are per dir: only rows present at mask time are dead)
+    got = t.read(spark).filter("grp = 2").collect()
+    assert [(r["id"], r["val"]) for r in got] == [(2, "back")]
+
+
+def test_time_travel_restore_checkpoint_carry_masks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    v1 = t.delete_where(spark, ("id", "<", 50), lazy=True)["version"]
+    masked = _ids(spark, t)
+    assert len(_ids(spark, t, version=v0)) == 300
+    assert _ids(spark, t, version=v1) == masked
+    t.write(
+        spark.createDataFrame([(999, "x", 0)], "id int, val string, grp int"),
+        mode="append",
+    )
+    t.restore(v1)
+    assert _ids(spark, t) == masked
+    assert len(t._state_at()["masks"]) == 1
+    t.checkpoint()
+    st = t._state_at(use_checkpoint=True)
+    assert len(st["masks"]) == 1 and _ids(spark, t) == masked
+
+
+def test_eager_dml_and_partial_compact_fold_first(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("id", "<", 50), lazy=True)
+    out = t.update_where(spark, {"val": "'X'"}, ("id", ">=", 290))
+    st = t._state_at()
+    assert not st["masks"]  # DML materialized the chain first
+    assert out["rows_updated"] == 10
+    got = _ids(spark, t)
+    assert got == list(range(50, 300))
+    t2 = _table(spark, tmp_path)
+    t2.delete_where(spark, ("id", "<", 50), lazy=True)
+    t2.compact(spark, where=("id", "<", 150))
+    assert not t2._state_at()["masks"]
+    assert _ids(spark, t2) == list(range(50, 300))
+
+
+def test_full_compact_clears_masks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("grp", "=", 1), lazy=True)
+    before = _ids(spark, t)
+    t.compact(spark)
+    st = t._state_at()
+    assert not st["masks"] and _ids(spark, t) == before
+
+
+def test_mask_chain_cap_folds(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    cap = VersionedParquetTable.MASK_MAX_CHAIN
+    for i in range(cap + 1):
+        t.delete_where(spark, ("id", "=", i), lazy=True)
+    st = t._state_at()
+    # the (cap+1)-th lazy delete folded the chain first, then masked
+    assert len(st["masks"]) == 1
+    assert _ids(spark, t) == list(range(cap + 1, 300))
+
+
+def test_lazy_delete_no_commit_when_provably_unmatched(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    s = t.delete_where(spark, ("id", ">", 10_000), lazy=True)
+    assert s["version"] == v0 and s["dirs_masked"] == 0
+    assert not t._state_at()["masks"]
+
+
+def test_count_rows_exact_on_masked_table(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("grp", "=", 0), lazy=True)
+    exp = sum(1 for i in range(300) if i % 4 != 0)
+    assert t.count_rows(spark) == exp
+    t.fold_masks(spark)
+    assert t.count_rows(spark) == exp
+
+
+def test_mask_on_bucketized_table_with_merge_after(spark, tmp_path):
+    # masks compose with the merge engine: a rewrite merge retires the
+    # masked rows in the buckets it touches, the mask keeps filtering
+    # the untouched ones, and the merge CDF must not re-emit rows the
+    # mask already deleted
+    t = VersionedParquetTable(tmp_path / "bkt")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], "id int, grp int"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    v0 = t.version()
+    t.delete_where(spark, ("grp", "=", 3), lazy=True)
+    up = spark.createDataFrame([(7, 99), (1000, 99)], "id int, grp int")
+    t.merge_upsert(spark, up, ["id"])
+    got = {r["id"]: r["grp"] for r in t.read(spark).collect()}
+    assert 3 not in {g for g in got.values() if g != 99}
+    assert got[7] == 99 and got[1000] == 99
+    assert len(got) == 200 - 40 + 1  # 40 grp=3 rows dead, one insert
+    ch = t.read_changes_cdf(spark, from_version=v0)
+    kinds = sorted(
+        (r["_change_type"], r["id"]) for r in ch.collect()
+        if r["_change_type"] != "delete"
+    )
+    assert kinds == [
+        ("insert", 1000),
+        ("update_postimage", 7),
+        ("update_preimage", 7),
+    ]
+    # deletes: exactly the 40 masked rows, each emitted ONCE (by the
+    # mask commit; the merge that folded some of their dirs emits none)
+    dels = [r["id"] for r in ch.collect() if r["_change_type"] == "delete"]
+    assert sorted(dels) == [i for i in range(200) if i % 5 == 3]
+
+
+def test_lazy_delete_folds_patches_first(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "pm")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id int, grp int"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    up = spark.createDataFrame([(3, 77)], "id int, grp int")
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    t.delete_where(spark, ("grp", "=", 77), lazy=True)
+    st = t._state_at()
+    assert not st["patches"]  # folded before masking
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert 3 not in got and len(got) == 99
+
+
+def test_read_changes_fold_over_mask_commits(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    t.delete_where(spark, ("grp", "=", 1), lazy=True)
+    t.delete_where(spark, ("id", "<", 20), lazy=True)
+    adds, subs, cost = t.read_changes_fold(spark, from_version=v0)
+
+    def agg(df, sign):
+        return df.groupBy("grp").agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.coalesce(F.sum("id"), F.lit(0)) * sign).alias("s"),
+        )
+
+    base = agg(t.read(spark, version=v0), 1)
+    folded = (
+        base.unionByName(agg(adds, 1))
+        .unionByName(agg(subs, -1))
+        .groupBy("grp")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in agg(t.read(spark), 1).collect()
+    }
+    got = {r["grp"]: (r["n"], r["s"]) for r in folded.collect()}
+    assert got == want
+
+
+def test_vacuum_lifecycle_with_masks(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("id", "<", 50), lazy=True)
+    before = _ids(spark, t)
+    # masked dirs are still live: any-retention vacuum keeps them
+    t.vacuum(retain_versions=1, orphan_min_age_seconds=0.0)
+    assert _ids(spark, t) == before
+    t.fold_masks(spark)
+    removed = t.vacuum(retain_versions=1, orphan_min_age_seconds=0.0)
+    assert removed and _ids(spark, t) == before
+
+
+def test_lazy_requires_predicate(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="predicate"):
+        t.delete_where(spark, [], lazy=True)

@@ -269,6 +269,13 @@ EXCLUDED = {
         "tested (tests/test_dml_properties.py) and the query itself "
         "asserts stats pruning confined the UPDATE"
     ),
+    "store_gdpr_erasure": (
+        "multi-commit lazy-tombstone lifecycle executed at build; "
+        "returns a checkpointed frame — the mask filters are plain JVM "
+        "predicates on the same scans the plan gate already audits, "
+        "and lazy-vs-eager CDF/row equivalence is pinned in "
+        "tests/test_lazy_delete.py"
+    ),
     "store_mor_roundtrip": (
         "multi-commit merge-on-read lifecycle (three patch commits) "
         "executed at build; returns a checkpointed frame — the "
