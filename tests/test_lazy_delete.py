@@ -288,3 +288,101 @@ def test_lazy_requires_predicate(spark, tmp_path):
     t = _table(spark, tmp_path)
     with pytest.raises(ValueError, match="predicate"):
         t.delete_where(spark, [], lazy=True)
+
+def test_materialized_aggregate_folds_lazy_deletes(spark, tmp_path):
+    # a lazy delete on the landing table must flow into an incremental
+    # view as exact retractions (read_changes_fold mask support) — the
+    # view never recomputes from a table-sized scan just because a
+    # metadata-only erasure landed
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+
+    t = _table(spark, tmp_path)
+    mv = MaterializedAggregate(
+        t,
+        tmp_path / "view",
+        group_cols=["grp"],
+        aggs={"n": ("count", None), "s": ("sum", "id")},
+    )
+    mv.refresh(spark)
+    t.delete_where(spark, ("grp", "=", 1), lazy=True)
+    t.delete_where(spark, ("id", "<", 20), lazy=True)
+    mv.refresh(spark)
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    assert got == want and 1 not in got
+    # and the view keeps folding appends afterwards
+    t.write(
+        spark.createDataFrame([(1000, "z", 2)], "id int, val string, grp int"),
+        mode="append",
+    )
+    mv.refresh(spark)
+    got2 = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    assert got2[2] == (want[2][0] + 1, want[2][1] + 1000)
+
+def test_materialized_join_retraction_folds_lazy_delete(spark, tmp_path):
+    # a lazy delete on the FACT side of a keyed join view folds through
+    # the CDF retraction path — no view overwrite, no fact snapshot read
+    from odbc2deltalake_spark.streaming import MaterializedJoin
+
+    a = VersionedParquetTable(tmp_path / "fact")
+    b = VersionedParquetTable(tmp_path / "dim")
+    mv = MaterializedJoin(
+        a, b, tmp_path / "jview", on=["ck"],
+        left_cols=["ok", "price"], right_cols=["seg"],
+        left_key=["ok"],
+    )
+    a.write(
+        spark.createDataFrame(
+            [(o, o % 4, float(o)) for o in range(20)],
+            "ok long, ck long, price double",
+        ),
+        mode="append",
+        stats_cols=["ok"],
+    )
+    b.write(
+        spark.createDataFrame(
+            [(c, f"s{c}") for c in range(4)], "ck long, seg string"
+        ),
+        mode="append",
+    )
+    mv.refresh(spark)
+    base_view_v = mv.view.version()
+    a.delete_where(spark, ("ok", "<", 5), lazy=True)
+    orig = a.read
+    a.read = lambda *x, **k: (_ for _ in ()).throw(
+        AssertionError("fact snapshot read — retraction fold expected")
+    )
+    try:
+        assert mv.refresh(spark) is not None
+    finally:
+        a.read = orig
+    got = sorted(
+        (r["ok"], r["ck"], r["price"], r["seg"])
+        for r in mv.read(spark).collect()
+    )
+    want = sorted(
+        (r["ok"], r["ck"], r["price"], r["seg"])
+        for r in a.read(spark)
+        .join(b.read(spark), on="ck")
+        .select("ok", "ck", "price", "seg")
+        .collect()
+    )
+    assert got == want and all(ok >= 5 for ok, *_ in got)
+    import json as _json
+
+    modes = [
+        _json.loads(
+            mv.view.backend.read_text(
+                mv.view.backend.join(mv.view._commits_dir, name)
+            )
+        )["mode"]
+        for name in mv.view._commit_names()
+        if int(name.split(".")[0]) > base_view_v
+    ]
+    assert "overwrite" not in modes  # folded, never re-baselined
