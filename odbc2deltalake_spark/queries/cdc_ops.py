@@ -95,7 +95,7 @@ JOIN latest l ON e.user_id = l.user_id AND e.ts = l.ts
 """
 
 
-@register("j2_pk_ts_join", _J2_ORACLE, tags=("cdc", "join"))
+@register("j2_pk_ts_join", _J2_ORACLE, tags=("cdc", "join"), priority=100)
 def j2_pk_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: inner equi-join on (pk, delta_col) — current-row reconstruction
     `latest_pk ⨝ scd2 ON pk AND delta_col`
@@ -416,7 +416,7 @@ SELECT count(*) AS has_rows FROM (SELECT 1 FROM events LIMIT 1)
 """
 
 
-@register("a4_emptiness_probe", _A4_ORACLE, tags=("cdc", "agg"))
+@register("a4_emptiness_probe", _A4_ORACLE, tags=("cdc", "agg"), priority=100)
 def a4_emptiness_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: `count_limit_one` cheap emptiness probe
     (reference:odbc2deltalake/sql_glot_utils.py:19-22)."""
@@ -886,7 +886,6 @@ FROM (
     "store_mor_roundtrip",
     _MOR_ORACLE,
     tags=("store", "merge", "flagship"),
-    priority=100,
 )
 def store_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lifecycle == the same mutations rendered as SQL.
@@ -985,8 +984,7 @@ WHERE event_id > m.mx // 10
 @register(
     "store_gdpr_erasure",
     _LAZY_ORACLE,
-    tags=("store", "dml", "lazy"),
-    priority=100,
+    tags=("store", "dml", "lazy", "flagship"),
 )
 def store_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three outstanding lazy deletes == the same predicates as SQL WHERE.

@@ -59,7 +59,10 @@ def test_core_set_fits_driver_cap():
                  "corpus_token_budget_select", "text_bigram_logprob",
                  "store_dml_roundtrip",
                  # r8 in-round addition: delta-join IVM flagship
-                 "mv_incremental_join"):
+                 "mv_incremental_join",
+                 # r8 second wave: merge-on-read + lazy-tombstone
+                 # lifecycle flagships
+                 "store_mor_roundtrip", "store_gdpr_erasure"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -96,7 +99,12 @@ def test_core_set_fits_driver_cap():
                  "mm_payload_digest", "dedup_simhash",
                  # r8 in-round rotation out for mv_incremental_join
                  # (hash-projection shape widely covered; green r1-r7)
-                 "text_fingerprint"):
+                 "text_fingerprint",
+                 # r8 second-wave rotation out for store_mor_roundtrip /
+                 # store_gdpr_erasure (j2's pk+ts equi-join rides inside
+                 # scd2/w1 and the cdc bench path; a4's LIMIT-1 probe is
+                 # trivially subsumed — both driver-green r1-r7)
+                 "j2_pk_ts_join", "a4_emptiness_probe"):
         assert name in overflow_names
 
 
