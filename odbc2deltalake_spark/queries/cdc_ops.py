@@ -656,7 +656,7 @@ WITH f AS (
 )
 SELECT event_type,
        count(*) AS n_events,
-       sum(cents) AS total_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
        round(avg(cents), 4) AS avg_cents
 FROM f
 GROUP BY event_type

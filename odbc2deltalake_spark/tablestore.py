@@ -830,14 +830,16 @@ class VersionedParquetTable(TableStore):
                 masks = list(c.get("masks") or [])
                 bucket_rows = dict(c.get("bucket_rows") or {})
             elif mode == "mask":
-                # lazy predicate tombstone: matching rows in the named
-                # dirs are dead as of this version; reads filter, folds
-                # materialize
+                # lazy predicate tombstone (set_exprs None) or lazy
+                # UPDATE (set_exprs recorded): matching rows in the
+                # named dirs are dead / transformed as of this version;
+                # reads apply in version order, folds materialize
                 masks.append(
                     {
                         "predicate": c["predicate"],
                         "dirs": [e["dir"] for e in c["dirs_masked"]],
                         "version": v,
+                        "set_exprs": c.get("set_exprs"),
                     }
                 )
             elif mode == "merge":
@@ -1003,6 +1005,19 @@ class VersionedParquetTable(TableStore):
         if buckets is not None:
             bset = set(buckets)
             dirs = [d for d in dirs if d.get("bucket") is None or d["bucket"] in bset]
+        masks = st.get("masks") or []
+        # an UPDATE mask rewrites values at read time, so the recorded
+        # [min, max] for its SET columns no longer bounds what the scan
+        # RETURNS — pruning must ignore stats on those columns for the
+        # dirs the mask covers (tombstone masks only remove rows: their
+        # stats stay valid upper bounds)
+        upd_unstat: dict[str, set[str]] = {}
+        for m in masks:
+            if m.get("set_exprs"):
+                for name in m["dirs"]:
+                    upd_unstat.setdefault(name, set()).update(
+                        m["set_exprs"]
+                    )
         if skip_where is not None:
             # one predicate or a CONJUNCTION of them — multi-column
             # pruning is what Z-order lays files out for (each conjunct
@@ -1015,7 +1030,10 @@ class VersionedParquetTable(TableStore):
                 files_all = {f for f in stats if f != ""}
                 drop_dir = False
                 keep: Optional[set[str]] = None  # None => all files kept
+                unstat = upd_unstat.get(d["dir"], ())
                 for scol, sop, sval in conjuncts:
+                    if scol in unstat:
+                        continue  # update-masked column: stats invalid
                     dir_iv = stats.get("", {}).get(scol)
                     if dir_iv is not None and not self._interval_may_match(
                         self._stat_deser(dir_iv[0]),
@@ -1051,7 +1069,6 @@ class VersionedParquetTable(TableStore):
                     pruned.append({**d, "__files": sorted(keep)})
             dirs = pruned
         patches = st.get("patches") or []
-        masks = st.get("masks") or []
         if not dirs:
             out = spark.createDataFrame([], target)
             if patches:
@@ -1106,7 +1123,7 @@ class VersionedParquetTable(TableStore):
                 ]
             )
             for i in msig:
-                df = df.filter(self._mask_keep_expr(masks[i]["predicate"]))
+                df = self._mask_apply(df, masks[i], target)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -1263,6 +1280,35 @@ class VersionedParquetTable(TableStore):
             (c, op, cls._stat_deser(v)) for c, op, v in predicate_ser
         ]
         return ~F.coalesce(cls._conjuncts_predicate(conj), F.lit(False))
+
+    @classmethod
+    def _mask_apply(
+        cls, df: DataFrame, mask: dict[str, Any], target: T.StructType
+    ) -> DataFrame:
+        """Apply one mask to a frame already cast to the table schema:
+        a tombstone mask filters, an update mask transforms matching
+        rows in place (SQL UPDATE: NULL-predicate rows untouched). Masks
+        compose sequentially in version order — replay order IS the
+        masks list order."""
+        sets = mask.get("set_exprs")
+        if not sets:
+            return df.filter(cls._mask_keep_expr(mask["predicate"]))
+        conj = [
+            (c, op, cls._stat_deser(v)) for c, op, v in mask["predicate"]
+        ]
+        match = F.coalesce(cls._conjuncts_predicate(conj), F.lit(False))
+        return df.select(
+            *[
+                (
+                    F.when(match, F.expr(sets[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in target.fields
+            ]
+        )
 
     def check_constraints(self) -> dict[str, list[tuple[str, str, Any]]]:
         """Active CHECK constraints: {name: conjunct list}. Stored as
@@ -1743,21 +1789,62 @@ class VersionedParquetTable(TableStore):
         silently dropping the racer's dirs) is impossible; retry from
         fresh state, the abandoned rewrite dirs age out via vacuum."""
         if lazy:
-            return self._lazy_delete(spark, predicate)
+            out = self._lazy_mask(spark, predicate, None)
+            out["rows_deleted"] = out.pop("rows_changed")
+            return out
         out = self._dml_rewrite(spark, predicate, None, stats_cols)
         out["rows_deleted"] = out.pop("rows_changed")
         return out
 
-    # mask-chain bound: past this many outstanding lazy deletes the next
-    # one folds first — bounds both the per-read filter stack and the
-    # mask bookkeeping replay carries
+    # mask-chain bound: past this many outstanding lazy deletes/updates
+    # the next one folds first — bounds both the per-read mask stack and
+    # the mask bookkeeping replay carries
     MASK_MAX_CHAIN = 8
 
-    def _lazy_delete(self, spark: SparkSession, predicate) -> dict[str, Any]:
+    def _lazy_mask(
+        self,
+        spark: SparkSession,
+        predicate,
+        set_exprs: Optional[dict[str, str]],
+    ) -> dict[str, Any]:
+        """Shared engine for lazy DELETE (``set_exprs`` None) and lazy
+        UPDATE: one metadata-only commit recording the predicate, the
+        stats-pruned dirs it applies to, and (for updates) the SET
+        text."""
         conj = self._skip_conjuncts(predicate)
         if not conj:
-            raise ValueError("a lazy delete requires a predicate")
+            raise ValueError("a lazy mutation requires a predicate")
         st = self._state_at()
+        if set_exprs is not None:
+            target_names = {
+                f["name"] for f in json.loads(st["schema"])["fields"]
+            }
+            unknown = set(set_exprs) - target_names
+            if unknown:
+                raise ValueError(
+                    f"lazy update: unknown column(s) {sorted(unknown)}"
+                )
+            bad = set(st.get("bucket_cols") or []) & set(set_exprs)
+            if bad:
+                raise ValueError(
+                    f"lazy update cannot modify bucket key column(s) "
+                    f"{sorted(bad)}"
+                )
+            not_text = [
+                k for k, v in set_exprs.items() if not isinstance(v, str)
+            ]
+            if not_text:
+                raise ValueError(
+                    f"lazy update requires SQL-text SET expressions "
+                    f"(got non-strings for {sorted(not_text)}) — they "
+                    "must serialize into the commit"
+                )
+            if self._constraints_from_props(st["props"]):
+                raise ValueError(
+                    "lazy update on a table with CHECK constraints is "
+                    "refused: enforcement would have to run at read "
+                    "time on every scan; use update_where(lazy=False)"
+                )
         if st.get("patches"):
             # mask semantics are per-DIR; reconciled patch rows live in
             # no dir until folded (and a patch upsert must beat an older
@@ -1767,36 +1854,53 @@ class VersionedParquetTable(TableStore):
         if len(st.get("masks") or []) >= self.MASK_MAX_CHAIN:
             self.fold_masks(spark)
             st = self._state_at()
-        _, affected = self._split_dirs_by_predicate(st["dirs"], conj)
+        kept, affected = self._split_dirs_by_predicate(st["dirs"], conj)
+        # an outstanding UPDATE mask invalidates stats for its SET
+        # columns: a kept dir whose masked values may now match must be
+        # re-classified as affected (conservative, per dir — no fold)
+        pred_cols = {c for c, _, _ in conj}
+        upd_cols: dict[str, set[str]] = {}
+        for m in st.get("masks") or []:
+            if m.get("set_exprs"):
+                for name in m["dirs"]:
+                    upd_cols.setdefault(name, set()).update(m["set_exprs"])
+        rescued = [
+            d for d in kept if upd_cols.get(d["dir"], set()) & pred_cols
+        ]
+        if rescued:
+            rescued_names = {d["dir"] for d in rescued}
+            kept = [d for d in kept if d["dir"] not in rescued_names]
+            affected = affected + rescued
         summary = {
             "version": st["version"],
-            "rows_deleted": None,
+            "rows_changed": None,
             "dirs_masked": len(affected),
-            "dirs_kept": len(st["dirs"]) - len(affected),
+            "dirs_kept": len(kept),
         }
         if not affected:
             return summary  # provably no matching row: no commit
         new_version = st["version"] + 1
-        self._write_commit(
-            {
-                "version": new_version,
-                "mode": "mask",
-                "schema": st["schema"],
-                "predicate": [
-                    [c, op, self._stat_ser(v)] for c, op, v in conj
-                ],
-                # full entries (dir + written schema [+ bucket]) so the
-                # change feed can re-read exactly these dirs later
-                "dirs_masked": [
-                    {
-                        k: v
-                        for k, v in d.items()
-                        if k in ("dir", "schema", "bucket", "partitioned")
-                    }
-                    for d in affected
-                ],
-            }
-        )
+        commit: dict[str, Any] = {
+            "version": new_version,
+            "mode": "mask",
+            "schema": st["schema"],
+            "predicate": [
+                [c, op, self._stat_ser(v)] for c, op, v in conj
+            ],
+            # full entries (dir + written schema [+ bucket]) so the
+            # change feed can re-read exactly these dirs later
+            "dirs_masked": [
+                {
+                    k: v
+                    for k, v in d.items()
+                    if k in ("dir", "schema", "bucket", "partitioned")
+                }
+                for d in affected
+            ],
+        }
+        if set_exprs is not None:
+            commit["set_exprs"] = dict(set_exprs)
+        self._write_commit(commit)
         summary["version"] = new_version
         return summary
 
@@ -1842,9 +1946,7 @@ class VersionedParquetTable(TableStore):
             )
             for i, s in enumerate(mask_dirsets):
                 if d["dir"] in s:
-                    out_df = out_df.filter(
-                        self._mask_keep_expr(masks[i]["predicate"])
-                    )
+                    out_df = self._mask_apply(out_df, masks[i], target)
             obs = Observation()
             out_df = out_df.observe(obs, F.count(F.lit(1)).alias("n"))
             dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
@@ -1889,6 +1991,7 @@ class VersionedParquetTable(TableStore):
         set_exprs: dict[str, Any],
         predicate: tuple[str, str, Any] | list[tuple[str, str, Any]],
         stats_cols: Optional[list[str]] = None,
+        lazy: bool = False,
     ) -> dict[str, Any]:
         """Merge-on-write UPDATE (Delta's ``UPDATE t SET ... WHERE ...``)
         with the same file-level pruning as :meth:`delete_where`:
@@ -1901,9 +2004,25 @@ class VersionedParquetTable(TableStore):
         column on a bucketized layout is refused — rewritten rows would
         land in files whose bucket tag no longer matches their hash
         route, silently corrupting later merges. Returns {version,
-        rows_updated, dirs_rewritten, dirs_kept}."""
+        rows_updated, dirs_rewritten, dirs_kept}.
+
+        ``lazy=True`` records the predicate + SQL-text SET as an UPDATE
+        mask instead of rewriting — one metadata commit; reads transform
+        the masked dirs' matching rows in place, folds materialize (see
+        :meth:`delete_where`'s lazy contract). Because the mask rewrites
+        values at read time, recorded [min, max] stats for the SET
+        columns stop bounding the scan: reads skip pruning on those
+        columns for the masked dirs, and a later lazy mutation whose
+        predicate touches them re-classifies those dirs as candidates.
+        Refused when SET has non-string expressions (must serialize),
+        touches bucket keys, or the table has CHECK constraints
+        (enforcement cannot ride a read)."""
         if not set_exprs:
             raise ValueError("update_where requires at least one SET expression")
+        if lazy:
+            out = self._lazy_mask(spark, predicate, set_exprs)
+            out["rows_updated"] = out.pop("rows_changed")
+            return out
         st = self._state_at()
         bcols = set(st["bucket_cols"] or [])
         bad = bcols & set(set_exprs)
@@ -2545,7 +2664,7 @@ class VersionedParquetTable(TableStore):
         for sig, es in groups.items():
             df = self._read_dir_entries(spark, es, target)
             for i in sig:
-                df = df.filter(self._mask_keep_expr(masks[i]["predicate"]))
+                df = self._mask_apply(df, masks[i], target)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -2559,9 +2678,12 @@ class VersionedParquetTable(TableStore):
         v: int,
         table_schema: T.StructType,
     ) -> DataFrame:
-        """The rows one mask commit killed: predicate matches inside its
-        masked dirs, minus rows already dead under EARLIER masks on the
-        same dirs (a re-masked dir must not re-emit old deletes)."""
+        """The rows one mask commit AFFECTED (pre-images): predicate
+        matches inside its masked dirs, as seen AFTER every earlier mask
+        on the same dirs (a re-masked dir must not re-emit rows an older
+        tombstone killed, and must see an older update's transforms).
+        For tombstone masks these are the deletes; for update masks the
+        update_preimages (post = SET applied)."""
         entries = c["dirs_masked"]
         for e in entries:
             if not self.backend.exists(self._path(e["dir"])):
@@ -2671,10 +2793,25 @@ class VersionedParquetTable(TableStore):
                 parts.append(self._patch_cdf(spark, c, v, table_schema))
                 continue
             if mode == "mask":
-                parts.append(
-                    tag(self._mask_removed(spark, c, v, table_schema),
-                        "delete", v)
-                )
+                pre = self._mask_removed(spark, c, v, table_schema)
+                if c.get("set_exprs"):
+                    parts.append(tag(pre, "update_preimage", v))
+                    parts.append(
+                        tag(
+                            self._mask_apply(
+                                pre,
+                                {
+                                    "predicate": c["predicate"],
+                                    "set_exprs": c["set_exprs"],
+                                },
+                                table_schema,
+                            ),
+                            "update_postimage",
+                            v,
+                        )
+                    )
+                else:
+                    parts.append(tag(pre, "delete", v))
                 continue
             raise ValueError(
                 f"version {v} is a {mode} commit — not representable as "
@@ -3074,10 +3211,21 @@ class VersionedParquetTable(TableStore):
                 continue
             if mode == "mask":
                 # lazy delete: its killed rows are exactly the CDF
-                # deletes — predicate matches inside the masked dirs,
-                # minus rows older masks already killed
+                # deletes; lazy update additionally adds the SET-derived
+                # post-images (same pre/post shape as eager DML)
                 sub = self._mask_removed(spark, c, v, table_schema)
                 subs.append(sub)
+                if c.get("set_exprs"):
+                    adds.append(
+                        self._mask_apply(
+                            sub,
+                            {
+                                "predicate": c["predicate"],
+                                "set_exprs": c["set_exprs"],
+                            },
+                            table_schema,
+                        )
+                    )
                 # cost: the masked dirs are re-scanned (no recorded row
                 # counts for them; charge the bucket metadata when tagged)
                 br = self._state_at(v - 1).get("bucket_rows") or {}
@@ -3497,9 +3645,13 @@ class VersionedParquetTable(TableStore):
         dirs = st["dirs"]
         if (
             dirs
-            and not st.get("masks")  # lazy tombstones invalidate the
-            # recorded counts until folded — the row cost is unknown by
-            # design, so a count pays the scan the mask deferred
+            # lazy TOMBSTONES invalidate the recorded counts until
+            # folded (the row cost is unknown by design, so a count pays
+            # the scan the mask deferred); UPDATE masks transform in
+            # place and preserve every count
+            and not any(
+                not m.get("set_exprs") for m in (st.get("masks") or [])
+            )
             and all(d.get("bucket") is not None for d in dirs)
             and st["bucket_rows"]
             and {d["bucket"] for d in dirs}

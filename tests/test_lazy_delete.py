@@ -386,3 +386,129 @@ def test_materialized_join_retraction_folds_lazy_delete(spark, tmp_path):
         if int(name.split(".")[0]) > base_view_v
     ]
     assert "overwrite" not in modes  # folded, never re-baselined
+
+# ---------------------- lazy UPDATE masks (update_where(lazy=True)) -------
+
+def test_lazy_update_transforms_and_matches_eager(spark, tmp_path):
+    tl, te = _table(spark, tmp_path), _table(spark, tmp_path)
+    v0 = tl.version()
+    s = tl.update_where(
+        spark, {"val": "concat(val, '!')", "grp": "grp + 10"},
+        ("id", "<", 50), lazy=True,
+    )
+    assert s["dirs_masked"] == 1 and s["rows_updated"] is None
+    te.update_where(
+        spark, {"val": "concat(val, '!')", "grp": "grp + 10"},
+        ("id", "<", 50),
+    )
+
+    def rows(t):
+        return sorted(map(tuple, t.read(spark).collect()))
+
+    assert rows(tl) == rows(te)
+
+    def cdf(t):
+        return sorted(
+            (r["_change_type"], r["id"], r["val"], r["grp"])
+            for r in t.read_changes_cdf(spark, from_version=v0).collect()
+        )
+
+    assert cdf(tl) == cdf(te)
+    # non-matching rows untouched, matching transformed
+    got = {r["id"]: (r["val"], r["grp"]) for r in tl.read(spark).collect()}
+    assert got[0] == ("v0!", 10) and got[100] == ("v100", 0)
+
+
+def test_lazy_update_stats_invalidation_read_path(spark, tmp_path):
+    # the update mask pushes grp beyond its recorded [0,3] interval; a
+    # skip_where read on grp must STILL return the transformed rows
+    # (pruning ignores stats on SET columns for masked dirs)
+    t = _table(spark, tmp_path)
+    t.update_where(spark, {"grp": "99"}, ("id", "<", 10), lazy=True)
+    hits = t.read(spark, skip_where=("grp", ">=", 99)).collect()
+    assert sorted(r["id"] for r in hits) == list(range(10))
+
+
+def test_lazy_delete_sees_through_prior_lazy_update(spark, tmp_path):
+    # dir A's stats say grp<=3; an update mask sets grp=9 there; a later
+    # lazy DELETE on grp=9 must re-classify dir A as a candidate (the
+    # rescue path) and actually kill the transformed rows
+    t = _table(spark, tmp_path)
+    t.update_where(spark, {"grp": "9"}, ("id", "<", 10), lazy=True)
+    s = t.delete_where(spark, ("grp", "=", 9), lazy=True)
+    assert s["dirs_masked"] >= 1
+    assert _ids(spark, t) == list(range(10, 300))
+
+
+def test_lazy_masks_compose_sequentially(spark, tmp_path):
+    # update -> delete -> update, all lazy: version order is the
+    # semantics (the second update must not resurrect deleted rows and
+    # must see the first update's values)
+    t = _table(spark, tmp_path)
+    t.update_where(spark, {"grp": "grp + 100"}, ("id", "<", 20), lazy=True)
+    t.delete_where(spark, ("id", "<", 10), lazy=True)
+    t.update_where(spark, {"grp": "grp * 2"}, ("grp", ">=", 100), lazy=True)
+    got = {r["id"]: r["grp"] for r in t.read(spark).collect()}
+    assert min(got) == 10
+    assert got[15] == (15 % 4 + 100) * 2 and got[25] == 25 % 4
+    # fold materializes the same values
+    before = sorted(got.items())
+    t.fold_masks(spark)
+    after = sorted(
+        (r["id"], r["grp"]) for r in t.read(spark).collect()
+    )
+    assert after == before and not t._state_at()["masks"]
+
+
+def test_count_rows_metadata_fast_with_update_only_masks(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "cnt")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id int, grp int"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    t.update_where(spark, {"grp": "grp + 1"}, ("id", "<", 10), lazy=True)
+    # update-only chain: counts still answer from commit metadata
+    assert t.count_rows(spark) == 100
+    t.delete_where(spark, ("id", "=", 0), lazy=True)
+    assert t.count_rows(spark) == 99  # tombstone forces the scan
+
+
+def test_lazy_update_validations(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "val")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(50)], "id int, grp int"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    with pytest.raises(ValueError, match="bucket key"):
+        t.update_where(spark, {"id": "id + 1"}, ("grp", "=", 0), lazy=True)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"nope": "1"}, ("grp", "=", 0), lazy=True)
+    with pytest.raises(ValueError, match="SQL-text"):
+        t.update_where(
+            spark, {"grp": F.col("grp") + 1}, ("grp", "=", 0), lazy=True
+        )
+    t.set_check_constraint(spark, "g", ("grp", ">=", 0))
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        t.update_where(spark, {"grp": "grp + 1"}, ("id", "<", 5), lazy=True)
+
+
+def test_mv_folds_lazy_update(spark, tmp_path):
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+
+    t = _table(spark, tmp_path)
+    mv = MaterializedAggregate(
+        t, tmp_path / "uview", group_cols=["grp"],
+        aggs={"n": ("count", None), "s": ("sum", "id")},
+    )
+    mv.refresh(spark)
+    t.update_where(spark, {"grp": "grp + 50"}, ("id", "<", 30), lazy=True)
+    mv.refresh(spark)
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in t.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .collect()
+    }
+    got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+    assert got == want and 50 in got
