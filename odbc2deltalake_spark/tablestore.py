@@ -3754,9 +3754,17 @@ class VersionedParquetTable(TableStore):
     # this batch) stay under PATCH_MAX_FRACTION of the table's recorded
     # rows; past either bound the merge folds (rewrites buckets),
     # amortizing the chain. Bounds both the read-side reconciliation
-    # cost and the CDF synthesis per patch commit.
+    # cost and the CDF synthesis per patch commit. "auto" additionally
+    # requires PATCH_MIN_TABLE_ROWS: below it a bucket rewrite is
+    # latency-bound, not I/O-bound, so the patch write + reconciling
+    # reads cost MORE wall than the rewrite they avoid (measured: the
+    # sf0.1 CDC keys index, ~100k rows, runs ~6% slower on patches,
+    # while the 5M-row study in SCALE.md shows 6.6x faster merges) —
+    # the decision variable IS table size because rewrite cost scales
+    # with bucket bytes and patch cost with the batch.
     PATCH_MAX_CHAIN = 8
     PATCH_MAX_FRACTION = 0.2
+    PATCH_MIN_TABLE_ROWS = 1_000_000
 
     def merge_upsert(
         self,
@@ -4048,6 +4056,8 @@ class VersionedParquetTable(TableStore):
         if not rows_meta or len(st["patches"]) >= self.PATCH_MAX_CHAIN:
             return False
         table_rows = sum(int(r) for r in rows_meta.values())
+        if table_rows < self.PATCH_MIN_TABLE_ROWS:
+            return False  # rewrite is the cheap path on a small table
         chain_rows = sum(int(p.get("rows") or 0) for p in st["patches"])
         if batch_rows_hint is not None:
             batch = int(batch_rows_hint)

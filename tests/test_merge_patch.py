@@ -200,7 +200,10 @@ def test_dml_folds_chain_first(spark, tmp_path):
     assert 4 not in _rows(spark, t)  # DML saw the patched row
 
 
-def test_auto_strategy_routes_and_bounds(spark, tmp_path):
+def test_auto_strategy_routes_and_bounds(spark, tmp_path, monkeypatch):
+    # the min-table-rows gate is sized for production indexes; the
+    # fixtures here are tiny, so lower it to exercise the routing
+    monkeypatch.setattr(VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 10)
     t = _table(spark, tmp_path, n=100)
     small = spark.createDataFrame(
         [(0, "auto", 0)], "id int, val string, grp int"
@@ -216,7 +219,8 @@ def test_auto_strategy_routes_and_bounds(spark, tmp_path):
     assert _rows(spark, t)[39] == ("big", 1)
 
 
-def test_auto_strategy_chain_cap(spark, tmp_path):
+def test_auto_strategy_chain_cap(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 10)
     t = _table(spark, tmp_path, n=2000)
     cap = VersionedParquetTable.PATCH_MAX_CHAIN
     for i in range(cap + 1):
@@ -371,3 +375,12 @@ def test_read_changes_fold_over_patch_commits(spark, tmp_path):
     want = {r["grp"]: (r["n"], r["s"]) for r in recomputed.collect()}
     assert got == want
     assert cost["fold_rows"] > 0 and cost["table_rows"] is not None
+
+def test_auto_strategy_small_table_stays_rewrite(spark, tmp_path):
+    # below PATCH_MIN_TABLE_ROWS the bucket rewrite is latency-bound and
+    # cheaper than patch-write + reconciling reads — auto must not patch
+    t = _table(spark, tmp_path, n=100)
+    up = spark.createDataFrame([(0, "x", 0)], "id int, val string, grp int")
+    t.merge_upsert(spark, up, ["id"], strategy="auto")
+    assert not t._state_at()["patches"]
+    assert _rows(spark, t)[0] == ("x", 0)
