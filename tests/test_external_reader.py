@@ -218,3 +218,84 @@ def test_external_reader_sees_update_where(spark, tmp_path):
     ext = sorted((d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist())
     assert ext == eng
     assert ext[9] == (9, 118)
+
+
+def test_external_reader_reconciles_patch_chain(spark, tmp_path):
+    """Merge-on-read patch commits read back identically through the
+    spec reader with the chain OUTSTANDING: latest-commit-wins per key,
+    tombstones drop, inserted keys appear (docs/commit-format.md r8)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.merge_upsert(
+        spark,
+        spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        ["k"],
+    )
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(3, 333), (100, 1)], "k long, v long"),
+        ["k"],
+        strategy="patch",
+    )
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(7,), (9999,)], "k long"), ["k"],
+        strategy="patch",
+    )
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(3, 444), (7, 777)], "k long, v long"),
+        ["k"],
+        strategy="patch",
+    )
+    assert len(t._state_at()["patches"]) == 3  # chain outstanding
+    eng = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    ext = sorted((d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist())
+    assert ext == eng
+    got = dict(ext)
+    assert got[3] == 444 and got[7] == 777 and got[100] == 1
+
+
+def test_external_reader_applies_tombstone_masks(spark, tmp_path):
+    """Lazy-delete mask commits: the spec reader filters exactly the
+    masked dirs in version order, keeps NULL-predicate rows, leaves
+    post-mask appends untouched, and REFUSES update masks (the
+    mask-update reader feature it does not implement)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.createDataFrame(
+            [(i, i * 2 if i % 10 else None) for i in range(40)],
+            "k long, v long",
+        ),
+        mode="append",
+        stats_cols=["k"],
+    )
+    t.delete_where(spark, ("k", "<", 10), lazy=True)
+    t.delete_where(spark, ("v", ">", 60), lazy=True)  # NULL v rows kept
+    t.write(
+        spark.createDataFrame([(5, 10)], "k long, v long"), mode="append"
+    )  # appended after the masks: not masked
+    eng = sorted(
+        ((r["k"], r["v"]) for r in t.read(spark).collect()),
+        key=lambda r: (r[0], r[1] is None, r[1]),
+    )
+    ext = sorted(
+        ((d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist()),
+        key=lambda r: (r[0], r[1] is None, r[1]),
+    )
+    assert ext == eng
+    assert (5, 10) in ext and (30, None) in ext
+    # fold, then the reader sees the same rows with no masks in play
+    t.fold_masks(spark)
+    ext2 = sorted(
+        ((d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist()),
+        key=lambda r: (r[0], r[1] is None, r[1]),
+    )
+    assert ext2 == eng
+    # update masks gate on a reader feature this reader lacks
+    t.update_where(spark, {"v": "v + 1"}, ("k", ">=", 20), lazy=True)
+    with _pytest.raises(ValueError, match="mask-update"):
+        read_table(tmp_path / "t")

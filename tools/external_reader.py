@@ -84,7 +84,10 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
     if not names:
         raise FileNotFoundError(f"no commits under {commits_dir}")
     live: list[dict[str, Any]] = []
+    patches: list[dict[str, Any]] = []
+    masks: list[dict[str, Any]] = []
     schema_json: Optional[str] = None
+    bucket_cols: Optional[list[str]] = None
     props: dict[str, str] = {}
     last = -1
     for name in names:
@@ -96,12 +99,34 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
         mode = c["mode"]
         if mode == "overwrite":
             live = []
+            patches = []
+            masks = []
         if mode == "restore":
             live = list(c["dirs"])
+            patches = list(c.get("patches") or [])
+            masks = list(c.get("masks") or [])
         elif mode == "merge":
             replaced = set(c.get("buckets_replaced") or [])
             live = [e for e in live if e.get("bucket") not in replaced]
             live.extend(c.get("dirs_added") or [])
+            patches = []  # every merge writer folds the patch chain
+        elif mode == "patch":
+            patches.append(
+                {
+                    "dir": c["dir"],
+                    "schema": c["written_schema"],
+                    "version": v,
+                }
+            )
+        elif mode == "mask":
+            masks.append(
+                {
+                    "predicate": c["predicate"],
+                    "dirs": [e["dir"] for e in c["dirs_masked"]],
+                    "version": v,
+                    "set_exprs": c.get("set_exprs"),
+                }
+            )
         elif c.get("dirs_added"):
             live.extend(c["dirs_added"])
         elif c.get("dir"):
@@ -113,10 +138,33 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
             live.append(entry)
         if c.get("schema"):
             schema_json = c["schema"]
+        if c.get("bucket_cols"):
+            bucket_cols = c["bucket_cols"]
         props.update(c.get("set_props") or {})
     if version is not None and last < version:
         raise ValueError(f"version {version} does not exist under {root}")
-    return {"version": last, "entries": live, "schema": schema_json, "props": props}
+    if masks:
+        # a mask survives only for the dirs still live (rewrites retire
+        # masked dirs; uuid-unique names never come back except via
+        # restore, which resets masks wholesale)
+        live_names = {e["dir"] for e in live}
+        masks = [
+            m2
+            for m2 in (
+                {**m, "dirs": [x for x in m["dirs"] if x in live_names]}
+                for m in masks
+            )
+            if m2["dirs"]
+        ]
+    return {
+        "version": last,
+        "entries": live,
+        "schema": schema_json,
+        "props": props,
+        "patches": patches,
+        "masks": masks,
+        "bucket_cols": bucket_cols,
+    }
 
 
 def _scan_entry(root: Path, entry: dict[str, Any], target: pa.Schema) -> pa.Table:
@@ -241,8 +289,27 @@ def read_table(
             else:
                 kept.append({**e, "__files": sorted(keep)})
         entries = kept
-    parts = [_scan_entry(root, e, target) for e in entries]
+    masks = st.get("masks") or []
+    for m in masks:
+        if m.get("set_exprs"):
+            # spec reader feature "mask-update": the SET text is a Spark
+            # SQL expression this reader cannot evaluate — it MUST
+            # refuse rather than silently return untransformed rows
+            raise ValueError(
+                "table carries an UPDATE mask (lazy update_where); this "
+                "reader does not implement the mask-update feature — "
+                "fold_masks the table or use the engine's read()"
+            )
+    parts = []
+    for e in entries:
+        t = _scan_entry(root, e, target)
+        for m in masks:
+            if e["dir"] in m["dirs"]:
+                t = _mask_filter(t, m["predicate"])
+        parts.append(t)
     out = pa.concat_tables(parts) if parts else target.empty_table()
+    if st.get("patches"):
+        out = _reconcile_patches(root, out, st, target)
     if conj:
         import pyarrow.compute as pc
 
@@ -255,6 +322,71 @@ def read_table(
                 "=": pc.equal,
             }[sop]
             out = out.filter(fn(out[scol], pa.scalar(sval)))
+    return out
+
+
+def _mask_filter(tbl: pa.Table, predicate_ser: list) -> pa.Table:
+    """Tombstone-mask survivors: rows where the conjunction is not TRUE
+    (SQL DELETE — a NULL predicate keeps the row). Kleene AND matches
+    the engine's Spark semantics: null AND false = false, null AND true
+    = null, and the final null fills to false before inverting."""
+    import pyarrow.compute as pc
+
+    fns = {
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        "=": pc.equal,
+    }
+    match = None
+    for c, op, v in predicate_ser:
+        e = fns[op](tbl[c], pa.scalar(_stat_deser(v)))
+        match = e if match is None else pc.and_kleene(match, e)
+    keep = pc.invert(pc.fill_null(match, False))
+    return tbl.filter(keep)
+
+
+def _reconcile_patches(
+    root: Path, base: pa.Table, st: dict[str, Any], target: pa.Schema
+) -> pa.Table:
+    """Merge-on-read reconciliation: per bucket-key tuple the NEWEST
+    patch commit wins (ALL of its rows for that key — rank semantics),
+    tombstoned keys drop, and every patched key's base rows are
+    replaced. Null-safe key equality = plain tuple equality here."""
+    keys = st.get("bucket_cols") or []
+    if not keys:
+        raise ValueError("patched table lacks bucket_cols metadata")
+    seen: set[tuple] = set()
+    patch_parts: list[pa.Table] = []
+    for p in sorted(st["patches"], key=lambda p: -p["version"]):
+        written = _arrow_schema(p["schema"])
+        dset = ds.dataset(str(root / p["dir"]), format="parquet")
+        raw = dset.to_table()
+        n = raw.num_rows
+        cols = []
+        have = set(raw.schema.names)
+        for field in target:
+            if field.name in have:
+                cols.append(raw.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(n, field.type))
+        data = pa.Table.from_arrays(cols, schema=target)
+        dels = raw.column("__patch_deleted").to_pylist()
+        key_rows = list(
+            zip(*[data.column(k).to_pylist() for k in keys])
+        )
+        fresh = [i for i, kt in enumerate(key_rows) if kt not in seen]
+        keep_idx = [i for i in fresh if not dels[i]]
+        if keep_idx:
+            patch_parts.append(data.take(keep_idx))
+        seen.update(key_rows[i] for i in fresh)
+        _ = written  # written schema documented; cast path goes via target
+    base_keys = list(zip(*[base.column(k).to_pylist() for k in keys]))
+    keep = [i for i, kt in enumerate(base_keys) if kt not in seen]
+    out = base.take(keep)
+    for p in patch_parts:
+        out = pa.concat_tables([out, p])
     return out
 
 
