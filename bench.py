@@ -186,6 +186,29 @@ def _bench_store_maintenance(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         t.compact(spark)
         out["store_compact_full"] = round(time.time() - t0, 3)
+        # r8 deferred-mutation trend lines: a lazy delete is a metadata
+        # write (near-zero by design — a regression here means a scan
+        # crept into the commit path), fold_masks materializes it
+        t0 = time.time()
+        t.delete_where(spark, ("event_id", "<", step // 2), lazy=True)
+        out["store_lazy_delete"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        t.fold_masks(spark)
+        out["store_fold_masks"] = round(time.time() - t0, 3)
+        # merge-on-read patch commit + fold on a bucketized keys index
+        kt = VersionedParquetTable(dest + "/k")
+        kt.merge_upsert(
+            spark, ev.select("event_id", "user_id"), ["event_id"]
+        )
+        batch = ev.select("event_id", "user_id").filter(
+            F.col("event_id") % 97 == 0
+        )
+        t0 = time.time()
+        kt.merge_upsert(spark, batch, ["event_id"], strategy="patch")
+        out["store_patch_merge"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        kt.fold_patches(spark)
+        out["store_fold_patches"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(dest, ignore_errors=True)
     return out
