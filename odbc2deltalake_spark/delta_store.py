@@ -229,11 +229,22 @@ class DeltaTableStore(TableStore):
         num_buckets: Optional[int] = None,
         target_bucket_rows: Optional[int] = None,
         extra_commit_fields: Optional[dict] = None,
+        delete_keys: Optional[DataFrame] = None,
+        strategy: str = "rewrite",
+        batch_rows_hint: Optional[int] = None,
     ) -> int:
         """Delta MERGE (reference:odbc2deltalake/reader/spark_reader.py:329-350):
         Delta rewrites only files containing matched keys — the same
         asymptotics the parquet store gets from hash bucketing, so the
         bucketing params are ignored here.
+
+        ``strategy`` / ``batch_rows_hint`` (the parquet store's
+        merge-on-read routing) are ACCEPTED and ignored: Delta picks
+        copy-on-write vs deletion-vector merge-on-read itself via the
+        ``delta.enableDeletionVectors`` table property, which is the
+        native home for that decision — callers stay polymorphic across
+        store implementations. ``delete_keys`` maps to
+        ``whenMatchedDelete`` against the key set.
 
         ``extra_commit_fields``: only ``set_props`` is honored, applied
         as a FOLLOW-UP TBLPROPERTIES commit — NOT atomic with the merge
@@ -241,12 +252,45 @@ class DeltaTableStore(TableStore):
         exactly-once on Delta uses txnAppId/txnVersion on the writer).
         A crash between the two commits replays as at-least-once; the
         commit-log parquet store is the atomic path."""
+        if strategy not in ("rewrite", "patch", "auto"):
+            raise ValueError(f"unknown merge strategy {strategy!r}")
         if not self.exists():
+            if delete_keys is not None:
+                source = source.join(
+                    delete_keys, on=key_cols, how="left_anti"
+                )
             v = self.write(source, mode="overwrite")
             if extra_commit_fields and extra_commit_fields.get("set_props"):
                 v = self.set_properties(extra_commit_fields["set_props"])
             return v
         cond = " AND ".join(f"t.`{c}` = s.`{c}`" for c in key_cols)
+        if delete_keys is not None:
+            # one MERGE: tombstoned keys not re-upserted delete, the
+            # rest upsert — same net effect as the parquet store's
+            # delete-then-union commit
+            tomb = delete_keys.join(
+                source.select(*key_cols), on=key_cols, how="left_anti"
+            ).withColumn("__del", F.lit(True))
+            src = source.withColumn("__del", F.lit(False)).unionByName(
+                tomb, allowMissingColumns=True
+            )
+            # explicit column maps: updateAll/insertAll would try to
+            # write the auxiliary `__del` into the target
+            sets = {c: f"s.`{c}`" for c in source.columns}
+            (
+                self._dt(spark)
+                .alias("t")
+                .merge(src.alias("s"), cond)
+                .whenMatchedDelete(condition="s.`__del`")
+                .whenMatchedUpdate(condition="NOT s.`__del`", set=sets)
+                .whenNotMatchedInsert(
+                    condition="NOT s.`__del`", values=sets
+                )
+                .execute()
+            )
+            if extra_commit_fields and extra_commit_fields.get("set_props"):
+                return self.set_properties(extra_commit_fields["set_props"])
+            return self.version()
         (
             self._dt(spark)
             .alias("t")

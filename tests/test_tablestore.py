@@ -1099,3 +1099,27 @@ def test_merge_upsert_with_delete_keys_one_commit(spark, tmp_path):
     by = _sorted(cdf.select("id", "_change_type"))
     assert by == [(3, "update_postimage"), (3, "update_preimage"),
                   (5, "delete"), (42, "insert")]
+
+
+def test_store_merge_signatures_stay_polymorphic():
+    """The plans layer calls merge_upsert with strategy/batch_rows_hint/
+    delete_keys on WHICHEVER store backs latest_pk_version — both
+    implementations must accept the full kwarg surface (a Delta store
+    maps strategy to its own deletion-vector property and ignores the
+    hint), or a Delta-backed deployment TypeErrors at runtime."""
+    import importlib
+    import inspect
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    mod = importlib.import_module("odbc2deltalake_spark.delta_store")
+    need = {"strategy", "batch_rows_hint", "delete_keys",
+            "extra_commit_fields", "target_bucket_rows"}
+    for cls in (VersionedParquetTable, mod.DeltaTableStore):
+        params = set(inspect.signature(cls.merge_upsert).parameters)
+        missing = need - params
+        assert not missing, f"{cls.__name__}.merge_upsert lacks {missing}"
+    # and the lazy kwarg on the parquet store's DML stays optional-only
+    for meth in ("delete_where", "update_where"):
+        p = inspect.signature(getattr(VersionedParquetTable, meth)).parameters
+        assert p["lazy"].default is False
