@@ -2636,6 +2636,32 @@ class VersionedParquetTable(TableStore):
             out = out.unionByName(p)
         return out
 
+    def _check_feed_contiguous(
+        self, names: list[str], from_version: int, to_version: int
+    ) -> None:
+        """Raise ChangeFeedTruncatedError BEFORE any commit is
+        processed when the requested range has log holes. Without the
+        upfront check, a surviving patch/mask commit whose prior-state
+        resolution falls below the truncation cut surfaces as
+        TruncatedLogError ('state unrecoverable') — the wrong signal
+        for a merely-lagging cursor, and one the MV/tailer re-baseline
+        handlers do not treat as recoverable."""
+        have = {
+            v
+            for v in (int(n.split(".")[0]) for n in names)
+            if from_version < v <= to_version
+        }
+        missing = sorted(set(range(from_version + 1, to_version + 1)) - have)
+        if missing:
+            shown = (
+                missing[:5] if len(missing) <= 5 else missing[:5] + ["..."]
+            )
+            raise ChangeFeedTruncatedError(
+                f"change feed truncated: commits {shown} in "
+                f"({from_version}, {to_version}] were removed by log "
+                "truncation — re-baseline"
+            )
+
     def _read_dir_entries_masked(
         self,
         spark: SparkSession,
@@ -2746,7 +2772,9 @@ class VersionedParquetTable(TableStore):
                 "_commit_version", F.lit(v).cast("long")
             )
 
-        for name in self._commit_names():
+        names = self._commit_names()
+        self._check_feed_contiguous(names, from_version, to_version)
+        for name in names:
             v = int(name.split(".")[0])
             if v <= from_version or v > to_version:
                 continue
@@ -3171,7 +3199,9 @@ class VersionedParquetTable(TableStore):
         subs: list[DataFrame] = []
         seen: set[int] = set()
         fold_rows = 0
-        for name in self._commit_names():
+        names = self._commit_names()
+        self._check_feed_contiguous(names, from_version, to_version)
+        for name in names:
             v = int(name.split(".")[0])
             if v <= from_version or v > to_version:
                 continue

@@ -512,3 +512,108 @@ def test_mv_folds_lazy_update(spark, tmp_path):
     }
     got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
     assert got == want and 50 in got
+
+def test_schema_widening_after_masks(spark, tmp_path):
+    # an appended commit with a NEW column lands after two masks: old
+    # dirs still filter/transform through the masks (their predicate
+    # columns exist), the new column reads NULL for them, and the new
+    # dir is untouched by the masks
+    t = _table(spark, tmp_path)
+    t.delete_where(spark, ("id", "<", 50), lazy=True)
+    t.update_where(spark, {"grp": "grp + 100"}, ("id", ">=", 290), lazy=True)
+    t.write(
+        spark.createDataFrame(
+            [(1000, "wide", 0, "extra")],
+            "id int, val string, grp int, note string",
+        ),
+        mode="append",
+        merge_schema=True,
+    )
+    got = {r["id"]: (r["grp"], r["note"]) for r in t.read(spark).collect()}
+    assert min(got) == 50  # tombstone mask still applies to old dirs
+    assert got[295] == (295 % 4 + 100, None)  # update mask + NULL widening
+    assert got[1000] == (0, "extra")
+    t.fold_masks(spark)
+    got2 = {r["id"]: (r["grp"], r["note"]) for r in t.read(spark).collect()}
+    assert got2 == got
+
+
+def test_retention_lifecycle_with_deferred_mutations(spark, tmp_path):
+    # the full maintenance composition over patches AND masks: checkpoint
+    # at a deferred-mutation version, truncate the log below it, vacuum,
+    # time travel inside the retention window, and an aggregate view
+    # tailing through the whole thing without recomputing wrongly
+    from odbc2deltalake_spark.streaming import MaterializedAggregate
+    from odbc2deltalake_spark.tablestore import ChangeFeedTruncatedError
+    import pytest as _pytest
+
+    t = VersionedParquetTable(tmp_path / "life")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], "id int, grp int"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    mv = MaterializedAggregate(
+        t, tmp_path / "lview", group_cols=["grp"],
+        aggs={"n": ("count", None), "s": ("sum", "id")},
+    )
+    mv.refresh(spark)
+    # deferred mutations: a lazy delete FIRST (a lazy op folds any
+    # outstanding patch chain by design), then patch upsert + delete, so
+    # BOTH chains are outstanding at the checkpoint version
+    t.delete_where(spark, ("grp", "=", 3), lazy=True)
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(0, 77), (500, 77)], "id int, grp int"),
+        ["id"], strategy="patch",
+    )
+    t.merge_delete_keys(
+        spark, spark.createDataFrame([(1,)], "id int"), ["id"],
+        strategy="patch",
+    )
+    mv.refresh(spark)  # folds through mask retractions + patch CDF
+
+    def check_view():
+        want = {
+            r["grp"]: (r["n"], r["s"])
+            for r in t.read(spark)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()
+        }
+        got = {r["grp"]: (r["n"], r["s"]) for r in mv.read(spark).collect()}
+        assert got == want
+
+    check_view()
+    v_mid = t.version()
+    # checkpoint the deferred state, then more history, then truncate
+    t.checkpoint(v_mid)
+    t.fold_patches(spark)
+    t.fold_masks(spark)
+    t.checkpoint()
+    mv.refresh(spark)  # folds (rows-preserving commits skip)
+    check_view()
+    t.truncate_log(v_mid)
+    # state at v_mid replays from its checkpoint, chains intact
+    stm = t._state_at(v_mid)
+    assert stm["patches"] and stm["masks"]
+    n_mid = t.read(spark, version=v_mid).count()
+    assert n_mid == t.read(spark).count()  # folds were rows-preserving
+    # a cursor below the truncation point re-baselines loudly
+    with _pytest.raises(ChangeFeedTruncatedError):
+        t.read_changes_cdf(spark, from_version=0)
+    # vacuum with retention covering v_mid keeps every needed dir
+    t.vacuum(
+        retain_versions=t.version() - v_mid + 1,
+        orphan_min_age_seconds=0.0,
+    )
+    assert t.read(spark, version=v_mid).count() == n_mid
+    # tight retention reclaims the superseded patch/mask dirs; head reads
+    # and the view keep working
+    t.vacuum(retain_versions=1, orphan_min_age_seconds=0.0)
+    check_view()
+    t.write(
+        spark.createDataFrame([(600, 1)], "id int, grp int"),
+        mode="append",
+    )
+    mv.refresh(spark)
+    check_view()
