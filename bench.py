@@ -324,6 +324,21 @@ def main() -> None:
         extras[name] = dt
 
     extras.update(extras_pre)
+    # host-speed canary: a fixed CPU-bound Spark job (same plan every
+    # round) whose min-of-3 wall time calibrates cross-round comparisons
+    # — two rounds' headline totals are only comparable after dividing
+    # out the canary ratio (observed: the same tree measures 32-40 s on
+    # this sandbox's host depending on the day, with contending_jvms=0
+    # both times; the canary makes that drift auditable instead of
+    # reading as a plan regression)
+    canary = min(
+        _timeit(
+            lambda: spark.range(0, 200_000_000, 1, 64)
+            .selectExpr("sum(id * 2 + 1) as s")
+            .collect()
+        )
+        for _ in range(3)
+    )
     print(
         json.dumps(
             {
@@ -335,6 +350,7 @@ def main() -> None:
                 "reruns": reruns,
                 "outlier_cutoff": round(outlier_cutoff, 3),
                 "contending_jvms": contended,
+                "host_canary_sec": round(canary, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -354,9 +370,16 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "contending_jvms": contended,
+                "host_canary_sec": round(canary, 3),
             }
         )
     )
+
+
+def _timeit(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 if __name__ == "__main__":
