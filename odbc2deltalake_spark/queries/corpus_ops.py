@@ -1064,3 +1064,69 @@ def corpus_e2e_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q["corpus_e2e_recipe"].oracle = _recipe_oracle()
+
+
+# --------------------------------------------- exact stratified sample ----
+
+_STRAT_SEED = "strat0"
+_STRAT_FRAC = 0.2
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_STRAT_SEED}' || doc_id::VARCHAR), doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS rank_in_stratum
+FROM ranked
+WHERE rn <= CAST(ceil({_STRAT_FRAC} * n) AS BIGINT)
+ORDER BY lang, rank_in_stratum
+"""
+
+
+@register(
+    "corpus_stratified_sample",
+    _STRAT_ORACLE,
+    tags=("corpus", "sampling"),
+    priority=100,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum sampling: ceil(frac x |stratum|) docs from each
+    language, chosen in deterministic md5(seed‖doc_id) order — the
+    data-mixing primitive for rebalancing a training corpus (keep 20% of
+    every language rather than 20% overall, which would be dominated by
+    the head language). Deterministic: rerunning reproduces the exact
+    sample; the seed rotates it.
+
+    Scale: Spark's sample()/sampleBy() are Bernoulli — probabilistic
+    counts, no rank — so this uses partitioned windows instead: ONE
+    row_number per stratum (parallel across strata, no global sort) and
+    a broadcast per-stratum count join. Skew bound: the largest stratum
+    serializes through one task per window; for a head-heavy corpus at
+    100 TB, pre-split hot strata with the shuffle-order bucketing
+    (corpus_shuffle_order) before ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(_STRAT_SEED), F.col("doc_id").cast("string"))
+    )
+    ranked = docs.select("doc_id", "lang", "n_chars", key.alias("k")).withColumn(
+        "rank_in_stratum",
+        F.row_number().over(W.partitionBy("lang").orderBy("k", "doc_id")),
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    take = F.ceil(F.lit(_STRAT_FRAC) * F.col("n")).cast("long")
+    return (
+        ranked.join(F.broadcast(counts), on="lang")
+        .filter(F.col("rank_in_stratum") <= take)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("rank_in_stratum").cast("long").alias("rank_in_stratum"),
+        )
+        .orderBy("lang", "rank_in_stratum")
+    )
