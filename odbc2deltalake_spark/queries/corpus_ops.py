@@ -1130,3 +1130,89 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rank_in_stratum")
     )
+
+
+# -------------------------------------------- mixture reweighting ----
+
+_MIX_CAP = 5.0
+
+_MIX_ORACLE = f"""
+WITH tok AS (
+    SELECT lang,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM tok
+    GROUP BY lang
+),
+tot AS (
+    SELECT sum(tokens) AS all_tokens,
+           count(*) AS n_langs
+    FROM agg
+)
+SELECT a.lang,
+       a.n_docs,
+       a.tokens,
+       round(a.tokens / t.all_tokens, 6) AS actual_share,
+       round(1.0 / t.n_langs, 6) AS target_share,
+       round(
+           least((1.0 / t.n_langs) / (a.tokens / t.all_tokens),
+                 {_MIX_CAP}),
+           6
+       ) AS sample_weight
+FROM agg a, tot t
+ORDER BY a.lang
+"""
+
+
+@register(
+    "corpus_mixture_weights",
+    _MIX_ORACLE,
+    tags=("corpus", "sampling"),
+    priority=100,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture reweighting: per-language token shares and
+    the over/under-sampling weight that moves the mixture toward a
+    uniform target (the DoReMi-style static-reweighting input — a
+    training pipeline multiplies each stratum's sampling rate by
+    ``sample_weight``, capped so a tiny stratum is never oversampled
+    into degenerate repetition).
+
+    Scale: one map-side-combining groupBy over the corpus (token counts
+    are partial-aggregable), a single-row total broadcast back — no
+    window, no global sort; cost is one scan regardless of corpus
+    size. The whitespace token count matches the engine's established
+    cross-engine formula (text_token_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = docs.select("lang", n_tokens.alias("n_tokens")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    tot = agg.agg(
+        F.sum("tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    actual = F.col("tokens") / F.col("all_tokens")
+    target = F.lit(1.0) / F.col("n_langs")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(
+                F.least(target / actual, F.lit(_MIX_CAP)), 6
+            ).alias("sample_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -184,8 +184,9 @@ AUDIT = [
     # quality order; dedup_keep_best excluded: drives dedup_cluster's
     # iterative loop)
     "corpus_token_budget_select",
-    # r8 second wave: exact stratified sampling
+    # r8 second wave: exact stratified sampling + mixture reweighting
     "corpus_stratified_sample",
+    "corpus_mixture_weights",
     # r7 second wave: calendar gap fill, CUBE grouping sets, bigram LM
     "ev_gap_fill_daily",
     "ev_cube",
