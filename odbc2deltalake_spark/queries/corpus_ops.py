@@ -1216,3 +1216,129 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- mixture application ----
+# corpus_mixture_weights DECIDES the reweighting; this op APPLIES it:
+# each language is replicated floor(w) whole epochs plus a fractional
+# top-up of its hash-order prefix, so the emitted copy counts realize
+# the target mixture. All arithmetic is INTEGER (per-mille weights,
+# floor division) so Spark and DuckDB agree bit-for-bit — a double
+# weight would round differently at ties across engines.
+
+_MIXA_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, lang,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+),
+agg AS (
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS tokens
+    FROM tok GROUP BY lang
+),
+tot AS (
+    SELECT sum(tokens) AS all_tokens, count(*) AS n_langs FROM agg
+),
+w AS (
+    SELECT a.lang, a.n_docs,
+           least({int(_MIX_CAP * 1000)},
+                 (t.all_tokens * 1000) // (t.n_langs * a.tokens)
+           ) AS w_milli
+    FROM agg a, tot t
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_STRAT_SEED}' || doc_id::VARCHAR), doc_id
+           ) AS rn
+    FROM documents
+),
+plan AS (
+    SELECT r.doc_id, r.lang,
+           CAST((w.w_milli // 1000)
+           + CASE WHEN r.rn <= ((w.w_milli % 1000) * w.n_docs) // 1000
+                  THEN 1 ELSE 0 END AS BIGINT) AS copies
+    FROM ranked r JOIN w ON r.lang = w.lang
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+FROM plan
+ORDER BY lang, doc_id, epoch
+"""
+
+
+@register(
+    "corpus_mixture_apply",
+    _MIXA_ORACLE,
+    tags=("corpus", "sampling", "flagship"),
+    priority=100,
+)
+def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture resampling == the same plan as SQL.
+
+    Composes the two sampling primitives end-to-end: per-language
+    per-mille weights (integer-exact version of
+    ``corpus_mixture_weights``) drive whole-epoch replication
+    (``floor(w)`` copies of every doc) plus a fractional top-up (one
+    extra copy for the stratum's deterministic hash-order prefix, sized
+    ``(w mod 1) x n_docs`` in integer arithmetic) — the emitted
+    (doc, epoch) stream realizes the target mixture exactly and
+    reproducibly, which is what a training loader consumes.
+
+    Scale: replication is `explode(sequence(...))` — rows multiply at
+    the output, never at a shuffle (the explode sits after the
+    broadcast joins); the only per-stratum serialization is the same
+    partitioned rank as ``corpus_stratified_sample``."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = docs.select("lang", n_tokens.alias("n_tokens")).groupBy(
+        "lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    tot = agg.agg(
+        F.sum("tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    w = agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(int(_MIX_CAP * 1000)),
+            F.floor(
+                (F.col("all_tokens") * 1000)
+                / (F.col("n_langs") * F.col("tokens"))
+            ),
+        ).alias("w_milli"),
+    )
+    key = F.md5(
+        F.concat(F.lit(_STRAT_SEED), F.col("doc_id").cast("string"))
+    )
+    ranked = docs.select("doc_id", "lang", key.alias("k")).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("lang").orderBy("k", "doc_id")),
+    )
+    copies = F.floor(F.col("w_milli") / 1000) + F.when(
+        F.col("rn")
+        <= F.floor((F.col("w_milli") % 1000) * F.col("n_docs") / 1000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ranked.join(F.broadcast(w), on="lang")
+        .withColumn("copies", copies)
+        # sequence(1, 0) would auto-reverse with step -1 ([1, 0] — two
+        # phantom epochs); zero-copy docs must drop BEFORE the explode
+        .filter(F.col("copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), F.col("copies").cast("long")
+                )
+            ).alias("epoch"),
+        )
+        .orderBy("lang", "doc_id", "epoch")
+    )

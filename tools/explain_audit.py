@@ -187,6 +187,7 @@ AUDIT = [
     # r8 second wave: exact stratified sampling + mixture reweighting
     "corpus_stratified_sample",
     "corpus_mixture_weights",
+    "corpus_mixture_apply",
     # r7 second wave: calendar gap fill, CUBE grouping sets, bigram LM
     "ev_gap_fill_daily",
     "ev_cube",
