@@ -2550,6 +2550,12 @@ class VersionedParquetTable(TableStore):
                     continue  # rows-preserving OPTIMIZE: zero change rows
                 if "masks_folded" in c:
                     continue  # rows-preserving tombstone materialization
+                if "patches_folded" in c:
+                    # pure fold_patches: the commit rewrites the touched
+                    # buckets to exactly their reconciled prior content —
+                    # rows-preserving by construction, zero change rows
+                    # (the patch commits themselves emitted the changes)
+                    continue
                 raise ValueError(
                     f"version {v} is a {c['mode']} commit — not representable "
                     "as a change feed; re-baseline from read(version=...)"
@@ -2806,6 +2812,12 @@ class VersionedParquetTable(TableStore):
                 continue  # rows-preserving OPTIMIZE: zero change rows
             if "masks_folded" in c:
                 continue  # rows-preserving tombstone materialization
+            if "patches_folded" in c:
+                # pure fold_patches: rewrites the touched buckets to
+                # exactly their reconciled prior content — rows-preserving
+                # by construction, zero change rows (the patch commits
+                # themselves emitted the changes)
+                continue
             if mode == "restore" and c.get("dml_op"):
                 pre, post = self._dml_images(spark, c, v, table_schema)
                 if post is None:
@@ -2943,6 +2955,53 @@ class VersionedParquetTable(TableStore):
         )
         return replaced, old_rows
 
+    def _merge_preimage_frame(
+        self,
+        spark: SparkSession,
+        c: dict[str, Any],
+        v: int,
+        table_schema: T.StructType,
+    ) -> DataFrame:
+        """The RECONCILED prior-state rows of the buckets a merge commit
+        replaced, cast to ``table_schema`` — the pre-image side for CDF
+        synthesis and retraction folds. Rows already dead under a lazy
+        tombstone at v-1 must not resurface (their mask commit emitted
+        the deletes), and — ADVICE r8 — rows rewritten by an outstanding
+        PATCH chain must appear patch-applied (the patch commit already
+        emitted those changes; reading the raw base dirs here would emit
+        them a second time). The no-patch fast path reads only the
+        replaced dirs; with patches outstanding the bucket-pruned
+        time-travel read reconciles exactly like :meth:`_patch_cdf`."""
+        replaced, _old_rows = self._merge_preimage_entries(c, v)
+        prev = self._state_at(v - 1)
+        prior_masks = prev.get("masks") or []
+        prior_patches = prev.get("patches") or []
+        if not prior_patches:
+            if not replaced:
+                return spark.createDataFrame([], table_schema)
+            return self._read_dir_entries_masked(
+                spark, replaced, table_schema, prior_masks
+            )
+        for p in prior_patches:
+            if not self.backend.exists(self._path(p["dir"])):
+                raise ChangeFeedTruncatedError(
+                    f"change feed truncated: version {v}'s pre-image "
+                    f"patch dir {p['dir']!r} was vacuumed — re-baseline"
+                )
+        rb = sorted(set(c.get("buckets_replaced") or []))
+        old = self.read(spark, version=v - 1, buckets=rb)
+        have = set(old.columns)
+        return old.select(
+            *[
+                (
+                    F.col(f.name).cast(_relax_nullability(f.dataType))
+                    if f.name in have
+                    else F.lit(None).cast(_relax_nullability(f.dataType))
+                ).alias(f.name)
+                for f in table_schema.fields
+            ]
+        )
+
     def _merge_cdf(
         self,
         spark: SparkSession,
@@ -2964,32 +3023,26 @@ class VersionedParquetTable(TableStore):
         shuffle — consumers that only FOLD changes into sums/counts
         should use :meth:`read_changes_fold`, where unchanged rows
         cancel arithmetically and no join runs at all."""
-        replaced, _old_rows = self._merge_preimage_entries(c, v)
-        # rows already dead under a lazy tombstone at v-1 must not
-        # resurface as pre-images (the mask commit emitted their deletes)
-        prior_masks = self._state_at(v - 1).get("masks") or []
         keys = c["bucket_cols"]
         non_keys = [f.name for f in table_schema.fields if f.name not in keys]
+        # keys-only tables have no payload: a constant stands in so
+        # matched keys always compare equal (a keys-only row cannot
+        # change) and only inserts survive
+        pay = F.struct(*non_keys) if non_keys else F.struct(F.lit(0))
 
-        def side(
-            entries: list[dict[str, Any]],
-            masks: Optional[list[dict[str, Any]]] = None,
-        ) -> DataFrame:
-            base = (
-                self._read_dir_entries_masked(
-                    spark, entries, table_schema, masks or []
-                )
-                if entries
-                else spark.createDataFrame([], table_schema)
-            )
-            # keys-only tables have no payload: a constant stands in so
-            # matched keys always compare equal (a keys-only row cannot
-            # change) and only inserts survive
-            pay = F.struct(*non_keys) if non_keys else F.struct(F.lit(0))
+        def side(base: DataFrame) -> DataFrame:
             return base.select(*keys, pay.alias("__p"))
 
-        o = side(replaced, prior_masks).alias("__o")
-        n = side(list(c["dirs_added"])).alias("__n")
+        o = side(
+            self._merge_preimage_frame(spark, c, v, table_schema)
+        ).alias("__o")
+        n = side(
+            self._read_dir_entries(
+                spark, list(c["dirs_added"]), table_schema
+            )
+            if c["dirs_added"]
+            else spark.createDataFrame([], table_schema)
+        ).alias("__n")
         cond = F.lit(True)
         for k in keys:
             cond = cond & F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
@@ -3232,6 +3285,12 @@ class VersionedParquetTable(TableStore):
                 continue  # rows-preserving OPTIMIZE
             if "masks_folded" in c:
                 continue  # rows-preserving tombstone materialization
+            if "patches_folded" in c:
+                # pure fold_patches: rewrites the touched buckets to
+                # exactly their reconciled prior content — rows-preserving
+                # by construction, zero change rows (the patch commits
+                # themselves emitted the changes)
+                continue
             if mode == "restore" and c.get("dml_op"):
                 pre, post = self._dml_images(spark, c, v, table_schema)
                 subs.append(pre)
@@ -3266,13 +3325,13 @@ class VersionedParquetTable(TableStore):
                 continue
             if mode == "merge":
                 replaced, old_rows = self._merge_preimage_entries(c, v)
-                if replaced:
-                    prior_masks = (
-                        self._state_at(v - 1).get("masks") or []
-                    )
+                if replaced or self._state_at(v - 1).get("patches"):
+                    # patch-aware pre-images (ADVICE r8): a raw dir read
+                    # would re-subtract rows the patch commit already
+                    # retracted, double-applying the delta
                     subs.append(
-                        self._read_dir_entries_masked(
-                            spark, replaced, table_schema, prior_masks
+                        self._merge_preimage_frame(
+                            spark, c, v, table_schema
                         )
                     )
                 new_entries = list(c.get("dirs_added") or [])
@@ -4205,9 +4264,13 @@ class VersionedParquetTable(TableStore):
             for r in pdf.select(bexpr.alias(_BUCKET_COL)).distinct().collect()
         )
         merged = self.read(spark, buckets=touched)
+        # pure fold: rows-preserving by construction — tagged so change
+        # feeds skip it like OPTIMIZE (the patch commits already emitted
+        # these changes; ADVICE r8)
         return self._write_bucketized(
             merged, key_cols, st["num_buckets"], replace=touched,
             key_types=key_types,
+            extra_commit_fields={"patches_folded": len(st["patches"])},
         )
 
     def _bucketize_full(

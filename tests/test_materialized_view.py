@@ -516,3 +516,62 @@ def test_fold_cost_guard_prefers_recompute(spark, tmp_path):
     # single snapshot scan
     assert calls["fold_feed"] == 1 and calls["snapshot"] >= 1
     assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+
+
+def test_patched_source_folds_exactly(spark, tmp_path):
+    """ADVICE r8 end-to-end regression: a merge-on-read PATCH commit on
+    the source followed by a chain-folding merge (fold_patches or a
+    rewrite merge) double-applied the patch delta through the retraction
+    feed, silently corrupting incremental views. The view must stay
+    equal to recompute across patch -> fold, refreshing incrementally."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedParquetTable(tmp_path / "cdc_index")
+    t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=8)
+    mv = _retractable_mv(t, tmp_path)
+    mv.FOLD_COST_FACTOR = 100.0
+    mv.refresh(spark)
+
+    # allow the feed's bucket-pruned pre-image reads (delta-sized by
+    # design) but fail on a FULL snapshot read = re-baseline
+    orig = t.read
+
+    def no_full_read(spark_, version=None, buckets=None, skip_where=None):
+        assert buckets is not None, "full source re-baseline — fold expected"
+        return orig(spark_, version=version, buckets=buckets,
+                    skip_where=skip_where)
+
+    batch = ev.filter(F.col("event_id") % 11 == 0).withColumn(
+        "value", F.col("value") * 5
+    )
+    t.merge_upsert(spark, batch, key_cols=["event_id"], strategy="patch")
+    t.read = no_full_read
+    try:
+        mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+    t.fold_patches(spark)  # pure fold: zero change rows for the feed
+    t.read = no_full_read
+    try:
+        mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))
+
+    # patch then NON-pure rewrite merge (own batch, chain outstanding)
+    batch2 = ev.filter(F.col("event_id") % 13 == 0).withColumn(
+        "value", F.col("value") + 1
+    )
+    t.merge_upsert(spark, batch2, key_cols=["event_id"], strategy="patch")
+    batch3 = ev.filter(F.col("event_id") % 17 == 0).withColumn(
+        "value", F.col("value") - 2
+    )
+    t.merge_upsert(spark, batch3, key_cols=["event_id"], strategy="rewrite")
+    t.read = no_full_read
+    try:
+        mv.refresh(spark)
+    finally:
+        t.read = orig
+    assert _rows(mv.read(spark)) == _rows(mv.recompute(spark))

@@ -384,3 +384,138 @@ def test_auto_strategy_small_table_stays_rewrite(spark, tmp_path):
     t.merge_upsert(spark, up, ["id"], strategy="auto")
     assert not t._state_at()["patches"]
     assert _rows(spark, t)[0] == ("x", 0)
+
+
+def _cdf_kinds(spark, t, v0):
+    rows = t.read_changes_cdf(spark, from_version=v0).collect()
+    return sorted((r["_change_type"], r["id"]) for r in rows)
+
+
+def test_fold_after_patch_emits_no_duplicate_cdf(spark, tmp_path):
+    # ADVICE r8 (high): a patch commit followed by a chain-folding merge
+    # emitted every patch change TWICE — once from _patch_cdf and again
+    # from the merge commit, whose pre-images read the raw (pre-patch)
+    # base dirs. A pure fold_patches is rows-preserving by construction
+    # and must contribute ZERO change rows, like OPTIMIZE / masks_folded.
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    up = spark.createDataFrame(
+        [(0, "X", 9), (500, "Y", 9)], "id int, val string, grp int"
+    )
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    t.fold_patches(spark)
+    assert _cdf_kinds(spark, t, v0) == [
+        ("insert", 500),
+        ("update_postimage", 0),
+        ("update_preimage", 0),
+    ]
+
+
+def test_fold_after_patch_tombstone_single_delete(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    dk = spark.createDataFrame([(3,)], "id int")
+    t.merge_delete_keys(spark, dk, ["id"], strategy="patch")
+    t.fold_patches(spark)
+    assert _cdf_kinds(spark, t, v0) == [("delete", 3)]
+
+
+def test_rewrite_merge_over_patch_chain_cdf_exact(spark, tmp_path):
+    # non-pure fold: a rewrite merge with its OWN batch lands while a
+    # patch chain is outstanding. The merge's pre-images must be the
+    # PATCH-RECONCILED prior state, so the patch's changes appear once
+    # (at the patch commit) and the merge contributes only its own batch.
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    up = spark.createDataFrame([(0, "X", 9)], "id int, val string, grp int")
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    other = spark.createDataFrame(
+        [(1, "R", 8)], "id int, val string, grp int"
+    )
+    t.merge_upsert(spark, other, ["id"], strategy="rewrite")
+    kinds = _cdf_kinds(spark, t, v0)
+    assert kinds == [
+        ("update_postimage", 0),
+        ("update_postimage", 1),
+        ("update_preimage", 0),
+        ("update_preimage", 1),
+    ]
+    # and the pre-image VALUE for id 0 at the merge... there is none:
+    # id 0's only change pair comes from the patch commit
+    rows = t.read_changes_cdf(spark, from_version=v0).collect()
+    pre0 = [r for r in rows if r["id"] == 0 and r["_change_type"] == "update_preimage"]
+    assert len(pre0) == 1 and pre0[0]["val"] == "v0"
+
+
+def test_rewrite_merge_overlapping_patch_key_cdf(spark, tmp_path):
+    # the merge's own batch REWRITES a key the patch already changed:
+    # patch emits v0->X at the patch commit, merge emits X->Z (pre-image
+    # is the patch-applied value X, not the base value v0)
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    up = spark.createDataFrame([(0, "X", 9)], "id int, val string, grp int")
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    vp = t.version()
+    z = spark.createDataFrame([(0, "Z", 7)], "id int, val string, grp int")
+    t.merge_upsert(spark, z, ["id"], strategy="rewrite")
+    rows = t.read_changes_cdf(spark, from_version=v0).collect()
+    by_commit = sorted(
+        (r["_commit_version"], r["_change_type"], r["val"]) for r in rows
+    )
+    assert by_commit == [
+        (vp, "update_postimage", "X"),
+        (vp, "update_preimage", "v0"),
+        (vp + 1, "update_postimage", "Z"),
+        (vp + 1, "update_preimage", "X"),
+    ]
+
+
+def test_read_changes_fold_after_patch_fold_exact(spark, tmp_path):
+    # the advisor's repro: patch upsert + fold_patches made
+    # read_changes_fold double-apply the patch delta (sum drifted)
+    import pyspark.sql.functions as F
+
+    t = _table(spark, tmp_path)
+    v0 = t.version()
+    up = spark.createDataFrame(
+        [(0, "u", 7), (500, "i", 7)], "id int, val string, grp int"
+    )
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    dk = spark.createDataFrame([(1,), (2,)], "id int")
+    t.merge_delete_keys(spark, dk, ["id"], strategy="patch")
+    t.fold_patches(spark)
+
+    adds, subs, _cost = t.read_changes_fold(spark, from_version=v0)
+
+    def agg(df, sign):
+        return df.groupBy("grp").agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.coalesce(F.sum("id"), F.lit(0)) * sign).alias("s"),
+        )
+
+    base = agg(t.read(spark, version=v0), 1)
+    folded = (
+        base.unionByName(agg(adds, 1))
+        .unionByName(agg(subs, -1))
+        .groupBy("grp")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    got = {r["grp"]: (r["n"], r["s"]) for r in folded.collect()}
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in agg(t.read(spark), 1).collect()
+    }
+    assert got == want
+
+
+def test_append_only_tailer_survives_pure_fold(spark, tmp_path):
+    # read_changes (the append-only feed) must skip a pure fold commit
+    # like compacted_from/masks_folded instead of raising re-baseline
+    t = _table(spark, tmp_path)
+    up = spark.createDataFrame([(0, "X", 9)], "id int, val string, grp int")
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    v_before = t.version()
+    t.fold_patches(spark)
+    out = t.read_changes(spark, from_version=v_before)
+    assert out.count() == 0
