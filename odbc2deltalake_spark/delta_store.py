@@ -130,14 +130,44 @@ class DeltaTableStore(TableStore):
         self._dt().restoreToVersion(version)
         return self.version()
 
+    @staticmethod
+    def _sql_literal(v) -> str:
+        """Render a predicate value as a typed SQL literal. Python
+        ``repr`` is NOT SQL (datetime.date(...) parses as a function
+        call, embedded quotes break the statement) — ADVICE r8."""
+        import datetime
+        import decimal
+
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return str(v)
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise ValueError(f"unsupported CHECK constraint literal {v!r}")
+
     def set_check_constraint(self, spark: SparkSession, name: str, predicate) -> int:
         """Native Delta CHECK constraint (ALTER TABLE ADD CONSTRAINT):
         Delta validates existing rows and enforces every subsequent
-        write, matching the parquet store's semantics."""
+        write, matching the parquet store's semantics. The name is
+        validated with the same grammar as the parquet store and values
+        render as typed SQL literals, never Python repr."""
+        import re
+
         from odbc2deltalake_spark.tablestore import VersionedParquetTable
 
+        if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.-]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
         conj = VersionedParquetTable._skip_conjuncts(predicate)
-        sql_pred = " AND ".join(f"`{c}` {op} {v!r}" for c, op, v in conj)
+        if not conj:
+            raise ValueError("a CHECK constraint requires a predicate")
+        sql_pred = " AND ".join(
+            f"`{c}` {op} {self._sql_literal(v)}" for c, op, v in conj
+        )
         self._session(spark).sql(
             f"ALTER TABLE delta.`{self.root}` ADD CONSTRAINT {name} "
             f"CHECK ({sql_pred})"
@@ -255,10 +285,11 @@ class DeltaTableStore(TableStore):
         if strategy not in ("rewrite", "patch", "auto"):
             raise ValueError(f"unknown merge strategy {strategy!r}")
         if not self.exists():
-            if delete_keys is not None:
-                source = source.join(
-                    delete_keys, on=key_cols, how="left_anti"
-                )
+            # delete_keys targets only PRE-EXISTING rows; on first write
+            # there are none, so the source lands unchanged — a key in
+            # both source and delete_keys is an upsert (ADVICE r8: the
+            # old anti-join here dropped such rows, contradicting both
+            # the documented semantics and the parquet store)
             v = self.write(source, mode="overwrite")
             if extra_commit_fields and extra_commit_fields.get("set_props"):
                 v = self.set_properties(extra_commit_fields["set_props"])

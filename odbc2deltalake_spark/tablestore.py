@@ -1958,8 +1958,21 @@ class VersionedParquetTable(TableStore):
             if kept_n == 0:
                 continue  # fully-masked dir: no survivor entry
             entry: dict[str, Any] = {"dir": dir_name, "schema": target.json()}
+            # recompute stats for the mask-predicate columns UNION the
+            # columns the replaced dir already had stats for (ADVICE r8:
+            # dropping the dir's write-time stats_cols silently degraded
+            # skip_where pruning after every fold — reads stayed correct
+            # but scanned more)
+            prior_stat_cols = {
+                c
+                for s in (d.get("stats") or {}).values()
+                for c in s
+            }
             sc = sorted(
-                {c for m in masks for c, _, _ in m["predicate"]}
+                (
+                    {c for m in masks for c, _, _ in m["predicate"]}
+                    | prior_stat_cols
+                )
                 & set(target.fieldNames())
             )
             if sc:

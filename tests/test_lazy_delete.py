@@ -617,3 +617,28 @@ def test_retention_lifecycle_with_deferred_mutations(spark, tmp_path):
     )
     mv.refresh(spark)
     check_view()
+
+
+def test_fold_masks_preserves_prior_stats_cols(spark, tmp_path):
+    # ADVICE r8 (low): fold_masks recomputed footer stats only for the
+    # mask-predicate columns, discarding each dir's write-time stats —
+    # skip_where pruning on those columns degraded after every fold.
+    # The rewritten entries must carry stats for the UNION of the mask
+    # columns and the replaced dir's previously recorded stats columns.
+    t = _table(spark, tmp_path)  # dirs have id+grp stats
+    t.delete_where(spark, ("val", "=", "v1"), lazy=True)  # mask col: val
+    t.fold_masks(spark)
+    st = t._state_at()
+    assert not st["masks"]
+    rewritten = [d for d in st["dirs"] if d["dir"].startswith(f"d{st['version']:010d}")]
+    assert rewritten, "fold should have rewritten the masked dirs"
+    for d in rewritten:
+        cols = {c for s in (d.get("stats") or {}).values() for c in s}
+        assert {"id", "grp"} <= cols, f"lost write-time stats: {cols}"
+    # and pruning still works: an id range fully outside one rewritten
+    # dir's interval must exclude it from the scan set
+    got = sorted(
+        r["id"]
+        for r in t.read(spark, skip_where=("id", "<", 100)).collect()
+    )
+    assert got == [i for i in range(100) if i != 1]

@@ -1123,3 +1123,42 @@ def test_store_merge_signatures_stay_polymorphic():
     for meth in ("delete_where", "update_where"):
         p = inspect.signature(getattr(VersionedParquetTable, meth)).parameters
         assert p["lazy"].default is False
+
+
+def test_delta_store_sql_literal_rendering():
+    """ADVICE r8 (low): CHECK constraint SQL interpolated Python repr —
+    datetime.date(...) is not SQL and embedded quotes broke the
+    statement. The literal renderer is pure (no delta-spark needed)."""
+    import datetime
+    import decimal
+    import importlib
+
+    lit = importlib.import_module(
+        "odbc2deltalake_spark.delta_store"
+    ).DeltaTableStore._sql_literal
+    assert lit(True) == "TRUE" and lit(False) == "FALSE"
+    assert lit(42) == "42" and lit(2.5) == "2.5"
+    assert lit(decimal.Decimal("1.10")) == "1.10"
+    assert lit(datetime.date(2026, 8, 15)) == "DATE '2026-08-15'"
+    assert (
+        lit(datetime.datetime(2026, 8, 15, 9, 30))
+        == "TIMESTAMP '2026-08-15 09:30:00'"
+    )
+    assert lit("o'neill") == "'o''neill'"
+    with _pytest.raises(ValueError):
+        lit(object())
+
+
+def test_delta_store_constraint_name_validated():
+    """Same name grammar as the parquet store — no SQL injection via the
+    constraint name. Checked before any session use, so it raises even
+    without delta-spark installed."""
+    import importlib
+
+    mod = importlib.import_module("odbc2deltalake_spark.delta_store")
+    store = object.__new__(mod.DeltaTableStore)  # skip delta import
+    store.root = "/tmp/x"
+    with _pytest.raises(ValueError, match="invalid constraint name"):
+        store.set_check_constraint(None, "bad name; DROP", ("id", ">", 0))
+    with _pytest.raises(ValueError, match="requires a predicate"):
+        store.set_check_constraint(None, "ok_name", [])
