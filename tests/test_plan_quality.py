@@ -16,9 +16,11 @@ from tools.explain_audit import (
     AUDIT,
     BROADCAST_EXPECTED,
     CROSS_JOIN_OK,
+    GLOBAL_SORT_OK,
     PUSHDOWN_EXPECTED,
     SINGLE_PARTITION_WINDOW_OK,
     single_partition_windows,
+    unbounded_global_sorts,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -57,6 +59,13 @@ def test_plan_properties(plans, name):
         # only for constant-sized frames (allowlisted with justification)
         hits = single_partition_windows(plan)
         assert not hits, f"unpartitioned Window over a growing frame: {hits}"
+    if name not in GLOBAL_SORT_OK:
+        # a trailing global orderBy over output that grows with the data
+        # (a kept sample, a replicated mixture stream) is a full range
+        # shuffle nothing downstream needs — the r8 sampling-trio weak
+        # finding; allowed only for genuinely-ordered bounded deliverables
+        hits = unbounded_global_sorts(plan)
+        assert not hits, f"global sort over unbounded output: {hits}"
     if name in PUSHDOWN_EXPECTED:
         assert re.search(r"PushedFilters: \[[^\]]", plan), "filters not pushed to scan"
     if name in BROADCAST_EXPECTED:

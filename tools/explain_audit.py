@@ -97,6 +97,113 @@ def single_partition_windows(plan: str) -> list[str]:
                     break
     return hits
 
+# queries allowed a top-level GLOBAL sort whose input the detector
+# cannot prove bounded — ONLY for outputs that are genuinely ordered
+# deliverables of bounded size. A global orderBy over output that grows
+# with the data (a kept sample, a replicated mixture stream) is a
+# full range shuffle nothing downstream needs — the r8 sampling-trio
+# finding; everything not listed here is gated.
+GLOBAL_SORT_OK: set[str] = {
+    "q20_excess_suppliers",  # TPC-H Q20 mandates ORDER BY s_name; the
+    # sorted frame is the supplier DIMENSION semi-joined down (never a
+    # fact table), which the join-recursion cannot prove bounded
+}
+
+# chain-walk node classes for unbounded_global_sorts(): walking DOWN
+# from a global Sort, the first decisive node classifies the sorted
+# frame. Reducers bound it (aggregate/limit-sized output); terminals
+# mean the sort ranges over data-proportional rows (scan/join/explode
+# output); pass-throughs keep walking.
+_SORT_REDUCERS = re.compile(
+    r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit|"
+    r"AggregateInPandas)\b"
+)
+_SORT_PASS_THROUGH = re.compile(
+    r"\b(Project|Filter|Exchange|BroadcastExchange|AQEShuffleRead|Sort|"
+    r"ColumnarToRow|"
+    r"InputAdapter|WholeStageCodegen|Window|WindowGroupLimit|Coalesce|"
+    r"ReusedExchange|BroadcastQueryStage|ShuffleQueryStage|"
+    r"TableCacheQueryStage|InMemoryTableScan|InMemoryRelation|"
+    r"DeserializeToObject|SerializeFromObject|AdaptiveSparkPlan|"
+    r"ResultQueryStage)\b"
+)
+
+
+def _tree_nodes(tree_lines: list[str]) -> list[tuple[int, str]]:
+    """(depth, line) per tree line — depth is the column where the node
+    text starts after the `+- : *` connector art, so children are
+    strictly deeper than their parent and siblings share a depth."""
+    out = []
+    for ln in tree_lines:
+        if not ln.strip():
+            continue
+        stripped = ln.lstrip(" +:-")
+        d = len(ln) - len(stripped)
+        out.append((d, stripped.lstrip("* ")))
+    return out
+
+
+def unbounded_global_sorts(plan: str) -> list[str]:
+    """Tree lines where a GLOBAL Sort's input is not provably bounded —
+    i.e. the sort ranges over data-proportional rows. Classification
+    recurses the plan tree below the Sort: an aggregate/limit bounds
+    its subtree (aggregate-sized output); a join is bounded iff EVERY
+    child is; a scan/explode/union/pandas-kernel is unbounded;
+    pass-through nodes defer to their child. A trailing ``.orderBy`` on
+    an aggregated, top-k, or join-of-aggregates frame passes; one on a
+    sample/stream/score output fails. Heuristic by design: unknown node
+    kinds classify as unbounded (conservative), with GLOBAL_SORT_OK as
+    the documented escape."""
+    # global flag per Sort id lives in the details section:
+    # "(5) Sort ...\nInput ...\nArguments: [...], true, 0"
+    global_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) Sort\b[^\n]*\n(?:[^\n]*\n)*?Arguments: \[[^\n]*\], true, \d+",
+            plan,
+        )
+    }
+    if not global_ids:
+        return []
+    nodes = _tree_nodes(plan.split("\n\n")[0].splitlines())
+
+    def children(i: int) -> list[int]:
+        d = nodes[i][0]
+        out, j = [], i + 1
+        child_d = None
+        while j < len(nodes) and nodes[j][0] > d:
+            if child_d is None:
+                child_d = nodes[j][0]
+            if nodes[j][0] == child_d:
+                out.append(j)
+            j += 1
+        return out
+
+    def bounded(i: int) -> bool:
+        name = nodes[i][1]
+        if _SORT_REDUCERS.search(name):
+            return True
+        if re.search(
+            r"\b(Join|CartesianProduct|BroadcastNestedLoopJoin)\b", name
+        ):
+            return all(bounded(c) for c in children(i))
+        if _SORT_PASS_THROUGH.search(name):
+            ch = children(i)
+            return bool(ch) and all(bounded(c) for c in ch)
+        return False  # scan/explode/union/pandas kernel/unknown
+
+    hits: list[str] = []
+    for i, (_, name) in enumerate(nodes):
+        m = re.search(r"\bSort \((\d+)\)", name)
+        if not m or m.group(1) not in global_ids:
+            continue
+        ch = children(i)
+        if not (ch and all(bounded(c) for c in ch)):
+            hits.append(name.strip())
+    return hits
+
+
 AUDIT = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -330,6 +437,9 @@ def main() -> int:
         checks["no_single_partition_window"] = (
             not single_partition_windows(plan)
             or name in SINGLE_PARTITION_WINDOW_OK
+        )
+        checks["no_unbounded_global_sort"] = (
+            not unbounded_global_sorts(plan) or name in GLOBAL_SORT_OK
         )
         if name in PUSHDOWN_EXPECTED:
             checks["pushdown"] = bool(re.search(r"PushedFilters: \[[^\]]", plan))
