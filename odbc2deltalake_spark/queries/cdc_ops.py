@@ -664,7 +664,7 @@ GROUP BY event_type
 
 
 @register("mv_cdf_retraction", _MV_CDF_ORACLE,
-          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+          tags=("cdc", "streaming", "dml", "flagship"))  # r9: promoted to the driver window (sixth-wave rotation)
 def mv_cdf_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup view maintained through merge + UPDATE + DELETE == the
     same lifecycle replayed as one SQL query.
@@ -771,7 +771,7 @@ FROM f JOIN d ON f.custkey = d.custkey
 
 
 @register("mv_join_retraction", _MV_JOIN_RETRACT_ORACLE,
-          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+          tags=("cdc", "streaming", "dml", "flagship"))  # r9: promoted to the driver window (sixth-wave rotation)
 def mv_join_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed join view maintained through DML + merges == the same
     lifecycle replayed as one SQL join (Delta CDF folded into a MERGE'd

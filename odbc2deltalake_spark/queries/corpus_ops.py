@@ -1096,8 +1096,7 @@ ORDER BY lang, rank_in_stratum
     "corpus_stratified_sample",
     _STRAT_ORACLE,
     tags=("corpus", "sampling"),
-    priority=100,
-)
+)  # r9: promoted to the driver window (sixth-wave rotation)
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum sampling: ceil(frac x |stratum|) docs from each
     language, chosen in deterministic md5(seed‖doc_id) order — the
@@ -1280,8 +1279,7 @@ ORDER BY lang, doc_id, epoch
     "corpus_mixture_apply",
     _MIXA_ORACLE,
     tags=("corpus", "sampling", "flagship"),
-    priority=100,
-)
+)  # r9: promoted to the driver window (sixth-wave rotation)
 def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized mixture resampling == the same plan as SQL.
 

@@ -118,7 +118,8 @@ WHERE n_frames > 0
 """
 
 
-@register("mm_frame_sample", _FRAME_ORACLE, tags=("multimodal",))
+@register("mm_frame_sample", _FRAME_ORACLE, tags=("multimodal",),
+          priority=100)  # r9: rotated out (mm_decode_meta holds the header-parse shape; green r4-r8)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling (stub): one input row → many frame rows
     through mapInPandas; the oracle re-derives every sampled frame's

@@ -106,7 +106,8 @@ WHERE list_dot_product(a.v, b.v)
 _NEARDUP_BLOCKS = 16  # vectors per task ≈ N/16; on a cluster scale with corpus
 
 
-@register("sim_embedding_neardup", _NEARDUP_ORACLE, tags=("similarity", "dedup"))
+@register("sim_embedding_neardup", _NEARDUP_ORACLE, tags=("similarity", "dedup"),
+          priority=100)  # r9: rotated out (sim_neardup_bucketed holds the shape at the scale path; green r2-r8)
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.92) via blocked
     matrix multiply: corpus is split into NB blocks, each of the
@@ -540,7 +541,8 @@ LIMIT {_TOP_K}
     "sim_ann_ivf",
     _IVF_ORACLE,
     tags=("similarity",),
-)
+    priority=100,
+)  # r9: rotated out (sim_ann_ivfpq_search covers the IVF search path with PQ on top; green r3-r8)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: assign every corpus vector to its nearest centroid
     (argmax cosine, ties to the lowest centroid id), probe the query's
@@ -693,7 +695,7 @@ LIMIT {_TOP_K}
 
 
 @register("sim_ann_ivfpq_search", _IVFPQ_ORACLE,
-          tags=("similarity", "index"), priority=100)
+          tags=("similarity", "index"))  # r9: promoted to the driver window (sixth-wave rotation)
 def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by squared L2 for the fixed probe, THROUGH the IVF-PQ
     index in exact mode (nprobe = all cells, candidates = corpus). The

@@ -254,7 +254,8 @@ GROUP BY doc_id
 """
 
 
-@register("text_unigram_logprob", _UNIGRAM_ORACLE, tags=("text", "corpus"))
+@register("text_unigram_logprob", _UNIGRAM_ORACLE, tags=("text", "corpus"),
+          priority=100)  # r9: rotated out (text_bigram_logprob holds the LM shape; green r4-r8)
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average token negative log-likelihood under the
     corpus's own unigram LM. The vocab aggregation is one hash-groupBy on
@@ -519,7 +520,8 @@ LIMIT {_HYBRID_TOPK}
 """
 
 
-@register("hybrid_search_rrf", _RRF_ORACLE, tags=("text", "similarity"))
+@register("hybrid_search_rrf", _RRF_ORACLE, tags=("text", "similarity"),
+          priority=100)  # r9: rotated out (bm25_search holds the lexical-retrieval shape; green r5-r8)
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank-fusion top-k: lexical and semantic rankers each
     produce a top-N candidate list via TakeOrdered (sort+limit — Spark

@@ -41,12 +41,12 @@ def test_core_set_fits_driver_cap():
     # the r4 core set stays enumerable — spot anchors, including the six
     # operators rotated in from overflow in r4
     for name in ("q1_pricing_summary", "ev_sessionize", "sim_neardup_bucketed",
-                 "mm_frame_sample", "dedup_cluster", "ev_asof_join",
-                 "ev_range_join", "text_pii_scrub", "sim_ann_ivf",
+                 "dedup_cluster", "ev_asof_join",
+                 "ev_range_join", "text_pii_scrub",
                  # r5 rotation: the second-wave LLM-pipeline shapes
-                 "dedup_substring_spans", "text_unigram_logprob",
+                 "dedup_substring_spans",
                  # r5 in-round rotation: retrieval fusion + DSIR
-                 "hybrid_search_rrf", "corpus_dsir_sample",
+                 "corpus_dsir_sample",
                  # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
                  "mv_incremental_rollup", "corpus_leakage_safe_split",
                  "bm25_search", "corpus_decontaminate_fuzzy",
@@ -62,7 +62,13 @@ def test_core_set_fits_driver_cap():
                  "mv_incremental_join",
                  # r8 second wave: merge-on-read + lazy-tombstone
                  # lifecycle flagships
-                 "store_mor_roundtrip", "store_gdpr_erasure"):
+                 "store_mor_roundtrip", "store_gdpr_erasure",
+                 # r9 sixth-wave rotation (VERDICT r8 #1): the r8
+                 # flagships still in overflow — retraction-mode IVM
+                 # pair, the mixture-sampling pair, IVF-PQ search
+                 "mv_cdf_retraction", "mv_join_retraction",
+                 "corpus_mixture_apply", "corpus_stratified_sample",
+                 "sim_ann_ivfpq_search"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -104,7 +110,16 @@ def test_core_set_fits_driver_cap():
                  # store_gdpr_erasure (j2's pk+ts equi-join rides inside
                  # scd2/w1 and the cdc bench path; a4's LIMIT-1 probe is
                  # trivially subsumed — both driver-green r1-r7)
-                 "j2_pk_ts_join", "a4_emptiness_probe"):
+                 "j2_pk_ts_join", "a4_emptiness_probe",
+                 # r9 sixth-wave rotation out (each driver-green 4+
+                 # rounds; family representatives stay in-window:
+                 # text_bigram_logprob holds the LM shape, bm25_search
+                 # lexical retrieval, mm_decode_meta the header-parse
+                 # kernel, sim_neardup_bucketed the neardup scale path,
+                 # sim_ann_ivfpq_search the IVF search path)
+                 "text_unigram_logprob", "hybrid_search_rrf",
+                 "mm_frame_sample", "sim_embedding_neardup",
+                 "sim_ann_ivf"):
         assert name in overflow_names
 
 
@@ -179,3 +194,71 @@ def test_multiprobe_finds_cross_bucket_pairs(spark):
     assert refl, "expected at least one cross-bucket reflection pair"
     for r in refl:
         assert r["cosine"] >= S._NEARDUP_THRESHOLD
+
+
+# ---------------------------------------------------------------------------
+# sf0.01 up-scale gate (VERDICT r8 #3): the driver gate runs sf0.01 but
+# this module's oracle gate runs sf0.001 — thin strata/buckets at ~6k
+# rows can hide rounding and tie-handling drift that sf0.01 would catch.
+# Every overflow entry TOUCHED this round runs at sf0.01 here, plus a
+# deterministic rotating slice of the rest (phase = number of folded
+# CORRECTNESS rounds, so each judged round exercises a different slice
+# and the whole overflow set cycles through without ballooning suite
+# time).
+
+SF01_DIR = "/root/testdata/sf0.01"
+
+# overflow entries added or modified in the CURRENT round — update this
+# list whenever a round touches an overflow query's plan or rotates an
+# entry out of the driver window.
+ROUND_TOUCHED_OVERFLOW = [
+    # r9 sixth-wave evictions (fresh overflow rows)
+    "text_unigram_logprob", "hybrid_search_rrf", "mm_frame_sample",
+    "sim_embedding_neardup", "sim_ann_ivf",
+    # r9 trailing-sort removals in overflow entries
+    "text_repetition_score", "corpus_shuffle_order",
+]
+
+_SLICE_SIZE = 8
+
+
+def _sf01_slice() -> list:
+    """Round-touched entries plus a phase-rotated slice of the rest."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _repo = _Path(__file__).resolve().parent.parent
+    if str(_repo) not in _sys.path:
+        _sys.path.insert(0, str(_repo))
+    from tools.rotation_ledger import _round_files
+
+    phase = len(_round_files())
+    names = {s.name for s in OVERFLOW}
+    touched = [n for n in ROUND_TOUCHED_OVERFLOW if n in names]
+    rest = sorted(names - set(touched))
+    rotating = [
+        rest[(phase * _SLICE_SIZE + i) % len(rest)]
+        for i in range(min(_SLICE_SIZE, len(rest)))
+    ]
+    picked = list(dict.fromkeys(touched + rotating))
+    by_name = {s.name: s for s in OVERFLOW}
+    return [by_name[n] for n in picked]
+
+
+@pytest.mark.parametrize("spec", _sf01_slice(), ids=lambda s: s.name)
+def test_overflow_oracle_at_driver_scale(spark, spec):
+    """Same comparator as the driver gate, at the driver's sf0.01."""
+    con = duckdb.connect()
+    for t in registry.TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'"
+        )
+    sdf = spec.fn(spark, SF01_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = con.sql(spec.oracle)
+    ocols = list(res.columns)
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(scols, srows) == table_hash(ocols, orows)
