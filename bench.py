@@ -339,6 +339,14 @@ def main() -> None:
         )
         for _ in range(3)
     )
+    # Canary normalization (VERDICT r8 #6): scale the total by the r8
+    # calibration anchor (canary 1.42 s <-> headline 35.64 s on the idle
+    # build host) so round-over-round comparisons factor out host CPU
+    # weather without re-running. The canary captures CPU speed, not all
+    # IO/page-cache variance (SCALE.md calibration table) — read the
+    # normalized total as a trend line, not a truth.
+    CANARY_ANCHOR_SEC = 1.42
+    normalized = total * (CANARY_ANCHOR_SEC / canary) if canary else total
     print(
         json.dumps(
             {
@@ -351,6 +359,8 @@ def main() -> None:
                 "outlier_cutoff": round(outlier_cutoff, 3),
                 "contending_jvms": contended,
                 "host_canary_sec": round(canary, 3),
+                "normalized_total_sec": round(normalized, 3),
+                "canary_anchor_sec": CANARY_ANCHOR_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -371,6 +381,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "contending_jvms": contended,
                 "host_canary_sec": round(canary, 3),
+                "normalized_total_sec": round(normalized, 3),
             }
         )
     )
