@@ -642,3 +642,73 @@ def test_fold_masks_preserves_prior_stats_cols(spark, tmp_path):
         for r in t.read(spark, skip_where=("id", "<", 100)).collect()
     )
     assert got == [i for i in range(100) if i != 1]
+
+
+def test_lazy_mask_on_patched_table_folds_first_and_is_exact(spark, tmp_path):
+    """VERDICT r8 #4 — the patch x mask seam. A mask is per-DIR over the
+    reconciled state, and a per-dir 'fence by patch version' is UNSOUND:
+    base k val=5 (mask predicate does not match), patch upserts k val=10
+    (matches), mask deletes val=10 — fencing would filter the patch row,
+    drop k from the patch key set, and RESURFACE the base val=5 row.
+    The pinned semantics: a lazy mutation on a patched table force-folds
+    the chain first (cost measured in tools/mask_patch_study.py /
+    SCALE.md), then masks the folded dirs; correctness is identical to
+    eager DML."""
+    import uuid as _uuid
+
+    t = VersionedParquetTable(tmp_path / f"t{_uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(i, 5, f"v{i}") for i in range(200)], "id int, val int, s string"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    # patch flips id 0's val INTO the future mask's predicate and id 1's
+    # OUT of it (id 1 starts at 5 too, goes to 99)
+    up = spark.createDataFrame(
+        [(0, 10, "p0"), (1, 99, "p1")], "id int, val int, s string"
+    )
+    t.merge_upsert(spark, up, ["id"], strategy="patch")
+    assert t._state_at()["patches"]
+    out = t.delete_where(spark, ("val", "=", 10), lazy=True)
+    st = t._state_at()
+    assert not st["patches"], "lazy mask must fold the chain first"
+    got = {r["id"]: (r["val"], r["s"]) for r in t.read(spark).collect()}
+    # id 0: patch value matched the delete -> the KEY is gone entirely
+    # (no resurfacing of the base val=5 row)
+    assert 0 not in got
+    # id 1: patch moved it out of the predicate -> patched value survives
+    assert got[1] == (99, "p1")
+    assert len(got) == 199
+    # and the change feed across patch -> fold -> mask emits each change
+    # exactly once: id0 5->10 (patch), id1 5->99 (patch), id0 delete(10)
+    rows = t.read_changes_cdf(spark, from_version=0).collect()
+    ev = sorted((r["_change_type"], r["id"], r["val"]) for r in rows)
+    assert ev == [
+        ("delete", 0, 10),
+        ("update_postimage", 0, 10),
+        ("update_postimage", 1, 99),
+        ("update_preimage", 0, 5),
+        ("update_preimage", 1, 5),
+    ]
+    assert out["dirs_masked"] >= 1
+
+
+def test_patch_after_mask_upsert_beats_older_tombstone(spark, tmp_path):
+    """The reverse order needs NO fold: a patch landing on a masked
+    table overlays the mask (patch dirs are not named by older masks),
+    so a re-upsert of a lazily-deleted key resurrects it — SQL MERGE
+    semantics, same as the rewrite path."""
+    import uuid as _uuid
+
+    t = VersionedParquetTable(tmp_path / f"t{_uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(90)], "id int, grp int, s string"
+    )
+    t.merge_upsert(spark, df, ["id"])
+    t.delete_where(spark, ("grp", "=", 1), lazy=True)
+    assert t.read(spark).count() == 60
+    back = spark.createDataFrame([(1, 1, "back")], "id int, grp int, s string")
+    t.merge_upsert(spark, back, ["id"], strategy="patch")
+    st = t._state_at()
+    assert st["patches"] and st["masks"], "no fold needed in this order"
+    got = {r["id"]: r["s"] for r in t.read(spark).collect()}
+    assert got[1] == "back" and len(got) == 61
