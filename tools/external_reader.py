@@ -254,13 +254,26 @@ def read_table(
     entries = st["entries"]
     conj = _conjuncts(skip_where)
     if conj:
+        # an UPDATE mask rewrites values at read time: recorded [min,
+        # max] for its SET columns no longer bound what the scan RETURNS
+        # — pruning must ignore stats on those columns for the masked
+        # dirs (same rule as the engine; tombstone masks only remove
+        # rows, their stats stay valid upper bounds)
+        upd_unstat: dict[str, set] = {}
+        for m in st.get("masks") or []:
+            if m.get("set_exprs"):
+                for name in m["dirs"]:
+                    upd_unstat.setdefault(name, set()).update(m["set_exprs"])
         kept = []
         for e in entries:
             stats = e.get("stats") or {}
             files_all = {f for f in stats if f != ""}
             drop = False
             keep: Optional[set] = None  # None => all files kept
+            unstat = upd_unstat.get(e["dir"], ())
             for scol, sop, sval in conj:
+                if scol in unstat:
+                    continue  # update-masked column: stats invalid
                 dir_iv = stats.get("", {}).get(scol)
                 if dir_iv is not None and not _may_match(
                     _stat_deser(dir_iv[0]), _stat_deser(dir_iv[1]), sop, sval
@@ -292,20 +305,32 @@ def read_table(
     masks = st.get("masks") or []
     for m in masks:
         if m.get("set_exprs"):
-            # spec reader feature "mask-update": the SET text is a Spark
-            # SQL expression this reader cannot evaluate — it MUST
-            # refuse rather than silently return untransformed rows
-            raise ValueError(
-                "table carries an UPDATE mask (lazy update_where); this "
-                "reader does not implement the mask-update feature — "
-                "fold_masks the table or use the engine's read()"
-            )
+            # spec reader feature "mask-update": implemented for the
+            # RESTRICTED portable grammar (column refs, numeric/string
+            # literals, + - * /, parentheses — the subset writers
+            # actually emit). Parse every SET expression up front so a
+            # table carrying text outside the grammar still REFUSES at
+            # plan time rather than silently returning wrong rows.
+            for col, text in m["set_exprs"].items():
+                try:
+                    _parse_set_expr(text)
+                except _SetExprUnsupported as exc:
+                    raise ValueError(
+                        "table carries an UPDATE mask whose SET "
+                        f"expression {text!r} (column {col!r}) is outside "
+                        "the portable grammar this reader implements "
+                        f"({exc}) — fold_masks the table or use the "
+                        "engine's read()"
+                    ) from exc
     parts = []
     for e in entries:
         t = _scan_entry(root, e, target)
         for m in masks:
             if e["dir"] in m["dirs"]:
-                t = _mask_filter(t, m["predicate"])
+                if m.get("set_exprs"):
+                    t = _mask_transform(t, m, target)
+                else:
+                    t = _mask_filter(t, m["predicate"])
         parts.append(t)
     out = pa.concat_tables(parts) if parts else target.empty_table()
     if st.get("patches"):
@@ -323,6 +348,162 @@ def read_table(
             }[sop]
             out = out.filter(fn(out[scol], pa.scalar(sval)))
     return out
+
+
+class _SetExprUnsupported(ValueError):
+    """SET text outside the portable mask-update grammar."""
+
+
+_SET_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[+\-*/()]))"
+)
+
+
+def _parse_set_expr(text: str):
+    """Parse one SET expression of the PORTABLE mask-update grammar —
+    column refs, integer/decimal/string literals, binary + - * /, unary
+    minus, parentheses — into a small AST (docs/commit-format.md §mask).
+    Anything else (function calls, CASE, comparison operators, ...)
+    raises :class:`_SetExprUnsupported`: the caller refuses the table
+    instead of mis-evaluating. Standard precedence: */ bind tighter
+    than +-; division is FLOAT division (Spark `/` semantics — both
+    operands promote to double)."""
+    tokens: list[tuple[str, Any]] = []
+    pos = 0
+    while pos < len(text):
+        m = _SET_TOKEN.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise _SetExprUnsupported(
+                f"unrecognized token at {text[pos:][:20]!r}"
+            )
+        pos = m.end()
+        if m.group("num") is not None:
+            s = m.group("num")
+            tokens.append(("lit", float(s) if "." in s else int(s)))
+        elif m.group("str") is not None:
+            tokens.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("ident") is not None:
+            tokens.append(("col", m.group("ident")))
+        else:
+            tokens.append(("op", m.group("op")))
+    i = 0
+
+    def peek():
+        return tokens[i] if i < len(tokens) else None
+
+    def take():
+        nonlocal i
+        t = tokens[i]
+        i += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t is None:
+            raise _SetExprUnsupported("truncated expression")
+        if t == ("op", "-"):
+            take()
+            return ("neg", atom())
+        if t == ("op", "("):
+            take()
+            e = addsub()
+            if peek() != ("op", ")"):
+                raise _SetExprUnsupported("unbalanced parentheses")
+            take()
+            return e
+        if t[0] in ("lit", "col"):
+            return take()
+        raise _SetExprUnsupported(f"unexpected token {t!r}")
+
+    def muldiv():
+        e = atom()
+        while peek() in (("op", "*"), ("op", "/")):
+            op = take()[1]
+            e = (op, e, atom())
+        return e
+
+    def addsub():
+        e = muldiv()
+        while peek() in (("op", "+"), ("op", "-")):
+            op = take()[1]
+            e = (op, e, muldiv())
+        return e
+
+    ast = addsub()
+    if i != len(tokens):
+        raise _SetExprUnsupported(f"trailing tokens {tokens[i:]!r}")
+    return ast
+
+
+def _eval_set_expr(ast, tbl: pa.Table):
+    """Evaluate a parsed SET AST against a table; returns an arrow
+    array/chunked-array or a Python scalar. Division promotes both sides
+    to float64 (Spark int/int `/` -> double); + - * stay in the input
+    types like Spark's non-ANSI arithmetic."""
+    import pyarrow.compute as pc
+
+    kind = ast[0]
+    if kind == "lit":
+        return ast[1]
+    if kind == "col":
+        if ast[1] not in tbl.schema.names:
+            raise _SetExprUnsupported(f"unknown column {ast[1]!r}")
+        return tbl.column(ast[1])
+    if kind == "neg":
+        return pc.negate(_eval_set_expr(ast[1], tbl))
+    a = _eval_set_expr(ast[1], tbl)
+    b = _eval_set_expr(ast[2], tbl)
+    if kind == "/":
+        def _f64(x):
+            if isinstance(x, (pa.Array, pa.ChunkedArray)):
+                return pc.cast(x, pa.float64())
+            return float(x)
+
+        return pc.divide(_f64(a), _f64(b))
+    return {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[kind](a, b)
+
+
+def _mask_transform(tbl: pa.Table, mask: dict[str, Any], target: pa.Schema) -> pa.Table:
+    """Apply one UPDATE mask: rows where the predicate conjunction is
+    TRUE get the SET expressions' values (cast to the column type, float
+    truncation allowed — Spark cast semantics); NULL-predicate rows stay
+    untouched, matching the engine's `_mask_apply`."""
+    import pyarrow.compute as pc
+
+    fns = {
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        "=": pc.equal,
+    }
+    match = None
+    for c, op, v in mask["predicate"]:
+        e = fns[op](tbl[c], pa.scalar(_stat_deser(v)))
+        match = e if match is None else pc.and_kleene(match, e)
+    match = pc.fill_null(match, False)
+    cols = []
+    for field in target:
+        old = tbl.column(field.name)
+        text = (mask.get("set_exprs") or {}).get(field.name)
+        if text is None:
+            cols.append(old)
+            continue
+        val = _eval_set_expr(_parse_set_expr(text), tbl)
+        if not isinstance(val, (pa.Array, pa.ChunkedArray)):
+            val = pa.scalar(val)
+        new = pc.cast(
+            val,
+            field.type,
+            safe=False,  # Spark cast truncates double -> int
+        )
+        cols.append(pc.if_else(match, new, old))
+    return pa.Table.from_arrays(cols, schema=target)
 
 
 def _mask_filter(tbl: pa.Table, predicate_ser: list) -> pa.Table:
