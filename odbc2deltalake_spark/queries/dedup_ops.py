@@ -948,3 +948,78 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_chars").alias("n_chars"),
         )
     )
+
+
+# --------------------------------------------- source overlap matrix ----
+#
+# Contamination accounting: which SOURCES near-duplicate each other, and
+# how much. The per-pair jaccard stream (dedup_ngram_jaccard) is labeled
+# with each doc's source and collapsed to a (source_a, source_b) matrix
+# — the report a corpus owner reads to decide which crawl feeds to drop
+# or dedup against each other (cross-source mass) and which are
+# internally redundant (diagonal mass).
+
+_OVERLAP_ORACLE = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a
+  JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT j.doc_a) + count(DISTINCT j.doc_b) AS BIGINT)
+         AS n_docs_involved
+FROM jacc j
+JOIN documents da ON j.doc_a = da.doc_id
+JOIN documents db ON j.doc_b = db.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_source_overlap", _OVERLAP_ORACLE, tags=("dedup", "corpus"),
+    priority=100,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate mass between sources: the jaccard pair stream
+    labeled by source and collapsed to a symmetric (source_a <=
+    source_b) matrix with pair and doc counts. Output is bounded by
+    #sources^2 — an aggregate report, not a pair dump.
+
+    Scale shape: rides dedup_ngram_jaccard's candidate generator (at
+    100 TB that step runs on LSH candidates only — see
+    dedup_minhash_lsh); the source labels join on doc_id (keys-only
+    projection, AQE picks broadcast vs shuffle-hash) and the matrix
+    aggregation is a tiny hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a = src.alias("da")
+    b = src.alias("db")
+    lab = (
+        pairs.join(a, F.col("doc_a") == F.col("da.doc_id"))
+        .join(b, F.col("doc_b") == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("da.source", "db.source").alias("source_a"),
+            F.greatest("da.source", "db.source").alias("source_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.countDistinct("doc_a") + F.countDistinct("doc_b")
+        ).cast("long").alias("n_docs_involved"),
+    )

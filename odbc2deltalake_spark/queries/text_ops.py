@@ -696,8 +696,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_K = 0.5  # add-k smoothing
 
-_BIGRAM_ORACLE = rf"""
-WITH arrs AS (
+_BIGRAM_CTES = rf"""arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
   FROM documents
 ),
@@ -710,7 +709,10 @@ pair AS (SELECT w1, w2, count(*) AS c12 FROM bigr GROUP BY w1, w2),
 vocab AS (
   SELECT count(DISTINCT w) AS v
   FROM (SELECT unnest(a) AS w FROM arrs)
-)
+)"""
+
+_BIGRAM_ORACLE = rf"""
+WITH {_BIGRAM_CTES}
 SELECT b.doc_id,
        count(*) AS n_bigrams,
        round(avg(-ln((p.c12 + {_BIGRAM_K}) / (c.c1 + {_BIGRAM_K} * v.v))), 4)
@@ -770,4 +772,65 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
+    )
+
+
+# ------------------------------------------- LM perplexity filtering ----
+#
+# The CCNet/Gopher-style quality stage: score every document under a
+# language model and DROP the worst tail — here the corpus's own add-k
+# bigram LM (text_bigram_logprob) with a corpus-relative cutoff at the
+# 90th percentile of per-doc average NLL, so the rule adapts to the
+# corpus instead of hard-coding a perplexity number.
+
+_PPL_KEEP_Q = 0.9  # keep docs at or below the q-th NLL percentile
+
+_PPL_ORACLE = rf"""
+WITH {_BIGRAM_CTES},
+scored AS (
+  SELECT b.doc_id,
+         round(avg(-ln((p.c12 + {_BIGRAM_K}) / (c.c1 + {_BIGRAM_K} * v.v))), 4)
+           AS avg_nll
+  FROM bigr b
+  JOIN pair p USING (w1, w2)
+  JOIN ctx c USING (w1)
+  CROSS JOIN vocab v
+  GROUP BY b.doc_id
+),
+cut AS (SELECT quantile_cont(avg_nll, {_PPL_KEEP_Q}) AS c FROM scored)
+SELECT s.doc_id,
+       s.avg_nll,
+       round(exp(s.avg_nll), 2) AS ppl,
+       s.avg_nll <= t.c AS kept
+FROM scored s CROSS JOIN cut t
+"""
+
+
+@register(
+    "text_perplexity_filter", _PPL_ORACLE, tags=("text", "corpus"),
+    priority=100,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under the corpus bigram LM plus a keep/drop
+    flag at the corpus-relative 90th-NLL-percentile cutoff — the
+    standard LM quality filter of a pretraining pipeline (drop the
+    worst-modeled decile: shuffled text, boilerplate, wrong-language
+    interleaving).
+
+    Exactness across engines: the cutoff is an ORDER STATISTIC of the
+    already-4dp-rounded per-doc scores (Spark `percentile` == DuckDB
+    `quantile_cont`, both linear interpolation over identical inputs),
+    so the kept flag has no float-summation knife edge. Scale shape:
+    rides text_bigram_logprob's aggregation (no window, no sort), then
+    one single-row cutoff aggregate broadcast back — the filter itself
+    adds zero shuffles."""
+    scored = text_bigram_logprob(spark, sf_dir).select("doc_id", "avg_nll")
+    cut = scored.agg(
+        F.expr(f"percentile(avg_nll, {_PPL_KEEP_Q})").alias("c")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "avg_nll",
+        F.round(F.exp("avg_nll"), 2).alias("ppl"),
+        (F.col("avg_nll") <= F.col("c")).alias("kept"),
     )

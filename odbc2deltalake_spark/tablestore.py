@@ -2944,13 +2944,19 @@ class VersionedParquetTable(TableStore):
         return pre, post
 
     def _merge_preimage_entries(
-        self, c: dict[str, Any], v: int
+        self,
+        c: dict[str, Any],
+        v: int,
+        prev: Optional[dict[str, Any]] = None,
     ) -> tuple[list[dict[str, Any]], Optional[int]]:
         """The prior version's dir entries for the buckets a merge
         commit replaced, plus their metadata row count (None when any
         replaced bucket lacks a recorded count). Raises
-        ChangeFeedTruncatedError when a pre-image dir was vacuumed."""
-        prev = self._state_at(v - 1)
+        ChangeFeedTruncatedError when a pre-image dir was vacuumed.
+        ``prev`` passes an already-resolved v-1 state (one log replay
+        per feed commit, not three)."""
+        if prev is None:
+            prev = self._state_at(v - 1)
         rb = set(c.get("buckets_replaced") or [])
         replaced = [d for d in prev["dirs"] if d.get("bucket") in rb]
         for d in replaced:
@@ -2974,6 +2980,7 @@ class VersionedParquetTable(TableStore):
         c: dict[str, Any],
         v: int,
         table_schema: T.StructType,
+        prev: Optional[dict[str, Any]] = None,
     ) -> DataFrame:
         """The RECONCILED prior-state rows of the buckets a merge commit
         replaced, cast to ``table_schema`` — the pre-image side for CDF
@@ -2985,8 +2992,9 @@ class VersionedParquetTable(TableStore):
         them a second time). The no-patch fast path reads only the
         replaced dirs; with patches outstanding the bucket-pruned
         time-travel read reconciles exactly like :meth:`_patch_cdf`."""
-        replaced, _old_rows = self._merge_preimage_entries(c, v)
-        prev = self._state_at(v - 1)
+        if prev is None:
+            prev = self._state_at(v - 1)
+        replaced, _old_rows = self._merge_preimage_entries(c, v, prev)
         prior_masks = prev.get("masks") or []
         prior_patches = prev.get("patches") or []
         if not prior_patches:
@@ -3337,14 +3345,17 @@ class VersionedParquetTable(TableStore):
                 )
                 continue
             if mode == "merge":
-                replaced, old_rows = self._merge_preimage_entries(c, v)
-                if replaced or self._state_at(v - 1).get("patches"):
+                prev = self._state_at(v - 1)
+                replaced, old_rows = self._merge_preimage_entries(
+                    c, v, prev
+                )
+                if replaced or prev.get("patches"):
                     # patch-aware pre-images (ADVICE r8): a raw dir read
                     # would re-subtract rows the patch commit already
                     # retracted, double-applying the delta
                     subs.append(
                         self._merge_preimage_frame(
-                            spark, c, v, table_schema
+                            spark, c, v, table_schema, prev
                         )
                     )
                 new_entries = list(c.get("dirs_added") or [])

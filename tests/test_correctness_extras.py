@@ -217,6 +217,8 @@ ROUND_TOUCHED_OVERFLOW = [
     "sim_embedding_neardup", "sim_ann_ivf",
     # r9 trailing-sort removals in overflow entries
     "text_repetition_score", "corpus_shuffle_order",
+    # r9 new operators
+    "text_perplexity_filter", "dedup_source_overlap",
 ]
 
 _SLICE_SIZE = 8

@@ -340,6 +340,11 @@ AUDIT = [
     "text_lang_id",
     "text_token_count",
     "u2_except_deletes",
+    # r9: LM perplexity filter (rides the bigram LM + one-row cutoff)
+    # and the source-overlap contamination matrix (rides the jaccard
+    # candidate generator)
+    "text_perplexity_filter",
+    "dedup_source_overlap",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
