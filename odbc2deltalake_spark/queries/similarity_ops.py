@@ -724,3 +724,102 @@ def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------- embedding preprocessing stats ----
+#
+# The two reports an embedding pipeline runs before indexing/clustering:
+# per-dimension moments (whitening / dead-dimension detection) and
+# norm-based outlier flags (corrupt or degenerate vectors).
+
+_DIM_STATS_ORACLE = """
+WITH vals AS (
+  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       round(avg(x), 4) AS mean,
+       round(stddev_samp(x), 4) AS std,
+       round(min(x), 4) AS min_v,
+       round(max(x), 4) AS max_v
+FROM vals
+GROUP BY dim
+"""
+
+
+@register(
+    "emb_dim_stats", _DIM_STATS_ORACLE, tags=("similarity", "corpus"),
+    priority=100,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding corpus — the
+    whitening statistics (and the dead/degenerate-dimension report: a
+    near-zero std dimension carries no signal and wastes index bits).
+
+    Scale shape: posexplode multiplies rows IN-TASK (no shuffle), and
+    the groupBy(dim) partial-aggregates map-side, so the only shuffle
+    moves ~dims x tasks partial rows — at 100 TB with 1000 executors
+    that is kilobytes. No window, no sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return vals.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.round(F.avg("x"), 4).alias("mean"),
+        F.round(F.stddev("x"), 4).alias("std"),
+        F.round(F.min("x"), 4).alias("min_v"),
+        F.round(F.max("x"), 4).alias("max_v"),
+    )
+
+
+_NORM_OUTLIER_Q = 0.99
+
+_NORM_OUTLIER_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+           AS l2_norm
+  FROM embeddings
+),
+cut AS (SELECT quantile_cont(l2_norm, {_NORM_OUTLIER_Q}) AS c FROM norms)
+SELECT n.vec_id, n.l2_norm, n.l2_norm > t.c AS is_outlier
+FROM norms n CROSS JOIN cut t
+"""
+
+
+@register(
+    "emb_norm_outliers", _NORM_OUTLIER_ORACLE,
+    tags=("similarity", "corpus"), priority=100,
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per vector plus an outlier flag above the corpus's 99th
+    norm percentile — the cheap screen for corrupt embeddings (an
+    all-garbage vector shows up as an extreme norm long before it
+    poisons a centroid or an IVF cell).
+
+    Exactness: the norm folds the array LEFT-TO-RIGHT in both engines
+    (F.aggregate == list_sum over the same float32 values cast to
+    double), and the cutoff is an order statistic of the ROUNDED norms
+    (Spark percentile == DuckDB quantile_cont) — no summation-order
+    knife edge. Scale shape: one narrow per-row transform (JVM
+    higher-order functions, no Python), one single-row cutoff aggregate
+    broadcast back; zero extra shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norms = emb.select(
+        "vec_id", F.round(F.sqrt(sq_sum), 4).alias("l2_norm")
+    )
+    cut = norms.agg(
+        F.expr(f"percentile(l2_norm, {_NORM_OUTLIER_Q})").alias("c")
+    )
+    return norms.crossJoin(F.broadcast(cut)).select(
+        "vec_id",
+        "l2_norm",
+        (F.col("l2_norm") > F.col("c")).alias("is_outlier"),
+    )

@@ -219,6 +219,7 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_repetition_score", "corpus_shuffle_order",
     # r9 new operators
     "text_perplexity_filter", "dedup_source_overlap",
+    "emb_dim_stats", "emb_norm_outliers",
 ]
 
 _SLICE_SIZE = 8

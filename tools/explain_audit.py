@@ -345,6 +345,10 @@ AUDIT = [
     # candidate generator)
     "text_perplexity_filter",
     "dedup_source_overlap",
+    # r9: embedding preprocessing stats (whitening moments, norm-outlier
+    # screen — both shuffle-light aggregates over the embeddings table)
+    "emb_dim_stats",
+    "emb_norm_outliers",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
