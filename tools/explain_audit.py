@@ -157,10 +157,14 @@ def unbounded_global_sorts(plan: str) -> list[str]:
     the documented escape."""
     # global flag per Sort id lives in the details section:
     # "(5) Sort ...\nInput ...\nArguments: [...], true, 0"
+    # the (?!\(\d+\) ) guard keeps the scan inside the Sort's own detail
+    # block — without it a LOCAL sort (false flag) could skip ahead and
+    # steal a later node's matching Arguments line
     global_ids = {
         m.group(1)
         for m in re.finditer(
-            r"\((\d+)\) Sort\b[^\n]*\n(?:[^\n]*\n)*?Arguments: \[[^\n]*\], true, \d+",
+            r"\((\d+)\) Sort\b[^\n]*\n(?:(?!\(\d+\) )[^\n]*\n)*?"
+            r"Arguments: \[[^\n]*\], true, \d+",
             plan,
         )
     }
