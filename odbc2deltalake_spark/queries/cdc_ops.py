@@ -1036,3 +1036,87 @@ def store_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- distinct-count view maintenance ----
+# r9 flagship: exact COUNT(DISTINCT) per group maintained incrementally
+# (MaterializedDistinct — two-level IVM: inner retractable
+# (group, value) occurrence view, outer live-row count on read) across
+# the mutations that are the hard cases for distinct counts: a merge
+# RE-KEYING values, a predicate UPDATE shifting them again, and a
+# DELETE emptying a group. The driver checks the final view against
+# DuckDB replaying the identical lifecycle as plain SQL.
+
+_MV_DISTINCT_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         (CASE WHEN event_id % 7 = 0 THEN user_id + 100000
+               ELSE user_id END)
+         + (CASE WHEN event_id <= (SELECT max(event_id) // 10 FROM events)
+                 THEN 1000000 ELSE 0 END) AS u
+  FROM events
+  WHERE event_type IS DISTINCT FROM 'error'
+)
+SELECT event_type,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_distinct,
+       CAST(count(u) AS BIGINT) AS n_rows
+FROM f
+GROUP BY event_type
+"""
+
+
+@register("mv_incremental_distinct", _MV_DISTINCT_ORACLE,
+          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-event-type view maintained through merge +
+    UPDATE + DELETE == the same lifecycle replayed as one SQL query.
+
+    Schedule: bucketized initial load -> refresh (baseline); merge
+    batch re-keying user_id for event_id % 7 == 0 (+100000) -> refresh
+    (the inner occurrence view retracts the old (type, user) rows and
+    adds the new ones); UPDATE shifting user_id by +1000000 below the
+    id cut, then DELETE of the 'error' type -> one refresh folding both
+    DML commits. A value whose last occurrence vanishes must drop the
+    distinct count by exactly one, and the emptied group must vanish —
+    exactly as a recompute would."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.streaming import MaterializedDistinct
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cut = max_id // 10
+    root = tempfile.mkdtemp(prefix="mv_distinct_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.merge_upsert(spark, ev, key_cols=["event_id"], num_buckets=8)
+        mv = MaterializedDistinct(
+            t, f"{root}/view", group_cols=["event_type"],
+            distinct_col="user_id",
+        )
+        # pin the fold-vs-recompute guard OPEN (same rationale as
+        # mv_cdf_retraction: this fixture's batches hash into all 8
+        # buckets; the point is exact fold arithmetic vs the oracle)
+        mv.inner.FOLD_COST_FACTOR = 100.0
+        mv.refresh(spark)  # baseline
+        t.merge_upsert(
+            spark,
+            ev.filter(F.col("event_id") % 7 == 0).withColumn(
+                "user_id", F.col("user_id") + 100000
+            ),
+            key_cols=["event_id"],
+        )
+        mv.refresh(spark)  # merge-CDF fold (re-keyed values)
+        t.update_where(
+            spark, {"user_id": "user_id + 1000000"},
+            ("event_id", "<=", cut),
+        )
+        t.delete_where(spark, ("event_type", "=", "error"))
+        mv.refresh(spark)  # DML-CDF fold (both commits, one range)
+        return mv.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -12,7 +12,10 @@ from odbc2deltalake_spark.streaming.events import (
     sessionize_stream,
     clicks_purchases_join_stream,
 )
-from odbc2deltalake_spark.streaming.materialized import MaterializedAggregate
+from odbc2deltalake_spark.streaming.materialized import (
+    MaterializedAggregate,
+    MaterializedDistinct,
+)
 from odbc2deltalake_spark.streaming.materialized_join import MaterializedJoin
 from odbc2deltalake_spark.streaming.table_tailer import TableTailer
 from odbc2deltalake_spark.streaming.corpus import (
@@ -34,6 +37,7 @@ __all__ = [
     "sessionize_stream",
     "clicks_purchases_join_stream",
     "MaterializedAggregate",
+    "MaterializedDistinct",
     "MaterializedJoin",
     "TableTailer",
     "corpus_ingest_stream",

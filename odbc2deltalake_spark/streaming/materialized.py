@@ -389,3 +389,95 @@ class MaterializedAggregate:
             }[kind]
             exprs.append(fn(col).alias(out))
         return self.source.read(spark).groupBy(*self.group_cols).agg(*exprs)
+
+
+class MaterializedDistinct:
+    """Exact ``COUNT(DISTINCT col)`` (plus non-null occurrence count)
+    per group, incrementally maintained — the classic two-level IVM
+    decomposition. COUNT(DISTINCT) is not directly retractable (a
+    delete may or may not remove the group's LAST occurrence of a
+    value), so the state is an inner retractable
+    ``(group_cols, distinct_col) -> occurrences`` view
+    (:class:`MaterializedAggregate`, plain count arithmetic under
+    adds/retracts, emptied rows dropped by its liveness filter) and the
+    outer answer is just the inner view's per-group live row count —
+    computed on ``read`` over the VIEW-SIZED state, never the source.
+
+    Every source mutation the inner view folds incrementally therefore
+    maintains the distinct count incrementally too: a merge re-keying a
+    value retracts the old (group, value) row and adds the new one; a
+    DELETE that removes a value's last occurrence drops the inner row
+    and the distinct count falls by exactly one.
+
+    SQL semantics: NULL values never count (``COUNT(DISTINCT col)`` and
+    ``COUNT(col)`` both ignore NULLs) — tracked in the inner state but
+    filtered at read. The ``strategy="merge"`` inner path inherits
+    MaterializedAggregate's non-null GROUP KEY requirement, which for
+    this view includes the distinct column; keep the default overwrite
+    strategy when the distinct column is nullable.
+
+    Scale: inner state size = number of live (group, value) pairs (the
+    same state any exact streaming COUNT DISTINCT keeps); per refresh
+    the fold touches O(change set) rows, and the outer aggregation is a
+    map-side-combined count over the state. For cardinalities where
+    even that state is too big, the approx sketches
+    (approx_user_cardinality) are the documented fallback.
+    """
+
+    def __init__(
+        self,
+        source: VersionedParquetTable,
+        root: str | Path,
+        group_cols: list[str],
+        distinct_col: str,
+        strategy: str = "overwrite",
+    ):
+        if distinct_col in group_cols:
+            raise ValueError("distinct_col cannot also be a group col")
+        self.group_cols = list(group_cols)
+        self.distinct_col = distinct_col
+        self.inner = MaterializedAggregate(
+            source,
+            root,
+            group_cols=list(group_cols) + [distinct_col],
+            aggs={"__occ": ("count", None)},
+            strategy=strategy,
+        )
+
+    @property
+    def source(self) -> VersionedParquetTable:
+        return self.inner.source
+
+    def refresh(
+        self, spark: SparkSession, max_commits: Optional[int] = None
+    ) -> Optional[tuple[int, int]]:
+        return self.inner.refresh(spark, max_commits=max_commits)
+
+    def applied_to(self) -> int:
+        return self.inner.applied_to()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        # NULL values are excluded from the counts but must not drop
+        # the GROUP: an all-null group still has rows, and SQL GROUP BY
+        # keeps it with COUNT(DISTINCT col) = 0
+        nn = F.col(self.distinct_col).isNotNull()
+        return self.inner.read(spark).groupBy(*self.group_cols).agg(
+            F.sum(F.when(nn, 1).otherwise(0)).cast("long").alias(
+                "n_distinct"
+            ),
+            F.sum(F.when(nn, F.col("__occ")).otherwise(0))
+            .cast("long")
+            .alias("n_rows"),
+        )
+
+    def recompute(self, spark: SparkSession) -> DataFrame:
+        """The defining query from scratch — the invariant ``read``
+        must equal after any refresh sequence."""
+        return (
+            self.source.read(spark)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.countDistinct(self.distinct_col).alias("n_distinct"),
+                F.count(self.distinct_col).alias("n_rows"),
+            )
+        )

@@ -220,6 +220,7 @@ ROUND_TOUCHED_OVERFLOW = [
     # r9 new operators
     "text_perplexity_filter", "dedup_source_overlap",
     "emb_dim_stats", "emb_norm_outliers",
+    "mv_incremental_distinct",
 ]
 
 _SLICE_SIZE = 8

@@ -422,6 +422,14 @@ EXCLUDED = {
         "tests/test_materialized_join.py and the query's own history "
         "assertion"
     ),
+    "mv_incremental_distinct": (
+        "multi-commit merge+DML lifecycle on the two-level distinct-"
+        "count view (MaterializedDistinct); returns a checkpointed "
+        "view — the inner occurrence view's fold shape is the audited "
+        "MaterializedAggregate machinery and read==recompute across "
+        "re-key/empty-group mutations is pinned by "
+        "tests/test_materialized_distinct.py"
+    ),
 }
 
 
