@@ -103,6 +103,8 @@ class DeltaTableStore(TableStore):
         known_stats: Optional[dict] = None,
         extra_commit_fields: Optional[dict] = None,
         txn: Optional[tuple] = None,
+        bloom_cols: Optional[list] = None,  # Delta: use the native
+        bloom_bits: int = 4096,             # delta.bloomFilter.* props
     ) -> int:
         assert mode in ("append", "overwrite"), mode
         writer = df.write.format("delta").mode(mode)

@@ -458,6 +458,8 @@ class TableStore(ABC):
         per_file_stats: bool = False,
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
         txn: Optional[tuple[str, int]] = None,
+        bloom_cols: Optional[list[str]] = None,
+        bloom_bits: int = 4096,
     ) -> int:
         """Write one commit. The stats/commit-field parameters are
         data-skipping and audit metadata hints: a store without its own
@@ -868,6 +870,8 @@ class VersionedParquetTable(TableStore):
                 entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
                 if c.get("stats"):
                     entry["stats"] = c["stats"]
+                if c.get("bloom"):
+                    entry["bloom"] = c["bloom"]
                 if c.get("partition_by"):
                     entry["partitioned"] = True
                 live.append(entry)
@@ -1024,6 +1028,7 @@ class VersionedParquetTable(TableStore):
             # narrows the survivor set; intervals that cluster several
             # columns at once multiply the cut)
             conjuncts = self._skip_conjuncts(skip_where)
+            bloom_hash_memo: dict[tuple[str, str], int] = {}
             pruned: list[dict[str, Any]] = []
             for d in dirs:
                 stats = d.get("stats") or {}
@@ -1031,9 +1036,51 @@ class VersionedParquetTable(TableStore):
                 drop_dir = False
                 keep: Optional[set[str]] = None  # None => all files kept
                 unstat = upd_unstat.get(d["dir"], ())
+                bloom = d.get("bloom") or {}
                 for scol, sop, sval in conjuncts:
                     if scol in unstat:
-                        continue  # update-masked column: stats invalid
+                        continue  # update-masked column: stats/bloom invalid
+                    if (
+                        sop == "="
+                        and sval is not None
+                        and scol in (bloom.get("types") or {})
+                    ):
+                        # per-file bloom test: a file whose bitmap proves
+                        # the value absent is cut even when its [min,max]
+                        # spans it (the point-lookup case intervals can't
+                        # help). Files without a bitmap for this column
+                        # keep, conservatively.
+                        tkey = (bloom["types"][scol], repr(sval))
+                        if tkey not in bloom_hash_memo:
+                            bloom_hash_memo[tkey] = self._bloom_hash_value(
+                                spark, sval, bloom["types"][scol]
+                            )
+                        h = bloom_hash_memo[tkey]
+                        bfiles = bloom.get("files") or {}
+                        # the collection pass covers EVERY file in the
+                        # dir, so a file absent from the map (or lacking
+                        # this column's bitmap) provably holds no
+                        # non-null value of the column — refuted for an
+                        # equality probe, same as a failing bitmap
+                        k_bloom = {
+                            f
+                            for f, per in bfiles.items()
+                            if scol in per
+                            and self._bloom_may_contain(
+                                per[scol], bloom["m"], bloom["k"], h
+                            )
+                        }
+                        if not k_bloom:
+                            drop_dir = True  # no file may contain it
+                            break
+                        if not d.get("partitioned"):
+                            # partitioned dirs are all-or-nothing (an
+                            # explicit file subset would lose partition
+                            # columns); otherwise intersect like stats
+                            keep = (
+                                k_bloom if keep is None else keep & k_bloom
+                            )
+                            files_all = files_all | set(bfiles)
                     dir_iv = stats.get("", {}).get(scol)
                     if dir_iv is not None and not self._interval_may_match(
                         self._stat_deser(dir_iv[0]),
@@ -1413,6 +1460,8 @@ class VersionedParquetTable(TableStore):
         per_file_stats: bool = False,
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
         txn: Optional[tuple[str, int]] = None,
+        bloom_cols: Optional[list[str]] = None,
+        bloom_bits: int = 4096,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
@@ -1579,6 +1628,19 @@ class VersionedParquetTable(TableStore):
                 dir_stats.setdefault(
                     c, [self._stat_ser(mn), self._stat_ser(mx)]
                 )
+        if bloom_cols:
+            # per-file bloom bitmaps for `=` skipping on columns whose
+            # min/max intervals cannot cut (UUIDs, uniform keys); one
+            # extra distributed pass over the written dir
+            bl = self._collect_file_blooms(
+                df.sparkSession,
+                self._path(dir_name),
+                df.schema,
+                bloom_cols,
+                bloom_bits,
+            )
+            if bl:
+                commit["bloom"] = bl
         if extra_commit_fields:
             commit.update(extra_commit_fields)
         self._write_commit(commit)
@@ -1710,6 +1772,137 @@ class VersionedParquetTable(TableStore):
                 for c in cols
             }
         return out
+
+    # ---------- bloom-filter data skipping ----------
+
+    BLOOM_K = 3  # probes per value (Kirsch-Mitzenmacher double hashing)
+
+    @staticmethod
+    def _rel_file(fname: str, dir_path: str) -> str:
+        """input_file_name URI -> path relative to the written dir
+        (same normalization as :meth:`_collect_file_stats`)."""
+        rel = fname
+        pv = dir_path.rstrip("/") + "/"
+        idx = rel.find(pv)
+        if idx >= 0:
+            return rel[idx + len(pv):]
+        marker = "/" + Path(dir_path).name + "/"
+        idx = rel.find(marker)
+        if idx >= 0:
+            return rel[idx + len(marker):]
+        return rel
+
+    def _collect_file_blooms(
+        self,
+        spark: SparkSession,
+        dir_path: str,
+        df_schema: T.StructType,
+        cols: list[str],
+        m_bits: int,
+    ) -> Optional[dict[str, Any]]:
+        """Per-file bloom bitmaps for the named columns over one written
+        dir — the Delta bloom-filter-index analog for point lookups on
+        columns min/max intervals cannot cut (UUIDs, hashes, uniformly
+        distributed keys). ONE distributed pass: every row emits its
+        k probe positions for every bloom column (exploded in-task),
+        positions fold to 64-bit words via a map-side-combined bit_or,
+        and the driver receives at most files x cols x m/64 word rows —
+        control-plane-sized regardless of data volume.
+
+        Probes use Spark's own ``xxhash64`` on the WRITTEN column type
+        (recorded per column: a widened re-write hashes differently) and
+        double hashing ``pos_i = (h mod m + i * ((h >> 33) | 1)) mod m``
+        so the read side recomputes positions from one hash value.
+        Returns None when no named column exists in the frame."""
+        have = {f.name: f for f in df_schema.fields}
+        cols = [c for c in cols if c in have]
+        if not cols:
+            return None
+        raw = spark.read.schema(df_schema).parquet(dir_path)
+        probes = []
+        for c in cols:
+            h = F.xxhash64(F.col(c))
+            h1 = F.pmod(h, F.lit(m_bits))
+            h2 = F.shiftright(h, 33).bitwiseOR(F.lit(1))
+            for i in range(self.BLOOM_K):
+                pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+                probes.append(
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.when(F.col(c).isNull(), F.lit(None).cast("long"))
+                        .otherwise(pos)
+                        .alias("p"),
+                    )
+                )
+        words = (
+            raw.select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*probes)).alias("pr"),
+            )
+            .filter(F.col("pr.p").isNotNull())
+            .groupBy(
+                "__f",
+                F.col("pr.c").alias("c"),
+                (F.col("pr.p") / 64).cast("int").alias("w"),
+            )
+            .agg(
+                # shiftleft's python signature wants a literal bit
+                # count; the SQL form accepts the per-row expression
+                F.bit_or(
+                    F.expr("shiftleft(1L, CAST(pmod(pr.p, 64) AS INT))")
+                ).alias("b")
+            )
+            .collect()
+        )
+        import base64
+
+        maps: dict[str, dict[str, bytearray]] = {}
+        for r in words:
+            rel = self._rel_file(r["__f"], dir_path)
+            arr = maps.setdefault(rel, {}).setdefault(
+                r["c"], bytearray(m_bits // 8)
+            )
+            word = int(r["b"]) & 0xFFFFFFFFFFFFFFFF
+            arr[r["w"] * 8 : r["w"] * 8 + 8] = word.to_bytes(8, "little")
+        return {
+            "m": m_bits,
+            "k": self.BLOOM_K,
+            "types": {c: have[c].dataType.json() for c in cols},
+            "files": {
+                rel: {
+                    c: base64.b64encode(bytes(a)).decode("ascii")
+                    for c, a in per.items()
+                }
+                for rel, per in maps.items()
+            },
+        }
+
+    @staticmethod
+    def _bloom_hash_value(
+        spark: SparkSession, value: Any, type_json: str
+    ) -> int:
+        """Spark's ``xxhash64`` of ``value`` as the recorded column type
+        — one constant-folded local job (control-plane; memoized per
+        read call by the caller)."""
+        dt = T._parse_datatype_json_string(type_json)
+        row_df = spark.createDataFrame(
+            [(value,)], T.StructType([T.StructField("v", dt, True)])
+        )
+        return int(row_df.select(F.xxhash64("v").alias("h")).first()["h"])
+
+    @staticmethod
+    def _bloom_may_contain(b64: str, m: int, k: int, h: int) -> bool:
+        """False ONLY when the bitmap proves the value absent."""
+        import base64
+
+        bits = base64.b64decode(b64)
+        h1 = h % m
+        h2 = (h >> 33) | 1
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            if not (bits[pos // 8] >> (pos % 8)) & 1:
+                return False
+        return True
 
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""

@@ -1,0 +1,161 @@
+"""Bloom-filter data skipping (r9): per-file bloom bitmaps written with
+``write(bloom_cols=[...])`` cut files on `=` probes that [min, max]
+intervals cannot — point lookups on uniformly distributed keys (UUIDs,
+hashes), where every file's interval spans every value. The contract:
+pruning NEVER drops a matching row (no false negatives — bloom math),
+and the result always equals the unpruned filter."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+
+def _t(spark, tmp_path, n=4000, files=8):
+    """One commit of `files` files; `key` is uniformly spread so every
+    file's [min, max] interval covers ~the full range (stats useless),
+    while each file holds a DISJOINT residue class (bloom decisive)."""
+    t = VersionedParquetTable(tmp_path / f"t{uuid.uuid4().hex[:8]}")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("key"),
+            (F.col("id") % files).cast("int").alias("part"),
+            F.concat(F.lit("u"), F.col("id")).alias("tag"),
+        )
+        .repartition(files, "part")
+    )
+    t.write(
+        df,
+        mode="append",
+        stats_cols=["key"],
+        per_file_stats=True,
+        bloom_cols=["key", "tag"],
+    )
+    return t
+
+
+def test_point_lookup_cuts_files_and_stays_exact(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+    assert len(all_files) >= 4
+    # every file's key interval spans the probe, so stats alone keep
+    # all files; the bloom must cut to ~the one residue-class file
+    probe = t.read(spark, skip_where=("key", "=", 1234))
+    assert set(probe.inputFiles()) < all_files
+    assert len(set(probe.inputFiles())) <= 2
+    assert [r["tag"] for r in probe.collect()] == ["u1234"]
+    # string column probe too
+    sprobe = t.read(spark, skip_where=("tag", "=", "u777"))
+    assert len(set(sprobe.inputFiles())) <= 2
+    assert [r["key"] for r in sprobe.collect()] == [777]
+
+
+def test_absent_value_drops_the_whole_commit(spark, tmp_path):
+    t = _t(spark, tmp_path, n=1000)
+    gone = t.read(spark, skip_where=("key", "=", 10_000_000))
+    assert gone.count() == 0
+    assert set(gone.inputFiles()) == set()
+
+
+def test_composes_with_interval_stats_and_other_ops(spark, tmp_path):
+    t = _t(spark, tmp_path)
+    # range op on the same read: bloom applies to the `=` conjunct,
+    # intervals to the range; result equals the plain filter
+    got = t.read(
+        spark, skip_where=[("key", "=", 500), ("part", ">=", 0)]
+    ).collect()
+    want = (
+        t.read(spark)
+        .filter((F.col("key") == 500) & (F.col("part") >= 0))
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_update_mask_invalidates_bloom(spark, tmp_path):
+    # a lazy UPDATE rewrites values at read time: the bloom (built on
+    # written values) must be ignored for the SET column on masked dirs
+    t = _t(spark, tmp_path, n=200, files=4)
+    t.update_where(spark, {"key": "key + 1000000"}, ("part", "=", 2), lazy=True)
+    moved = t.read(spark, skip_where=("key", "=", 1000002)).collect()
+    assert len(moved) == 1 and moved[0]["tag"] == "u2"
+
+
+def test_bloom_survives_restore_and_checkpoint(spark, tmp_path):
+    t = _t(spark, tmp_path, n=500, files=4)
+    v = t.version()
+    t.write(
+        spark.createDataFrame([(10**7, 0, "x")], "key long, part int, tag string"),
+        mode="append",
+    )
+    t.restore(v)
+    t.checkpoint()
+    probe = t.read(spark, skip_where=("key", "=", 123))
+    assert len(set(probe.inputFiles())) <= 2
+    assert [r["tag"] for r in probe.collect()] == ["u123"]
+
+
+def test_widened_append_hashes_with_its_own_type(spark, tmp_path):
+    # first commit writes key as INT, second as LONG (widening): each
+    # dir's bloom records its written type, so probes hash per dir
+    t = VersionedParquetTable(tmp_path / f"t{uuid.uuid4().hex[:8]}")
+    a = spark.range(100).select(
+        F.col("id").cast("int").alias("key"), F.lit("a").alias("src")
+    )
+    t.write(a, mode="append", bloom_cols=["key"])
+    b = spark.range(100, 200).select(
+        F.col("id").cast("long").alias("key"), F.lit("b").alias("src")
+    )
+    t.write(b, mode="append", merge_schema=True, bloom_cols=["key"])
+    for probe, src in ((50, "a"), (150, "b")):
+        got = t.read(spark, skip_where=("key", "=", probe)).collect()
+        assert len(got) == 1 and got[0]["src"] == src
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    probe_idx=st.integers(0, 29),
+)
+def test_no_false_negatives_property(spark, tmp_path_factory, keys, probe_idx):
+    # every present value MUST be found through the pruned read
+    root = tmp_path_factory.mktemp("bloomprop") / f"t{uuid.uuid4().hex[:8]}"
+    t = VersionedParquetTable(root)
+    df = spark.createDataFrame([(k,) for k in keys], "key long").repartition(3)
+    t.write(df, mode="append", bloom_cols=["key"])
+    probe = keys[probe_idx % len(keys)]
+    got = t.read(spark, skip_where=("key", "=", probe)).collect()
+    assert [r["key"] for r in got] == [probe]
+    # and an absent probe returns empty (exactness, not just pruning)
+    absent = max(keys) + 1
+    assert t.read(spark, skip_where=("key", "=", absent)).count() == 0
+
+
+def test_null_probe_and_null_values_are_safe(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / f"t{uuid.uuid4().hex[:8]}")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None)], "key long, tag string"
+    )
+    t.write(df, mode="append", bloom_cols=["key", "tag"])
+    # = NULL matches nothing in SQL; the bloom path must not crash and
+    # the residual filter returns the SQL-correct empty result
+    assert t.read(spark, skip_where=("key", "=", None)).count() == 0
+    assert [r["tag"] for r in t.read(spark, skip_where=("key", "=", 3)).collect()] == [None]
