@@ -350,14 +350,7 @@ class DeltaTableStore(TableStore):
             raise ValueError("a DML rewrite requires a predicate")
         cond = None
         for scol, sop, sval in conj:
-            c = F.col(scol)
-            e = {
-                ">": c > F.lit(sval),
-                ">=": c >= F.lit(sval),
-                "<": c < F.lit(sval),
-                "<=": c <= F.lit(sval),
-                "=": c == F.lit(sval),
-            }[sop]
+            e = VersionedParquetTable._op_column(F.col(scol), sop, sval)
             cond = e if cond is None else (cond & e)
         return cond
 

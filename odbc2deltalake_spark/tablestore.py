@@ -924,6 +924,8 @@ class VersionedParquetTable(TableStore):
         import datetime
         import decimal
 
+        if isinstance(v, (list, tuple)):  # `in`-list values, element-wise
+            return [VersionedParquetTable._stat_ser(e) for e in v]
         if isinstance(v, datetime.datetime):
             return {"t": "ts", "v": v.isoformat()}
         if isinstance(v, datetime.date):
@@ -937,6 +939,8 @@ class VersionedParquetTable(TableStore):
         import datetime
         import decimal
 
+        if isinstance(v, (list, tuple)):
+            return [VersionedParquetTable._stat_deser(e) for e in v]
         if isinstance(v, dict):
             if v.get("t") == "ts":
                 return datetime.datetime.fromisoformat(v["v"])
@@ -964,6 +968,17 @@ class VersionedParquetTable(TableStore):
                 return mn <= value
             if op == "=":
                 return mn <= value <= mx
+            if op == "!=":
+                # refutable only when every row equals the value (a file
+                # with extra NULLs still has no `!=`-matching row — NULL
+                # never matches)
+                return not (mn == value == mx)
+            if op == "in":
+                # IN-list: keep if ANY listed value may be present;
+                # empty / all-NULL lists match nothing in SQL
+                return any(
+                    mn <= v <= mx for v in value if v is not None
+                )
         except TypeError:
             return True  # incomparable types: never skip on a guess
         raise ValueError(f"unsupported skip op {op!r}")
@@ -987,7 +1002,8 @@ class VersionedParquetTable(TableStore):
         bucketing. Untagged dirs are always scanned.
 
         ``skip_where=(col, op, value)`` — or a LIST of such tuples,
-        ANDed — (op in > >= < <= =) is DATA SKIPPING over the commit-log
+        ANDed — (op in > >= < <= = != in; `in` takes a value LIST — the
+        keyed-lookup shape, e.g. a GDPR id set) is DATA SKIPPING over the commit-log
         file stats written by ``write(stats_cols=[...])`` — the Delta
         data-skipping analog. A conjunction composes with Z-order: the
         layout clusters several columns' intervals at once, so each
@@ -1040,22 +1056,35 @@ class VersionedParquetTable(TableStore):
                 for scol, sop, sval in conjuncts:
                     if scol in unstat:
                         continue  # update-masked column: stats/bloom invalid
-                    if (
-                        sop == "="
-                        and sval is not None
-                        and scol in (bloom.get("types") or {})
+                    if sop in ("=", "in") and scol in (
+                        bloom.get("types") or {}
                     ):
                         # per-file bloom test: a file whose bitmap proves
-                        # the value absent is cut even when its [min,max]
-                        # spans it (the point-lookup case intervals can't
-                        # help). Files without a bitmap for this column
-                        # keep, conservatively.
-                        tkey = (bloom["types"][scol], repr(sval))
-                        if tkey not in bloom_hash_memo:
-                            bloom_hash_memo[tkey] = self._bloom_hash_value(
-                                spark, sval, bloom["types"][scol]
-                            )
-                        h = bloom_hash_memo[tkey]
+                        # every probed value absent is cut even when its
+                        # [min,max] spans them (the point-lookup case
+                        # intervals can't help). `in` probes each listed
+                        # value; NULLs never match `=`/`in` in SQL, so a
+                        # probe set with no non-null value matches
+                        # nothing at all.
+                        pvals = (
+                            [sval]
+                            if sop == "="
+                            else list(sval)
+                        )
+                        pvals = [v for v in pvals if v is not None]
+                        if not pvals:
+                            drop_dir = True  # matches no row anywhere
+                            break
+                        hs = []
+                        for pv in pvals:
+                            tkey = (bloom["types"][scol], repr(pv))
+                            if tkey not in bloom_hash_memo:
+                                bloom_hash_memo[tkey] = (
+                                    self._bloom_hash_value(
+                                        spark, pv, bloom["types"][scol]
+                                    )
+                                )
+                            hs.append(bloom_hash_memo[tkey])
                         bfiles = bloom.get("files") or {}
                         # the collection pass covers EVERY file in the
                         # dir, so a file absent from the map (or lacking
@@ -1066,12 +1095,15 @@ class VersionedParquetTable(TableStore):
                             f
                             for f, per in bfiles.items()
                             if scol in per
-                            and self._bloom_may_contain(
-                                per[scol], bloom["m"], bloom["k"], h
+                            and any(
+                                self._bloom_may_contain(
+                                    per[scol], bloom["m"], bloom["k"], h
+                                )
+                                for h in hs
                             )
                         }
                         if not k_bloom:
-                            drop_dir = True  # no file may contain it
+                            drop_dir = True  # no file may contain any
                             break
                         if not d.get("partitioned"):
                             # partitioned dirs are all-or-nothing (an
@@ -1277,6 +1309,31 @@ class VersionedParquetTable(TableStore):
             return [tuple(skip_where)]
         return [tuple(c) for c in skip_where]
 
+    @staticmethod
+    def _op_column(c, op: str, value: Any):
+        """One (col-expr, op, value) comparison as a Column — the single
+        dispatch every predicate surface (skip_where, DML, masks, CHECK
+        constraints) shares. SQL three-valued semantics throughout:
+        a NULL column value never matches any op, including `!=`/`in`."""
+        if op == ">":
+            return c > F.lit(value)
+        if op == ">=":
+            return c >= F.lit(value)
+        if op == "<":
+            return c < F.lit(value)
+        if op == "<=":
+            return c <= F.lit(value)
+        if op == "=":
+            return c == F.lit(value)
+        if op == "!=":
+            return c != F.lit(value)
+        if op == "in":
+            vals = [v for v in value if v is not None]
+            if not vals:
+                return F.lit(None).cast("boolean")  # IN () matches nothing
+            return c.isin(vals)
+        raise ValueError(f"unsupported predicate op {op!r}")
+
     @classmethod
     def _apply_skip_filter(cls, df: DataFrame, skip_where) -> DataFrame:
         """Residual predicate after file skipping — pruning is a superset
@@ -1285,15 +1342,7 @@ class VersionedParquetTable(TableStore):
         if skip_where is None:
             return df
         for col, op, value in cls._skip_conjuncts(skip_where):
-            c = F.col(col)
-            expr = {
-                ">": c > F.lit(value),
-                ">=": c >= F.lit(value),
-                "<": c < F.lit(value),
-                "<=": c <= F.lit(value),
-                "=": c == F.lit(value),
-            }[op]
-            df = df.filter(expr)
+            df = df.filter(cls._op_column(F.col(col), op, value))
         return df
 
     # ---------- CHECK constraints ----------
@@ -1306,14 +1355,7 @@ class VersionedParquetTable(TableStore):
         shape as ``skip_where``/DML)."""
         expr = None
         for col, op, value in conj:
-            c = F.col(col)
-            e = {
-                ">": c > F.lit(value),
-                ">=": c >= F.lit(value),
-                "<": c < F.lit(value),
-                "<=": c <= F.lit(value),
-                "=": c == F.lit(value),
-            }[op]
+            e = cls._op_column(F.col(col), op, value)
             expr = e if expr is None else expr & e
         return expr
 
@@ -2326,18 +2368,9 @@ class VersionedParquetTable(TableStore):
         if not affected:
             return summary
 
-        pred_expr = None
-        for scol, sop, sval in conj:
-            c = F.col(scol)
-            e = {
-                ">": c > F.lit(sval),
-                ">=": c >= F.lit(sval),
-                "<": c < F.lit(sval),
-                "<=": c <= F.lit(sval),
-                "=": c == F.lit(sval),
-            }[sop]
-            pred_expr = e if pred_expr is None else (pred_expr & e)
-        match = F.coalesce(pred_expr, F.lit(False))  # SQL: NULL never matches
+        match = F.coalesce(
+            self._conjuncts_predicate(conj), F.lit(False)
+        )  # SQL: NULL never matches
 
         default_sc = {c for c, _, _ in conj}
         for d in affected:

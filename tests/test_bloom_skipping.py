@@ -58,6 +58,27 @@ def test_point_lookup_cuts_files_and_stays_exact(spark, tmp_path):
     assert [r["key"] for r in sprobe.collect()] == [777]
 
 
+def test_in_list_probe_unions_bloom_survivors(spark, tmp_path):
+    """`in` probes test each listed value: survivors are the UNION of
+    per-value bloom survivors, so a two-id lookup opens ~two files of
+    eight while staying exact — the 'fetch these ids' path a 100 TB
+    GDPR/debugging workload needs."""
+    t = _t(spark, tmp_path)
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+    probe = t.read(spark, skip_where=("key", "in", [100, 3001]))
+    assert set(probe.inputFiles()) < all_files
+    assert len(set(probe.inputFiles())) <= 4
+    assert sorted(r["key"] for r in probe.collect()) == [100, 3001]
+    # absent ids drop the whole commit; NULL-only / empty lists too
+    assert t.read(spark, skip_where=("key", "in", [10**9, 10**9 + 1])).count() == 0
+    assert t.read(spark, skip_where=("key", "in", [])).count() == 0
+    assert t.read(spark, skip_where=("key", "in", [None])).count() == 0
+    # mixed present/absent: exact single-row result
+    mixed = t.read(spark, skip_where=("key", "in", [42, 10**9, None]))
+    assert [r["key"] for r in mixed.collect()] == [42]
+
+
 def test_absent_value_drops_the_whole_commit(spark, tmp_path):
     t = _t(spark, tmp_path, n=1000)
     gone = t.read(spark, skip_where=("key", "=", 10_000_000))

@@ -244,6 +244,78 @@ def test_zorder_compact_records_tight_per_file_stats(spark, tmp_path):
     assert {r["k"] for r in rng.collect()} == set(range(400, 450))
 
 
+def test_in_and_ne_ops_prune_and_stay_exact(spark, tmp_path):
+    """`in` (keyed lookup — the GDPR id-set shape) and `!=` skip probes:
+    pruning composes with per-load interval stats and results equal the
+    unpruned filter."""
+    t = VersionedParquetTable(tmp_path / "t")
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        t.write(_mk(spark, lo, hi), mode="append", stats_cols=["k", "name"])
+    full = t.read(spark)
+    all_files = set(full.inputFiles())
+
+    # an id-set entirely inside one load prunes to that load's files
+    probe = t.read(spark, skip_where=("k", "in", [210, 250, 299]))
+    assert set(probe.inputFiles()) < all_files
+    assert sorted(r["k"] for r in probe.collect()) == [210, 250, 299]
+    # ids spanning two loads keep both, still exact
+    span = t.read(spark, skip_where=("k", "in", [5, 205]))
+    assert sorted(r["k"] for r in span.collect()) == [5, 205]
+    # NULLs in the list and an empty list match nothing (SQL IN)
+    assert t.read(spark, skip_where=("k", "in", [None])).count() == 0
+    assert t.read(spark, skip_where=("k", "in", [])).count() == 0
+    # string-typed in-list rides the same stats
+    nm = t.read(spark, skip_where=("name", "in", ["s00007", "s00123"]))
+    assert sorted(r["k"] for r in nm.collect()) == [7, 123]
+
+    # != : never prunes a multi-value file, result exact
+    ne = t.read(spark, skip_where=("k", "!=", 150))
+    assert ne.count() == 299
+    assert 150 not in {r["k"] for r in ne.collect()}
+    # != on a single-value commit is refutable at the dir level
+    t2 = VersionedParquetTable(tmp_path / "t2")
+    t2.write(
+        spark.range(10).select(F.lit(7).alias("k")),
+        mode="append",
+        stats_cols=["k"],
+    )
+    gone = t2.read(spark, skip_where=("k", "!=", 7))
+    assert gone.count() == 0 and set(gone.inputFiles()) == set()
+
+
+def test_keyed_dml_with_in_predicate(spark, tmp_path):
+    """DML predicates share the op surface: delete_where / update_where
+    with an `in` id-list — eager and lazy — match SQL row-for-row (the
+    'erase these user ids' workload)."""
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(_mk(spark, 0, 200), mode="append", stats_cols=["k"])
+    t.delete_where(spark, ("k", "in", [3, 77, 150]))
+    assert t.read(spark).count() == 197
+    assert t.read(spark).filter(F.col("k").isin([3, 77, 150])).count() == 0
+
+    # lazy mask with an id-list: metadata-only commit, read-time filter
+    t.delete_where(spark, ("k", "in", [10, 11]), lazy=True)
+    assert t.read(spark).count() == 195
+    # CDF sees the two lazy-deleted rows ((from, to] window)
+    ch = t.read_changes_cdf(spark, t.version() - 1, t.version())
+    assert (
+        ch.filter(F.col("_change_type") == "delete").count() == 2
+    )
+    # lazy update via in-list, then fold — values land physically
+    t.update_where(spark, {"v": "v + 1000"}, ("k", "in", [20, 21]), lazy=True)
+    got = {
+        r["k"]: r["v"]
+        for r in t.read(spark).filter(F.col("k").isin([20, 21])).collect()
+    }
+    assert got == {20: 1040, 21: 1042}
+    t.fold_masks(spark)
+    got2 = {
+        r["k"]: r["v"]
+        for r in t.read(spark).filter(F.col("k").isin([20, 21])).collect()
+    }
+    assert got2 == got and t.read(spark).count() == 195
+
+
 def test_interval_may_match_is_sound_property():
     """Soundness of the pruning predicate (pure python, hypothesis):
     whenever _interval_may_match returns False, NO value inside
@@ -258,11 +330,14 @@ def test_interval_may_match_is_sound_property():
     )
 
     @settings(max_examples=500, deadline=None)
-    @given(a=nums, b=nums, v=nums, op=st.sampled_from([">", ">=", "<", "<=", "="]),
+    @given(a=nums, b=nums, v=nums,
+           vs=st.lists(st.one_of(nums, st.none()), max_size=5),
+           op=st.sampled_from([">", ">=", "<", "<=", "=", "!=", "in"]),
            probe=st.floats(min_value=0.0, max_value=1.0))
-    def run(a, b, v, op, probe):
+    def run(a, b, v, vs, op, probe):
         mn, mx = min(a, b), max(a, b)
-        if not VersionedParquetTable._interval_may_match(mn, mx, op, v):
+        val = vs if op == "in" else v
+        if not VersionedParquetTable._interval_may_match(mn, mx, op, val):
             # sample a point inside the interval; it must NOT satisfy op.
             # clamp: the affine sample can land a hair OUTSIDE [mn, mx]
             # under float rounding (mn + (mx-mn)*1.0 != mx in general),
@@ -270,11 +345,13 @@ def test_interval_may_match_is_sound_property():
             x = min(max(mn + (mx - mn) * probe, mn), mx)
             sat = {
                 ">": x > v, ">=": x >= v, "<": x < v, "<=": x <= v, "=": x == v,
+                "!=": x != v,
+                "in": x in [e for e in vs if e is not None],
             }[op]
-            assert not sat, (mn, mx, op, v, x)
+            assert not sat, (mn, mx, op, val, x)
         # and None stats never skip
-        assert VersionedParquetTable._interval_may_match(None, mx, op, v)
-        assert VersionedParquetTable._interval_may_match(mn, None, op, v)
+        assert VersionedParquetTable._interval_may_match(None, mx, op, val)
+        assert VersionedParquetTable._interval_may_match(mn, None, op, val)
 
     run()
 

@@ -22,7 +22,7 @@ _rows = st.lists(
 _pred = st.lists(
     st.tuples(
         st.sampled_from(["k", "v"]),
-        st.sampled_from([">", ">=", "<", "<=", "="]),
+        st.sampled_from([">", ">=", "<", "<=", "=", "!="]),
         st.integers(min_value=-3, max_value=12),
     ),
     min_size=1,
@@ -35,6 +35,8 @@ _OPS = {
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
     "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "in": lambda a, b: a in [v for v in b if v is not None],
 }
 
 

@@ -310,6 +310,51 @@ def test_external_reader_applies_tombstone_masks(spark, tmp_path):
     _ = _pytest  # refusal path covered in its own test below
 
 
+def test_external_reader_in_and_ne_predicates_match_engine(spark, tmp_path):
+    """`in` / `!=` are part of the public predicate grammar (r9): the
+    spec reader must evaluate them in skip probes AND in serialized mask
+    predicates with the engine's SQL three-valued semantics (NULL row
+    values match nothing; in-lists with NULLs ignore them)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.createDataFrame(
+            [(i, i * 2 if i % 7 else None) for i in range(60)],
+            "k long, v long",
+        ),
+        mode="append",
+        stats_cols=["k"],
+    )
+    # lazy GDPR erasure by id-list + a != tombstone on a nullable col
+    t.delete_where(spark, ("k", "in", [3, 11, 42]), lazy=True)
+    t.delete_where(spark, ("v", "!=", 20), lazy=True)  # NULL v rows kept
+
+    def _norm(rows):
+        return sorted(rows, key=lambda r: (r[0], r[1] is None, r[1]))
+
+    eng = _norm((r["k"], r["v"]) for r in t.read(spark).collect())
+    ext = _norm(
+        (d["k"], d["v"]) for d in read_table(tmp_path / "t").to_pylist()
+    )
+    assert ext == eng
+    # NULL-v rows and k=10 (v=20) survived; the erased ids did not
+    assert (7, None) in ext and (10, 20) in ext
+    assert not {3, 11, 42} & {k for k, _ in ext}
+
+    # skip-probe parity for in / != on the reader side
+    for pred in (("k", "in", [10, 14, None]), ("k", "!=", 10)):
+        want = _norm(
+            tuple(r)
+            for r in t.read(spark, skip_where=pred).select("k", "v").collect()
+        )
+        got = _norm(
+            (d["k"], d["v"])
+            for d in read_table(tmp_path / "t", skip_where=pred).to_pylist()
+        )
+        assert got == want, pred
+
+
 def test_external_reader_update_masks_match_engine(spark, tmp_path):
     """Mask-update feature (r9): the portable SET grammar — arithmetic
     over column refs and literals, string literals, precedence,

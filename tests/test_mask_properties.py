@@ -24,10 +24,22 @@ _rows = st.lists(
     max_size=10,
     unique_by=lambda r: r[0],
 )
-_pred = st.tuples(
-    st.sampled_from(["k", "v"]),
-    st.sampled_from([">", ">=", "<", "<=", "="]),
-    st.integers(min_value=-3, max_value=12),
+_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["k", "v"]),
+        st.sampled_from([">", ">=", "<", "<=", "=", "!="]),
+        st.integers(min_value=-3, max_value=12),
+    ),
+    st.tuples(
+        st.sampled_from(["k", "v"]),
+        st.just("in"),
+        st.lists(
+            st.one_of(
+                st.none(), st.integers(min_value=-3, max_value=12)
+            ),
+            max_size=4,
+        ),
+    ),
 )
 _op = st.one_of(
     st.tuples(st.just("append"), _rows),
@@ -43,6 +55,8 @@ _OPS = {
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
     "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "in": lambda a, b: a in [v for v in b if v is not None],
 }
 
 

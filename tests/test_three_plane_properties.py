@@ -32,6 +32,8 @@ _OPS = {
     "<": lambda a, b: a < b,
     "<=": lambda a, b: a <= b,
     "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "in": lambda a, b: a in [v for v in b if v is not None],
 }
 
 _rows = st.lists(
@@ -42,10 +44,17 @@ _rows = st.lists(
 )
 _keys = st.lists(st.integers(0, 30), min_size=1, max_size=5, unique=True)
 _strategy = st.sampled_from(["rewrite", "patch", "auto"])
-_pred = st.tuples(
-    st.sampled_from(["id", "v"]),
-    st.sampled_from([">", ">=", "<", "<=", "="]),
-    st.integers(0, 30),
+_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["id", "v"]),
+        st.sampled_from([">", ">=", "<", "<=", "=", "!="]),
+        st.integers(0, 30),
+    ),
+    st.tuples(
+        st.sampled_from(["id", "v"]),
+        st.just("in"),
+        st.lists(st.integers(0, 30), max_size=3),
+    ),
 )
 _op = st.one_of(
     st.tuples(st.just("upsert"), st.tuples(_rows, _strategy)),

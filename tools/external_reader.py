@@ -198,6 +198,8 @@ def _stat_deser(v: Any) -> Any:
     import datetime
     import decimal
 
+    if isinstance(v, (list, tuple)):  # `in`-list values, element-wise
+        return [_stat_deser(e) for e in v]
     if isinstance(v, dict):
         if v.get("t") == "ts":
             return datetime.datetime.fromisoformat(v["v"])
@@ -212,6 +214,10 @@ def _may_match(mn: Any, mx: Any, op: str, value: Any) -> bool:
     if mn is None or mx is None:
         return True
     try:
+        if op == "!=":
+            return not (mn == value == mx)
+        if op == "in":
+            return any(mn <= v <= mx for v in value if v is not None)
         return {
             ">": mx > value,
             ">=": mx >= value,
@@ -221,6 +227,32 @@ def _may_match(mn: Any, mx: Any, op: str, value: Any) -> bool:
         }[op]
     except TypeError:
         return True
+
+
+def _pc_compare(arr, op: str, value: Any):
+    """One (column, op, value) comparison as a pyarrow boolean array —
+    SQL three-valued semantics (NULL column values yield NULL, never
+    TRUE), matching the engine's ``_op_column``."""
+    import pyarrow.compute as pc
+
+    if op == "in":
+        vals = [v for v in value if v is not None]
+        if not vals:  # IN () / IN (NULL…): matches nothing
+            return pa.nulls(len(arr), pa.bool_())
+        res = pc.is_in(arr, value_set=pa.array(vals))
+        # arrow's is_in returns false for NULL inputs; SQL says NULL
+        return pc.if_else(
+            pc.is_null(arr), pa.scalar(None, pa.bool_()), res
+        )
+    fn = {
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        "=": pc.equal,
+        "!=": pc.not_equal,
+    }[op]
+    return fn(arr, pa.scalar(value))
 
 
 def _conjuncts(skip_where) -> list[tuple[str, str, Any]]:
@@ -336,17 +368,8 @@ def read_table(
     if st.get("patches"):
         out = _reconcile_patches(root, out, st, target)
     if conj:
-        import pyarrow.compute as pc
-
         for scol, sop, sval in conj:
-            fn = {
-                ">": pc.greater,
-                ">=": pc.greater_equal,
-                "<": pc.less,
-                "<=": pc.less_equal,
-                "=": pc.equal,
-            }[sop]
-            out = out.filter(fn(out[scol], pa.scalar(sval)))
+            out = out.filter(_pc_compare(out[scol], sop, sval))
     return out
 
 
@@ -475,16 +498,9 @@ def _mask_transform(tbl: pa.Table, mask: dict[str, Any], target: pa.Schema) -> p
     untouched, matching the engine's `_mask_apply`."""
     import pyarrow.compute as pc
 
-    fns = {
-        ">": pc.greater,
-        ">=": pc.greater_equal,
-        "<": pc.less,
-        "<=": pc.less_equal,
-        "=": pc.equal,
-    }
     match = None
     for c, op, v in mask["predicate"]:
-        e = fns[op](tbl[c], pa.scalar(_stat_deser(v)))
+        e = _pc_compare(tbl[c], op, _stat_deser(v))
         match = e if match is None else pc.and_kleene(match, e)
     match = pc.fill_null(match, False)
     cols = []
@@ -513,16 +529,9 @@ def _mask_filter(tbl: pa.Table, predicate_ser: list) -> pa.Table:
     = null, and the final null fills to false before inverting."""
     import pyarrow.compute as pc
 
-    fns = {
-        ">": pc.greater,
-        ">=": pc.greater_equal,
-        "<": pc.less,
-        "<=": pc.less_equal,
-        "=": pc.equal,
-    }
     match = None
     for c, op, v in predicate_ser:
-        e = fns[op](tbl[c], pa.scalar(_stat_deser(v)))
+        e = _pc_compare(tbl[c], op, _stat_deser(v))
         match = e if match is None else pc.and_kleene(match, e)
     keep = pc.invert(pc.fill_null(match, False))
     return tbl.filter(keep)
