@@ -1120,3 +1120,68 @@ def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return mv.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -------------------------------------- bloom-indexed point lookup ----
+# r9 flagship: write(bloom_cols=[...]) + skip_where("in", id-list) is
+# the "fetch these ids out of 100 TB" path. The table is written
+# hash-spread on doc_id so every file's [min, max] interval covers the
+# whole id range — interval stats alone prune NOTHING — and the asserts
+# pin that the per-file bloom bitmaps cut the scan to at most the
+# files that can hold the probed ids. The driver hashes the pruned
+# read's rows against a plain DuckDB IN-list.
+
+_POINT_LOOKUP_ORACLE = """
+WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text
+FROM documents d, m
+WHERE d.doc_id IN (0, m.mx // 3, m.mx // 2, m.mx)
+"""
+
+
+@register(
+    "store_point_lookup",
+    _POINT_LOOKUP_ORACLE,
+    tags=("store", "skipping", "flagship"),
+    priority=100,
+)
+def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned id-list lookup == a SQL IN-list over the same rows.
+
+    Min/max intervals cannot cut a point probe on a uniformly spread
+    key (every file's interval spans every id); the per-file bloom
+    bitmaps recorded by ``write(bloom_cols=["doc_id"])`` can — the
+    Delta bloom-filter-index analog (the reference leans on Delta file
+    stats only, reference:odbc2deltalake/reader/spark_reader.py:123-133).
+    Asserts pin that (a) interval stats alone keep every file and (b)
+    the bloom cut the scan to no more than files-per-id + slack, so the
+    driver's value hash certifies a genuinely pruned read."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    mx = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    ids = sorted({0, mx // 3, mx // 2, mx})
+    root = tempfile.mkdtemp(prefix="store_lookup_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.write(
+            docs.repartition(8, "doc_id"),  # hash-spread: stats useless
+            mode="append",
+            stats_cols=["doc_id"],
+            per_file_stats=True,
+            bloom_cols=["doc_id"],
+        )
+        n_files = len(set(t.read(spark).inputFiles()))
+        probe = t.read(spark, skip_where=("doc_id", "in", ids))
+        n_probe = len(set(probe.inputFiles()))
+        # every file's interval spans the ids; only the bloom can cut
+        assert n_probe < n_files, (n_probe, n_files)
+        assert n_probe <= len(ids) + 2, (n_probe, ids)  # + FP slack
+        return probe.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -400,6 +400,13 @@ EXCLUDED = {
         "and lazy-vs-eager CDF/row equivalence is pinned in "
         "tests/test_lazy_delete.py"
     ),
+    "store_point_lookup": (
+        "store write + bloom-pruned read executed at build; returns a "
+        "checkpointed frame — the pruning contract (interval stats keep "
+        "every file, the bloom cuts to <= ids + FP slack) is asserted "
+        "INSIDE the query and pinned across null/widening/mask edges in "
+        "tests/test_bloom_skipping.py"
+    ),
     "store_mor_roundtrip": (
         "multi-commit merge-on-read lifecycle (three patch commits) "
         "executed at build; returns a checkpointed frame — the "
