@@ -1075,16 +1075,28 @@ class VersionedParquetTable(TableStore):
                         if not pvals:
                             drop_dir = True  # matches no row anywhere
                             break
-                        hs = []
-                        for pv in pvals:
-                            tkey = (bloom["types"][scol], repr(pv))
-                            if tkey not in bloom_hash_memo:
-                                bloom_hash_memo[tkey] = (
-                                    self._bloom_hash_value(
-                                        spark, pv, bloom["types"][scol]
-                                    )
-                                )
-                            hs.append(bloom_hash_memo[tkey])
+                        tjson = bloom["types"][scol]
+                        missing = [
+                            pv
+                            for pv in pvals
+                            if (tjson, repr(pv)) not in bloom_hash_memo
+                        ]
+                        if missing:
+                            # ONE local job hashes the whole probe set
+                            # for this written type — an `in` list of
+                            # 10k ids is one createDataFrame, not 10k
+                            # driver round-trips
+                            for pv, h in zip(
+                                missing,
+                                self._bloom_hash_values(
+                                    spark, missing, tjson
+                                ),
+                            ):
+                                bloom_hash_memo[(tjson, repr(pv))] = h
+                        hs = [
+                            bloom_hash_memo[(tjson, repr(pv))]
+                            for pv in pvals
+                        ]
                         bfiles = bloom.get("files") or {}
                         # the collection pass covers EVERY file in the
                         # dir, so a file absent from the map (or lacking
@@ -1920,17 +1932,38 @@ class VersionedParquetTable(TableStore):
         }
 
     @staticmethod
+    def _bloom_hash_values(
+        spark: SparkSession, values: list, type_json: str
+    ) -> list[int]:
+        """Spark's ``xxhash64`` of each value as the recorded column
+        type — ONE local job for the whole probe batch (control-plane;
+        memoized per read call by the caller), returned in input order."""
+        dt = T._parse_datatype_json_string(type_json)
+        row_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)],
+            T.StructType(
+                [
+                    T.StructField("i", T.IntegerType(), False),
+                    T.StructField("v", dt, True),
+                ]
+            ),
+        )
+        got = {
+            r["i"]: int(r["h"])
+            for r in row_df.select(
+                "i", F.xxhash64("v").alias("h")
+            ).collect()
+        }
+        return [got[i] for i in range(len(values))]
+
+    @staticmethod
     def _bloom_hash_value(
         spark: SparkSession, value: Any, type_json: str
     ) -> int:
-        """Spark's ``xxhash64`` of ``value`` as the recorded column type
-        — one constant-folded local job (control-plane; memoized per
-        read call by the caller)."""
-        dt = T._parse_datatype_json_string(type_json)
-        row_df = spark.createDataFrame(
-            [(value,)], T.StructType([T.StructField("v", dt, True)])
-        )
-        return int(row_df.select(F.xxhash64("v").alias("h")).first()["h"])
+        """Single-value convenience over :meth:`_bloom_hash_values`."""
+        return VersionedParquetTable._bloom_hash_values(
+            spark, [value], type_json
+        )[0]
 
     @staticmethod
     def _bloom_may_contain(b64: str, m: int, k: int, h: int) -> bool:
