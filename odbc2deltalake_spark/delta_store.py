@@ -75,15 +75,27 @@ class DeltaTableStore(TableStore):
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
         skip_where: Optional[tuple] = None,
+        timestamp=None,
     ) -> DataFrame:
         # `buckets` is a physical-layout pruning hint for the parquet
         # store; Delta does its own file skipping (stats + Z-order), so
         # the hint is intentionally ignored here — correctness never
         # depends on it. `skip_where` maps to a plain filter: Delta's
         # reader turns it into native stats-based file skipping itself.
+        # `timestamp` maps to Delta's native timestampAsOf.
         reader = self._session(spark).read.format("delta")
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version OR timestamp, not both")
         if version is not None:
             reader = reader.option("versionAsOf", version)
+        if timestamp is not None:
+            import datetime as _dt
+
+            if not isinstance(timestamp, _dt.datetime):
+                timestamp = _dt.datetime.fromtimestamp(float(timestamp))
+            reader = reader.option(
+                "timestampAsOf", timestamp.strftime("%Y-%m-%d %H:%M:%S.%f")
+            )
         df = reader.load(self.root)
         if skip_where is not None:
             from odbc2deltalake_spark.tablestore import VersionedParquetTable

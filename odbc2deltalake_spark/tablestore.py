@@ -650,6 +650,41 @@ class VersionedParquetTable(TableStore):
             raise TableNotFoundError(self._root_str)
         return int(names[-1].split(".")[0])
 
+    def version_at_timestamp(self, ts) -> int:
+        """Newest version whose commit timestamp is <= ``ts`` (Delta's
+        ``timestampAsOf`` resolution) — pass the result to
+        ``read(version=...)`` / ``read_changes*``. ``ts`` is epoch
+        seconds or a datetime (naive = local time, like Delta).
+
+        Commit timestamps come from writer wall clocks, so the log can
+        record small regressions; resolution MONOTONIZES them (running
+        max in version order — Delta does the same internally), which
+        keeps the version↔time mapping order-consistent: a later
+        version never resolves as earlier. Commits predating the `ts`
+        field count as time 0 (always included). Raises ValueError for
+        a timestamp before the first commit. Control-plane only —
+        O(versions) small JSON reads, never data."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best: Optional[int] = None
+        running = 0.0
+        for name in self._commit_names():
+            v = int(name.split(".")[0])
+            c = self._read_commit(v)
+            running = max(running, float(c.get("ts") or 0.0))
+            if running <= ts:
+                best = v
+            else:
+                break  # monotonized times only grow
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit of "
+                f"{self._root_str}"
+            )
+        return best
+
     # Write a state checkpoint every N commits (0 disables). The replay
     # in _state_at is O(commits since the last checkpoint) instead of
     # O(all commits) — the Delta _last_checkpoint design. 20 matches the
@@ -700,6 +735,10 @@ class VersionedParquetTable(TableStore):
         the log itself is the serialization point (Delta LogStore model),
         independent of the plans-layer lease lock."""
         version = commit["version"]
+        if "ts" not in commit:
+            import time
+
+            commit["ts"] = time.time()
         self.backend.write_text_exclusive(
             self.backend.join(self._commits_dir, f"{version:010d}.json"),
             json.dumps(commit),
@@ -989,8 +1028,14 @@ class VersionedParquetTable(TableStore):
         version: Optional[int] = None,
         buckets: Optional[Iterable[int]] = None,
         skip_where: Optional[tuple[str, str, Any] | list[tuple[str, str, Any]]] = None,
+        timestamp=None,
     ) -> DataFrame:
         """Time-travel read (reference:odbc2deltalake/reader/spark_reader.py:123-133).
+
+        ``timestamp`` (epoch seconds or datetime, exclusive with
+        ``version``) reads the newest version committed at or before
+        that time — Delta's ``timestampAsOf``, resolved by
+        :meth:`version_at_timestamp`.
 
         Live dirs are grouped by written schema; each group is one parquet
         scan (pushdown + pruning intact), then cast-unioned to the table's
@@ -1019,6 +1064,10 @@ class VersionedParquetTable(TableStore):
         skips every older load's files outright — on top of this,
         parquet row-group pruning still applies inside surviving files
         (tight after a Z-order compact)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         st = self._state_at(version)
         target = T.StructType.fromJson(json.loads(st["schema"]))
         dirs = st["dirs"]

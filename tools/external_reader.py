@@ -72,6 +72,36 @@ def _arrow_schema(spark_schema_json: str) -> pa.Schema:
     )
 
 
+def version_at_timestamp(root: str | Path, ts) -> int:
+    """Newest version whose (monotonized) commit `ts` is <= ``ts`` —
+    the spec's timestamp→version resolution (Delta ``timestampAsOf``).
+    ``ts`` is epoch seconds or a datetime. Commits without a `ts` field
+    count as time 0; writer-clock regressions are monotonized with a
+    running max so a later version never resolves as earlier."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    commits_dir = Path(root) / "_commits"
+    names = sorted(
+        p.name
+        for p in commits_dir.iterdir()
+        if p.name.endswith(".json") and not p.name.startswith(".")
+    )
+    best = None
+    running = 0.0
+    for name in names:
+        c = json.loads((commits_dir / name).read_text())
+        running = max(running, float(c.get("ts") or 0.0))
+        if running <= ts:
+            best = int(name.split(".")[0])
+        else:
+            break
+    if best is None:
+        raise ValueError(f"timestamp {ts} predates the first commit of {root}")
+    return best
+
+
 def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
     """Replay `_commits/` up to ``version`` per the spec's reader
     algorithm; returns {version, entries, schema, props}."""
@@ -270,8 +300,13 @@ def read_table(
     root: str | Path,
     version: Optional[int] = None,
     skip_where: Optional[tuple[str, str, Any] | list[tuple[str, str, Any]]] = None,
+    timestamp=None,
 ) -> pa.Table:
     """Materialize a snapshot as one pyarrow Table (row order unspecified).
+
+    ``timestamp`` (epoch seconds or datetime, exclusive with
+    ``version``) reads the newest version committed at or before that
+    time via :func:`version_at_timestamp`.
 
     ``skip_where=(col, op, value)`` — or a LIST of such tuples (AND of
     all of them) — applies the spec's data-skipping rules: entries/files
@@ -281,6 +316,10 @@ def read_table(
     the per-conjunct survivor sets — on Z-ordered commits each extra
     clustered column multiplies the cut, exactly as in the engine."""
     root = Path(root)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(root, timestamp)
     st = snapshot(root, version)
     target = _arrow_schema(st["schema"])
     entries = st["entries"]
