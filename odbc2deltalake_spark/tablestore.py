@@ -2296,6 +2296,23 @@ class VersionedParquetTable(TableStore):
                 fstats = self._footer_file_stats(self._path(dir_name), sc)
                 if fstats:
                     entry["stats"] = fstats
+            # preserve the dir's bloom index (same rationale as stats:
+            # a fold must not silently degrade point lookups) — the
+            # re-collect also refreshes bitmaps a lazy UPDATE rewrote
+            prior_bloom = sorted(
+                set((d.get("bloom") or {}).get("types") or {})
+                & set(target.fieldNames())
+            )
+            if prior_bloom:
+                bl = self._collect_file_blooms(
+                    spark,
+                    self._path(dir_name),
+                    target,
+                    prior_bloom,
+                    int((d.get("bloom") or {}).get("m") or 4096),
+                )
+                if bl:
+                    entry["bloom"] = bl
             if d.get("bucket") is not None:
                 entry["bucket"] = d["bucket"]
             new_entries.append(entry)
@@ -2628,6 +2645,8 @@ class VersionedParquetTable(TableStore):
         where: Optional[
             tuple[str, str, Any] | list[tuple[str, str, Any]]
         ] = None,
+        bloom_cols: Optional[list[str]] = None,
+        bloom_bits: int = 4096,
     ) -> int:
         """Rewrite the current snapshot's many small files into
         ~``target_file_bytes`` files as ONE new overwrite commit — the
@@ -2660,6 +2679,12 @@ class VersionedParquetTable(TableStore):
         history), leaving the cold majority untouched. Rows are NOT
         filtered — the predicate only selects which dirs to rewrite —
         and a selection that matches no dir commits nothing.
+
+        Bloom bitmaps are PRESERVED by default: when any live dir
+        carries a bloom for a column, the rewrite re-collects bitmaps
+        for the union of bloomed columns (pass ``bloom_cols`` to
+        override, ``[]`` to drop) — an OPTIMIZE must not silently
+        degrade point lookups back to full scans.
         """
         st = self._state_at()
         if st["num_buckets"]:
@@ -2670,7 +2695,15 @@ class VersionedParquetTable(TableStore):
         if where is not None:
             return self._compact_partial(
                 spark, st, where, target_file_bytes, zorder_by,
-                out_partitions, stats_cols,
+                out_partitions, stats_cols, bloom_cols, bloom_bits,
+            )
+        if bloom_cols is None:
+            bloom_cols = sorted(
+                {
+                    c
+                    for d in st["dirs"]
+                    for c in ((d.get("bloom") or {}).get("types") or {})
+                }
             )
         snapshot = self.read(spark)
         n = out_partitions
@@ -2704,6 +2737,8 @@ class VersionedParquetTable(TableStore):
             partition_by=partition_by,
             stats_cols=stats_cols,
             per_file_stats=bool(stats_cols),
+            bloom_cols=bloom_cols or None,
+            bloom_bits=bloom_bits,
             extra_commit_fields={
                 "compacted_from": st["version"],
                 "zorder_by": zorder_by or [],
@@ -2719,6 +2754,8 @@ class VersionedParquetTable(TableStore):
         zorder_by: Optional[list[str]],
         out_partitions: Optional[int],
         stats_cols: Optional[list[str]],
+        bloom_cols: Optional[list[str]] = None,
+        bloom_bits: int = 4096,
     ) -> int:
         conj = self._skip_conjuncts(where)
         if not conj:
@@ -2786,6 +2823,21 @@ class VersionedParquetTable(TableStore):
             fstats = self._footer_file_stats(self._path(dir_name), stats_cols)
             if fstats:
                 entry["stats"] = fstats
+        if bloom_cols is None:
+            # preserve the bloom index of the rewritten dirs by default
+            bloom_cols = sorted(
+                {
+                    c
+                    for d in affected
+                    for c in ((d.get("bloom") or {}).get("types") or {})
+                }
+            )
+        if bloom_cols:
+            bl = self._collect_file_blooms(
+                spark, self._path(dir_name), target, bloom_cols, bloom_bits
+            )
+            if bl:
+                entry["bloom"] = bl
         self._write_commit(
             {
                 "version": new_version,

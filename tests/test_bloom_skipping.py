@@ -141,6 +141,64 @@ def test_widened_append_hashes_with_its_own_type(spark, tmp_path):
         assert len(got) == 1 and got[0]["src"] == src
 
 
+def test_compact_preserves_bloom_index(spark, tmp_path):
+    """OPTIMIZE must not degrade point lookups: a full compact
+    re-collects bitmaps for every previously-bloomed column by
+    default."""
+    t = _t(spark, tmp_path, n=2000, files=8)
+    t.compact(spark, out_partitions=6)
+    full = t.read(spark)
+    n_files = len(set(full.inputFiles()))
+    assert n_files >= 4
+    probe = t.read(spark, skip_where=("key", "=", 1234))
+    assert len(set(probe.inputFiles())) < n_files
+    assert [r["tag"] for r in probe.collect()] == ["u1234"]
+
+
+def test_partial_compact_preserves_bloom_index(spark, tmp_path):
+    t = _t(spark, tmp_path, n=1000, files=4)
+    t.write(
+        spark.range(10**6, 10**6 + 1000)
+        .select(
+            F.col("id").alias("key"),
+            (F.col("id") % 4).cast("int").alias("part"),
+            F.concat(F.lit("u"), F.col("id")).alias("tag"),
+        )
+        .repartition(4, "part"),
+        mode="append",
+        stats_cols=["key"],
+        per_file_stats=True,
+        bloom_cols=["key", "tag"],
+    )
+    # rewrite only the second commit; the first keeps its own bloom
+    t.compact(spark, where=("key", ">=", 10**6), out_partitions=3)
+    for probe_key in (123, 10**6 + 77):
+        probe = t.read(spark, skip_where=("key", "=", probe_key))
+        assert [r["key"] for r in probe.collect()] == [probe_key]
+        assert len(set(probe.inputFiles())) <= 2
+    # and an absent id still refutes everything
+    assert t.read(spark, skip_where=("key", "=", 5_000_000)).count() == 0
+
+
+def test_fold_masks_recollects_blooms(spark, tmp_path):
+    """A fold rewrites masked dirs into new files: the bloom must be
+    re-collected (old file names are gone), and a lazy UPDATE's folded
+    values must probe at their NEW values."""
+    t = _t(spark, tmp_path, n=400, files=4)
+    t.delete_where(spark, ("part", "=", 3), lazy=True)
+    t.update_where(spark, {"key": "key + 1000000"}, ("part", "=", 1), lazy=True)
+    t.fold_masks(spark)
+    full = t.read(spark)
+    n_files = len(set(full.inputFiles()))
+    # moved key found at its new value, pruned below a full scan
+    moved = t.read(spark, skip_where=("key", "=", 1000001))
+    assert [r["tag"] for r in moved.collect()] == ["u1"]
+    assert len(set(moved.inputFiles())) < n_files
+    # deleted partition's keys are gone; old pre-update key refuted
+    assert t.read(spark, skip_where=("key", "=", 3)).count() == 0
+    assert t.read(spark, skip_where=("key", "=", 1)).count() == 0
+
+
 @settings(
     max_examples=15,
     deadline=None,
