@@ -11,6 +11,7 @@ with an external duckdb read (reference:tests/test_03_delta.py:101-112).
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -353,6 +354,98 @@ def test_external_reader_in_and_ne_predicates_match_engine(spark, tmp_path):
             for d in read_table(tmp_path / "t", skip_where=pred).to_pylist()
         )
         assert got == want, pred
+
+
+def test_reader_xxh64_matches_spark(spark):
+    """The reader's pure-Python XXH64 must equal Spark's xxhash64 for
+    every type encoding it claims (the spec's `h`): long, int, short,
+    byte, boolean, date, string — signed 64-bit values included."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tools.external_reader import _spark_xxhash64
+
+    cases = [
+        ("long", [0, 1, -1, 42, 2**62, -(2**62), 123456789012345]),
+        ("integer", [0, 1, -1, 2**31 - 1, -(2**31), 777]),
+        ("short", [0, -5, 32767, -32768]),
+        ("byte", [0, 1, -128, 127]),
+        ("boolean", [True, False]),
+        ("date", [datetime.date(1970, 1, 1), datetime.date(2026, 8, 15),
+                  datetime.date(1901, 2, 3)]),
+        ("string", ["", "a", "hello world", "ü¶é-unicode", "x" * 7,
+                    "y" * 8, "z" * 31, "w" * 32, "v" * 100]),
+    ]
+    for tname, vals in cases:
+        dt = T._parse_datatype_json_string(json.dumps(tname))
+        df = spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField("v", dt, True)]),
+        )
+        want = [int(r["h"]) for r in df.select(F.xxhash64("v").alias("h")).collect()]
+        got = [_spark_xxhash64(v, json.dumps(tname)) for v in vals]
+        assert got == want, tname
+
+
+def test_reader_prunes_via_bloom_same_files_as_engine(spark, tmp_path):
+    """Bloom probes are part of the public format: the reader must open
+    ONLY the engine's bloom-surviving files. Proven destructively — every
+    file the engine's pruned read does NOT open is deleted from disk, so
+    a reader that ignores (or mis-hashes) the bitmaps crashes instead of
+    silently scanning more."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / f"t{_uuid.uuid4().hex[:8]}")
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("key"),
+            (F.col("id") % 8).cast("int").alias("part"),
+            F.concat(F.lit("u"), F.col("id")).alias("tag"),
+        )
+        .repartition(8, "part")
+    )
+    t.write(df, mode="append", stats_cols=["key"], per_file_stats=True,
+            bloom_cols=["key", "tag"])
+    pred = [("key", "in", [77, 1503]), ("tag", "=", "u77")]
+    eng = t.read(spark, skip_where=pred)
+    want = sorted((r["key"], r["tag"]) for r in eng.collect())
+    assert want == [(77, "u77")]
+    survivors = {f.rsplit("/", 1)[-1] for f in eng.inputFiles()}
+    root = Path(t.root)
+    for p in root.rglob("*.parquet"):
+        if p.name not in survivors:
+            p.unlink()  # a reader opening it now fails loudly
+    ext = read_table(root, skip_where=pred)
+    assert sorted((d["key"], d["tag"]) for d in ext.to_pylist()) == want
+
+
+def test_reader_skips_bloom_for_unsupported_types(spark, tmp_path):
+    # a double-typed bloom column: the engine prunes with it (hashing
+    # via Spark), the reader has no double encoding and must fall back
+    # to scanning — returning exactly the same rows
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    t.write(
+        spark.range(100).select(
+            (F.col("id") * 1.5).alias("score"), F.col("id").alias("k")
+        ).repartition(4),
+        mode="append",
+        bloom_cols=["score"],
+    )
+    want = sorted(
+        r["k"] for r in t.read(spark, skip_where=("score", "=", 7.5)).collect()
+    )
+    got = sorted(
+        d["k"]
+        for d in read_table(tmp_path / "t", skip_where=("score", "=", 7.5)).to_pylist()
+    )
+    assert got == want == [5]
 
 
 def test_external_reader_update_masks_match_engine(spark, tmp_path):

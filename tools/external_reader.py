@@ -72,6 +72,120 @@ def _arrow_schema(spark_schema_json: str) -> pa.Schema:
     )
 
 
+# ---------- XXH64 (bloom-bitmap probes, Spark xxhash64 parity) ----------
+# Standard XXH64 (public algorithm) — Spark's `xxhash64` is XXH64 with
+# seed 42 over a per-type byte encoding, so an independent reader can
+# probe the spec's bloom bitmaps without any Spark dependency. Parity
+# with the engine is pinned in tests/test_external_reader.py.
+
+_M64 = (1 << 64) - 1
+_XP1 = 11400714785074694791
+_XP2 = 14029467366897019727
+_XP3 = 1609587929392839161
+_XP4 = 9650029242287828579
+_XP5 = 2870177450012600261
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                w = int.from_bytes(data[i + off : i + off + 8], "little")
+                if v == 1:
+                    v1 = (_rotl64((v1 + w * _XP2) & _M64, 31) * _XP1) & _M64
+                elif v == 2:
+                    v2 = (_rotl64((v2 + w * _XP2) & _M64, 31) * _XP1) & _M64
+                elif v == 3:
+                    v3 = (_rotl64((v3 + w * _XP2) & _M64, 31) * _XP1) & _M64
+                else:
+                    v4 = (_rotl64((v4 + w * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxhash64(value: Any, type_json: str) -> Optional[int]:
+    """Spark's ``xxhash64(value)`` as the recorded written type, as a
+    SIGNED 64-bit int (the spec's `h`), or None when this reader does
+    not implement the type's encoding (caller must then skip the bloom
+    — pure-optimization contract keeps results exact)."""
+    import datetime
+
+    stype = json.loads(type_json) if type_json.startswith('"') else type_json
+    if not isinstance(stype, str):
+        return None  # nested types: not bloom-probed
+    if stype in ("integer", "short", "byte"):
+        data = (int(value) & 0xFFFFFFFF).to_bytes(4, "little")
+    elif stype == "long":
+        data = (int(value) & _M64).to_bytes(8, "little")
+    elif stype == "boolean":
+        data = (1 if value else 0).to_bytes(4, "little")
+    elif stype == "date":
+        days = (
+            (value - datetime.date(1970, 1, 1)).days
+            if isinstance(value, datetime.date)
+            else int(value)
+        )
+        data = (days & 0xFFFFFFFF).to_bytes(4, "little")
+    elif stype == "string":
+        data = str(value).encode("utf-8")
+    else:
+        return None  # float/double/decimal/timestamp: skip, stay exact
+    h = _xxh64(data, 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bloom_may_contain(b64: str, m: int, k: int, h: int) -> bool:
+    """False ONLY when the bitmap proves the value absent (spec probe
+    positions: ``(h mod m + i * ((h >> 33) | 1)) mod m``, signed h)."""
+    import base64
+
+    bits = base64.b64decode(b64)
+    h1 = h % m
+    h2 = (h >> 33) | 1
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
 def version_at_timestamp(root: str | Path, ts) -> int:
     """Newest version whose (monotonized) commit `ts` is <= ``ts`` —
     the spec's timestamp→version resolution (Delta ``timestampAsOf``).
@@ -342,9 +456,43 @@ def read_table(
             drop = False
             keep: Optional[set] = None  # None => all files kept
             unstat = upd_unstat.get(e["dir"], ())
+            bloom = e.get("bloom") or {}
             for scol, sop, sval in conj:
                 if scol in unstat:
-                    continue  # update-masked column: stats invalid
+                    continue  # update-masked column: stats/bloom invalid
+                if sop in ("=", "in") and scol in (bloom.get("types") or {}):
+                    pvals = [sval] if sop == "=" else list(sval)
+                    pvals = [v for v in pvals if v is not None]
+                    if not pvals:
+                        drop = True  # `= NULL` / empty IN: matches nothing
+                        break
+                    hs = [
+                        _spark_xxhash64(v, bloom["types"][scol])
+                        for v in pvals
+                    ]
+                    if all(h is not None for h in hs):
+                        # spec: a file absent from the map (or lacking
+                        # this column's bitmap) provably holds no
+                        # non-null value of the column
+                        bfiles = bloom.get("files") or {}
+                        kb = {
+                            f
+                            for f, per in bfiles.items()
+                            if scol in per
+                            and any(
+                                _bloom_may_contain(
+                                    per[scol], bloom["m"], bloom["k"], h
+                                )
+                                for h in hs
+                            )
+                        }
+                        if not kb:
+                            drop = True
+                            break
+                        if not e.get("partitioned"):
+                            keep = kb if keep is None else keep & kb
+                            files_all = files_all | set(bfiles)
+                    # un-hashable written type: skip the bloom, stay exact
                 dir_iv = stats.get("", {}).get(scol)
                 if dir_iv is not None and not _may_match(
                     _stat_deser(dir_iv[0]), _stat_deser(dir_iv[1]), sop, sval
