@@ -417,6 +417,58 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- cohort LTV curve ----
+# Month-0 cohorts by first-ever event month; lifetime value = revenue and
+# active-user counts per (cohort, months-since-acquisition). month_k is
+# integer calendar arithmetic (year*12+month), bit-identical across
+# engines — no months_between float semantics.
+
+_COHORT_LTV_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('month', min(ts)) AS DATE) AS m0
+  FROM events GROUP BY user_id
+)
+SELECT f.m0 AS cohort_month,
+       (year(e.ts) * 12 + month(e.ts))
+         - (year(f.m0) * 12 + month(f.m0)) AS month_k,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+       round(sum(e.value), 2) AS revenue
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("ev_cohort_ltv", _COHORT_LTV_ORACLE, tags=("events", "retention"),
+          priority=100)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves == the same cohort join in SQL.
+
+    The acquisition table is one user_id agg; the fact join is an
+    equi-join on user_id — both sides shuffle on the SAME key, so AQE
+    reuses the agg's partitioning and the join adds no extra exchange
+    at scale. The final rollup is tiny (|months|²). NULL user_ids drop
+    out of the inner join on both engines (SQL equality); month
+    arithmetic is integer calendar math, identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("m0")
+    )
+    j = ev.join(f, "user_id")
+    month_k = (F.year("ts") * 12 + F.month("ts")) - (
+        F.year("m0") * 12 + F.month("m0")
+    )
+    return (
+        j.groupBy(
+            F.col("m0").alias("cohort_month"),
+            month_k.cast("long").alias("month_k"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
 # ------------------------------------------------------------- pivot ----
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

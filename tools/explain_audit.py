@@ -353,6 +353,9 @@ AUDIT = [
     # screen — both shuffle-light aggregates over the embeddings table)
     "emb_dim_stats",
     "emb_norm_outliers",
+    # r9: cohort LTV curves (user_id agg + same-key fact join — AQE
+    # reuses the partitioning, no extra exchange)
+    "ev_cohort_ltv",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
