@@ -116,7 +116,7 @@ class DeltaTableStore(TableStore):
         extra_commit_fields: Optional[dict] = None,
         txn: Optional[tuple] = None,
         bloom_cols: Optional[list] = None,  # Delta: use the native
-        bloom_bits: int = 4096,             # delta.bloomFilter.* props
+        bloom_bits: Optional[int] = None,   # delta.bloomFilter.* props
     ) -> int:
         assert mode in ("append", "overwrite"), mode
         writer = df.write.format("delta").mode(mode)
@@ -179,9 +179,19 @@ class DeltaTableStore(TableStore):
         conj = VersionedParquetTable._skip_conjuncts(predicate)
         if not conj:
             raise ValueError("a CHECK constraint requires a predicate")
-        sql_pred = " AND ".join(
-            f"`{c}` {op} {self._sql_literal(v)}" for c, op, v in conj
-        )
+        def _clause(c, op, v):
+            if op == "in":
+                vals = [x for x in v if x is not None]
+                if not vals:
+                    return "FALSE"  # IN () / IN (NULL…): matches nothing
+                return (
+                    f"`{c}` IN ("
+                    + ", ".join(self._sql_literal(x) for x in vals)
+                    + ")"
+                )
+            return f"`{c}` {op} {self._sql_literal(v)}"
+
+        sql_pred = " AND ".join(_clause(c, op, v) for c, op, v in conj)
         self._session(spark).sql(
             f"ALTER TABLE delta.`{self.root}` ADD CONSTRAINT {name} "
             f"CHECK ({sql_pred})"

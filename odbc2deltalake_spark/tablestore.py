@@ -459,7 +459,7 @@ class TableStore(ABC):
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
         txn: Optional[tuple[str, int]] = None,
         bloom_cols: Optional[list[str]] = None,
-        bloom_bits: int = 4096,
+        bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
     ) -> int:
         """Write one commit. The stats/commit-field parameters are
         data-skipping and audit metadata hints: a store without its own
@@ -1124,56 +1124,56 @@ class VersionedParquetTable(TableStore):
                         if not pvals:
                             drop_dir = True  # matches no row anywhere
                             break
-                        tjson = bloom["types"][scol]
-                        missing = [
-                            pv
-                            for pv in pvals
-                            if (tjson, repr(pv)) not in bloom_hash_memo
-                        ]
-                        if missing:
-                            # ONE local job hashes the whole probe set
-                            # for this written type — an `in` list of
-                            # 10k ids is one createDataFrame, not 10k
-                            # driver round-trips
-                            for pv, h in zip(
-                                missing,
-                                self._bloom_hash_values(
-                                    spark, missing, tjson
-                                ),
-                            ):
-                                bloom_hash_memo[(tjson, repr(pv))] = h
-                        hs = [
-                            bloom_hash_memo[(tjson, repr(pv))]
-                            for pv in pvals
-                        ]
-                        bfiles = bloom.get("files") or {}
-                        # the collection pass covers EVERY file in the
-                        # dir, so a file absent from the map (or lacking
-                        # this column's bitmap) provably holds no
-                        # non-null value of the column — refuted for an
-                        # equality probe, same as a failing bitmap
-                        k_bloom = {
-                            f
-                            for f, per in bfiles.items()
-                            if scol in per
-                            and any(
-                                self._bloom_may_contain(
-                                    per[scol], bloom["m"], bloom["k"], h
+                        # inline map or memoized sidecar; None = sidecar
+                        # unreachable -> skip the bloom test entirely
+                        # (residual predicate keeps results exact)
+                        bfiles = self._bloom_files(bloom)
+                        if bfiles is not None:
+                            tjson = bloom["types"][scol]
+                            missing = [
+                                pv
+                                for pv in pvals
+                                if (tjson, repr(pv)) not in bloom_hash_memo
+                            ]
+                            if missing:
+                                # pure-Python XXH64 (or one local job
+                                # for exotic types) hashes the whole
+                                # probe set — an `in` list of 10k ids
+                                # is never 10k driver round-trips
+                                for pv, h in zip(
+                                    missing,
+                                    self._bloom_hash_values(
+                                        spark, missing, tjson
+                                    ),
+                                ):
+                                    bloom_hash_memo[(tjson, repr(pv))] = h
+                            hs = [
+                                bloom_hash_memo[(tjson, repr(pv))]
+                                for pv in pvals
+                            ]
+                            # the collection pass covers EVERY file in
+                            # the dir, so a file absent from the map (or
+                            # lacking this column's bitmap) provably
+                            # holds no non-null value of the column —
+                            # refuted for an equality probe, same as a
+                            # failing bitmap
+                            k_bloom = self._bloom_survivors(
+                                bfiles, scol, bloom["m"], bloom["k"], hs
+                            )
+                            if not k_bloom:
+                                drop_dir = True  # no file may contain any
+                                break
+                            if not d.get("partitioned"):
+                                # partitioned dirs are all-or-nothing
+                                # (an explicit file subset would lose
+                                # partition columns); otherwise
+                                # intersect like stats
+                                keep = (
+                                    k_bloom
+                                    if keep is None
+                                    else keep & k_bloom
                                 )
-                                for h in hs
-                            )
-                        }
-                        if not k_bloom:
-                            drop_dir = True  # no file may contain any
-                            break
-                        if not d.get("partitioned"):
-                            # partitioned dirs are all-or-nothing (an
-                            # explicit file subset would lose partition
-                            # columns); otherwise intersect like stats
-                            keep = (
-                                k_bloom if keep is None else keep & k_bloom
-                            )
-                            files_all = files_all | set(bfiles)
+                                files_all = files_all | set(bfiles)
                     dir_iv = stats.get("", {}).get(scol)
                     if dir_iv is not None and not self._interval_may_match(
                         self._stat_deser(dir_iv[0]),
@@ -1564,7 +1564,7 @@ class VersionedParquetTable(TableStore):
         known_stats: Optional[dict[str, tuple[Any, Any]]] = None,
         txn: Optional[tuple[str, int]] = None,
         bloom_cols: Optional[list[str]] = None,
-        bloom_bits: int = 4096,
+        bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
@@ -1743,7 +1743,7 @@ class VersionedParquetTable(TableStore):
                 bloom_bits,
             )
             if bl:
-                commit["bloom"] = bl
+                commit["bloom"] = self._bloom_field(bl, dir_name)
         if extra_commit_fields:
             commit.update(extra_commit_fields)
         self._write_commit(commit)
@@ -1879,6 +1879,84 @@ class VersionedParquetTable(TableStore):
     # ---------- bloom-filter data skipping ----------
 
     BLOOM_K = 3  # probes per value (Kirsch-Mitzenmacher double hashing)
+    # ~12 bits per row at k=3 ≈ 1% false-positive rate
+    BLOOM_BITS_PER_ROW = 12
+    BLOOM_MIN_BITS = 4096
+    BLOOM_MAX_BITS = 1 << 23  # 1 MiB/bitmap cap
+    # bitmaps above this total size go to a `_bloom.json` sidecar inside
+    # the data dir instead of inline commit JSON — the commit log (and
+    # every checkpoint and replay) must stay control-plane-sized
+    BLOOM_INLINE_MAX_B64 = 256 * 1024
+
+    def _bloom_auto_bits(self, dir_path: str) -> int:
+        """Size `m` from the dir's LARGEST file (parquet footers —
+        driver-side metadata, no jobs): next power of two covering
+        BLOOM_BITS_PER_ROW bits/row, clamped to [MIN, MAX]. Footers
+        unreachable → a mid-size default."""
+        rows = 0
+        try:
+            import pyarrow.parquet as pq
+
+            root = Path(dir_path)
+            if root.exists():
+                for f in root.rglob("*.parquet"):
+                    rows = max(
+                        rows, pq.ParquetFile(str(f)).metadata.num_rows
+                    )
+        except Exception:  # noqa: BLE001 — sizing is a heuristic only
+            rows = 0
+        if not rows:
+            rows = 50_000
+        m = self.BLOOM_MIN_BITS
+        target = min(rows * self.BLOOM_BITS_PER_ROW, self.BLOOM_MAX_BITS)
+        while m < target:
+            m <<= 1
+        return m
+
+    def _bloom_field(
+        self, bl: dict[str, Any], dir_name: str
+    ) -> dict[str, Any]:
+        """The commit-JSON `bloom` field for one collected bitmap set:
+        inline when small; otherwise the bitmaps land in a
+        ``_bloom.json`` sidecar INSIDE the (immutable) data dir — the
+        commit carries only {m, k, types, ref}. The sidecar shares the
+        dir's lifecycle: restore keeps it live, vacuum reclaims it with
+        the dir, and both Spark and pyarrow dataset discovery skip
+        underscore-prefixed files."""
+        size = sum(
+            len(b64) for per in bl["files"].values() for b64 in per.values()
+        )
+        if size <= self.BLOOM_INLINE_MAX_B64:
+            return bl
+        ref = f"{dir_name}/_bloom.json"
+        self.backend.write_text_atomic(
+            self._path(ref), json.dumps({"files": bl["files"]})
+        )
+        return {k: v for k, v in bl.items() if k != "files"} | {"ref": ref}
+
+    def _bloom_files(
+        self, bloom: dict[str, Any]
+    ) -> Optional[dict[str, Any]]:
+        """The per-file bitmap map of one dir's `bloom` field — inline
+        or resolved (and memoized) from its sidecar. None when the
+        sidecar is unreadable: the caller must then SKIP the bloom test
+        (conservative — the residual predicate keeps results exact)."""
+        if "files" in bloom:
+            return bloom["files"] or {}
+        ref = bloom.get("ref")
+        if not ref:
+            return None
+        cache = getattr(self, "_bloom_sidecar_cache", None)
+        if cache is None:
+            cache = self._bloom_sidecar_cache = {}
+        if ref not in cache:
+            try:
+                cache[ref] = json.loads(
+                    self.backend.read_text(self._path(ref))
+                )["files"]
+            except Exception:  # noqa: BLE001 — optimization only
+                cache[ref] = None
+        return cache[ref]
 
     @staticmethod
     def _rel_file(fname: str, dir_path: str) -> str:
@@ -1901,7 +1979,7 @@ class VersionedParquetTable(TableStore):
         dir_path: str,
         df_schema: T.StructType,
         cols: list[str],
-        m_bits: int,
+        m_bits: Optional[int],
     ) -> Optional[dict[str, Any]]:
         """Per-file bloom bitmaps for the named columns over one written
         dir — the Delta bloom-filter-index analog for point lookups on
@@ -1916,11 +1994,14 @@ class VersionedParquetTable(TableStore):
         (recorded per column: a widened re-write hashes differently) and
         double hashing ``pos_i = (h mod m + i * ((h >> 33) | 1)) mod m``
         so the read side recomputes positions from one hash value.
-        Returns None when no named column exists in the frame."""
+        Returns None when no named column exists in the frame.
+        ``m_bits=None`` auto-sizes from the dir's largest file."""
         have = {f.name: f for f in df_schema.fields}
         cols = [c for c in cols if c in have]
         if not cols:
             return None
+        if m_bits is None:
+            m_bits = self._bloom_auto_bits(dir_path)
         raw = spark.read.schema(df_schema).parquet(dir_path)
         probes = []
         for c in cols:
@@ -1984,9 +2065,16 @@ class VersionedParquetTable(TableStore):
     def _bloom_hash_values(
         spark: SparkSession, values: list, type_json: str
     ) -> list[int]:
-        """Spark's ``xxhash64`` of each value as the recorded column
-        type — ONE local job for the whole probe batch (control-plane;
-        memoized per read call by the caller), returned in input order."""
+        """``xxhash64`` of each value as the recorded column type, in
+        input order. Long/int/string/date/boolean hash DRIVER-SIDE via
+        the parity-pinned pure-Python XXH64 (zero Spark jobs — a point
+        lookup must not pay a job just to hash its probe); other types
+        fall back to ONE local Spark job for the whole batch."""
+        from odbc2deltalake_spark.functions.xxh64 import spark_xxhash64
+
+        py = [spark_xxhash64(v, type_json) for v in values]
+        if all(h is not None for h in py):
+            return py
         dt = T._parse_datatype_json_string(type_json)
         row_df = spark.createDataFrame(
             [(i, v) for i, v in enumerate(values)],
@@ -2027,6 +2115,33 @@ class VersionedParquetTable(TableStore):
             if not (bits[pos // 8] >> (pos % 8)) & 1:
                 return False
         return True
+
+    @staticmethod
+    def _bloom_survivors(
+        bfiles: dict[str, Any], scol: str, m: int, k: int, hs: list[int]
+    ) -> set[str]:
+        """Files that may contain ANY probed hash. Each bitmap decodes
+        ONCE (a 10k-id `in` list over 64 files must not base64-decode
+        640k bitmaps); probe positions are precomputed per hash."""
+        import base64
+
+        pos_lists = []
+        for h in hs:
+            h1 = h % m
+            h2 = (h >> 33) | 1
+            pos_lists.append([(h1 + i * h2) % m for i in range(k)])
+        out: set[str] = set()
+        for f, per in bfiles.items():
+            b64v = per.get(scol)
+            if b64v is None:
+                continue
+            bits = base64.b64decode(b64v)
+            if any(
+                all((bits[p // 8] >> (p % 8)) & 1 for p in pl)
+                for pl in pos_lists
+            ):
+                out.add(f)
+        return out
 
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""
@@ -2312,7 +2427,7 @@ class VersionedParquetTable(TableStore):
                     int((d.get("bloom") or {}).get("m") or 4096),
                 )
                 if bl:
-                    entry["bloom"] = bl
+                    entry["bloom"] = self._bloom_field(bl, dir_name)
             if d.get("bucket") is not None:
                 entry["bucket"] = d["bucket"]
             new_entries.append(entry)
@@ -2646,7 +2761,7 @@ class VersionedParquetTable(TableStore):
             tuple[str, str, Any] | list[tuple[str, str, Any]]
         ] = None,
         bloom_cols: Optional[list[str]] = None,
-        bloom_bits: int = 4096,
+        bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
     ) -> int:
         """Rewrite the current snapshot's many small files into
         ~``target_file_bytes`` files as ONE new overwrite commit — the
@@ -2755,7 +2870,7 @@ class VersionedParquetTable(TableStore):
         out_partitions: Optional[int],
         stats_cols: Optional[list[str]],
         bloom_cols: Optional[list[str]] = None,
-        bloom_bits: int = 4096,
+        bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
     ) -> int:
         conj = self._skip_conjuncts(where)
         if not conj:
@@ -2837,7 +2952,7 @@ class VersionedParquetTable(TableStore):
                 spark, self._path(dir_name), target, bloom_cols, bloom_bits
             )
             if bl:
-                entry["bloom"] = bl
+                entry["bloom"] = self._bloom_field(bl, dir_name)
         self._write_commit(
             {
                 "version": new_version,

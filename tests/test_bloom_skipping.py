@@ -141,6 +141,98 @@ def test_widened_append_hashes_with_its_own_type(spark, tmp_path):
         assert len(got) == 1 and got[0]["src"] == src
 
 
+def test_engine_python_hash_matches_spark(spark):
+    """The driver-side XXH64 the read path uses must equal Spark's
+    xxhash64 for every type it claims (probe hashing must not need a
+    Spark job, but it must hash IDENTICALLY)."""
+    import json as _json
+
+    from odbc2deltalake_spark.functions.xxh64 import spark_xxhash64
+
+    for tname, vals in [
+        ("long", [0, 1, -1, 2**62, -(2**62), 99887766554433]),
+        ("integer", [0, -1, 2**31 - 1, -(2**31)]),
+        ("string", ["", "a", "käse-🧀", "x" * 33]),
+    ]:
+        import pyspark.sql.types as T
+
+        dt = T._parse_datatype_json_string(_json.dumps(tname))
+        df = spark.createDataFrame(
+            [(v,) for v in vals],
+            T.StructType([T.StructField("v", dt, True)]),
+        )
+        want = [
+            int(r["h"])
+            for r in df.select(F.xxhash64("v").alias("h")).collect()
+        ]
+        got = [spark_xxhash64(v, _json.dumps(tname)) for v in vals]
+        assert got == want, tname
+
+
+def test_auto_sized_bits_scale_with_rows(spark, tmp_path):
+    # 100k rows over 4 files = 25k rows/file -> 12 bits/row rounds up
+    # to 2^19; a tiny table stays at the 4096 floor
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable as V
+
+    big = V(tmp_path / "big")
+    big.write(
+        spark.range(100_000).select(F.col("id").alias("key")).repartition(4),
+        mode="append",
+        bloom_cols=["key"],
+    )
+    assert big._read_commit(0)["bloom"]["m"] == 1 << 19
+    small = V(tmp_path / "small")
+    small.write(
+        spark.range(100).select(F.col("id").alias("key")),
+        mode="append",
+        bloom_cols=["key"],
+    )
+    assert small._read_commit(0)["bloom"]["m"] == 4096
+    # and the auto-sized bloom still prunes exactly
+    probe = big.read(spark, skip_where=("key", "=", 54321))
+    assert [r["key"] for r in probe.collect()] == [54321]
+    assert len(set(probe.inputFiles())) <= 2
+
+
+def test_sidecar_blooms_roundtrip(spark, tmp_path, monkeypatch):
+    """Bitmaps above the inline cap land in <dir>/_bloom.json: the
+    commit carries only {m,k,types,ref}; engine reads, the external
+    reader, restore/checkpoint, and fold all keep working."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable as V
+
+    from tools.external_reader import read_table
+
+    monkeypatch.setattr(V, "BLOOM_INLINE_MAX_B64", 64)  # force sidecar
+    t = _t(spark, tmp_path, n=800, files=4)
+    c = t._read_commit(0)
+    assert "files" not in c["bloom"] and c["bloom"]["ref"].endswith("_bloom.json")
+    probe = t.read(spark, skip_where=("key", "=", 123))
+    assert [r["tag"] for r in probe.collect()] == ["u123"]
+    assert len(set(probe.inputFiles())) <= 2
+    # external reader resolves the sidecar
+    ext = read_table(t.root, skip_where=("key", "=", 123))
+    assert [d["tag"] for d in ext.to_pylist()] == ["u123"]
+    # survives checkpoint + restore, and a fold re-collects (sidecar or
+    # inline per the rewritten dir's size — probe must stay exact)
+    v = t.version()
+    t.checkpoint()
+    t.write(
+        spark.createDataFrame([(10**7, 0, "x")], "key long, part int, tag string"),
+        mode="append",
+    )
+    t.restore(v)
+    assert [r["tag"] for r in t.read(spark, skip_where=("key", "=", 123)).collect()] == ["u123"]
+    t.delete_where(spark, ("part", "=", 2), lazy=True)
+    t.fold_masks(spark)
+    assert [r["tag"] for r in t.read(spark, skip_where=("key", "=", 123)).collect()] == ["u123"]
+    assert t.read(spark, skip_where=("key", "=", 2)).count() == 0
+    # a vandalized sidecar degrades to a full scan, never a wrong answer
+    for p in (tmp_path / f"{t.root.name}").rglob("_bloom.json"):
+        p.write_text("{corrupt")
+    t2 = V(t.root)  # fresh instance: no memoized sidecar cache
+    assert [r["tag"] for r in t2.read(spark, skip_where=("key", "=", 123)).collect()] == ["u123"]
+
+
 def test_compact_preserves_bloom_index(spark, tmp_path):
     """OPTIMIZE must not degrade point lookups: a full compact
     re-collects bitmaps for every previously-bloomed column by

@@ -470,11 +470,23 @@ def read_table(
                         _spark_xxhash64(v, bloom["types"][scol])
                         for v in pvals
                     ]
-                    if all(h is not None for h in hs):
+                    bfiles = bloom.get("files")
+                    if bfiles is None and bloom.get("ref"):
+                        # sidecar bitmaps (large blooms live in
+                        # `<dir>/_bloom.json`, not inline commit JSON);
+                        # unreadable -> skip the bloom, stay exact
+                        try:
+                            bfiles = json.loads(
+                                (root / bloom["ref"]).read_text()
+                            )["files"]
+                        except Exception:  # noqa: BLE001
+                            bfiles = None
+                    if bfiles is not None and all(
+                        h is not None for h in hs
+                    ):
                         # spec: a file absent from the map (or lacking
                         # this column's bitmap) provably holds no
                         # non-null value of the column
-                        bfiles = bloom.get("files") or {}
                         kb = {
                             f
                             for f, per in bfiles.items()
