@@ -221,6 +221,8 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_perplexity_filter", "dedup_source_overlap",
     "emb_dim_stats", "emb_norm_outliers",
     "mv_incremental_distinct",
+    # r9 second wave: bloom point lookup + cohort LTV
+    "store_point_lookup", "ev_cohort_ltv",
 ]
 
 _SLICE_SIZE = 8
