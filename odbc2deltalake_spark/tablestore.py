@@ -1627,6 +1627,32 @@ class VersionedParquetTable(TableStore):
             if overwrite_schema:
                 pass
             elif merge_schema:
+                # a name absent from the table but still physically
+                # present in a live dir was DROPPED: re-adding it would
+                # resurrect the old files' stale values under the new
+                # column (no per-column physical ids) — refuse until a
+                # rewrite (OPTIMIZE) retires the old files
+                old_names = set(old_schema.fieldNames())
+                added = [
+                    f.name
+                    for f in new_schema.fields
+                    if f.name not in old_names
+                ]
+                if added:
+                    for d in self._state_at()["dirs"]:
+                        held = set(
+                            T.StructType.fromJson(
+                                json.loads(d["schema"])
+                            ).fieldNames()
+                        )
+                        stale = [a for a in added if a in held]
+                        if stale:
+                            raise ValueError(
+                                f"column(s) {stale} were dropped but "
+                                f"live dir {d['dir']!r} still holds "
+                                "their old values — compact() before "
+                                "re-adding the name"
+                            )
                 merged = _merge_schemas(old_schema, new_schema)
                 new_schema = merged
             else:
@@ -3934,6 +3960,58 @@ class VersionedParquetTable(TableStore):
 
     def get_property(self, name: str) -> Optional[str]:
         return self._state_at()["props"].get(name)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN as ONE metadata-only commit — no data
+        rewrite (Delta needs column mapping for this; the per-dir
+        written-schema cast-union gives it naturally: reads simply stop
+        selecting the column, and time travel below this version still
+        shows it).
+
+        Refused while the column is load-bearing: an outstanding mask
+        predicate or SET expression references it (fold_masks first — a
+        later reader could not evaluate the mask against the narrowed
+        schema), it is a bucket key, or a CHECK constraint names it
+        (drop the constraint first). Re-ADDING a same-named column is
+        refused by ``write(merge_schema=True)`` while any live dir still
+        physically carries the old values — without per-column physical
+        ids, old files would resurrect stale data under the new column;
+        OPTIMIZE (which rewrites to the post-drop schema) clears it."""
+        st = self._state_at()
+        target = T.StructType.fromJson(json.loads(st["schema"]))
+        if name not in target.fieldNames():
+            raise ValueError(f"no such column {name!r}")
+        for m in st.get("masks") or []:
+            cols = {c for c, _, _ in m["predicate"]} | set(
+                m.get("set_exprs") or {}
+            )
+            if name in cols:
+                raise ValueError(
+                    f"column {name!r} is referenced by an outstanding "
+                    "lazy mask — fold_masks() first"
+                )
+        if name in (st.get("bucket_cols") or []):
+            raise ValueError(f"column {name!r} is a bucket key")
+        for cname, conj in self.check_constraints().items():
+            if name in {c for c, _, _ in conj}:
+                raise ValueError(
+                    f"column {name!r} is named by CHECK constraint "
+                    f"{cname!r} — drop the constraint first"
+                )
+        narrowed = T.StructType(
+            [f for f in target.fields if f.name != name]
+        )
+        new_version = st["version"] + 1
+        self._write_commit(
+            {
+                "version": new_version,
+                "mode": "append",
+                "dir": None,
+                "schema": narrowed.json(),
+                "dropped_column": name,
+            }
+        )
+        return new_version
 
     ANALYZE_PROP = "stats.columns"
 

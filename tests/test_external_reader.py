@@ -417,9 +417,16 @@ def test_reader_prunes_via_bloom_same_files_as_engine(spark, tmp_path):
     assert want == [(77, "u77")]
     survivors = {f.rsplit("/", 1)[-1] for f in eng.inputFiles()}
     root = Path(t.root)
+    vandalized = 0
     for p in root.rglob("*.parquet"):
         if p.name not in survivors:
-            p.unlink()  # a reader opening it now fails loudly
+            # truncate, don't delete: a deleted file silently vanishes
+            # from whole-dir dataset discovery (a reader that skipped
+            # pruning would still pass), but an empty .parquet CRASHES
+            # any scan that touches it — only exact pruning survives
+            p.write_bytes(b"")
+            vandalized += 1
+    assert vandalized >= 4
     ext = read_table(root, skip_where=pred)
     assert sorted((d["key"], d["tag"]) for d in ext.to_pylist()) == want
 

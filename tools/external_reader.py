@@ -277,6 +277,8 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
             entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
             if c.get("stats"):
                 entry["stats"] = c["stats"]
+            if c.get("bloom"):
+                entry["bloom"] = c["bloom"]
             if c.get("partition_by"):
                 entry["partitioned"] = True
             live.append(entry)
