@@ -209,6 +209,27 @@ def _bench_store_maintenance(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         kt.fold_patches(spark)
         out["store_fold_patches"] = round(time.time() - t0, 3)
+        # r9 bloom trend line: point lookup through per-file bitmaps on
+        # a hash-spread key (intervals useless by construction) — the
+        # pair (write-with-bloom, probe) regresses if collection leaks
+        # into O(table) driver work or probing re-launches Spark jobs
+        bt = VersionedParquetTable(dest + "/b")
+        t0 = time.time()
+        bt.write(
+            ev.repartition(8, "event_id"),
+            mode="append",
+            stats_cols=["event_id"],
+            per_file_stats=True,
+            bloom_cols=["event_id"],
+        )
+        out["store_bloom_write"] = round(time.time() - t0, 3)
+        probe_ids = [i * step + 7 for i in range(8)]
+        t0 = time.time()
+        got = bt.read(
+            spark, skip_where=("event_id", "in", probe_ids)
+        ).count()
+        out["store_bloom_lookup"] = round(time.time() - t0, 3)
+        assert got <= len(probe_ids)
     finally:
         shutil.rmtree(dest, ignore_errors=True)
     return out
