@@ -1122,6 +1122,74 @@ def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------- timestamp time travel ----
+# r9: read(timestamp=) resolves the newest version committed at or
+# before the requested wall-clock time (Delta's timestampAsOf; commit
+# `ts` stamps monotonized on resolution). Three loads with injected
+# commit times; reading "just after the second load" must return
+# exactly the first two loads' rows — which is a plain id-range WHERE
+# for the oracle because the loads split on event_id.
+
+_TIME_TRAVEL_ORACLE = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT event_id, user_id, event_type, round(value, 2) AS value
+FROM events, m
+WHERE event_id <= 2 * (m.mx // 3)
+"""
+
+
+@register(
+    "store_time_travel",
+    _TIME_TRAVEL_ORACLE,
+    tags=("store", "timetravel"),
+    priority=100,
+)
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel == the id-range the first two loads cover.
+
+    Commits carry injected wall-clock stamps (100/200/300); the read
+    at t=250 must resolve to version 1 (monotonized newest-at-or-
+    before) and return the first two loads exactly — certified by the
+    driver's value hash against the equivalent WHERE. Resolution is
+    control-plane only (commit JSON, never data)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    mx = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    thirds = [mx // 3, 2 * (mx // 3)]
+    root = tempfile.mkdtemp(prefix="store_tt_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        bounds = [(None, thirds[0]), (thirds[0], thirds[1]), (thirds[1], None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = ev
+            if lo is not None:
+                part = part.filter(F.col("event_id") > lo)
+            if hi is not None:
+                part = part.filter(F.col("event_id") <= hi)
+            t.write(
+                part,
+                mode="append",
+                stats_cols=["event_id"],
+                extra_commit_fields={"ts": 100.0 * (i + 1)},
+            )
+        assert t.version_at_timestamp(250.0) == 1
+        out = t.read(spark, timestamp=250.0).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # -------------------------------------- bloom-indexed point lookup ----
 # r9 flagship: write(bloom_cols=[...]) + skip_where("in", id-list) is
 # the "fetch these ids out of 100 TB" path. The table is written

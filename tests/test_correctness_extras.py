@@ -221,8 +221,8 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_perplexity_filter", "dedup_source_overlap",
     "emb_dim_stats", "emb_norm_outliers",
     "mv_incremental_distinct",
-    # r9 second wave: bloom point lookup + cohort LTV
-    "store_point_lookup", "ev_cohort_ltv",
+    # r9 second wave: bloom point lookup + cohort LTV + time travel
+    "store_point_lookup", "ev_cohort_ltv", "store_time_travel",
 ]
 
 _SLICE_SIZE = 8

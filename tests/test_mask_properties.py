@@ -95,6 +95,7 @@ def test_mask_lifecycle_matches_row_model(
         mode="append",
         stats_cols=stats,
         per_file_stats=bool(stats),
+        bloom_cols=["k"],  # bloom pruning rides every random probe below
     )
     # the model: a flat multiset of (k, v) rows — every mutation applies
     # to rows live AT ITS COMMIT, which for this op set equals applying
@@ -111,6 +112,7 @@ def test_mask_lifecycle_matches_row_model(
                 mode="append",
                 stats_cols=stats,
                 per_file_stats=bool(stats),
+                bloom_cols=["k"],
             )
             model.extend(arg)
         elif kind == "lazy_del":
@@ -133,6 +135,19 @@ def test_mask_lifecycle_matches_row_model(
             t.fold_masks(spark)
     got = sorted(((r["k"], r["v"]) for r in t.read(spark).collect()), key=_key)
     assert got == sorted(model, key=_key)
+    # bloom-pruned point probes through the live mask chain: every
+    # model key must be found, an absent key must return empty — the
+    # bloom x mask x append seam under random interleavings
+    probe_keys = sorted({k for k, _ in model})[:2] + [10**9]
+    for pk in probe_keys:
+        want = sorted((r for r in model if r[0] == pk), key=_key)
+        pr = sorted(
+            ((r["k"], r["v"]) for r in t.read(
+                spark, skip_where=("k", "=", pk)
+            ).collect()),
+            key=_key,
+        )
+        assert pr == want, ("probe", pk)
     # folding at the end never changes what a reader sees
     t.fold_masks(spark)
     assert not t._state_at()["masks"]

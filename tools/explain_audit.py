@@ -403,6 +403,13 @@ EXCLUDED = {
         "and lazy-vs-eager CDF/row equivalence is pinned in "
         "tests/test_lazy_delete.py"
     ),
+    "store_time_travel": (
+        "three-commit store lifecycle executed at build; returns a "
+        "checkpointed frame — timestamp resolution is control-plane "
+        "(commit JSON only) and the read itself is the already-audited "
+        "snapshot scan; resolution semantics (monotonization, missing "
+        "ts, clock regression) pinned in tests/test_timestamp_travel.py"
+    ),
     "store_point_lookup": (
         "store write + bloom-pruned read executed at build; returns a "
         "checkpointed frame — the pruning contract (interval stats keep "
