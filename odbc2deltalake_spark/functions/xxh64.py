@@ -77,10 +77,12 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-def spark_xxhash64(value: Any, type_json: str) -> Optional[int]:
+def spark_xxhash64(value: Any, type_json: str, seed: int = 42) -> Optional[int]:
     """Spark's ``xxhash64(value)`` as the given written type, SIGNED
     64-bit (matching what a Spark collect returns), or None when the
-    type's encoding is not implemented here."""
+    type's encoding is not implemented here. ``seed`` accepts signed or
+    unsigned (masked internally) — Spark's multi-column hash chains
+    each column's hash as the next column's seed."""
     import datetime
 
     stype = json.loads(type_json) if type_json.startswith('"') else type_json
@@ -103,5 +105,23 @@ def spark_xxhash64(value: Any, type_json: str) -> Optional[int]:
         data = str(value).encode("utf-8")
     else:
         return None  # float/double/decimal/timestamp: caller uses Spark
-    h = xxh64(data, 42)
+    h = xxh64(data, seed & _M64)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def spark_xxhash64_chain(
+    values: list, type_jsons: list[str], seed: int = 42
+) -> Optional[int]:
+    """Spark's ``xxhash64(c1, c2, ...)``: each column's hash seeds the
+    next; a NULL column leaves the running hash unchanged (verified
+    against Spark empirically and in tests). SIGNED result; None when
+    any NON-NULL value's type encoding is unsupported."""
+    h = seed
+    for v, tj in zip(values, type_jsons):
+        if v is None:
+            continue  # Spark: NULL input leaves the hash unchanged
+        nh = spark_xxhash64(v, tj, seed=h)
+        if nh is None:
+            return None
+        h = nh  # already signed; seed masking handles negatives
+    return h

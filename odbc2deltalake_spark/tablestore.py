@@ -4402,6 +4402,69 @@ class VersionedParquetTable(TableStore):
         need = max(1, -(-max(0, n_rows) // max(1, target_rows)))  # ceil div
         return max(4, 1 << (need - 1).bit_length())
 
+    def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
+        """Keyed point lookup: the rows whose bucket key equals any of
+        ``keys`` (scalars for a single-column key, tuples for
+        composite). On a bucketized table each key's bucket is computed
+        DRIVER-SIDE with the parity-pinned pure-Python xxhash64 chain —
+        the same routing merges use — so the scan opens ONLY the
+        buckets that can hold the keys ("fetch these ids out of the
+        keys index" at metadata cost); a single-column key additionally
+        pushes an `in` skip probe through stats/bloom pruning inside
+        the surviving buckets. Unsupported key-type encodings, and
+        non-bucketized tables, fall back to a (pruned-where-possible)
+        scan + filter — always exact, never wrong. NULL key components
+        match nothing (SQL equality)."""
+        from odbc2deltalake_spark.functions.xxh64 import (
+            spark_xxhash64_chain,
+        )
+
+        st = self._state_at()
+        key_cols = st.get("bucket_cols") or []
+        tup = [k if isinstance(k, tuple) else (k,) for k in keys]
+        if key_cols:
+            tup = [
+                kv
+                for kv in tup
+                if len(kv) == len(key_cols) and all(v is not None for v in kv)
+            ]
+        if not tup:
+            return self.read(spark).limit(0)
+        buckets: Optional[set[int]] = None
+        if key_cols and st.get("num_buckets"):
+            kt = self._bucket_key_schema(st, key_cols)
+            if kt is not None:
+                tjsons = [f.dataType.json() for f in kt.fields]
+                bs: Optional[set[int]] = set()
+                for kv in tup:
+                    h = spark_xxhash64_chain(list(kv), tjsons)
+                    if h is None:
+                        bs = None  # unsupported encoding: scan all
+                        break
+                    bs.add(h % st["num_buckets"])
+                buckets = bs
+        skip = None
+        fcols = key_cols or []
+        if len(fcols) == 1:
+            skip = (fcols[0], "in", [kv[0] for kv in tup])
+        df = self.read(spark, buckets=sorted(buckets) if buckets else None,
+                       skip_where=skip)
+        if len(fcols) == 1:
+            return df  # residual `in` filter already exact
+        if not fcols:
+            raise ValueError(
+                "read_keys on a non-bucketized table needs bucket_cols "
+                "— use read(skip_where=(col, 'in', [...])) instead"
+            )
+        pred = None
+        for kv in tup:
+            e = None
+            for c, v in zip(fcols, kv):
+                t_ = F.col(c) == F.lit(v)
+                e = t_ if e is None else (e & t_)
+            pred = e if pred is None else (pred | e)
+        return df.filter(pred)
+
     def _bucket_key_schema(self, st: dict[str, Any], key_cols: list[str]) -> Optional[T.StructType]:
         """Key-column types the live buckets were hashed with. Prefer the
         pinned ``bucket_key_types`` commit field; fall back to the table

@@ -167,6 +167,18 @@ def test_engine_python_hash_matches_spark(spark):
         ]
         got = [spark_xxhash64(v, _json.dumps(tname)) for v in vals]
         assert got == want, tname
+    # multi-column chaining (bucket routing): each column's hash seeds
+    # the next, NULL columns leave the hash unchanged
+    from odbc2deltalake_spark.functions.xxh64 import spark_xxhash64_chain
+
+    df = spark.createDataFrame([(5, "abc", None)], "a long, b string, c long")
+    row = df.select(
+        F.xxhash64("a", "b", "c").alias("h3"),
+        F.xxhash64("c").alias("hnull"),
+    ).first()
+    tj = ['"long"', '"string"', '"long"']
+    assert spark_xxhash64_chain([5, "abc", None], tj) == int(row["h3"])
+    assert spark_xxhash64_chain([None], ['"long"']) == int(row["hnull"]) == 42
 
 
 def test_auto_sized_bits_scale_with_rows(spark, tmp_path):
