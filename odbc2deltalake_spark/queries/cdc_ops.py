@@ -1122,6 +1122,83 @@ def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ------------------------------------------- schema evolution ----
+# r9: the full ALTER surface in one lifecycle — narrow write (int id,
+# float value, a props column), widened append (long id, double value,
+# merge_schema ADDs event_type), then DROP COLUMN props — read back
+# with zero rewrites. The oracle reproduces the type algebra exactly:
+# early rows' value round-trips through REAL (they were physically
+# written as float32), late rows keep full double precision, early
+# rows' event_type is NULL (column added later), props is gone.
+
+_SCHEMA_EVO_ORACLE = """
+WITH m AS (SELECT max(event_id) AS mx FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       user_id,
+       CASE WHEN event_id <= m.mx // 2
+            THEN CAST(CAST(value AS REAL) AS DOUBLE)
+            ELSE value END AS value,
+       CASE WHEN event_id <= m.mx // 2 THEN NULL
+            ELSE event_type END AS event_type
+FROM events, m
+"""
+
+
+@register(
+    "store_schema_evolution",
+    _SCHEMA_EVO_ORACLE,
+    tags=("store", "schema"),
+    priority=100,
+)
+def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widen + add + drop with no data rewrite == the same type algebra
+    in SQL.
+
+    The reference relies on Delta's mergeSchema/overwriteSchema
+    (reference:odbc2deltalake/reader/spark_reader.py:144-162); here the
+    per-dir written-schema cast-union reads every generation: early
+    files stay int32/float32 on disk and widen at read time, the
+    late-added column is NULL for them, and the dropped column simply
+    stops being projected (time travel below the drop still shows
+    it — asserted)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    half = mx // 2
+    root = tempfile.mkdtemp(prefix="store_evo_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        early = ev.filter(F.col("event_id") <= half).select(
+            F.col("event_id").cast("int").alias("event_id"),
+            "user_id",
+            F.col("value").cast("float").alias("value"),
+            F.col("props").alias("props"),
+        )
+        t.write(early, mode="append")
+        late = ev.filter(F.col("event_id") > half).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            "props",
+            "event_type",
+        )
+        t.write(late, mode="append", merge_schema=True)
+        v_before_drop = t.version()
+        t.drop_column("props")
+        assert "props" not in t.read(spark).columns
+        assert "props" in t.read(spark, version=v_before_drop).columns
+        out = t.read(spark).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------- timestamp time travel ----
 # r9: read(timestamp=) resolves the newest version committed at or
 # before the requested wall-clock time (Delta's timestampAsOf; commit

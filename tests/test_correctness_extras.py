@@ -221,8 +221,10 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_perplexity_filter", "dedup_source_overlap",
     "emb_dim_stats", "emb_norm_outliers",
     "mv_incremental_distinct",
-    # r9 second wave: bloom point lookup + cohort LTV + time travel
+    # r9 second wave: bloom point lookup, cohort LTV, time travel,
+    # schema evolution
     "store_point_lookup", "ev_cohort_ltv", "store_time_travel",
+    "store_schema_evolution",
 ]
 
 _SLICE_SIZE = 8

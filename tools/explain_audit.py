@@ -403,6 +403,13 @@ EXCLUDED = {
         "and lazy-vs-eager CDF/row equivalence is pinned in "
         "tests/test_lazy_delete.py"
     ),
+    "store_schema_evolution": (
+        "three-commit widen/add/drop lifecycle executed at build; "
+        "returns a checkpointed frame — the cast-union read shape is "
+        "the already-audited snapshot scan, and evolution semantics "
+        "(widening, late-added NULLs, drop guards, re-add refusal) are "
+        "pinned in tests/test_tablestore.py + tests/test_drop_column.py"
+    ),
     "store_time_travel": (
         "three-commit store lifecycle executed at build; returns a "
         "checkpointed frame — timestamp resolution is control-plane "
