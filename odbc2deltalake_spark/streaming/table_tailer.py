@@ -57,6 +57,23 @@ class TableTailer:
             self._ckpt, json.dumps({"version": version})
         )
 
+    def start_at_timestamp(self, ts) -> int:
+        """Position a FRESH tailer so the first batch delivers commits
+        strictly AFTER the newest version committed at or before ``ts``
+        (epoch seconds or datetime) — "tail from last night's load"
+        without knowing version numbers. Refused once a checkpoint
+        exists (same no-rewind rule as :meth:`skip_to`; moving an
+        established cursor forward is `skip_to`). Returns the cursor
+        version set."""
+        if self.table.backend.exists(self._ckpt):
+            raise ValueError(
+                "start_at_timestamp on an established cursor — use "
+                "skip_to(version) to move forward explicitly"
+            )
+        v = self.table.version_at_timestamp(ts)
+        self._advance(v)
+        return v
+
     def skip_to(self, version: int) -> None:
         """Move the cursor forward without delivering — for consumers
         that handled a non-delta range out of band (e.g. a full

@@ -223,3 +223,24 @@ def test_snapshot_rebaseline_pins_version_no_redelivery(spark, tmp_path):
     )
     assert got == [frozenset(range(100, 105))]
     assert tail.last_processed() == 3
+
+
+def test_start_at_timestamp_positions_fresh_cursor(spark, tmp_path):
+    t = VersionedParquetTable(tmp_path / "t")
+    for i, ts in enumerate((100.0, 200.0, 300.0)):
+        t.write(
+            _load(spark, i * 10, i * 10 + 10),
+            mode="append",
+            extra_commit_fields={"ts": ts},
+        )
+    tail = TableTailer(t)
+    # "tail everything after the 200.0 load" — first batch is v2 only
+    assert tail.start_at_timestamp(250.0) == 1
+    got = []
+    tail.process_available(
+        spark, lambda df, a, b: got.append(frozenset(r["k"] for r in df.collect()))
+    )
+    assert got == [frozenset(range(20, 30))]
+    # refused once a checkpoint exists (no silent rewind/skip)
+    with pytest.raises(ValueError, match="established"):
+        tail.start_at_timestamp(100.0)
