@@ -117,8 +117,18 @@ class DeltaTableStore(TableStore):
         txn: Optional[tuple] = None,
         bloom_cols: Optional[list] = None,  # Delta: use the native
         bloom_bits: Optional[int] = None,   # delta.bloomFilter.* props
+        identity_col: Optional[str] = None,
     ) -> int:
         assert mode in ("append", "overwrite"), mode
+        if identity_col is not None:
+            # Delta identity columns are table DDL (GENERATED ALWAYS AS
+            # IDENTITY at CREATE TABLE), not a per-write option — refuse
+            # loudly instead of silently writing without assignment
+            raise NotImplementedError(
+                "DeltaTableStore: declare the identity column in the "
+                "table DDL (GENERATED ... AS IDENTITY); per-write "
+                "assignment is a parquet-store feature"
+            )
         writer = df.write.format("delta").mode(mode)
         if txn is not None:
             # Delta's native idempotent-writer options: the commit records

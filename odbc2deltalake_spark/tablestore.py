@@ -460,6 +460,7 @@ class TableStore(ABC):
         txn: Optional[tuple[str, int]] = None,
         bloom_cols: Optional[list[str]] = None,
         bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
+        identity_col: Optional[str] = None,
     ) -> int:
         """Write one commit. The stats/commit-field parameters are
         data-skipping and audit metadata hints: a store without its own
@@ -1565,9 +1566,25 @@ class VersionedParquetTable(TableStore):
         txn: Optional[tuple[str, int]] = None,
         bloom_cols: Optional[list[str]] = None,
         bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
+        identity_col: Optional[str] = None,
     ) -> int:
         """Write a DataFrame as one commit; returns the new version
         (reference:odbc2deltalake/reader/spark_reader.py:144-162 Delta sink).
+
+        ``identity_col`` is the Delta GENERATED-AS-IDENTITY analog:
+        when the named column is absent from ``df``, values are
+        assigned as ``high_water + monotonically_increasing_id()`` —
+        UNIQUE and increasing per write, with gaps allowed (exactly
+        Delta's contract; dense numbering would need a global sort or
+        an extra counting pass). When the column IS present, explicit
+        values are kept (GENERATED BY DEFAULT). Either way the new
+        high-water mark rides the commit as the table property
+        ``identity.<col>.next`` via the same Observation pass as stats
+        (no extra job), so the next write continues above every value
+        ever written; commit serialization makes concurrent assignment
+        race-safe (the loser's retry re-reads the mark). The mark
+        survives ``overwrite`` (properties accumulate across modes,
+        like Delta table metadata).
         ``extra_commit_fields`` are recorded verbatim in the commit record
         (audit metadata, e.g. ``compacted_from``) — never read by replay.
 
@@ -1600,6 +1617,26 @@ class VersionedParquetTable(TableStore):
         caller retries; the retry re-reads the marker and skips if the
         racer was the same (app, version)."""
         assert mode in ("append", "overwrite"), mode
+        id_obs = None
+        id_base = 0
+        if identity_col:
+            if self.exists():
+                id_base = int(
+                    self.get_property(f"identity.{identity_col}.next") or 0
+                )
+            if identity_col not in df.columns:
+                df = df.withColumn(
+                    identity_col,
+                    (F.monotonically_increasing_id() + F.lit(id_base)).cast(
+                        "long"
+                    ),
+                )
+            from pyspark.sql import Observation
+
+            id_obs = Observation()
+            df = df.observe(
+                id_obs, F.max(F.col(identity_col)).alias("__id_max")
+            )
         if (
             mode == "append"
             and self.exists()
@@ -1772,6 +1809,12 @@ class VersionedParquetTable(TableStore):
                 commit["bloom"] = self._bloom_field(bl, dir_name)
         if extra_commit_fields:
             commit.update(extra_commit_fields)
+        if id_obs is not None:
+            mx = id_obs.get["__id_max"]
+            nxt = max(id_base, (int(mx) + 1) if mx is not None else id_base)
+            sp = dict(commit.get("set_props") or {})
+            sp[f"identity.{identity_col}.next"] = str(nxt)
+            commit["set_props"] = sp
         self._write_commit(commit)
         return new_version
 
