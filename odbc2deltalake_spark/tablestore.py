@@ -2216,9 +2216,18 @@ class VersionedParquetTable(TableStore):
         """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""
         return self.write(spark.createDataFrame([], schema), mode="overwrite")
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: Optional[int] = None, timestamp=None) -> int:
         """Point the table back at an old version's file set as a NEW commit
-        (like Delta RESTORE; reference:odbc2deltalake/db_to_delta.py:269-276)."""
+        (like Delta RESTORE; reference:odbc2deltalake/db_to_delta.py:269-276).
+        ``timestamp`` (exclusive with ``version``) restores to the newest
+        version committed at or before that time — Delta's
+        ``RESTORE ... TO TIMESTAMP AS OF``."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
+        if version is None:
+            raise ValueError("restore() needs a version or timestamp")
         st = self._state_at(version)
         new_version = self.version() + 1
         self._write_commit(

@@ -92,6 +92,17 @@ def test_missing_ts_counts_as_time_zero(spark, tmp_path):
     assert t.version_at_timestamp(250.0) == 1
 
 
+def test_restore_to_timestamp(spark, tmp_path):
+    t = _t3(spark, tmp_path)
+    t.restore(timestamp=150.0)  # back to the v0 state (ts 100)
+    assert t.read(spark).count() == 10
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(10))
+    with pytest.raises(ValueError):
+        t.restore(version=1, timestamp=150.0)
+    with pytest.raises(ValueError):
+        t.restore()
+
+
 def test_external_reader_resolves_identically(spark, tmp_path):
     t = _t3(spark, tmp_path, tss=(100.0, 50.0, 200.0))
     for q in (100.0, 150.0, 200.0, 10**9):
