@@ -627,6 +627,15 @@ class VersionedParquetTable(TableStore):
         self.backend = backend or LocalStorageBackend()
 
     def _path(self, *parts: str) -> str:
+        # an ABSOLUTE first part addresses another table's dir — the
+        # shallow-clone case (clone commits reference the source's data
+        # dirs verbatim); everything else resolves under this root
+        if parts and (
+            str(parts[0]).startswith("/") or "://" in str(parts[0])
+        ):
+            return (
+                self.backend.join(*parts) if len(parts) > 1 else str(parts[0])
+            )
         return self.backend.join(self._root_str, *parts)
 
     # ---------- commit log ----------
@@ -2246,6 +2255,76 @@ class VersionedParquetTable(TableStore):
             }
         )
         return new_version
+
+    def clone_to(
+        self,
+        dest: str | Path,
+        version: Optional[int] = None,
+        timestamp=None,
+    ) -> "VersionedParquetTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        a new table at ``dest`` whose version-0 commit REFERENCES this
+        table's data dirs by absolute path — zero data copied, metadata
+        cost only, optionally as of an old ``version``/``timestamp``.
+
+        The clone then diverges freely: its writes, DML, folds, and
+        compactions create LOCAL dirs (a rewrite of a referenced dir
+        reads the source files and writes the replacement locally —
+        copy-on-write at dir granularity), and the clone's ``vacuum``
+        only ever deletes its own dirs (reclamation lists the clone
+        root; external paths are never listed). Masks, patches, bucket
+        layout, stats, and bloom metadata carry over; bloom SIDECARS
+        re-resolve against the source dir (absolute ref).
+
+        The Delta-documented hazard carries over too: ``vacuum`` on the
+        SOURCE can retire dirs the clone still references — the clone's
+        reads then fail with a missing-file error until the clone is
+        compacted or restored past them. Pin source retention
+        accordingly (docs/commit-format.md)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
+        st = self._state_at(version)
+        out = VersionedParquetTable(dest, backend=self.backend)
+        if out.exists():
+            raise ValueError(f"clone target {dest} already exists")
+
+        def _abs(name: str) -> str:
+            return name if name.startswith("/") else self._path(name)
+
+        dirs = []
+        for d in st["dirs"]:
+            e = dict(d)
+            bloom = e.get("bloom")
+            if bloom and bloom.get("ref"):
+                e["bloom"] = {**bloom, "ref": _abs(bloom["ref"])}
+            e["dir"] = _abs(e["dir"])
+            dirs.append(e)
+        patches = [{**p, "dir": _abs(p["dir"])} for p in st["patches"]]
+        masks = [
+            {**m, "dirs": [_abs(x) for x in m["dirs"]]} for m in st["masks"]
+        ]
+        out._write_commit(
+            {
+                "version": 0,
+                "mode": "restore",
+                "dirs": dirs,
+                "patches": patches,
+                "masks": masks,
+                "schema": st["schema"],
+                "num_buckets": st["num_buckets"],
+                "bucket_cols": st["bucket_cols"],
+                "bucket_key_types": st["bucket_key_types"],
+                "bucket_rows": st["bucket_rows"],
+                "set_props": dict(st["props"]),
+                "cloned_from": {
+                    "root": self._root_str,
+                    "version": st["version"],
+                },
+            }
+        )
+        return out
 
     def delete_where(
         self,
