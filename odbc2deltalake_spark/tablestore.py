@@ -372,6 +372,20 @@ def is_type_widening(old: T.DataType, new: T.DataType) -> bool:
     return False
 
 
+class _SortedInList(list):
+    """An `in`-predicate value list carrying a sorted non-NULL copy
+    (``svals``, None when elements don't sort) so interval refutation
+    can bisect. Subclasses list: every consumer (Column building,
+    serialization, the reader) sees a plain list."""
+
+    def __init__(self, values):
+        super().__init__(values)
+        try:
+            self.svals = sorted(v for v in self if v is not None)
+        except TypeError:
+            self.svals = None
+
+
 def _merge_schemas(old: T.StructType, new: T.StructType) -> T.StructType:
     """Union of columns: old columns keep their (widened) new type when the
     change is a lossless widening; new columns are appended — the
@@ -1024,7 +1038,14 @@ class VersionedParquetTable(TableStore):
                 return not (mn == value == mx)
             if op == "in":
                 # IN-list: keep if ANY listed value may be present;
-                # empty / all-NULL lists match nothing in SQL
+                # empty / all-NULL lists match nothing in SQL. A
+                # pre-sorted list (from _skip_conjuncts) bisects.
+                svals = getattr(value, "svals", None)
+                if svals is not None:
+                    import bisect
+
+                    i = bisect.bisect_left(svals, mn)
+                    return i < len(svals) and svals[i] <= mx
                 return any(
                     mn <= v <= mx for v in value if v is not None
                 )
@@ -1373,12 +1394,24 @@ class VersionedParquetTable(TableStore):
     @staticmethod
     def _skip_conjuncts(skip_where) -> list[tuple[str, str, Any]]:
         """Normalize ``skip_where``: one (col, op, value) tuple or a
-        list of them (implicit AND). An empty list means no predicate."""
+        list of them (implicit AND). An empty list means no predicate.
+        ``in``-list values get a sorted copy attached (when sortable)
+        so interval refutation bisects instead of scanning — a 10k-id
+        erasure list against a 100k-file table is 10^9 comparisons
+        linear, ~10^6 bisected."""
         if len(skip_where) == 0:
             return []
-        if isinstance(skip_where[0], str):
-            return [tuple(skip_where)]
-        return [tuple(c) for c in skip_where]
+        conj = (
+            [tuple(skip_where)]
+            if isinstance(skip_where[0], str)
+            else [tuple(c) for c in skip_where]
+        )
+        out = []
+        for c, op, v in conj:
+            if op == "in" and not isinstance(v, _SortedInList):
+                v = _SortedInList(v)
+            out.append((c, op, v))
+        return out
 
     @staticmethod
     def _op_column(c, op: str, value: Any):
@@ -1405,14 +1438,41 @@ class VersionedParquetTable(TableStore):
             return c.isin(vals)
         raise ValueError(f"unsupported predicate op {op!r}")
 
+    # above this many `in` values the residual filter becomes a
+    # broadcast semi-join: a 10k-literal isin costs ~7 s of py4j
+    # construction plus seconds of analyzer walk PER ACTION, while an
+    # arrow-built id frame + broadcast semi is ~2 s end-to-end and
+    # scales (measured; SCALE.md)
+    IN_LIST_JOIN_THRESHOLD = 1000
+
     @classmethod
     def _apply_skip_filter(cls, df: DataFrame, skip_where) -> DataFrame:
         """Residual predicate after file skipping — pruning is a superset
         guarantee, the filter makes the result exact (and hands Spark the
-        same predicates for row-group pruning inside surviving files)."""
+        same predicates for row-group pruning inside surviving files).
+        Large `in` lists apply as a broadcast semi-join instead of a
+        literal expression (same rows: semi-join equality matches
+        exactly the non-NULL `in` semantics)."""
         if skip_where is None:
             return df
         for col, op, value in cls._skip_conjuncts(skip_where):
+            if op == "in":
+                vals = [v for v in value if v is not None]
+                if len(vals) >= cls.IN_LIST_JOIN_THRESHOLD:
+                    spark = df.sparkSession
+                    dt = df.schema[col].dataType
+                    ids = spark.createDataFrame(
+                        [(v,) for v in vals],
+                        T.StructType(
+                            [T.StructField("__in_probe", dt, False)]
+                        ),
+                    )
+                    df = df.join(
+                        F.broadcast(ids),
+                        df[col] == ids["__in_probe"],
+                        "semi",
+                    )
+                    continue
             df = df.filter(cls._op_column(F.col(col), op, value))
         return df
 
@@ -2203,17 +2263,31 @@ class VersionedParquetTable(TableStore):
         640k bitmaps); probe positions are precomputed per hash."""
         import base64
 
-        pos_lists = []
-        for h in hs:
-            h1 = h % m
-            h2 = (h >> 33) | 1
-            pos_lists.append([(h1 + i * h2) % m for i in range(k)])
+        pos_lists = [
+            [((h % m) + i * ((h >> 33) | 1)) % m for i in range(k)]
+            for h in hs
+        ]
+        np_pos = None
+        if len(hs) > 32:
+            # vectorize large probe sets: 10k ids x 3 probes per file is
+            # a numpy gather, not 30k python bit tests per refuted file
+            import numpy as np
+
+            np_pos = np.asarray(pos_lists, dtype=np.int64)
         out: set[str] = set()
         for f, per in bfiles.items():
             b64v = per.get(scol)
             if b64v is None:
                 continue
             bits = base64.b64decode(b64v)
+            if np_pos is not None:
+                import numpy as np
+
+                arr = np.frombuffer(bits, dtype=np.uint8)
+                hit = (arr[np_pos >> 3] >> (np_pos & 7)) & 1
+                if bool(hit.all(axis=1).any()):
+                    out.add(f)
+                continue
             if any(
                 all((bits[p // 8] >> (p % 8)) & 1 for p in pl)
                 for pl in pos_lists
