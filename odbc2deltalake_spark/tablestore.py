@@ -2174,18 +2174,26 @@ class VersionedParquetTable(TableStore):
                     F.expr("shiftleft(1L, CAST(pmod(pr.p, 64) AS INT))")
                 ).alias("b")
             )
-            .collect()
+            # arrow transfer + vectorized packing: at auto-sized m the
+            # word stream is files x cols x m/64 rows (~8k per file-col
+            # at m=2^19) — pickled Row objects would dominate the pass
+            .toPandas()
         )
         import base64
 
+        import numpy as np
+
         maps: dict[str, dict[str, bytearray]] = {}
-        for r in words:
-            rel = self._rel_file(r["__f"], dir_path)
-            arr = maps.setdefault(rel, {}).setdefault(
-                r["c"], bytearray(m_bits // 8)
+        if len(words):
+            words["__rel"] = words["__f"].map(
+                lambda f: self._rel_file(f, dir_path)
             )
-            word = int(r["b"]) & 0xFFFFFFFFFFFFFFFF
-            arr[r["w"] * 8 : r["w"] * 8 + 8] = word.to_bytes(8, "little")
+            for (rel, c), grp in words.groupby(["__rel", "c"], sort=False):
+                arr = np.zeros(m_bits // 64, dtype="<u8")
+                arr[grp["w"].to_numpy()] = grp["b"].to_numpy().astype(
+                    "int64"
+                ).view("uint64")
+                maps.setdefault(rel, {})[c] = bytearray(arr.tobytes())
         return {
             "m": m_bits,
             "k": self.BLOOM_K,
