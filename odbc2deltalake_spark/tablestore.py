@@ -2125,8 +2125,10 @@ class VersionedParquetTable(TableStore):
         distributed keys). ONE distributed pass: every row emits its
         k probe positions for every bloom column (exploded in-task),
         positions fold to 64-bit words via a map-side-combined bit_or,
-        and the driver receives at most files x cols x m/64 word rows —
-        control-plane-sized regardless of data volume.
+        and the driver receives at most files x cols x m/64 word rows
+        via arrow — proportional to the BITMAPS (which the driver must
+        persist anyway), never to the data; numpy scatters the words
+        into the byte arrays.
 
         Probes use Spark's own ``xxhash64`` on the WRITTEN column type
         (recorded per column: a widened re-write hashes differently) and
