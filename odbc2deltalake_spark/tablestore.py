@@ -55,6 +55,15 @@ class TableNotFoundError(Exception):
     pass
 
 
+class UnsupportedReaderVersionError(RuntimeError):
+    """The log contains a commit demanding a newer reader
+    (``min_reader_version`` > this engine's READER_VERSION) — the Delta
+    protocol-versioning rule: a reader that cannot understand a
+    feature's invariants must refuse the whole table, not skip the
+    commit (skipping would materialize a state the writer explicitly
+    marked unreadable for this generation)."""
+
+
 class CommitConflictError(Exception):
     """Another writer committed the same version first. The losing writer's
     data dir is orphaned (reclaimed by vacuum); retry by recomputing the
@@ -640,6 +649,12 @@ class VersionedParquetTable(TableStore):
         self._root_str = str(root)
         self.backend = backend or LocalStorageBackend()
 
+    # protocol version this engine can read; commits/checkpoints MAY
+    # carry `min_reader_version` to fence off older readers when a
+    # future format feature changes read-side invariants (the Delta
+    # protocol-versioning rule — see UnsupportedReaderVersionError)
+    READER_VERSION = 1
+
     def _path(self, *parts: str) -> str:
         # an ABSOLUTE first part addresses another table's dir — the
         # shallow-clone case (clone commits reference the source's data
@@ -814,6 +829,7 @@ class VersionedParquetTable(TableStore):
         bucket_key_types: Optional[dict[str, Any]] = None
         bucket_rows: dict[str, int] = {}
         last = -1
+        base_mrv = 1
         if use_checkpoint:
             eligible = [
                 cv
@@ -843,14 +859,25 @@ class VersionedParquetTable(TableStore):
                     bucket_key_types = base["bucket_key_types"]
                     bucket_rows = dict(base["bucket_rows"] or {})
                     last = int(base["version"])
+                    base_mrv = int(base.get("min_reader_version") or 1)
                 except Exception:
                     live, patches, masks = [], [], []
                     props, bucket_rows = {}, {}
                     schema_json = None
                     num_buckets = bucket_cols = bucket_key_types = None
                     last = -1
+                    base_mrv = 1
                     continue  # try the next older checkpoint
                 break
+        # protocol gate, checkpoint base first (outside the fallback
+        # try: a base demanding a newer reader is a REFUSAL, not a
+        # corrupt checkpoint to silently skip)
+        mrv = base_mrv
+        if mrv > self.READER_VERSION:
+            raise UnsupportedReaderVersionError(
+                f"{self._root_str} requires reader version {mrv} "
+                f"(this engine: {self.READER_VERSION})"
+            )
         oldest = int(names[0].split(".")[0])
         if oldest > last + 1 and (version is None or version > last):
             # (version == last needs no fold: the checkpoint alone is
@@ -882,6 +909,13 @@ class VersionedParquetTable(TableStore):
             if version is not None and v > version:
                 break
             c = json.loads(self.backend.read_text(self.backend.join(self._commits_dir, name)))
+            cm = int(c.get("min_reader_version") or 1)
+            if cm > self.READER_VERSION:
+                raise UnsupportedReaderVersionError(
+                    f"{self._root_str} version {v} requires reader "
+                    f"version {cm} (this engine: {self.READER_VERSION})"
+                )
+            mrv = max(mrv, cm)
             last = v
             mode = c["mode"]
             if mode == "overwrite":
@@ -974,6 +1008,9 @@ class VersionedParquetTable(TableStore):
             "bucket_cols": bucket_cols,
             "bucket_key_types": bucket_key_types,
             "bucket_rows": bucket_rows,
+            # highest reader demand seen in the folded history — rides
+            # checkpoints so the protocol gate survives base-skipping
+            "min_reader_version": mrv,
         }
 
     # ---------- reads ----------

@@ -27,6 +27,9 @@ from typing import Any, Optional
 import pyarrow as pa
 import pyarrow.dataset as ds
 
+# protocol version this reader implements (spec `min_reader_version`)
+READER_VERSION = 1
+
 _PRIMITIVES = {
     "byte": pa.int8(),
     "short": pa.int16(),
@@ -239,6 +242,14 @@ def snapshot(root: str | Path, version: Optional[int] = None) -> dict[str, Any]:
         if version is not None and v > version:
             break
         c = json.loads((commits_dir / name).read_text())
+        if int(c.get("min_reader_version") or 1) > READER_VERSION:
+            # protocol fence (spec): a commit demanding a newer reader
+            # makes the whole table-from-here unreadable, not skippable
+            raise RuntimeError(
+                f"{root} version {v} requires reader version "
+                f"{c.get('min_reader_version')} (this reader: "
+                f"{READER_VERSION})"
+            )
         last = v
         mode = c["mode"]
         if mode == "overwrite":
