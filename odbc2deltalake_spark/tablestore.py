@@ -3149,17 +3149,29 @@ class VersionedParquetTable(TableStore):
         stats_cols: Optional[list[str]],
         bloom_cols: Optional[list[str]] = None,
         bloom_bits: Optional[int] = None,  # None = auto-size from rows/file
+        dirs_filter: Optional[set[str]] = None,
     ) -> int:
-        conj = self._skip_conjuncts(where)
-        if not conj:
-            raise ValueError("compact(where=...) requires a predicate")
+        # selection: a skip-style predicate (OPTIMIZE ... WHERE) or an
+        # explicit dir-name set (auto_maintain's small-files pass)
+        if dirs_filter is None:
+            conj = self._skip_conjuncts(where)
+            if not conj:
+                raise ValueError("compact(where=...) requires a predicate")
+        else:
+            conj = []
         if st.get("masks"):
             # partial compaction reads dirs raw; materialize lazy
             # tombstones first (full compact reads mask-aware and needs
             # no fold)
             self.fold_masks(spark)
             st = self._state_at()
-        kept, affected = self._split_dirs_by_predicate(st["dirs"], conj)
+        if dirs_filter is not None:
+            kept = [d for d in st["dirs"] if d["dir"] not in dirs_filter]
+            affected = [d for d in st["dirs"] if d["dir"] in dirs_filter]
+        else:
+            kept, affected = self._split_dirs_by_predicate(
+                st["dirs"], conj
+            )
         if not affected:
             return st["version"]  # nothing to rewrite: no commit
         target = T.StructType.fromJson(json.loads(st["schema"]))
@@ -3242,9 +3254,15 @@ class VersionedParquetTable(TableStore):
                 "bucket_key_types": st["bucket_key_types"],
                 "bucket_rows": st["bucket_rows"],
                 "compacted_from": st["version"],
-                "compact_where": [
-                    [c, op, self._stat_ser(v)] for c, op, v in conj
-                ],
+                **(
+                    {"compact_dirs": sorted(dirs_filter)}
+                    if dirs_filter is not None
+                    else {
+                        "compact_where": [
+                            [c, op, self._stat_ser(v)] for c, op, v in conj
+                        ]
+                    }
+                ),
                 "zorder_by": zorder_by or [],
             }
         )
@@ -4551,6 +4569,79 @@ class VersionedParquetTable(TableStore):
                 st.get("patches") or st.get("masks")
             ),
         }
+
+    def auto_maintain(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        retain_versions: int = 1,
+        orphan_min_age_seconds: float = 3600.0,
+        vacuum_now: bool = False,
+    ) -> dict[str, Any]:
+        """Execute one maintenance window from the
+        :meth:`maintenance_report` advice — the nightly OPTIMIZE job as
+        one idempotent call. In order:
+
+        1. fold outstanding patch and mask chains (amortize read-time
+           reconciliation back into the base);
+        2. compact when >1 live dir is under ``target_file_bytes``
+           (partial: only the small dirs rewrite, via ``compact`` /
+           bucket tables skip — merges maintain their own layout);
+        3. checkpoint when the replay tail exceeds the checkpoint
+           interval;
+        4. vacuum — DRY-RUN by default (the only destructive step;
+           ``vacuum_now=True`` executes it with the SAME parameters the
+           report predicted with).
+
+        Returns {step: outcome} for the ops log. Decision inputs are
+        metadata-only; only the steps that fire touch data — on a quiet
+        table the whole call is a handful of JSON reads."""
+        out: dict[str, Any] = {}
+        st = self._state_at()
+        if st.get("patches"):
+            out["fold_patches"] = self.fold_patches(spark)
+        if self._state_at().get("masks"):
+            out["fold_masks"] = self.fold_masks(spark)
+        rep = self.maintenance_report(
+            target_file_bytes=target_file_bytes,
+            retain_versions=retain_versions,
+            orphan_min_age_seconds=orphan_min_age_seconds,
+        )
+        if rep["advise_compact"]:
+            small = {e["dir"] for e in rep["small_dirs"]}
+            if len(small) == rep["n_live_dirs"]:
+                out["compact"] = self.compact(
+                    spark, target_file_bytes=target_file_bytes
+                )
+            else:
+                # rewrite ONLY the small dirs: carry the big ones by
+                # reference through the partial-compaction path
+                out["compact_partial"] = self._compact_partial(
+                    spark,
+                    self._state_at(),
+                    None,
+                    target_file_bytes,
+                    None,
+                    None,
+                    None,
+                    dirs_filter=small,
+                )
+        rep2 = self.maintenance_report(
+            target_file_bytes=target_file_bytes,
+            retain_versions=retain_versions,
+            orphan_min_age_seconds=orphan_min_age_seconds,
+        )
+        if rep2["commits_since_checkpoint"] >= self.checkpoint_interval:
+            out["checkpoint"] = self.checkpoint()
+        removed = self.vacuum(
+            retain_versions=retain_versions,
+            orphan_min_age_seconds=orphan_min_age_seconds,
+            dry_run=not vacuum_now,
+        )
+        out["vacuum_removed" if vacuum_now else "vacuum_would_remove"] = (
+            len(removed)
+        )
+        return out
 
     def delete_table(self) -> None:
         self.backend.remove_recursive(self._root_str)
