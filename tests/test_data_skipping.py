@@ -356,6 +356,34 @@ def test_interval_may_match_is_sound_property():
     run()
 
 
+def test_bisected_in_refutation_equals_linear_property():
+    """The _SortedInList fast path must be REFUTATION-EQUIVALENT to the
+    linear scan — a bisect off-by-one would silently drop matching
+    files at exactly the interval boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from odbc2deltalake_spark.tablestore import _SortedInList
+
+    nums = st.integers(min_value=-50, max_value=50)
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        a=nums,
+        b=nums,
+        vals=st.lists(st.one_of(nums, st.none()), max_size=8),
+    )
+    def run(a, b, vals):
+        mn, mx = min(a, b), max(a, b)
+        fast = VersionedParquetTable._interval_may_match(
+            mn, mx, "in", _SortedInList(vals)
+        )
+        slow = any(mn <= v <= mx for v in vals if v is not None)
+        assert fast == slow, (mn, mx, vals)
+
+    run()
+
+
 def test_current_rows_join_prunes_superseded_loads(spark, tmp_path):
     """VERDICT r5 item #4 — the J2 hot path: read_current_rows must
     scan only the commits that can still hold a current row, using the
