@@ -209,6 +209,13 @@ def _bench_store_maintenance(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         kt.fold_patches(spark)
         out["store_fold_patches"] = round(time.time() - t0, 3)
+        # r9 keyed lookup trend line: driver-side bucket routing must
+        # stay job-free (a regression means the python xxhash64 chain
+        # stopped covering the key type and every lookup pays a scan)
+        t0 = time.time()
+        got = kt.read_keys(spark, [1, step, 5 * step]).count()
+        out["store_keyed_lookup"] = round(time.time() - t0, 3)
+        assert got == 3, got
         # r9 bloom trend line: point lookup through per-file bitmaps on
         # a hash-spread key (intervals useless by construction) — the
         # pair (write-with-bloom, probe) regresses if collection leaks
