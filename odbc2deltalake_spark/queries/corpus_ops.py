@@ -1351,3 +1351,50 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the one scale-killer this op could have, and a training loader
         # must consume the mixture shuffled anyway. VERDICT r8 weak #1.
     )
+
+
+# ------------------------------------------- length histogram ----
+# r9: the corpus-profiling histogram every pipeline runs before picking
+# length cutoffs — doc counts and token mass per (lang, log2 length
+# bucket). Integer log2 bucketing (bit_length semantics) is exact on
+# both engines; one map-side-combining aggregate, |langs| x 64 output.
+
+_LENGTH_HIST_ORACLE = """
+SELECT lang,
+       CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_length_histogram",
+    _LENGTH_HIST_ORACLE,
+    tags=("corpus", "text", "profiling"),
+    priority=100,
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, log2-bucket) length profile == the same GROUP BY.
+
+    Single scan, map-side partial agg, tiny shuffle (|langs| x 64
+    groups); the n_chars > 0 filter reaches the parquet scan. floor(
+    log2(n)) on positive BIGINTs is exact in double space up to 2^53 —
+    far beyond any document length — so the bucketing is cross-engine
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    return docs.groupBy(
+        "lang",
+        F.floor(F.log2("n_chars")).cast("long").alias("len_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -224,7 +224,7 @@ ROUND_TOUCHED_OVERFLOW = [
     # r9 second wave: bloom point lookup, cohort LTV, time travel,
     # schema evolution
     "store_point_lookup", "ev_cohort_ltv", "store_time_travel",
-    "store_schema_evolution",
+    "store_schema_evolution", "corpus_length_histogram",
 ]
 
 _SLICE_SIZE = 8

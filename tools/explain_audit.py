@@ -356,6 +356,8 @@ AUDIT = [
     # r9: cohort LTV curves (user_id agg + same-key fact join — AQE
     # reuses the partitioning, no extra exchange)
     "ev_cohort_ltv",
+    # r9: corpus length profile (single scan, map-side partials)
+    "corpus_length_histogram",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
