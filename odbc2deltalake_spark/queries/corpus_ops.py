@@ -1398,3 +1398,55 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# --------------------------------------- source x lang matrix ----
+# r9: the provenance cross-tab a corpus audit starts from — doc counts,
+# char mass, and char share per (source, lang) cell. Share uses
+# integer per-mille arithmetic (floor(1000*chars/total)) so both
+# engines compute identical cells without float division drift.
+
+_SOURCE_LANG_ORACLE = """
+WITH tot AS (SELECT sum(n_chars) AS t FROM documents)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(floor(1000.0 * sum(n_chars) / tot.t) AS BIGINT) AS share_permille
+FROM documents, tot
+GROUP BY source, lang, tot.t
+"""
+
+
+@register(
+    "corpus_source_lang_matrix",
+    _SOURCE_LANG_ORACLE,
+    tags=("corpus", "profiling"),
+    priority=100,
+)
+def corpus_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance cross-tab == the same GROUP BY with a one-row total.
+
+    The per-cell aggregate and the corpus total are two column-pruned
+    scans of the same parquet (the total side reads ONE column); the
+    total joins back as a single-row crossJoin broadcast.
+    Share is integer per-mille: floor in double space on exact BIGINT
+    sums is deterministic cross-engine for any corpus below 2^53
+    chars."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars"
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    tot = docs.agg(F.sum("n_chars").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share_permille",
+            F.floor(1000.0 * F.col("total_chars") / F.col("t")).cast(
+                "long"
+            ),
+        )
+        .drop("t")
+    )

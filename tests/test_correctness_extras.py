@@ -225,6 +225,7 @@ ROUND_TOUCHED_OVERFLOW = [
     # schema evolution
     "store_point_lookup", "ev_cohort_ltv", "store_time_travel",
     "store_schema_evolution", "corpus_length_histogram",
+    "corpus_source_lang_matrix",
 ]
 
 _SLICE_SIZE = 8

@@ -358,6 +358,8 @@ AUDIT = [
     "ev_cohort_ltv",
     # r9: corpus length profile (single scan, map-side partials)
     "corpus_length_histogram",
+    # r9: provenance cross-tab (cells + one-row broadcast total)
+    "corpus_source_lang_matrix",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
