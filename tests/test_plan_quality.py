@@ -73,6 +73,39 @@ def test_plan_properties(plans, name):
         assert "SortMergeJoin" not in plan, "dimension join fell back to SMJ"
 
 
+def _excluded_names() -> list[str]:
+    from tools.explain_audit import EXCLUDED
+
+    return sorted(EXCLUDED)
+
+
+@pytest.mark.parametrize("name", _excluded_names())
+def test_excluded_output_plan_has_no_unbounded_sort(spark, name):
+    """VERDICT r9 #2: EXCLUDED queries skip the full plan audit because
+    their BUILD is iterative/multi-commit (job-count, not output shape)
+    — but the FINAL returned frame still has a plan, and a trailing
+    global orderBy over data-proportional output is exactly the
+    avoidable full range shuffle the r8 rule was written to kill
+    (text_quality_classifier carried one for two rounds through this
+    loophole). The explain itself launches no jobs; only the query
+    build does, at sf0.001 — the same cost test_correctness_extras
+    already pays per entry."""
+    qs = entrymod.queries()
+    df = qs[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if name in GLOBAL_SORT_OK:
+        pytest.skip("documented GLOBAL_SORT_OK allowlist entry")
+    hits = unbounded_global_sorts(plan)
+    assert not hits, (
+        f"{name}: EXCLUDED query's OUTPUT plan carries a global sort "
+        f"over unbounded rows — exclusion covers the build, not the "
+        f"returned frame: {hits}"
+    )
+
+
 def test_audit_coverage_is_exhaustive():
     """VERDICT r7 #5: every registry query is either plan-audited or in
     the documented exclusion map — the partition is exhaustive BY
