@@ -1066,7 +1066,7 @@ GROUP BY event_type
 
 
 @register("mv_incremental_distinct", _MV_DISTINCT_ORACLE,
-          tags=("cdc", "streaming", "dml", "flagship"), priority=100)
+          tags=("cdc", "streaming", "dml", "flagship"))  # r10: promoted to the driver window (eighth-wave rotation)
 def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-event-type view maintained through merge +
     UPDATE + DELETE == the same lifecycle replayed as one SQL query.
@@ -1148,8 +1148,7 @@ FROM events, m
     "store_schema_evolution",
     _SCHEMA_EVO_ORACLE,
     tags=("store", "schema"),
-    priority=100,
-)
+)  # r10: promoted to the driver window (eighth-wave rotation)
 def store_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Widen + add + drop with no data rewrite == the same type algebra
     in SQL.
@@ -1219,8 +1218,7 @@ WHERE event_id <= 2 * (m.mx // 3)
     "store_time_travel",
     _TIME_TRAVEL_ORACLE,
     tags=("store", "timetravel"),
-    priority=100,
-)
+)  # r10: promoted to the driver window (eighth-wave rotation)
 def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamp time travel == the id-range the first two loads cover.
 
@@ -1288,8 +1286,7 @@ WHERE d.doc_id IN (0, m.mx // 3, m.mx // 2, m.mx)
     "store_point_lookup",
     _POINT_LOOKUP_ORACLE,
     tags=("store", "skipping", "flagship"),
-    priority=100,
-)
+)  # r10: promoted to the driver window (eighth-wave rotation)
 def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned id-list lookup == a SQL IN-list over the same rows.
 

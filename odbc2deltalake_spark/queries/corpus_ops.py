@@ -766,7 +766,8 @@ FROM cum
 """
 
 
-@register("corpus_pack_sequences", _PACK_SEQ_ORACLE, tags=("corpus", "text"))  # r7: promoted (r6 flagship)
+@register("corpus_pack_sequences", _PACK_SEQ_ORACLE, tags=("corpus", "text"),
+          priority=100)  # r10: rotated out (packing rides inside corpus_e2e_recipe; green r6-r9)
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing map: per document, its global token offset and
     the [seq_first, seq_last] range of fixed-{budget}-token training
@@ -897,8 +898,8 @@ def _dist_exclusive_prefix(
     )
 
 
-@register("corpus_token_budget_select", _BUDGET_ORACLE,
-          tags=("corpus", "text"))  # r8: rotated into the driver window
+@register("corpus_token_budget_select", _BUDGET_ORACLE, tags=("corpus", "text"),
+          priority=100)  # r10: rotated out (budget selection rides inside corpus_e2e_recipe; green r7-r9)
 def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget selection: documents ordered by unique-token
     ratio (integer ppm — float rounding must not reorder near-ties),

@@ -145,7 +145,8 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {_JACCARD_THRESHOLD}
 """
 
 
-@register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",))
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("dedup",),
+          priority=100)  # r10: rotated out (dedup_minhash_lsh/dedup_cluster/corpus_decontaminate_fuzzy hold fuzzy dedup; green r1-r9)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard ≥ 0.4: join docs on
     shared shingles, count common, divide by union size. The shingle join

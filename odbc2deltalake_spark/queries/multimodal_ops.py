@@ -89,7 +89,8 @@ FROM s
 """
 
 
-@register("mm_feature_vectors", _FEATURE_ORACLE, tags=("multimodal", "similarity"))
+@register("mm_feature_vectors", _FEATURE_ORACLE, tags=("multimodal", "similarity"),
+          priority=100)  # r10: rotated out (mm_decode_meta/mm_audio_meta hold the kernel shape; green r1-r9)
 def mm_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction (deterministic sha-seeded stand-in for an
     embedding model). The kernel emits (media_id, feature array<float>,

@@ -117,7 +117,8 @@ FROM scores
 """
 
 
-@register("text_lang_id", _LANGID_ORACLE, tags=("text",))
+@register("text_lang_id", _LANGID_ORACLE, tags=("text",),
+          priority=100)  # r10: rotated out (text_quality_score/text_pii_scrub hold the text family; green r1-r9)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword-marker voting: per-language token counts +
     argmax, fixed tie order (en,de,fr,es,zh), 'und' when no marker hits."""
@@ -808,8 +809,7 @@ FROM scored s CROSS JOIN cut t
 
 @register(
     "text_perplexity_filter", _PPL_ORACLE, tags=("text", "corpus"),
-    priority=100,
-)
+)  # r10: promoted to the driver window (eighth-wave rotation)
 def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc perplexity under the corpus bigram LM plus a keep/drop
     flag at the corpus-relative 90th-NLL-percentile cutoff — the

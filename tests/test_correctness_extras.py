@@ -50,13 +50,15 @@ def test_core_set_fits_driver_cap():
                  # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
                  "mv_incremental_rollup", "corpus_leakage_safe_split",
                  "bm25_search", "corpus_decontaminate_fuzzy",
-                 # r7 rotation: the round-6 flagships (VERDICT r6 #4)
-                 "mm_audio_meta", "corpus_pack_sequences",
+                 # r7 rotation: the round-6 flagships (VERDICT r6 #4);
+                 # corpus_pack_sequences moved to overflow in r10
+                 "mm_audio_meta",
                  "ev_rfm_segments",
                  # r8 rotation: the round-7 flagships + the DML lifecycle
-                 # query (VERDICT r7 tasks #2-#3)
+                 # query (VERDICT r7 tasks #2-#3);
+                 # corpus_token_budget_select moved to overflow in r10
                  "corpus_e2e_recipe", "dedup_keep_best",
-                 "corpus_token_budget_select", "text_bigram_logprob",
+                 "text_bigram_logprob",
                  "store_dml_roundtrip",
                  # r8 in-round addition: delta-join IVM flagship
                  "mv_incremental_join",
@@ -68,7 +70,12 @@ def test_core_set_fits_driver_cap():
                  # pair, the mixture-sampling pair, IVF-PQ search
                  "mv_cdf_retraction", "mv_join_retraction",
                  "corpus_mixture_apply", "corpus_stratified_sample",
-                 "sim_ann_ivfpq_search"):
+                 "sim_ann_ivfpq_search",
+                 # r10 eighth-wave rotation (VERDICT r9 #1): the r9
+                 # storage flagships + the perplexity filter
+                 "store_point_lookup", "store_time_travel",
+                 "store_schema_evolution", "mv_incremental_distinct",
+                 "text_perplexity_filter"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -119,7 +126,17 @@ def test_core_set_fits_driver_cap():
                  # sim_ann_ivfpq_search the IVF search path)
                  "text_unigram_logprob", "hybrid_search_rrf",
                  "mm_frame_sample", "sim_embedding_neardup",
-                 "sim_ann_ivf"):
+                 "sim_ann_ivf",
+                 # r10 eighth-wave rotation out (each driver-green 3+
+                 # rounds; family representatives stay in-window:
+                 # mm_decode_meta/mm_audio_meta the header-parse
+                 # kernel, dedup_minhash_lsh/dedup_cluster fuzzy dedup,
+                 # corpus_e2e_recipe subsumes packing + budget
+                 # selection, text_quality_score+text_pii_scrub the
+                 # text family)
+                 "mm_feature_vectors", "dedup_ngram_jaccard",
+                 "corpus_pack_sequences", "corpus_token_budget_select",
+                 "text_lang_id"):
         assert name in overflow_names
 
 
@@ -212,20 +229,12 @@ SF01_DIR = "/root/testdata/sf0.01"
 # list whenever a round touches an overflow query's plan or rotates an
 # entry out of the driver window.
 ROUND_TOUCHED_OVERFLOW = [
-    # r9 sixth-wave evictions (fresh overflow rows)
-    "text_unigram_logprob", "hybrid_search_rrf", "mm_frame_sample",
-    "sim_embedding_neardup", "sim_ann_ivf",
-    # r9 trailing-sort removals in overflow entries
-    "text_repetition_score", "corpus_shuffle_order",
-    # r9 new operators
-    "text_perplexity_filter", "dedup_source_overlap",
-    "emb_dim_stats", "emb_norm_outliers",
-    "mv_incremental_distinct",
-    # r9 second wave: bloom point lookup, cohort LTV, time travel,
-    # schema evolution
-    "store_point_lookup", "ev_cohort_ltv", "store_time_travel",
-    "store_schema_evolution", "corpus_length_histogram",
-    "corpus_source_lang_matrix",
+    # r10 eighth-wave evictions (fresh overflow rows)
+    "mm_feature_vectors", "dedup_ngram_jaccard",
+    "corpus_pack_sequences", "corpus_token_budget_select",
+    "text_lang_id",
+    # r10 trailing-sort removal (VERDICT r9 finding #1)
+    "text_quality_classifier",
 ]
 
 _SLICE_SIZE = 8
