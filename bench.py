@@ -24,6 +24,11 @@ import __spark_entry__ as entrymod
 from odbc2deltalake_spark.session import get_spark
 from odbc2deltalake_spark.queries.registry import TABLE_NAMES, load_table
 
+# canary normalization anchor (VERDICT r8 #6): canary 1.42 s <-> headline
+# 35.64 s on the idle build host; module-level so tools/round_close.py's
+# bench-trend backfill uses the SAME constant, never a copy
+CANARY_ANCHOR_SEC = 1.42
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -373,7 +378,6 @@ def main() -> None:
     # weather without re-running. The canary captures CPU speed, not all
     # IO/page-cache variance (SCALE.md calibration table) — read the
     # normalized total as a trend line, not a truth.
-    CANARY_ANCHOR_SEC = 1.42
     normalized = total * (CANARY_ANCHOR_SEC / canary) if canary else total
     print(
         json.dumps(

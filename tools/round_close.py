@@ -32,6 +32,27 @@ def sh(*args: str) -> str:
     return subprocess.run(args, capture_output=True, text=True, cwd=REPO).stdout
 
 
+def _final_headline(tail: str) -> dict | None:
+    """The LAST parseable headline JSON line in a BENCH artifact's tail.
+
+    bench.py prints the full per-query dump first and the one-line
+    headline last; driver artifacts embed both in `tail` (newline-
+    escaped). Earlier rounds' tails may truncate the first line mid-
+    object — only complete lines parse, and the final line wins."""
+    best = None
+    for ln in tail.replace("\\n", "\n").splitlines():
+        ln = ln.strip()
+        if not (ln.startswith("{") and ln.endswith("}")):
+            continue
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if d.get("metric") == "headline_query_total":
+            best = d
+    return best
+
+
 def main() -> int:
     rc = 0
     # 1. ledger regen
@@ -61,6 +82,44 @@ def main() -> int:
             )
         else:
             print(f"BENCH: {latest.name} has no parseable queries dict")
+
+    # 2b. machine-readable canary trend (VERDICT r9 #8): one row per
+    # round with the (raw, canary, normalized) triple, regenerated from
+    # EVERY committed BENCH artifact so backfill is automatic and the
+    # file can never drift from the artifacts it summarizes. Rounds
+    # before the canary existed record nulls — honest gaps, not guesses.
+    trend = []
+    for p in benches:
+        d = json.loads(p.read_text())
+        head = _final_headline(d.get("tail", ""))
+        if head is None:
+            continue
+        norm = head.get("normalized_total_sec")
+        canary = head.get("host_canary_sec")
+        if norm is None and canary:
+            # r8 recorded the canary before bench.py emitted the
+            # normalized field — derive it with bench.py's own formula
+            # and anchor so the trend line has no artificial gap
+            if str(REPO) not in sys.path:
+                sys.path.insert(0, str(REPO))
+            from bench import CANARY_ANCHOR_SEC
+
+            norm = round(head["value"] * (CANARY_ANCHOR_SEC / canary), 3)
+        trend.append({
+            "round": d.get("n"),
+            "raw_total_sec": head.get("value"),
+            "host_canary_sec": canary,
+            "normalized_total_sec": norm,
+            "n_queries": len(head.get("queries", {})),
+            "sf": head.get("sf"),
+        })
+    trend_path = REPO / "docs" / "bench_trend.json"
+    trend_text = json.dumps(trend, indent=1) + "\n"
+    if not trend_path.exists() or trend_path.read_text() != trend_text:
+        trend_path.write_text(trend_text)
+        print("TREND: docs/bench_trend.json regenerated -> commit it")
+    else:
+        print("TREND: docs/bench_trend.json current")
 
     # 3. untracked round artifacts
     untracked = [
