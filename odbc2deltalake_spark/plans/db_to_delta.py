@@ -263,7 +263,7 @@ def exec_write_db_to_delta(infos: WriteConfigAndInfos) -> LoadResult:
                 simple_check=cfg.load_mode == "simple_delta_check",
             )
         dest.release_lock()
-        dest.vacuum_side_tables()
+        dest.maintain_side_tables(spark)
         return result
     except Exception:
         # restore the current-rows index to its pre-load version

@@ -130,16 +130,29 @@ class DeltaDestination:
         if self.lock_path.exists():
             self.lock_path.unlink()
 
-    def vacuum_side_tables(self) -> None:
-        """reference:odbc2deltalake/db_to_delta.py:261-267."""
-        for t in (
-            self.latest_pk_version,
-            self.delta_1,
-            self.delta_2,
-            self.primary_keys_ts,
-        ):
-            if t.exists():
-                t.vacuum()
+    def maintain_side_tables(self, spark: SparkSession) -> dict[str, dict]:
+        """Post-load maintenance window over the CDC side tables
+        (reference:odbc2deltalake/db_to_delta.py:261-267 vacuums them
+        unconditionally). Routed through ``auto_maintain`` so the
+        patch/mask fold amortization, small-file compaction, and
+        checkpoint cadence govern these tables with the same measured
+        trade-offs as any other store table — the side tables are
+        rewritten every load, exactly the churn profile the window is
+        for. Stores without the window (DeltaTableStore delegates
+        OPTIMIZE/VACUUM to the Delta runtime) fall back to plain
+        vacuum. Returns {table: outcome} for the ops log."""
+        out: dict[str, dict] = {}
+        for name in ("latest_pk_version", "delta_1", "delta_2",
+                     "primary_keys_ts"):
+            t = getattr(self, name)
+            if not t.exists():
+                continue
+            maintain = getattr(t, "auto_maintain", None)
+            if maintain is not None:
+                out[name] = maintain(spark, vacuum_now=True)
+            else:
+                out[name] = {"vacuum_removed": len(t.vacuum())}
+        return out
 
 
 _LOG_SCHEMA = T.StructType(
