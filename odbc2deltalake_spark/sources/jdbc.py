@@ -36,12 +36,39 @@ def _q_pg(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def rowversion_to_bigint(b: bytes | bytearray) -> int:
+    """Bit-exact binary(8) rowversion → signed bigint normalization.
+
+    A rowversion read raw off the wire arrives as bytes (the reference
+    coerces bytearray → bytes and keeps it binary,
+    reference:odbc2deltalake/load_infos.py:39-41); this engine
+    normalizes every rowversion to bigint at extraction via
+    ``CAST(rv AS BIGINT)`` — T-SQL's big-endian TWO'S-COMPLEMENT
+    reinterpretation. ``signed=True`` matches it exactly: values with
+    the top bit set (0x8000000000000000+) map to negative bigints, so
+    a bytes watermark and the server-side cast always agree bit for
+    bit. An unsigned read would diverge on exactly that range. Ordering
+    across the 2^63 sign boundary flips under the signed mapping — a
+    loss mode SHARED with the reference's own bigint criterion and
+    unreachable in practice (SCALE.md §CDC)."""
+    if len(b) != 8:
+        raise ValueError(f"rowversion must be 8 bytes, got {len(b)}")
+    return int.from_bytes(bytes(b), "big", signed=True)
+
+
 def sql_quote_value(v: Any) -> str:
-    """Literal quoting (reference:odbc2deltalake/query.py:42-55)."""
+    """Literal quoting (reference:odbc2deltalake/query.py:42-55).
+    bytes quote as the signed-bigint equivalent: every binary key
+    surface in this engine (rowversion watermarks, rowversion keyset
+    columns) compares against a ``CAST(... AS BIGINT)`` server
+    expression, so the literal must be the same two's-complement
+    value."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
+    if isinstance(v, (bytes, bytearray)):
+        return str(rowversion_to_bigint(v))
     if isinstance(v, (int, float)):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
@@ -215,8 +242,18 @@ class JDBCSource(Source):
             for k in keys
         )
         klist = ", ".join(self._q(c) for c in key_cols)
+        # hidden-typed key columns (tsql rowversion binary(8), postgres
+        # xid) must compare through the SAME conversion the extraction
+        # SELECT used — the key literals are the bigint-normalized
+        # values Spark holds, and a raw `t.[rv] = 123` would make the
+        # server coerce the literal to binary under ITS precedence
+        # rules instead of the pinned two's-complement chain
         cond = " AND ".join(
-            f"t.{self._q(c)}{self._key_collate(c)} = k.{self._q(c)}"
+            (
+                f"{self._hidden_convert_expr(c)} = k.{self._q(c)}"
+                if self._hidden_convert_expr(c) is not None
+                else f"t.{self._q(c)}{self._key_collate(c)} = k.{self._q(c)}"
+            )
             for c in key_cols
         )
         return (
