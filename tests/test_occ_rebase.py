@@ -1,0 +1,285 @@
+"""Optimistic concurrency (VERDICT r9 #3): racing writers on one table.
+
+Before r10 any same-version race produced one winner and a
+:class:`CommitConflictError` loser with manual recompute-and-retry
+guidance. Delta's contract (and the reference's practical one via its
+1 h lease lock, reference:odbc2deltalake/db_to_delta.py:218-229) is
+automatic retry when commits commute — implemented here as bounded
+auto-rebase for the provably-commuting cases (blind append vs blind
+append; append vs disjoint metadata-only commit), refusing everything
+else exactly as before.
+
+Two harnesses:
+
+- a DETERMINISTIC same-version race: the loser's backend publish hook
+  lands the rival's commit the instant the loser tries to publish its
+  own — the worst-case interleaving, reproduced exactly, for every
+  cell of the conflict matrix (docs/commit-format.md §concurrency);
+- REAL two/three-thread races (barrier start) proving concurrent blind
+  appends all land without caller retry loops.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid
+
+import pytest
+
+from odbc2deltalake_spark.tablestore import (
+    CommitConflictError,
+    VersionedParquetTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return tmp_path / f"t{uuid.uuid4().hex[:8]}"
+
+
+def _base(spark, root, **kw) -> VersionedParquetTable:
+    t = VersionedParquetTable(root)
+    t.write(_df(spark, [(1, 10), (2, 20)]), **kw)
+    return t
+
+
+def _arm_race(loser: VersionedParquetTable, rival_fn) -> None:
+    """Fire ``rival_fn()`` (which commits through its OWN table
+    instance/backend) the moment ``loser`` first tries to publish a
+    commit — then let the loser's publish proceed against the mutated
+    log. Deterministic same-version race, no threads, no timing."""
+    backend = loser.backend
+    orig = backend.write_text_exclusive
+    fired = {"done": False}
+
+    def hook(path: str, text: str) -> None:
+        if not fired["done"] and "_commits" in path:
+            fired["done"] = True
+            rival_fn()
+        return orig(path, text)
+
+    backend.write_text_exclusive = hook
+
+
+def _rows(spark, t):
+    return sorted(tuple(r) for r in t.read(spark).select("id", "v").collect())
+
+
+# ------------------------------------------------- commuting races ----------
+
+
+def test_blind_append_rebases_over_blind_append(spark, root):
+    t1 = _base(spark, root)
+    t2 = VersionedParquetTable(root)
+    _arm_race(t1, lambda: t2.write(_df(spark, [(3, 30)])))
+    v = t1.write(_df(spark, [(4, 40)]))
+    # rival landed v1; my commit auto-rebased to v2 — no caller retry
+    assert v == 2 == t1.version()
+    assert _rows(spark, t1) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    # both data dirs live, versions dense, replay clean at every version
+    assert len(t1._state_at()["dirs"]) == 3
+    assert _rows(spark, VersionedParquetTable(root)) == _rows(spark, t1)
+
+
+def test_append_rebases_over_metadata_only_props(spark, root):
+    t1 = _base(spark, root)
+    t2 = VersionedParquetTable(root)
+    _arm_race(t1, lambda: t2.set_properties({"comment": "rival"}))
+    v = t1.write(_df(spark, [(3, 30)]))
+    assert v == 2
+    assert t1.get_property("comment") == "rival"
+    assert _rows(spark, t1) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_props_rebase_over_append_and_disjoint_props(spark, root):
+    t1 = _base(spark, root)
+    t2 = VersionedParquetTable(root)
+    _arm_race(t1, lambda: t2.write(_df(spark, [(3, 30)])))
+    v = t1.set_properties({"a": "1"})
+    assert v == 2 and t1.get_property("a") == "1"
+    assert _rows(spark, t1) == [(1, 10), (2, 20), (3, 30)]
+
+    t3 = VersionedParquetTable(root)
+    _arm_race(t3, lambda: VersionedParquetTable(root).set_properties({"b": "2"}))
+    assert t3.set_properties({"c": "3"}) == 4
+    assert t3.get_property("b") == "2" and t3.get_property("c") == "3"
+    # a schema-bearing racer does not roll the schema back: the props
+    # commit carries no schema statement at all
+    assert "schema" not in t3._read_commit(4)
+
+
+def test_rebase_burst_absorbs_multiple_racers(spark, root):
+    t1 = _base(spark, root)
+
+    def rivals():
+        for i in range(3):
+            VersionedParquetTable(root).write(_df(spark, [(10 + i, i)]))
+
+    _arm_race(t1, rivals)
+    v = t1.write(_df(spark, [(99, 99)]))
+    assert v == 4
+    assert len(_rows(spark, t1)) == 6
+
+
+# ------------------------------------------------- refused races ------------
+
+
+def test_same_prop_key_race_refused(spark, root):
+    t1 = _base(spark, root)
+    _arm_race(t1, lambda: VersionedParquetTable(root).set_properties({"k": "r"}))
+    with pytest.raises(CommitConflictError):
+        t1.set_properties({"k": "mine"})
+    # the landed value is the rival's — no silent last-writer overwrite
+    assert VersionedParquetTable(root).get_property("k") == "r"
+
+
+def test_append_vs_schema_change_refused(spark, root):
+    t1 = _base(spark, root)
+    _arm_race(t1, lambda: VersionedParquetTable(root).drop_column("v"))
+    with pytest.raises(CommitConflictError):
+        t1.write(_df(spark, [(3, 30)]))
+    # the drop stands; a rebased append would have re-stated the wide
+    # schema at a higher version and silently resurrected the column
+    assert VersionedParquetTable(root).schema().fieldNames() == ["id"]
+
+
+def test_append_vs_constraint_add_refused(spark, root):
+    t1 = _base(spark, root)
+    _arm_race(
+        t1,
+        lambda: VersionedParquetTable(root).set_check_constraint(
+            spark, "v_pos", ("v", ">", 0)
+        ),
+    )
+    with pytest.raises(CommitConflictError):
+        # v = -5 was never checked against the racer's new constraint
+        t1.write(_df(spark, [(3, -5)]))
+    assert _rows(spark, VersionedParquetTable(root)) == [(1, 10), (2, 20)]
+
+
+@pytest.mark.parametrize("plane", ["mask", "patch", "merge", "overwrite"])
+def test_append_vs_row_mutation_planes_refused(spark, root, plane, monkeypatch):
+    """The three mutation planes (DML mask, merge-on-read patch, bucket
+    merge) plus overwrite all reorder against an append at read time —
+    every one must refuse the rebase, same-version race pinned
+    deterministically."""
+    monkeypatch.setattr(VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 1)
+    t1 = VersionedParquetTable(root)
+    t1.merge_upsert(
+        spark, _df(spark, [(1, 10), (2, 20)]), ["id"], target_bucket_rows=4
+    )
+    rival = VersionedParquetTable(root)
+    fns = {
+        "mask": lambda: rival.delete_where(spark, ("id", "=", 1), lazy=True),
+        "patch": lambda: rival.merge_upsert(
+            spark, _df(spark, [(2, 99)]), ["id"], strategy="patch"
+        ),
+        "merge": lambda: rival.merge_upsert(
+            spark, _df(spark, [(5, 50)]), ["id"], strategy="rewrite"
+        ),
+        "overwrite": lambda: rival.write(
+            _df(spark, [(7, 70)]), mode="overwrite"
+        ),
+    }
+    _arm_race(t1, fns[plane])
+    with pytest.raises(CommitConflictError):
+        t1.write(_df(spark, [(3, 30)]))
+    # the rival's mutation stands and replays cleanly
+    VersionedParquetTable(root).read(spark).collect()
+
+
+def test_identity_assigning_race_refused(spark, root):
+    t1 = VersionedParquetTable(root)
+    t1.write(_df(spark, [(1, 10)]).drop("id"), identity_col="id")
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival.write(_df(spark, [(0, 7)]).drop("id"), identity_col="id"),
+    )
+    with pytest.raises(CommitConflictError):
+        # both drew generated ids from the same high-water mark — a
+        # rebase could land colliding "unique" values
+        t1.write(_df(spark, [(0, 8)]).drop("id"), identity_col="id")
+    ids = [r["id"] for r in VersionedParquetTable(root).read(spark).collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_same_txn_app_race_refused_then_idempotent_skip(spark, root):
+    t1 = _base(spark, root)
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1, lambda: rival.write(_df(spark, [(3, 30)]), txn=("app", 5))
+    )
+    with pytest.raises(CommitConflictError):
+        t1.write(_df(spark, [(3, 30)]), txn=("app", 5))
+    # the caller-level retry re-reads the marker and SKIPS the replay —
+    # the batch lands exactly once
+    head = t1.version()
+    assert t1.write(_df(spark, [(3, 30)]), txn=("app", 5)) == head
+    assert _rows(spark, t1) == [(1, 10), (2, 20), (3, 30)]
+
+
+# ------------------------------------------------- real thread races --------
+
+
+def test_concurrent_blind_appends_all_land(spark, root):
+    """VERDICT r9 #3 'done' bar: concurrent blind appends both land
+    without caller retry loops — three real threads, barrier start."""
+    t0 = _base(spark, root)
+    n = 3
+    barrier = threading.Barrier(n)
+    errors: list[Exception] = []
+
+    def work(i: int) -> None:
+        try:
+            t = VersionedParquetTable(root)
+            barrier.wait(timeout=60)
+            t.write(_df(spark, [(100 + i, i)]))
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert t0.version() == n  # v0 base + one commit per thread, dense
+    got = _rows(spark, VersionedParquetTable(root))
+    assert got == [(1, 10), (2, 20), (100, 0), (101, 1), (102, 2)]
+
+
+def test_concurrent_props_and_append_threads(spark, root):
+    t0 = _base(spark, root)
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            t = VersionedParquetTable(root)
+            barrier.wait(timeout=60)
+            t.write(_df(spark, [(3, 30)]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def propper() -> None:
+        try:
+            t = VersionedParquetTable(root)
+            barrier.wait(timeout=60)
+            t.set_properties({"owner": "propper"})
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ths = [threading.Thread(target=appender), threading.Thread(target=propper)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert t0.version() == 2
+    assert t0.get_property("owner") == "propper"
+    assert _rows(spark, t0) == [(1, 10), (2, 20), (3, 30)]
