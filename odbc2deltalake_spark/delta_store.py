@@ -120,15 +120,34 @@ class DeltaTableStore(TableStore):
         identity_col: Optional[str] = None,
     ) -> int:
         assert mode in ("append", "overwrite"), mode
-        if identity_col is not None:
-            # Delta identity columns are table DDL (GENERATED ALWAYS AS
-            # IDENTITY at CREATE TABLE), not a per-write option — refuse
-            # loudly instead of silently writing without assignment
+        if bloom_cols is not None:
+            # no native analog in OSS Delta (bloom-filter indexes are a
+            # Databricks extension) — refuse loudly rather than silently
+            # dropping a skipping structure the caller asked for; the
+            # Delta path to point-lookup pruning is OPTIMIZE ZORDER BY +
+            # native file stats
             raise NotImplementedError(
-                "DeltaTableStore: declare the identity column in the "
-                "table DDL (GENERATED ... AS IDENTITY); per-write "
-                "assignment is a parquet-store feature"
+                "DeltaTableStore: per-file bloom indexes have no OSS "
+                "Delta analog — use OPTIMIZE ZORDER BY on the lookup "
+                "column (stats-based skipping) instead; bloom_cols is a "
+                "parquet-commit-log store feature"
             )
+        if identity_col is not None:
+            # documented translation: Delta IDENTITY columns are table
+            # DDL. First write CREATEs the table with `GENERATED BY
+            # DEFAULT AS IDENTITY` — BY DEFAULT matches the parquet
+            # store's semantics (explicit values kept, absent column
+            # auto-assigned); later appends rely on Delta's generated-
+            # column fill when the column is absent from the frame.
+            if not self.exists():
+                self._create_with_identity(df, identity_col)
+                mode = "append"  # the table was just created empty
+            elif mode == "overwrite":
+                raise NotImplementedError(
+                    "DeltaTableStore: overwrite of an identity table "
+                    "keeps the DDL — drop and recreate to change the "
+                    "identity column"
+                )
         writer = df.write.format("delta").mode(mode)
         if txn is not None:
             # Delta's native idempotent-writer options: the commit records
@@ -150,9 +169,169 @@ class DeltaTableStore(TableStore):
             self._session(spark).createDataFrame([], schema), mode="overwrite"
         )
 
-    def restore(self, version: int) -> int:
-        self._dt().restoreToVersion(version)
+    def restore(self, version: Optional[int] = None, timestamp=None) -> int:
+        if (version is None) == (timestamp is None):
+            raise ValueError("pass version OR timestamp, not both")
+        if version is not None:
+            self._dt().restoreToVersion(version)
+        else:
+            self._dt().restoreToTimestamp(self._ts_str(timestamp))
         return self.version()
+
+    @staticmethod
+    def _ts_str(timestamp) -> str:
+        import datetime as _dt
+
+        if not isinstance(timestamp, _dt.datetime):
+            timestamp = _dt.datetime.fromtimestamp(float(timestamp))
+        return timestamp.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    # ---------- r10 parity surface (VERDICT r9 #4) ----------
+    # Every public VersionedParquetTable capability maps here as a
+    # pass-through, a documented translation, or an explicit refusal —
+    # the parity matrix lives in docs/commit-format.md §delta-parity.
+
+    def _create_with_identity(self, df: DataFrame, identity_col: str) -> None:
+        """CREATE TABLE with `GENERATED BY DEFAULT AS IDENTITY` — the
+        Delta home for identity assignment (table DDL, not a per-write
+        option). BY DEFAULT matches the parquet store's contract:
+        explicit values are kept, an absent column is auto-assigned
+        (unique + increasing, gaps allowed)."""
+        cols = []
+        for f in df.schema.fields:
+            if f.name == identity_col:
+                continue
+            cols.append(f"`{f.name}` {f.dataType.simpleString()}")
+        id_type = "BIGINT"
+        for f in df.schema.fields:
+            if f.name == identity_col:
+                id_type = f.dataType.simpleString()
+        ddl = ", ".join(
+            [f"`{identity_col}` {id_type} GENERATED BY DEFAULT AS IDENTITY"]
+            + cols
+        )
+        self._session().sql(
+            f"CREATE TABLE delta.`{self.root}` ({ddl}) USING DELTA"
+        )
+
+    def clone_to(
+        self, dest: str | Path, version: Optional[int] = None, timestamp=None
+    ) -> "DeltaTableStore":
+        """Native SHALLOW CLONE (`CREATE TABLE ... SHALLOW CLONE`,
+        delta-spark >= 3.0 for path tables) — same contract as the
+        parquet store's clone_to: zero data copied, the clone's commits
+        reference the source files, copy-on-write divergence, and the
+        SAME source-vacuum hazard (Delta documents it identically:
+        vacuuming the source breaks clones that still reference the
+        retired files)."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        src = f"delta.`{self.root}`"
+        if version is not None:
+            src += f" VERSION AS OF {int(version)}"
+        elif timestamp is not None:
+            src += f" TIMESTAMP AS OF '{self._ts_str(timestamp)}'"
+        self._session().sql(
+            f"CREATE TABLE delta.`{str(dest)}` SHALLOW CLONE {src}"
+        )
+        return DeltaTableStore(dest, self._spark)
+
+    # protocol floor DROP COLUMN requires: column mapping by physical
+    # name — an IRREVERSIBLE table upgrade (readers below these protocol
+    # versions refuse the whole table, Delta's own fencing rule)
+    _COLUMN_MAPPING_PROPS = {
+        "delta.columnMapping.mode": "name",
+        "delta.minReaderVersion": "2",
+        "delta.minWriterVersion": "5",
+    }
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only on Delta exactly like
+        the parquet store, BUT it requires `delta.columnMapping.mode =
+        name` (physical column ids), which this call sets on first use
+        together with the protocol bump Delta mandates (reader 2 /
+        writer 5). The upgrade is irreversible and fences off older
+        readers — the same trade the parquet store documents for its
+        stale-name re-add refusal, made explicit here because Delta's
+        column mapping changes the on-disk contract for EVERY reader of
+        the table, not just re-adds."""
+        s = self._session()
+        if (self.get_property("delta.columnMapping.mode") or "none") != "name":
+            kv = ", ".join(
+                f"'{k}' = '{v}'" for k, v in self._COLUMN_MAPPING_PROPS.items()
+            )
+            s.sql(
+                f"ALTER TABLE delta.`{self.root}` SET TBLPROPERTIES ({kv})"
+            )
+        s.sql(f"ALTER TABLE delta.`{self.root}` DROP COLUMN `{name}`")
+        return self.version()
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY pass-through, reshaped to the parquet
+        store's {version, mode, ...} rows (Delta's operation string maps
+        onto the commit mode vocabulary; unknown operations pass through
+        lowercased so callers can still order/inspect them)."""
+        op_map = {
+            "WRITE": "append", "MERGE": "merge", "DELETE": "restore",
+            "UPDATE": "restore", "RESTORE": "restore",
+            "CREATE TABLE": "append", "OPTIMIZE": "restore",
+        }
+        rows = (
+            self._dt().history().select("version", "operation").collect()
+        )
+        return [
+            {
+                "version": int(r["version"]),
+                "mode": op_map.get(r["operation"], r["operation"].lower()),
+            }
+            for r in rows
+        ]
+
+    def version_at_timestamp(self, ts) -> int:
+        """Delta's own timestampAsOf resolution, surfaced as a version
+        number: newest commit whose timestamp is <= ``ts`` (Delta
+        monotonizes internally, same as the parquet store)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        hist = self._dt().history().select("version", "timestamp").collect()
+        best = None
+        for r in sorted(hist, key=lambda r: int(r["version"])):
+            if r["timestamp"].timestamp() <= ts:
+                best = int(r["version"])
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit of {self.root}"
+            )
+        return best
+
+    def read_keys(self, spark: SparkSession, keys: list) -> DataFrame:
+        """Explicit refusal: driver-side bucket routing is a parquet-
+        commit-log store feature (the bucket layout and the parity-
+        pinned xxhash64 chain live in ITS metadata; a Delta table
+        carries neither). The Delta path to pruned point lookups is
+        OPTIMIZE ZORDER BY on the key column + a plain IN-list filter —
+        Delta's stats-based skipping prunes files natively."""
+        raise NotImplementedError(
+            "DeltaTableStore: read_keys needs the parquet store's bucket "
+            "metadata; on Delta use OPTIMIZE ZORDER BY <key> and filter "
+            "with an IN list (native stats skipping prunes the files)"
+        )
+
+    def auto_maintain(self, *args, **kwargs):
+        """Explicit refusal: the maintenance window's decision inputs
+        (patch/mask chain lengths, commit-dir sizes, checkpoint lag) are
+        parquet-store metadata. The Delta equivalents are OPTIMIZE +
+        checkpoints the Delta runtime manages itself + VACUUM, which
+        callers invoke directly (the lifecycle's maintain_side_tables
+        falls back to plain vacuum() on this store for exactly this
+        reason)."""
+        raise NotImplementedError(
+            "DeltaTableStore: run OPTIMIZE / VACUUM via the Delta "
+            "runtime; auto_maintain's fold/compact/checkpoint window is "
+            "a parquet-commit-log store feature"
+        )
 
     @staticmethod
     def _sql_literal(v) -> str:

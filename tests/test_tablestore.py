@@ -1167,3 +1167,82 @@ def test_delta_store_constraint_name_validated():
         store.set_check_constraint(None, "bad name; DROP", ("id", ">", 0))
     with _pytest.raises(ValueError, match="requires a predicate"):
         store.set_check_constraint(None, "ok_name", [])
+
+
+def test_delta_store_parity_matrix_covers_full_public_surface():
+    """VERDICT r9 #4: every public VersionedParquetTable capability has
+    a DeltaTableStore row — pass-through, documented translation, or
+    explicit refusal. Enumerated from the parquet store's live surface
+    so a NEW public method cannot ship without a parity decision (this
+    test fails listing it). Import-gated like the rest of the delta
+    rows: signature checks and refusal raises need no delta-spark."""
+    import importlib
+    import inspect
+
+    mod = importlib.import_module("odbc2deltalake_spark.delta_store")
+    D = mod.DeltaTableStore
+    V = VersionedParquetTable
+
+    # documented translations / pass-throughs whose delta-side signature
+    # must carry the parquet store's kwargs
+    for meth, need in {
+        "clone_to": {"dest", "version", "timestamp"},
+        "drop_column": {"name"},
+        "restore": {"version", "timestamp"},
+        "read": {"version", "timestamp", "skip_where", "buckets"},
+        "write": {"identity_col", "bloom_cols", "txn", "merge_schema",
+                  "overwrite_schema", "partition_by"},
+        "history": set(),
+        "version_at_timestamp": {"ts"},
+    }.items():
+        sig = set(inspect.signature(getattr(D, meth)).parameters)
+        missing = need - sig
+        assert not missing, f"DeltaTableStore.{meth} lacks {missing}"
+
+    # explicit refusals must raise NotImplementedError BEFORE any
+    # session/table access — loud by construction
+    with _pytest.raises(NotImplementedError):
+        D.read_keys(None, None, [])
+    with _pytest.raises(NotImplementedError):
+        D.auto_maintain(None)
+
+    # the matrix is exhaustive: every public parquet-store method is on
+    # the delta store OR in this documented exemption map (the Delta
+    # runtime's native home for the capability). A new method failing
+    # here needs a parity decision, not a bigger exemption by reflex.
+    exempt = {
+        "analyze": "ANALYZE TABLE ... COMPUTE STATISTICS (engine-side)",
+        "column_stats": "reads analyze's output — same native home",
+        "buckets_for_keys": "bucket routing is parquet-store physical "
+                            "layout; Delta prunes via stats/Z-order",
+        "check_constraints": "native home: delta.constraints.* table "
+                             "properties (get_property reads them)",
+        "checkpoint": "the Delta runtime writes its own _last_checkpoint",
+        "compact": "OPTIMIZE (bin-packing) via the Delta runtime",
+        "fold_masks": "no lazy-mask plane on Delta: delete_where/"
+                      "update_where are immediate merge-on-write",
+        "fold_patches": "no patch plane: Delta MERGE routes "
+                        "copy-on-write vs deletion vectors itself",
+        "maintenance_report": "Delta surfaces this via DESCRIBE DETAIL "
+                              "+ history, consumed by the runtime",
+        "merge_delete_keys": "delete_keys kwarg on merge_upsert IS the "
+                             "delta-side surface (whenMatchedDelete)",
+        "read_changes": "native CDF: read with readChangeFeed=true",
+        "read_changes_cdf": "same — requires delta.enableChangeDataFeed",
+        "read_changes_fold": "IVM fold shape over the commit log; on "
+                             "Delta consumers fold native CDF batches",
+        "truncate_log": "delta.logRetentionDuration property",
+    }
+    pub = {
+        n for n, f in vars(V).items()
+        if callable(f) and not n.startswith("_")
+    }
+    dpub = {n for n in dir(D) if not n.startswith("_")}
+    unmapped = sorted(pub - dpub - set(exempt))
+    assert not unmapped, f"no parity row for {unmapped}"
+    # exemptions must not go stale: each names a REAL parquet method
+    stale = sorted(set(exempt) - pub)
+    assert not stale, f"exempt rows for methods that no longer exist: {stale}"
+    # and an exemption must not shadow an implemented method
+    shadowed = sorted(set(exempt) & dpub)
+    assert not shadowed, f"implemented but still exempt: {shadowed}"
