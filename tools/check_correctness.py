@@ -55,8 +55,13 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    vanilla = "--vanilla" in flags
+    window = "--window" in flags  # only the driver's 50-entry window
+    json_out = next(
+        (f.split("=", 1)[1] for f in flags if f.startswith("--json=")), None
+    )
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if vanilla:
@@ -78,7 +83,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window:
+        # the external driver enumerates exactly the first 50 entries
+        qs = {n: qs[n] for n in list(qs)[:50]}
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,9 +99,15 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "error": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "rows-only",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             continue
         try:
             res = con.sql(oracles[name])
@@ -101,6 +116,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "error": str(e)[:200]}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -127,9 +143,23 @@ def main() -> int:
             for p in problems[1:]:
                 print(p)
             failures.append(name)
+            results[name] = {"status": "fail", "error": problems[0][:200]}
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
     print()
+    if json_out:
+        import json as _json
+
+        Path(json_out).write_text(
+            _json.dumps({"sf_dir": sf_dir, "results": results}, indent=1)
+            + "\n"
+        )
+        print(f"wrote {json_out}")
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1

@@ -134,6 +134,40 @@ def main() -> int:
     if before != after:
         rc = 1
 
+    # 4. sf0.1 window sweep (VERDICT r9 #5): the driver gate runs sf0.01
+    # and bench runs sf0.1 WITHOUT an oracle — spill paths, partial-agg
+    # thresholds and AQE decisions differ at 10×, so once per round the
+    # 50 window queries' hash comparison runs at sf0.1 and the result is
+    # recorded machine-readable. Run by --full (or --sf01 alone); plain
+    # mode just audits the recorded artifact.
+    sweep_path = REPO / "docs" / "sf01_window_sweep.json"
+    if "--full" in sys.argv or "--sf01" in sys.argv:
+        r = subprocess.run(
+            [sys.executable, "tools/check_correctness.py",
+             "/root/testdata/sf0.1", "--window", f"--json={sweep_path}"],
+            cwd=REPO,
+        )
+        rc = rc or r.returncode
+    if sweep_path.exists():
+        sweep = json.loads(sweep_path.read_text())
+        bad = [
+            n for n, row in sweep["results"].items()
+            if row["status"] == "fail"
+        ]
+        n_pass = sum(
+            1 for row in sweep["results"].values()
+            if row["status"] in ("pass", "rows-only")
+        )
+        if bad:
+            print(f"SF0.1-SWEEP: FAILURES {bad}")
+            rc = 1
+        else:
+            print(f"SF0.1-SWEEP: {n_pass} window entries green at sf0.1")
+    else:
+        print("SF0.1-SWEEP: docs/sf01_window_sweep.json MISSING — run "
+              "tools/round_close.py --sf01 before closing the round")
+        rc = 1
+
     if "--full" in sys.argv:
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/test_rotation_ledger.py",
