@@ -1327,3 +1327,76 @@ def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return probe.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------ OCC concurrent-append race ----
+# r10 flagship: two writers racing on one version must BOTH land
+# without a caller retry loop when their commits commute (blind
+# appends). The race is deterministic — the loser's publish hook lands
+# the rival's commit at the exact conflict instant — and the asserts
+# pin that a conflict really happened and the rebase really absorbed
+# it; the driver then value-hashes the merged table against the plain
+# union the three slices add up to.
+
+_OCC_RACE_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+"""
+
+
+@register(
+    "store_occ_append_race",
+    _OCC_RACE_ORACLE,
+    tags=("store", "concurrency", "flagship"),
+    priority=100,
+)
+def store_occ_append_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC auto-rebase == the union every commit-order yields.
+
+    Slices doc_id%3 partition the documents table across three
+    writers: a base load, a rival landing mid-race, and a loser whose
+    commit hits CommitConflictError and auto-rebases
+    (tablestore.py:_publish_append_with_rebase) — blind appends
+    commute, so the merged table must equal ALL documents rows
+    regardless of commit order. Delta retries commuting commits the
+    same way inside commit(); the reference sidesteps racing writers
+    with a 1 h lease (reference:odbc2deltalake/db_to_delta.py:218-229)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import (
+        CommitConflictError,
+        VersionedParquetTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="store_occ_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.write(docs.filter(F.col("doc_id") % 3 == 0), mode="append")
+        rival = VersionedParquetTable(f"{root}/t")
+
+        orig = t.backend.write_text_exclusive
+        seen = {"conflicts": 0, "armed": True}
+
+        def hook(path: str, text: str) -> None:
+            if seen["armed"] and "_commits" in path:
+                seen["armed"] = False
+                rival.write(docs.filter(F.col("doc_id") % 3 == 1))
+            try:
+                return orig(path, text)
+            except CommitConflictError:
+                seen["conflicts"] += 1
+                raise
+
+        t.backend.write_text_exclusive = hook
+        v = t.write(docs.filter(F.col("doc_id") % 3 == 2), mode="append")
+        # the race genuinely happened AND the rebase absorbed it
+        assert seen["conflicts"] >= 1, "no conflict — race did not fire"
+        assert v == 2 == t.version(), v
+        assert len(t._state_at()["dirs"]) == 3
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

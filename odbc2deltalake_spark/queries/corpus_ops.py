@@ -1451,3 +1451,96 @@ def corpus_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+# ---------------------------------------------------- filter funnel ----
+# The C4-style cleaning funnel as ONE bounded aggregate: six cumulative
+# gates (length floor/cap, terminal punctuation, word-count floor,
+# mean-word-length band, digit cap) and a 7-row report of how many
+# documents survive each stage. Every gate is integer arithmetic
+# (length differences, cross-multiplied ratios) so the cross-engine
+# hash is exact; the whole query is one map + one global aggregate of
+# seven counters — map-side partials, output size fixed at 7 rows
+# regardless of corpus size.
+
+_FUNNEL_STAGES = [
+    ("min_length", None),       # length(text) >= 100
+    ("max_length", None),       # length(text) <= 20000
+    ("terminal_punct", None),   # contains a period
+    ("min_words", None),        # >= 20 whitespace tokens
+    ("mean_word_len", None),    # 2 <= chars/word <= 12 (cross-multiplied)
+    ("digit_cap", None),        # digits <= 20% of chars
+]
+
+
+def _funnel_oracle() -> str:
+    nw = r"len(regexp_split_to_array(trim(text), '\s+'))"
+    nd = "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+    gates = [
+        "length(text) >= 100",
+        "length(text) <= 20000",
+        "contains(text, '.')",
+        f"{nw} >= 20",
+        f"(length(text) <= 12 * {nw} AND length(text) >= 2 * {nw})",
+        f"{nd} * 5 <= length(text)",
+    ]
+    cum = []
+    acc = []
+    for g in gates:
+        acc.append(f"({g})")
+        cum.append(" AND ".join(acc))
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS c{i + 1}"
+        for i, c in enumerate(cum)
+    )
+    rows = [
+        "SELECT 0 AS stage_idx, 'raw' AS stage, c0 AS docs_in, "
+        "c0 AS docs_kept, CAST(0 AS BIGINT) AS docs_dropped FROM f"
+    ]
+    for i, (name, _) in enumerate(_FUNNEL_STAGES):
+        rows.append(
+            f"SELECT {i + 1}, '{name}', c{i}, c{i + 1}, c{i} - c{i + 1} FROM f"
+        )
+    return (
+        f"WITH f AS (SELECT CAST(count(*) AS BIGINT) AS c0, {sums} "
+        f"FROM documents)\n" + "\nUNION ALL ".join(rows)
+    )
+
+
+@register(
+    "corpus_filter_funnel", _funnel_oracle(), tags=("corpus", "text"),
+    priority=100,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-gate funnel == the same CASE-sum report in SQL.
+
+    Scale shape: one scan, seven conditional counters folded map-side,
+    a 7-row stack at the end — the per-stage attrition report a corpus
+    build publishes next to its output. No joins, no windows, no
+    data-proportional output."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nw = F.size(F.split(F.trim(text), r"\s+"))
+    ndig = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    gates = [
+        F.length(text) >= 100,
+        F.length(text) <= 20000,
+        text.contains("."),
+        nw >= 20,
+        (F.length(text) <= 12 * nw) & (F.length(text) >= 2 * nw),
+        ndig * 5 <= F.length(text),
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("c0")]
+    acc = None
+    for i, g in enumerate(gates):
+        acc = g if acc is None else (acc & g)
+        aggs.append(F.sum(acc.cast("long")).cast("long").alias(f"c{i + 1}"))
+    one = docs.agg(*aggs)
+    parts = ["0, 'raw', c0, c0, CAST(0 AS BIGINT)"]
+    for i, (name, _) in enumerate(_FUNNEL_STAGES):
+        parts.append(f"{i + 1}, '{name}', c{i}, c{i + 1}, c{i} - c{i + 1}")
+    stack = (
+        f"stack({len(parts)}, " + ", ".join(parts)
+        + ") as (stage_idx, stage, docs_in, docs_kept, docs_dropped)"
+    )
+    return one.select(F.expr(stack))

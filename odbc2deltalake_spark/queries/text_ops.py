@@ -834,3 +834,80 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("avg_nll"), 2).alias("ppl"),
         (F.col("avg_nll") <= F.col("c")).alias("kept"),
     )
+
+
+# ------------------------------------------------ letter entropy ----
+# Character-distribution entropy over the fixed a-z alphabet — the
+# CCNet-style gibberish gate (keyboard mash and base64 blobs have flat
+# distributions; natural language sits near its language's letter
+# entropy). Fixed alphabet keeps the whole computation a per-row JVM
+# fold: 26 replace-and-measure counts, one explicit 26-term entropy
+# sum — zero shuffles, zero explodes, and the SAME left-associative
+# summation order in Spark and the SQL oracle so the float arithmetic
+# agrees to well inside the rounding.
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _letter_entropy_oracle() -> str:
+    counts = ", ".join(
+        f"(length(lt) - length(replace(lt, '{ch}', ''))) AS c_{ch}"
+        for ch in _LETTERS
+    )
+    total = " + ".join(f"c_{ch}" for ch in _LETTERS)
+    terms = " + ".join(
+        f"(CASE WHEN c_{ch} > 0 THEN (c_{ch} / CAST(n_letters AS DOUBLE)) "
+        f"* ln(c_{ch} / CAST(n_letters AS DOUBLE)) ELSE 0.0 END)"
+        for ch in _LETTERS
+    )
+    return f"""
+WITH lows AS (SELECT doc_id, lower(text) AS lt FROM documents),
+counts AS (SELECT doc_id, {counts} FROM lows),
+tot AS (SELECT *, CAST({total} AS BIGINT) AS n_letters FROM counts)
+SELECT doc_id, n_letters, round(-({terms}), 4) AS letter_entropy
+FROM tot
+WHERE n_letters > 0
+"""
+
+
+@register(
+    "text_letter_entropy", _letter_entropy_oracle(), tags=("text", "corpus"),
+    priority=100,
+)
+def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document a-z letter entropy == the same 26-term fold in SQL.
+
+    Scale shape: a pure map — every count is a length-difference after
+    a literal (non-regex) replace, the entropy is one explicit
+    26-term expression, all inside whole-stage codegen; no explode, no
+    groupBy, no window. At 100 TB this runs at scan speed with zero
+    shuffle bytes (the explode-per-char formulation would shuffle
+    ~|corpus| rows to count the same thing)."""
+    import functools
+
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    counts = {
+        ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit(""))))
+        for ch in _LETTERS
+    }
+    n = functools.reduce(
+        lambda a, b: a + b, (counts[ch] for ch in _LETTERS)
+    ).cast("long")
+    nd = n.cast("double")
+    terms = [
+        F.when(
+            counts[ch] > 0,
+            (counts[ch] / nd) * F.log(counts[ch] / nd),
+        ).otherwise(F.lit(0.0))
+        for ch in _LETTERS
+    ]
+    ent = -functools.reduce(lambda a, b: a + b, terms)
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_letters"),
+            F.round(ent, 4).alias("letter_entropy"),
+        )
+        .filter(F.col("n_letters") > 0)
+    )

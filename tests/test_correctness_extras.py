@@ -235,6 +235,8 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_lang_id",
     # r10 trailing-sort removal (VERDICT r9 finding #1)
     "text_quality_classifier",
+    # r10 new operators
+    "store_occ_append_race", "text_letter_entropy", "corpus_filter_funnel",
 ]
 
 _SLICE_SIZE = 8

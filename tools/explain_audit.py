@@ -360,6 +360,11 @@ AUDIT = [
     "corpus_length_histogram",
     # r9: provenance cross-tab (cells + one-row broadcast total)
     "corpus_source_lang_matrix",
+    # r10: fixed-alphabet letter entropy (pure map, zero shuffle) and
+    # the C4-style gate funnel (one scan, 7 conditional counters,
+    # 7-row stack)
+    "text_letter_entropy",
+    "corpus_filter_funnel",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
@@ -457,6 +462,13 @@ EXCLUDED = {
         "MaterializedAggregate machinery and read==recompute across "
         "re-key/empty-group mutations is pinned by "
         "tests/test_materialized_distinct.py"
+    ),
+    "store_occ_append_race": (
+        "three-commit concurrent-writer lifecycle with an injected "
+        "same-version race executed at build; returns a checkpointed "
+        "frame — the read is the already-audited snapshot scan, and "
+        "the OCC conflict matrix is pinned per cell in "
+        "tests/test_occ_rebase.py"
     ),
 }
 
