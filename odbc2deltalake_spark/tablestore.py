@@ -5496,6 +5496,43 @@ class VersionedParquetTable(TableStore):
             }
             for child in bucket_children
         ]
+        # preserve the table's bloom index through EVERY bucket rewrite
+        # (r10): a merge that silently dropped the per-file bitmaps
+        # would degrade point lookups after each CDC cycle — the same
+        # preservation rule compact/fold_masks already follow. One
+        # collection pass over the whole just-written top dir (bitmaps
+        # split per bucket child afterwards), paid only on tables that
+        # carry a bloom index.
+        bloom_cols = sorted(
+            {
+                c
+                for d in (self._state_at()["dirs"] if self.exists() else [])
+                for c in ((d.get("bloom") or {}).get("types") or {})
+                if c in df.columns
+            }
+        )
+        if bloom_cols and bucket_children:
+            bl = self._collect_file_blooms(
+                spark, out_path, df.schema, bloom_cols, None
+            )
+            if bl and bl.get("files"):
+                by_child: dict[str, dict[str, Any]] = {}
+                for rel, per in bl["files"].items():
+                    child, _, inner = rel.partition("/")
+                    if inner:
+                        by_child.setdefault(child, {})[inner] = per
+                for e in dirs_added:
+                    files = by_child.get(e["dir"].split("/", 1)[1])
+                    if files:
+                        e["bloom"] = self._bloom_field(
+                            {
+                                "m": bl["m"],
+                                "k": bl["k"],
+                                "types": bl["types"],
+                                "files": files,
+                            },
+                            e["dir"],
+                        )
         commit = {
             "version": new_version,
             "mode": "merge" if replace is not None else "overwrite",

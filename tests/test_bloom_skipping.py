@@ -342,3 +342,72 @@ def test_null_probe_and_null_values_are_safe(spark, tmp_path):
     # the residual filter returns the SQL-correct empty result
     assert t.read(spark, skip_where=("key", "=", None)).count() == 0
     assert [r["tag"] for r in t.read(spark, skip_where=("key", "=", 3)).collect()] == [None]
+
+
+def test_merge_preserves_bloom_index(spark, tmp_path):
+    """r10: EVERY bucket rewrite re-collects the table's bloom index for
+    the dirs it writes — bucketization, partial merges, and keyed
+    deletes included — so point lookups keep their file cut after each
+    CDC cycle instead of silently degrading (the preservation rule
+    compact/fold_masks already follow)."""
+    t = _t(spark, tmp_path)
+    # full conversion to bucketed layout: new bucket dirs carry blooms
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(99999, 7, "u99999")], "key long, part int, tag string"
+        ),
+        ["key"],
+        num_buckets=4,
+    )
+    st = t._state_at()
+    assert st["dirs"] and all(d.get("bucket") is not None for d in st["dirs"])
+    bloomed = [d for d in st["dirs"] if d.get("bloom")]
+    assert bloomed, "bucketization dropped the bloom index"
+    assert all(
+        set(d["bloom"]["types"]) == {"key", "tag"} for d in bloomed
+    )
+    # the bloom still cuts: a one-key probe opens a file subset
+    all_files = set(t.read(spark).inputFiles())
+    probe = t.read(spark, skip_where=("key", "=", 1234))
+    assert set(probe.inputFiles()) < all_files
+    assert [r["tag"] for r in probe.collect()] == ["u1234"]
+
+    # partial merge: the rewritten buckets' NEW dirs re-collect blooms
+    dirs_before = {d["dir"] for d in st["dirs"]}
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame(
+            [(1234, 2, "u1234x")], "key long, part int, tag string"
+        ),
+        ["key"],
+    )
+    st2 = t._state_at()
+    new_dirs = [d for d in st2["dirs"] if d["dir"] not in dirs_before]
+    assert new_dirs, "partial merge rewrote nothing"
+    assert all(d.get("bloom") for d in new_dirs)
+    # probe reflects the upsert and still prunes
+    probe2 = t.read(spark, skip_where=("tag", "=", "u1234x"))
+    assert [r["key"] for r in probe2.collect()] == [1234]
+    assert set(probe2.inputFiles()) < set(t.read(spark).inputFiles())
+    # absent-value probe is refuted by the fresh bitmaps
+    assert t.read(spark, skip_where=("tag", "=", "u1234")).count() == 0
+
+
+def test_merge_without_bloom_index_collects_nothing(spark, tmp_path):
+    """No index, no pass: a table written without bloom_cols must not
+    pay the collection scan on merges (entries carry no bloom field)."""
+    t = VersionedParquetTable(tmp_path / "plain")
+    t.write(
+        spark.range(100).select(
+            F.col("id").alias("key"), F.lit("x").alias("tag")
+        ),
+        mode="append",
+    )
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(5, "y")], "key long, tag string"),
+        ["key"],
+        num_buckets=2,
+    )
+    assert all(not d.get("bloom") for d in t._state_at()["dirs"])
