@@ -242,6 +242,47 @@ def _bench_store_maintenance(spark, sf_dir: str) -> dict[str, float]:
         ).count()
         out["store_bloom_lookup"] = round(time.time() - t0, 3)
         assert got <= len(probe_ids)
+        # r10 trend line: a bucket rewrite on a bloom-indexed table pays
+        # one bitmap re-collection pass — regressions here mean the
+        # preservation scan leaked into O(table) work per merge
+        t0 = time.time()
+        bt.merge_upsert(
+            spark,
+            ev.filter(F.col("event_id") % 89 == 0),
+            ["event_id"],
+            num_buckets=8,
+        )
+        out["store_merge_bloom"] = round(time.time() - t0, 3)
+        assert any(d.get("bloom") for d in bt._state_at()["dirs"])
+        # r10 trend line: OCC auto-rebase overhead — an append racing a
+        # rival must land via rebase in metadata time (a regression
+        # means the rebase re-ran data work or the conflict escaped)
+        from odbc2deltalake_spark.tablestore import (  # noqa: PLC0415
+            VersionedParquetTable as _VPT,
+        )
+
+        ot = _VPT(dest + "/o")
+        ot.write(ev.select("event_id", "user_id").limit(1000), mode="append")
+        rival = _VPT(dest + "/o")
+        orig_x = ot.backend.write_text_exclusive
+        armed = {"on": True}
+
+        def _race_hook(path, text):
+            if armed["on"] and "_commits" in path:
+                armed["on"] = False
+                rival.write(
+                    ev.select("event_id", "user_id").limit(10),
+                    mode="append",
+                )
+            return orig_x(path, text)
+
+        ot.backend.write_text_exclusive = _race_hook
+        t0 = time.time()
+        v = ot.write(
+            ev.select("event_id", "user_id").limit(10), mode="append"
+        )
+        out["store_occ_rebase"] = round(time.time() - t0, 3)
+        assert v == 2, v
     finally:
         shutil.rmtree(dest, ignore_errors=True)
     return out
