@@ -817,7 +817,7 @@ class VersionedParquetTable(TableStore):
 
     def _commutes_with_blind_append(
         self, c: dict[str, Any], my_schema_json: Optional[str],
-        my_prop_keys: set[str],
+        my_prop_keys: set[str], allow_mask: bool = False,
     ) -> bool:
         """Whether intervening commit record ``c`` provably commutes with
         a blind append that aligned itself to ``my_schema_json``.
@@ -833,9 +833,21 @@ class VersionedParquetTable(TableStore):
         idempotent retry must re-check, not blindly re-land), and two
         identity-assigning writers drew from the same high-water mark so
         their generated values can collide. Everything that edits or
-        rewrites EXISTING rows (mask / patch / merge / overwrite /
-        restore) reorders against an append at read time — refused."""
-        if c.get("mode") != "append":
+        rewrites EXISTING rows (patch / merge / overwrite / restore)
+        reorders against an append at read time — refused. An
+        intervening lazy MASK commutes with an append or props commit
+        (``allow_mask=True``: the mask's ``dirs_masked`` pins its row
+        set and my new dir is not in it) but NOT with another mask (an
+        UPDATE mask transforms the values a later mask's predicate
+        reads through — commit order changes the result)."""
+        mode = c.get("mode")
+        if mode == "mask":
+            return allow_mask and (
+                c.get("schema") is None
+                or my_schema_json is None
+                or c["schema"] == my_schema_json
+            )
+        if mode != "append":
             return False
         sch = c.get("schema")
         if sch is not None and my_schema_json is not None and sch != my_schema_json:
@@ -854,7 +866,9 @@ class VersionedParquetTable(TableStore):
         return True
 
     def _publish_append_with_rebase(self, commit: dict[str, Any]) -> int:
-        """Publish an append commit, auto-rebasing past commuting racers.
+        """Publish a commit whose effect commutes with blind appends
+        (a data/metadata append, or a lazy mask — whose ``dirs_masked``
+        pins its row set), auto-rebasing past commuting racers.
 
         On :class:`CommitConflictError`, every commit that landed at or
         above my version is classified by
@@ -866,6 +880,9 @@ class VersionedParquetTable(TableStore):
         today's refuse-and-recompute contract intact."""
         my_props = set(commit.get("set_props") or {})
         my_schema = commit.get("schema")
+        # an intervening mask only conflicts with another mask (SET
+        # read-through); appends and props commits sail over it
+        allow_mask = commit.get("mode") != "mask"
         for _ in range(self.MAX_REBASE_ATTEMPTS):
             try:
                 self._write_commit(commit)
@@ -877,7 +894,8 @@ class VersionedParquetTable(TableStore):
                     if v < commit["version"]:
                         continue
                     if not self._commutes_with_blind_append(
-                        self._read_commit(v), my_schema, my_props
+                        self._read_commit(v), my_schema, my_props,
+                        allow_mask=allow_mask,
                     ):
                         raise
                 commit["version"] = head + 1
@@ -2700,8 +2718,15 @@ class VersionedParquetTable(TableStore):
         }
         if set_exprs is not None:
             commit["set_exprs"] = dict(set_exprs)
-        self._write_commit(commit)
-        summary["version"] = new_version
+        # a lazy mask commutes with blind appends: dirs_masked pins the
+        # exact dirs the predicate was evaluated against, so rows a
+        # racing append lands are untouched either way — exactly the
+        # delete-before-append serialization both orders agree on
+        # (concurrent GDPR erasure vs CDC load must not conflict). The
+        # commit's schema statement keeps the classifier refusing
+        # schema-changing racers; any other row mutation refuses too
+        # (two masks can read through each other's SET transforms).
+        summary["version"] = self._publish_append_with_rebase(commit)
         return summary
 
     def fold_masks(self, spark: SparkSession) -> int:

@@ -161,12 +161,13 @@ def test_append_vs_constraint_add_refused(spark, root):
     assert _rows(spark, VersionedParquetTable(root)) == [(1, 10), (2, 20)]
 
 
-@pytest.mark.parametrize("plane", ["mask", "patch", "merge", "overwrite"])
+@pytest.mark.parametrize("plane", ["patch", "merge", "overwrite"])
 def test_append_vs_row_mutation_planes_refused(spark, root, plane, monkeypatch):
-    """The three mutation planes (DML mask, merge-on-read patch, bucket
-    merge) plus overwrite all reorder against an append at read time —
-    every one must refuse the rebase, same-version race pinned
-    deterministically."""
+    """Merge-on-read patches, bucket merges, and overwrites all reorder
+    against an append at read time — every one must refuse the rebase,
+    same-version race pinned deterministically. (A lazy MASK is the
+    exception — its dirs_masked pins its row set, see the commute test
+    below.)"""
     monkeypatch.setattr(VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 1)
     t1 = VersionedParquetTable(root)
     t1.merge_upsert(
@@ -174,7 +175,6 @@ def test_append_vs_row_mutation_planes_refused(spark, root, plane, monkeypatch):
     )
     rival = VersionedParquetTable(root)
     fns = {
-        "mask": lambda: rival.delete_where(spark, ("id", "=", 1), lazy=True),
         "patch": lambda: rival.merge_upsert(
             spark, _df(spark, [(2, 99)]), ["id"], strategy="patch"
         ),
@@ -190,6 +190,20 @@ def test_append_vs_row_mutation_planes_refused(spark, root, plane, monkeypatch):
         t1.write(_df(spark, [(3, 30)]))
     # the rival's mutation stands and replays cleanly
     VersionedParquetTable(root).read(spark).collect()
+
+
+def test_append_rebases_over_lazy_mask(spark, root):
+    """The symmetric case to mask-over-append: a blind append racing a
+    lazy DELETE lands via rebase — the mask's dirs_masked cannot name
+    the append's new dir, so both orders yield the same table."""
+    t1 = _base(spark, root)
+    rival = VersionedParquetTable(root)
+    _arm_race(t1, lambda: rival.delete_where(spark, ("id", "=", 1), lazy=True))
+    # the appended row MATCHES the rival's delete predicate — and must
+    # survive (the delete pinned its dirs before the append existed)
+    v = t1.write(_df(spark, [(1, 111)]))
+    assert v == 2 == t1.version()
+    assert _rows(spark, t1) == [(1, 111), (2, 20)]
 
 
 def test_identity_assigning_race_refused(spark, root):
@@ -283,3 +297,56 @@ def test_concurrent_props_and_append_threads(spark, root):
     assert t0.version() == 2
     assert t0.get_property("owner") == "propper"
     assert _rows(spark, t0) == [(1, 10), (2, 20), (3, 30)]
+
+
+# ------------------------------------------ lazy-mask commuting races -------
+
+
+def test_lazy_mask_rebases_over_blind_append(spark, root):
+    """A lazy DELETE pins its row set in dirs_masked, so it commutes
+    with a racing blind append: both land, and rows the RIVAL appended
+    survive even when they match the predicate — the delete-before-
+    append serialization both commit orders agree on (concurrent GDPR
+    erasure vs CDC load must not conflict)."""
+    t1 = _base(spark, root)  # (1,10), (2,20)
+    rival = VersionedParquetTable(root)
+    # the rival's appended row MATCHES the delete predicate
+    _arm_race(t1, lambda: rival.write(_df(spark, [(1, 111)])))
+    out = t1.delete_where(spark, ("id", "=", 1), lazy=True)
+    assert out["version"] == 2 == t1.version()
+    got = _rows(spark, t1)
+    # base (1,10) deleted; rival's (1,111) appended after the delete
+    assert got == [(1, 111), (2, 20)]
+
+
+def test_lazy_mask_vs_lazy_mask_refused(spark, root):
+    """Two racing masks refuse: an UPDATE mask transforms the values a
+    later DELETE predicate reads through, so commit order changes the
+    result — not commuting."""
+    t1 = _base(spark, root)
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival.update_where(
+            spark, {"v": "v + 1"}, ("id", "=", 2), lazy=True
+        ),
+    )
+    with pytest.raises(CommitConflictError):
+        t1.delete_where(spark, ("v", "=", 21), lazy=True)
+    # the rival's update stands and replays cleanly
+    assert _rows(spark, VersionedParquetTable(root)) == [(1, 10), (2, 21)]
+
+
+def test_lazy_mask_vs_widening_append_refused(spark, root):
+    """A schema-widening racer refuses the mask rebase: the mask commit
+    re-states ITS schema at a higher version, which would silently roll
+    the widening back on replay."""
+    t1 = _base(spark, root)
+    rival = VersionedParquetTable(root)
+    wide = spark.createDataFrame([(9, 90, "x")], "id long, v long, tag string")
+    _arm_race(t1, lambda: rival.write(wide, merge_schema=True))
+    with pytest.raises(CommitConflictError):
+        t1.delete_where(spark, ("id", "=", 1), lazy=True)
+    assert VersionedParquetTable(root).schema().fieldNames() == [
+        "id", "v", "tag",
+    ]
