@@ -5521,17 +5521,44 @@ class VersionedParquetTable(TableStore):
             }
             for child in bucket_children
         ]
-        # preserve the table's bloom index through EVERY bucket rewrite
-        # (r10): a merge that silently dropped the per-file bitmaps
-        # would degrade point lookups after each CDC cycle — the same
-        # preservation rule compact/fold_masks already follow. One
-        # collection pass over the whole just-written top dir (bitmaps
-        # split per bucket child afterwards), paid only on tables that
-        # carry a bloom index.
+        # preserve the table's skipping metadata through EVERY bucket
+        # rewrite (r10): a merge that silently dropped the per-file
+        # stats or bloom bitmaps would degrade reads after each CDC
+        # cycle — the same preservation rule compact/fold_masks already
+        # follow. Stats come from the just-written parquet FOOTERS
+        # (driver-side metadata, zero jobs) for the bucket keys plus
+        # every column a replaced dir carried stats for; blooms are one
+        # collection pass over the whole top dir (split per bucket
+        # child afterwards), paid only on tables that carry an index.
+        prior_dirs = self._state_at()["dirs"] if self.exists() else []
+        stat_cols = sorted(
+            (
+                set(key_cols)
+                | {
+                    c
+                    for d in prior_dirs
+                    for s in (d.get("stats") or {}).values()
+                    for c in s
+                }
+            )
+            & set(df.columns)
+        )
+        if stat_cols and bucket_children:
+            fstats = self._footer_file_stats(out_path, stat_cols)
+            if fstats:
+                by_child_stats: dict[str, dict[str, Any]] = {}
+                for rel, per in fstats.items():
+                    child, _, inner = rel.partition("/")
+                    if inner:
+                        by_child_stats.setdefault(child, {})[inner] = per
+                for e in dirs_added:
+                    per = by_child_stats.get(e["dir"].split("/", 1)[1])
+                    if per:
+                        e["stats"] = per
         bloom_cols = sorted(
             {
                 c
-                for d in (self._state_at()["dirs"] if self.exists() else [])
+                for d in prior_dirs
                 for c in ((d.get("bloom") or {}).get("types") or {})
                 if c in df.columns
             }

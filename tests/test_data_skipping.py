@@ -557,3 +557,47 @@ def test_skip_where_empty_list_is_no_predicate(spark, tmp_path):
     t = VersionedParquetTable(tmp_path / "t")
     t.write(spark.range(10).selectExpr("id as k"), mode="append")
     assert t.read(spark, skip_where=[]).count() == 10
+
+
+def test_merge_bucket_dirs_carry_footer_stats(spark, tmp_path):
+    """r10: bucket rewrites record per-file [min, max] for the bucket
+    keys (plus any column a replaced dir had stats for) straight from
+    the just-written parquet footers — so skip_where range reads and
+    read_keys' in-probe keep pruning files INSIDE surviving buckets
+    after every merge, instead of degrading to whole-bucket scans."""
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+    from pyspark.sql import functions as F
+
+    t = VersionedParquetTable(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # the pre-merge table carries per-file stats on v; the conversion
+    # must preserve v AND add the bucket key k
+    t.write(df, mode="append", stats_cols=["v"], per_file_stats=True)
+    t.merge_upsert(spark, df, ["k"], num_buckets=4)
+    st = t._state_at()
+    assert all(d.get("bucket") is not None for d in st["dirs"])
+    for d in st["dirs"]:
+        stats = d.get("stats") or {}
+        files = [f for f in stats if f != ""]
+        assert files, f"bucket dir {d['dir']} carries no per-file stats"
+        assert all("k" in stats[f] for f in files)
+    # the stats actually cut: an out-of-range probe drops every dir
+    assert (
+        t.read(spark, skip_where=("k", ">", 10_000_000)).inputFiles() == []
+    )
+    # a partial merge's NEW dirs carry stats too — including columns
+    # the replaced dirs had (v came from the conversion's stat set)
+    before = {d["dir"] for d in st["dirs"]}
+    t.merge_upsert(
+        spark,
+        spark.createDataFrame([(7, 777)], "k long, v long"),
+        ["k"],
+    )
+    new = [d for d in t._state_at()["dirs"] if d["dir"] not in before]
+    assert new and all(d.get("stats") for d in new)
+    assert all(
+        {"k", "v"} <= set(next(iter((d["stats"]).values())))
+        for d in new
+    )
