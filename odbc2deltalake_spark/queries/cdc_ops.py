@@ -1400,3 +1400,73 @@ def store_occ_append_race(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- post-merge bloom point lookup ----
+# r10 second wave: a bucket rewrite re-collects the table's bloom
+# bitmaps (tablestore.py:_write_bucketized), so a point lookup on a
+# table whose ENTIRE layout came from merges still cuts files — the
+# capability store_point_lookup pins for plain writes, pinned here
+# through the merge path. Hash-bucketed keys make interval stats
+# useless by construction (every bucket file spans the full id range);
+# only the re-collected blooms can prune, and the upsert's new values
+# must be probeable while the overwritten ones refute.
+
+_MERGE_BLOOM_ORACLE = """
+WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 101 = 0 THEN 'patched' ELSE d.lang END AS lang,
+       d.source, d.n_chars
+FROM documents d, m
+WHERE d.doc_id IN (0, m.mx // 3, m.mx // 2, m.mx)
+"""
+
+
+@register(
+    "store_merge_bloom_lookup",
+    _MERGE_BLOOM_ORACLE,
+    tags=("store", "skipping"),
+    priority=100,
+)
+def store_merge_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned id lookup AFTER a merge == the same IN-list over the
+    base rows with the upsert folded in.
+
+    Write with bloom_cols, convert to bucketized layout via merge, then
+    partial-merge an upsert — both rewrites must re-collect the per-file
+    bitmaps (a silent bloom loss fails the file-cut assert before the
+    driver ever hashes rows)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    mx = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    ids = sorted({0, mx // 3, mx // 2, mx})
+    root = tempfile.mkdtemp(prefix="store_mbloom_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.write(
+            docs.repartition(8, "doc_id"),
+            mode="append",
+            bloom_cols=["doc_id"],
+        )
+        t.merge_upsert(spark, docs, ["doc_id"], num_buckets=8)
+        t.merge_upsert(
+            spark,
+            docs.filter(F.col("doc_id") % 101 == 0).withColumn(
+                "lang", F.lit("patched")
+            ),
+            ["doc_id"],
+        )
+        n_files = len(set(t.read(spark).inputFiles()))
+        probe = t.read(spark, skip_where=("doc_id", "in", ids))
+        n_probe = len(set(probe.inputFiles()))
+        assert n_probe < n_files, (n_probe, n_files)
+        assert n_probe <= len(ids) + 2, (n_probe, ids)  # + FP slack
+        return probe.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -237,6 +237,7 @@ ROUND_TOUCHED_OVERFLOW = [
     "text_quality_classifier",
     # r10 new operators
     "store_occ_append_race", "text_letter_entropy", "corpus_filter_funnel",
+    "store_merge_bloom_lookup",
 ]
 
 _SLICE_SIZE = 8

@@ -470,6 +470,13 @@ EXCLUDED = {
         "the OCC conflict matrix is pinned per cell in "
         "tests/test_occ_rebase.py"
     ),
+    "store_merge_bloom_lookup": (
+        "write + two merges + bloom-pruned read executed at build; "
+        "returns a checkpointed frame — the pruning contract (bitmaps "
+        "re-collected by every bucket rewrite, file cut <= ids + FP "
+        "slack) is asserted INSIDE the query and pinned in "
+        "tests/test_bloom_skipping.py::test_merge_preserves_bloom_index"
+    ),
 }
 
 
