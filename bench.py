@@ -95,6 +95,9 @@ EXTRAS = [
     # r8: delta-join IVM + the DML lifecycle (trend lines from day 1)
     "mv_incremental_join",
     "store_dml_roundtrip",
+    # r10: zero-shuffle letter entropy + the C4 gate funnel
+    "text_letter_entropy",
+    "corpus_filter_funnel",
 ]
 
 
