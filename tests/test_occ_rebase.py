@@ -350,3 +350,139 @@ def test_lazy_mask_vs_widening_append_refused(spark, root):
     assert VersionedParquetTable(root).schema().fieldNames() == [
         "id", "v", "tag",
     ]
+
+
+# ------------------------------------- property: random same-version races --
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# every mutation plane a writer can race on; (kind, needs_target_id)
+_OP_KINDS = [
+    "append", "props", "del_mask", "upd_mask", "patch", "merge", "overwrite",
+]
+
+# which loser kinds land via rebase over which rival kinds — the
+# conflict matrix (docs/commit-format.md §concurrency) as data
+_COMMUTES = {
+    "append": {"append", "props", "del_mask", "upd_mask"},
+    "props": {"append", "props", "del_mask", "upd_mask"},
+    "del_mask": {"append", "props"},
+    "upd_mask": {"append", "props"},
+    # patch / merge / overwrite publish without the rebase: always lose
+    "patch": set(),
+    "merge": set(),
+    "overwrite": set(),
+}
+
+_N_BASE = 8
+
+
+def _apply_model(model: dict[int, int], kind: str, x: int, tag: int) -> None:
+    """Sequential-order semantics for the op that landed FIRST (the
+    rival): computed against the base it read, which IS the current
+    model here."""
+    if kind == "append":
+        model[100 + tag] = tag
+    elif kind == "del_mask":
+        model.pop(x, None)
+    elif kind == "upd_mask":
+        if x in model:
+            model[x] += 100
+    elif kind in ("patch", "merge"):
+        model[x] = 999
+    elif kind == "overwrite":
+        model.clear()
+        model[77] = 7
+    # props: no row effect
+
+
+def _apply_loser_model(model: dict[int, int], base: dict[int, int],
+                       kind: str, x: int, tag: int) -> None:
+    """A REBASED loser's semantics: masks pin their row set against the
+    BASE they were computed on (dirs_masked), so they never touch rows
+    the rival landed — delete-before-append serialization."""
+    if kind == "append":
+        model[100 + tag] = tag
+    elif kind == "del_mask":
+        if x in base:
+            model.pop(x, None)
+    elif kind == "upd_mask":
+        if x in base and x in model:
+            model[x] += 100
+
+
+def _run_op(spark, t, kind: str, x: int, tag: int, prop_key: str):
+    if kind == "append":
+        return t.write(_df(spark, [(100 + tag, tag)]), mode="append")
+    if kind == "props":
+        return t.set_properties({prop_key: str(tag)})
+    if kind == "del_mask":
+        return t.delete_where(spark, ("id", "=", x), lazy=True)
+    if kind == "upd_mask":
+        return t.update_where(spark, {"v": "v + 100"}, ("id", "=", x),
+                              lazy=True)
+    if kind == "patch":
+        return t.merge_upsert(spark, _df(spark, [(x, 999)]), ["id"],
+                              strategy="patch")
+    if kind == "merge":
+        return t.merge_upsert(spark, _df(spark, [(x, 999)]), ["id"],
+                              strategy="rewrite")
+    if kind == "overwrite":
+        return t.write(_df(spark, [(77, 7)]), mode="overwrite")
+    raise AssertionError(kind)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    loser=st.sampled_from(_OP_KINDS),
+    rival=st.sampled_from(_OP_KINDS),
+    x_loser=st.integers(min_value=0, max_value=_N_BASE - 1),
+    x_rival=st.integers(min_value=0, max_value=_N_BASE - 1),
+    same_prop_key=st.booleans(),
+)
+def test_random_same_version_races_match_model(
+    spark, tmp_path_factory, monkeypatch, loser, rival,
+    x_loser, x_rival, same_prop_key,
+):
+    """Any two mutation-plane ops raced on the same version: the loser
+    either lands via rebase (exactly the matrix's commuting cells, with
+    mask semantics pinned to the base row set) or raises
+    CommitConflictError — and the final table equals the model either
+    way. Generalizes the hand-picked matrix-cell tests to arbitrary
+    plane pairs and overlapping target rows."""
+    monkeypatch.setattr(VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 1)
+    root = tmp_path_factory.mktemp("occprop") / f"t{uuid.uuid4().hex[:8]}"
+    t1 = VersionedParquetTable(root)
+    base = {i: 10 * i for i in range(_N_BASE)}
+    t1.merge_upsert(
+        spark, _df(spark, list(base.items())), ["id"], target_bucket_rows=4
+    )
+    t2 = VersionedParquetTable(root)
+
+    # distinct prop keys unless the draw says collide (props-vs-props
+    # is the only pair where the key matters)
+    rival_key = "k" if same_prop_key else "kr"
+    _arm_race(
+        t1, lambda: _run_op(spark, t2, rival, x_rival, tag=1,
+                            prop_key=rival_key)
+    )
+    model = dict(base)
+    _apply_model(model, rival, x_rival, tag=1)
+
+    commutes = rival in _COMMUTES[loser]
+    if loser == "props" and rival == "props" and same_prop_key:
+        commutes = False
+    if commutes:
+        _run_op(spark, t1, loser, x_loser, tag=2, prop_key="k")
+        _apply_loser_model(model, base, loser, x_loser, tag=2)
+    else:
+        with pytest.raises(CommitConflictError):
+            _run_op(spark, t1, loser, x_loser, tag=2, prop_key="k")
+    got = dict(_rows(spark, VersionedParquetTable(root)))
+    assert got == model, (loser, rival, x_loser, x_rival, got, model)
