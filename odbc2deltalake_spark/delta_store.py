@@ -271,10 +271,14 @@ class DeltaTableStore(TableStore):
         store's {version, mode, ...} rows (Delta's operation string maps
         onto the commit mode vocabulary; unknown operations pass through
         lowercased so callers can still order/inspect them)."""
+        # DELETE/UPDATE are row mutations → the store's 'mask' plane;
+        # OPTIMIZE is layout maintenance, not time travel — it passes
+        # through lowercased like any unknown operation so mode-filtering
+        # callers never mistake compaction for a restore (ADVICE r10).
         op_map = {
-            "WRITE": "append", "MERGE": "merge", "DELETE": "restore",
-            "UPDATE": "restore", "RESTORE": "restore",
-            "CREATE TABLE": "append", "OPTIMIZE": "restore",
+            "WRITE": "append", "MERGE": "merge", "DELETE": "mask",
+            "UPDATE": "mask", "RESTORE": "restore",
+            "CREATE TABLE": "append",
         }
         rows = (
             self._dt().history().select("version", "operation").collect()
@@ -297,8 +301,14 @@ class DeltaTableStore(TableStore):
             ts = ts.timestamp()
         hist = self._dt().history().select("version", "timestamp").collect()
         best = None
+        running_max = float("-inf")
         for r in sorted(hist, key=lambda r: int(r["version"])):
-            if r["timestamp"].timestamp() <= ts:
+            # running max over commit timestamps in version order — the
+            # same monotonization the parquet store applies, so a writer
+            # clock regression can never surface a LATER version whose
+            # raw timestamp happens to be <= ts (ADVICE r10)
+            running_max = max(running_max, r["timestamp"].timestamp())
+            if running_max <= ts:
                 best = int(r["version"])
         if best is None:
             raise ValueError(

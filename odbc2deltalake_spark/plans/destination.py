@@ -149,7 +149,16 @@ class DeltaDestination:
                 continue
             maintain = getattr(t, "auto_maintain", None)
             if maintain is not None:
-                out[name] = maintain(spark, vacuum_now=True)
+                # DeltaTableStore defines auto_maintain as a loud refusal
+                # (the window's decision inputs are parquet-store
+                # metadata), so dispatch must catch it — attribute
+                # existence alone would make the fallback unreachable
+                # and fail every Delta-backed load post-write (ADVICE
+                # r10, high).
+                try:
+                    out[name] = maintain(spark, vacuum_now=True)
+                except NotImplementedError:
+                    out[name] = {"vacuum_removed": len(t.vacuum())}
             else:
                 out[name] = {"vacuum_removed": len(t.vacuum())}
         return out

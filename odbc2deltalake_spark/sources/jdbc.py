@@ -56,19 +56,25 @@ def rowversion_to_bigint(b: bytes | bytearray) -> int:
     return int.from_bytes(bytes(b), "big", signed=True)
 
 
-def sql_quote_value(v: Any) -> str:
+def sql_quote_value(v: Any, dialect: str = "tsql") -> str:
     """Literal quoting (reference:odbc2deltalake/query.py:42-55).
-    bytes quote as the signed-bigint equivalent: every binary key
-    surface in this engine (rowversion watermarks, rowversion keyset
-    columns) compares against a ``CAST(... AS BIGINT)`` server
-    expression, so the literal must be the same two's-complement
-    value."""
+    bytes quote as a RAW binary literal (``0x...`` on tsql,
+    ``'\\x...'::bytea`` on postgres) — the bigint normalization is a
+    property of the COLUMN'S hidden type (rowversion/xid pin a
+    server-side CAST), not of the Python value, so it lives in
+    :meth:`JDBCSource._quote_for`. Routing every bytes value through
+    ``rowversion_to_bigint`` here broke non-rowversion (var)binary keys:
+    any length ≠ 8 raised, and an 8-byte value emitted a bigint literal
+    the server would coerce-compare against the raw binary column
+    (ADVICE r10)."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, (bytes, bytearray)):
-        return str(rowversion_to_bigint(v))
+        if dialect == "postgres":
+            return "'\\x" + bytes(v).hex() + "'::bytea"
+        return "0x" + bytes(v).hex()
     if isinstance(v, (int, float)):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"
@@ -145,6 +151,25 @@ class JDBCSource(Source):
             return f"CAST(CAST(t.{self._q(column)} AS TEXT) AS BIGINT)"
         return None
 
+    def _quote_for(self, column: str, v: Any) -> str:
+        """Column-aware literal quoting: a bytes value destined for a
+        hidden-typed column (tsql rowversion/timestamp) must be the
+        bigint-normalized literal, because the t-side of every
+        comparison this engine generates carries the pinned
+        ``CAST(... AS BIGINT)`` (:meth:`_hidden_convert_expr`). Bytes
+        for ANY other column quote as raw binary literals — the server
+        compares binary-to-binary with no coercion surprise (ADVICE
+        r10)."""
+        if isinstance(v, (bytes, bytearray)):
+            info = next(
+                (c for c in (self._col_cache or []) if c.column_name == column),
+                None,
+            )
+            ts = (info.data_type_str if info else "").split("(")[0].lower()
+            if self.dialect == "tsql" and ts in ("rowversion", "timestamp"):
+                return str(rowversion_to_bigint(v))
+        return sql_quote_value(v, self.dialect)
+
     def _select_item(self, column: str) -> str:
         conv = self._hidden_convert_expr(column)
         if conv is not None:
@@ -198,14 +223,14 @@ class JDBCSource(Source):
         )
         ts = (info.data_type_str if info else "").split("(")[0].lower()
         if self.dialect == "postgres" and ts == "xid" and op in (">", ">="):
-            w = sql_quote_value(value)
+            w = self._quote_for(column, value)
             lo = "1" if op == ">" else "0"
             return (
                 f"({expr} >= 3 AND "
                 f"(({expr} - {w} + 4294967296) % 4294967296) "
                 f"BETWEEN {lo} AND 2147483647)"
             )
-        return f"{expr} {op} {sql_quote_value(value)}"
+        return f"{expr} {op} {self._quote_for(column, value)}"
 
     def _key_collate(self, column: str) -> str:
         """Binary-collation pin for string key columns on tsql
@@ -238,7 +263,7 @@ class JDBCSource(Source):
             # rather than ship an unparseable statement to the server
             raise ValueError("keyset_join_sql requires a non-empty key list")
         rows = ", ".join(
-            "(" + ", ".join(sql_quote_value(k[c]) for c in key_cols) + ")"
+            "(" + ", ".join(self._quote_for(c, k[c]) for c in key_cols) + ")"
             for k in keys
         )
         klist = ", ".join(self._q(c) for c in key_cols)

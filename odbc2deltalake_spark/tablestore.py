@@ -836,10 +836,15 @@ class VersionedParquetTable(TableStore):
         rewrites EXISTING rows (patch / merge / overwrite / restore)
         reorders against an append at read time — refused. An
         intervening lazy MASK commutes with an append or props commit
-        (``allow_mask=True``: the mask's ``dirs_masked`` pins its row
-        set and my new dir is not in it) but NOT with another mask (an
-        UPDATE mask transforms the values a later mask's predicate
-        reads through — commit order changes the result)."""
+        (``allow_mask=True``: the mask committed FIRST, so my appended
+        rows landing above it unmasked is exactly commit order) but NOT
+        with another mask (an UPDATE mask transforms the values a later
+        mask's predicate reads through — commit order changes the
+        result). The converse — MY commit being the mask, racing an
+        append — also commutes, with the publish path absorbing the
+        appended dirs into ``dirs_masked`` so erasure stays complete as
+        of its commit version (see
+        :meth:`_publish_append_with_rebase`)."""
         mode = c.get("mode")
         if mode == "mask":
             return allow_mask and (
@@ -865,10 +870,25 @@ class VersionedParquetTable(TableStore):
                 return False
         return True
 
+    @staticmethod
+    def _dirs_added_by_commit(c: dict[str, Any]) -> list[dict[str, Any]]:
+        """Dir entries an append commit made live (the two shapes
+        :meth:`_state_at`'s replay accepts); [] for metadata-only."""
+        if c.get("mode") != "append":
+            return []
+        if c.get("dirs_added"):
+            return list(c["dirs_added"])
+        if c.get("dir"):
+            entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
+            if c.get("partition_by"):
+                entry["partitioned"] = True
+            return [entry]
+        return []
+
     def _publish_append_with_rebase(self, commit: dict[str, Any]) -> int:
         """Publish a commit whose effect commutes with blind appends
-        (a data/metadata append, or a lazy mask — whose ``dirs_masked``
-        pins its row set), auto-rebasing past commuting racers.
+        (a data/metadata append, or a lazy mask), auto-rebasing past
+        commuting racers.
 
         On :class:`CommitConflictError`, every commit that landed at or
         above my version is classified by
@@ -877,7 +897,19 @@ class VersionedParquetTable(TableStore):
         names are opaque uuids referenced by the commit record, never
         parsed for versions), so a rebase is one small JSON write, no
         data rewrite. Any non-commuting racer re-raises, leaving
-        today's refuse-and-recompute contract intact."""
+        today's refuse-and-recompute contract intact.
+
+        A rebased MASK additionally absorbs each intervening append's
+        new dirs into its ``dirs_masked`` — so an erasure that lands at
+        vN masks every matching row committed below vN, including rows
+        a racer appended after the mask's snapshot. Without the
+        extension the mask would exhibit write skew relative to commit
+        order (committed "at vN" yet blind to vN-1 rows — the race
+        Delta refuses with ConcurrentAppendException; ADVICE r10). The
+        extension is sound because the classifier already forces the
+        racer's schema to equal the mask's, so the predicate (and any
+        SET expressions) evaluate over the appended dirs exactly as a
+        sequential mask at head would have."""
         my_props = set(commit.get("set_props") or {})
         my_schema = commit.get("schema")
         # an intervening mask only conflicts with another mask (SET
@@ -889,15 +921,29 @@ class VersionedParquetTable(TableStore):
                 return commit["version"]
             except CommitConflictError:
                 head = self.version()
+                absorbed: list[dict[str, Any]] = []
                 for name in self._commit_names():
                     v = int(name.split(".")[0])
                     if v < commit["version"]:
                         continue
+                    c = self._read_commit(v)
                     if not self._commutes_with_blind_append(
-                        self._read_commit(v), my_schema, my_props,
-                        allow_mask=allow_mask,
+                        c, my_schema, my_props, allow_mask=allow_mask,
                     ):
                         raise
+                    if commit.get("mode") == "mask":
+                        absorbed.extend(self._dirs_added_by_commit(c))
+                if absorbed:
+                    seen = {e["dir"] for e in commit["dirs_masked"]}
+                    commit["dirs_masked"].extend(
+                        {
+                            k: v
+                            for k, v in e.items()
+                            if k in ("dir", "schema", "bucket", "partitioned")
+                        }
+                        for e in absorbed
+                        if e["dir"] not in seen
+                    )
                 commit["version"] = head + 1
         # burst deeper than the retry budget — surface the conflict
         self._write_commit(commit)
@@ -2718,14 +2764,16 @@ class VersionedParquetTable(TableStore):
         }
         if set_exprs is not None:
             commit["set_exprs"] = dict(set_exprs)
-        # a lazy mask commutes with blind appends: dirs_masked pins the
-        # exact dirs the predicate was evaluated against, so rows a
-        # racing append lands are untouched either way — exactly the
-        # delete-before-append serialization both orders agree on
-        # (concurrent GDPR erasure vs CDC load must not conflict). The
-        # commit's schema statement keeps the classifier refusing
-        # schema-changing racers; any other row mutation refuses too
-        # (two masks can read through each other's SET transforms).
+        # a lazy mask commutes with blind appends (concurrent GDPR
+        # erasure vs CDC load must not conflict): on rebase the publish
+        # path ABSORBS each racing append's new dirs into dirs_masked,
+        # so the erasure is complete as of its COMMIT version — every
+        # matching row below vN is masked, whichever writer won the
+        # race (commit-order-consistent; ADVICE r10 closed the
+        # snapshot-pinned write-skew hole). The commit's schema
+        # statement keeps the classifier refusing schema-changing
+        # racers; any other row mutation refuses too (two masks can
+        # read through each other's SET transforms).
         summary["version"] = self._publish_append_with_rebase(commit)
         return summary
 

@@ -303,11 +303,12 @@ def test_concurrent_props_and_append_threads(spark, root):
 
 
 def test_lazy_mask_rebases_over_blind_append(spark, root):
-    """A lazy DELETE pins its row set in dirs_masked, so it commutes
-    with a racing blind append: both land, and rows the RIVAL appended
-    survive even when they match the predicate — the delete-before-
-    append serialization both commit orders agree on (concurrent GDPR
-    erasure vs CDC load must not conflict)."""
+    """A lazy DELETE racing a blind append lands via rebase AND absorbs
+    the racer's new dirs into dirs_masked: the erasure is complete as
+    of its COMMIT version, so even matching rows the rival appended at
+    a lower version are masked — commit-order-consistent, no write
+    skew (ADVICE r10; Delta refuses this race outright, this engine
+    keeps both writers live and still honors the erasure)."""
     t1 = _base(spark, root)  # (1,10), (2,20)
     rival = VersionedParquetTable(root)
     # the rival's appended row MATCHES the delete predicate
@@ -315,8 +316,27 @@ def test_lazy_mask_rebases_over_blind_append(spark, root):
     out = t1.delete_where(spark, ("id", "=", 1), lazy=True)
     assert out["version"] == 2 == t1.version()
     got = _rows(spark, t1)
-    # base (1,10) deleted; rival's (1,111) appended after the delete
-    assert got == [(1, 111), (2, 20)]
+    # base (1,10) deleted AND the rival's matching (1,111) masked too:
+    # a reader at head sees NO row matching the committed erasure
+    assert got == [(2, 20)]
+    # the non-matching remainder of any absorbed dir must survive a
+    # fold (the absorbed dir is filtered, not dropped)
+    t1.fold_masks(spark)
+    assert _rows(spark, VersionedParquetTable(root)) == [(2, 20)]
+
+
+def test_lazy_update_mask_absorbs_racing_append(spark, root):
+    """Same absorption for UPDATE masks: the SET applies to matching
+    rows the racer appended below the mask's commit version, exactly
+    as a sequential update at head would."""
+    t1 = _base(spark, root)  # (1,10), (2,20)
+    rival = VersionedParquetTable(root)
+    _arm_race(t1, lambda: rival.write(_df(spark, [(1, 111), (9, 90)])))
+    out = t1.update_where(spark, {"v": "v + 1000"}, ("id", "=", 1), lazy=True)
+    assert out["version"] == 2 == t1.version()
+    # both the base (1,10) and the rival's (1,111) transformed; the
+    # rival's non-matching (9,90) untouched
+    assert _rows(spark, t1) == [(1, 1010), (1, 1111), (2, 20), (9, 90)]
 
 
 def test_lazy_mask_vs_lazy_mask_refused(spark, root):
@@ -399,16 +419,17 @@ def _apply_model(model: dict[int, int], kind: str, x: int, tag: int) -> None:
 
 def _apply_loser_model(model: dict[int, int], base: dict[int, int],
                        kind: str, x: int, tag: int) -> None:
-    """A REBASED loser's semantics: masks pin their row set against the
-    BASE they were computed on (dirs_masked), so they never touch rows
-    the rival landed — delete-before-append serialization."""
+    """A REBASED loser's semantics are plain sequential semantics at
+    its landing version: a rebased mask absorbs racing appends' dirs
+    into dirs_masked, so it applies to every row committed below it —
+    including rows the rival landed (commit-order-consistent erasure,
+    ADVICE r10)."""
     if kind == "append":
         model[100 + tag] = tag
     elif kind == "del_mask":
-        if x in base:
-            model.pop(x, None)
+        model.pop(x, None)
     elif kind == "upd_mask":
-        if x in base and x in model:
+        if x in model:
             model[x] += 100
 
 

@@ -405,7 +405,28 @@ def test_rowversion_keyset_values_roundtrip_bit_exact():
         rowversion_to_bigint(bytes.fromhex("8000000000000000"))
         == -(2**63)
     )
-    assert sql_quote_value(bytes.fromhex("7fffffffffffffff")) == str(2**63 - 1)
+    # bigint normalization is COLUMN-typed, not value-typed (ADVICE
+    # r10): only a rowversion/timestamp column routes bytes through
+    # rowversion_to_bigint; plain sql_quote_value emits raw binary
+    # literals so non-rowversion (var)binary keys of any length still
+    # quote, and an 8-byte one compares binary-to-binary
+    assert sql_quote_value(bytes.fromhex("7fffffffffffffff")) == "0x7fffffffffffffff"
+    assert sql_quote_value(b"\x01\x02\x03") == "0x010203"
+    assert (
+        sql_quote_value(b"\x01\x02", dialect="postgres") == "'\\x0102'::bytea"
+    )
+    _rv_src = _tsql()
+    _rv_src._col_cache = [
+        ColInfo("rv", T.LongType(), "rowversion", False),
+        ColInfo("vb", T.BinaryType(), "varbinary(16)", False),
+    ]
+    assert _rv_src._quote_for("rv", bytes.fromhex("7fffffffffffffff")) == str(
+        2**63 - 1
+    )
+    assert (
+        _rv_src._quote_for("vb", bytes.fromhex("00112233445566778899aabbccddeeff"))
+        == "0x00112233445566778899aabbccddeeff"
+    )
 
     # --- generated shape: the t-side carries the bigint cast, the
     # VALUES row carries the normalized literal
