@@ -445,7 +445,8 @@ GROUP BY event_type
 """
 
 
-@register("mv_incremental_rollup", _MV_ORACLE, tags=("cdc", "streaming"))
+@register("mv_incremental_rollup", _MV_ORACLE, tags=("cdc", "streaming"),
+          priority=100)  # r11: rotated out (retraction/join/distinct MV rows stay in the window; green r1-r10)
 def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained per-type rollup == one-shot GROUP BY.
 
@@ -1348,8 +1349,7 @@ FROM documents
     "store_occ_append_race",
     _OCC_RACE_ORACLE,
     tags=("store", "concurrency", "flagship"),
-    priority=100,
-)
+)  # r11: promoted into the driver window (r10 flagship)
 def store_occ_append_race(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCC auto-rebase == the union every commit-order yields.
 
@@ -1425,9 +1425,8 @@ WHERE d.doc_id IN (0, m.mx // 3, m.mx // 2, m.mx)
 @register(
     "store_merge_bloom_lookup",
     _MERGE_BLOOM_ORACLE,
-    tags=("store", "skipping"),
-    priority=100,
-)
+    tags=("store", "skipping", "flagship"),
+)  # r11: promoted into the driver window (r10 flagship)
 def store_merge_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned id lookup AFTER a merge == the same IN-list over the
     base rows with the upsert folded in.

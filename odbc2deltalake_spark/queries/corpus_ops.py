@@ -586,7 +586,8 @@ LIMIT {_DSIR_K}
 """
 
 
-@register("corpus_dsir_sample", _DSIR_ORACLE, tags=("corpus",))
+@register("corpus_dsir_sample", _DSIR_ORACLE, tags=("corpus",),
+          priority=100)  # r11: rotated out (sampling family held by corpus_stratified_sample + corpus_e2e_recipe; green r6-r10)
 def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward a target domain.
 
@@ -1509,8 +1510,7 @@ def _funnel_oracle() -> str:
 
 @register(
     "corpus_filter_funnel", _funnel_oracle(), tags=("corpus", "text"),
-    priority=100,
-)
+)  # r11: promoted into the driver window (r10 flagship)
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative quality-gate funnel == the same CASE-sum report in SQL.
 

@@ -177,7 +177,8 @@ FROM documents
 """
 
 
-@register("mm_audio_meta", _AUDIO_ORACLE, tags=("multimodal",))  # r7: promoted (r6 flagship)
+@register("mm_audio_meta", _AUDIO_ORACLE, tags=("multimodal",),
+          priority=100)  # r7: promoted (r6 flagship); r11: rotated out (mm_decode_meta pins the same binary-kernel family; green r7-r10)
 def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV metadata extraction over a synthesized-but-genuine audio
     corpus: rate/channels/bits/frames/duration from RIFF headers, one

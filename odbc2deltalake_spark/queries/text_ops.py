@@ -726,7 +726,8 @@ GROUP BY b.doc_id
 """
 
 
-@register("text_bigram_logprob", _BIGRAM_ORACLE, tags=("text", "corpus"))  # r8: rotated into the driver window
+@register("text_bigram_logprob", _BIGRAM_ORACLE, tags=("text", "corpus"),
+          priority=100)  # r8: rotated in; r11: rotated out (subsumed by text_perplexity_filter, which consumes the same LM; green r8-r10)
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average bigram NLL per document under the corpus's own add-k
     bigram LM: P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V). Documents shorter
@@ -872,8 +873,7 @@ WHERE n_letters > 0
 
 @register(
     "text_letter_entropy", _letter_entropy_oracle(), tags=("text", "corpus"),
-    priority=100,
-)
+)  # r11: promoted into the driver window (r10 flagship)
 def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document a-z letter entropy == the same 26-term fold in SQL.
 

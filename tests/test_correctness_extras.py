@@ -45,20 +45,18 @@ def test_core_set_fits_driver_cap():
                  "ev_range_join", "text_pii_scrub",
                  # r5 rotation: the second-wave LLM-pipeline shapes
                  "dedup_substring_spans",
-                 # r5 in-round rotation: retrieval fusion + DSIR
-                 "corpus_dsir_sample",
-                 # r6 rotation: the round-5 flagship operators (VERDICT r5 #1)
-                 "mv_incremental_rollup", "corpus_leakage_safe_split",
+                 # r6 rotation: the round-5 flagship operators (VERDICT
+                 # r5 #1); mv_incremental_rollup moved to overflow in r11
+                 "corpus_leakage_safe_split",
                  "bm25_search", "corpus_decontaminate_fuzzy",
                  # r7 rotation: the round-6 flagships (VERDICT r6 #4);
-                 # corpus_pack_sequences moved to overflow in r10
-                 "mm_audio_meta",
+                 # corpus_pack_sequences moved to overflow in r10,
+                 # mm_audio_meta in r11
                  "ev_rfm_segments",
                  # r8 rotation: the round-7 flagships + the DML lifecycle
                  # query (VERDICT r7 tasks #2-#3);
                  # corpus_token_budget_select moved to overflow in r10
                  "corpus_e2e_recipe", "dedup_keep_best",
-                 "text_bigram_logprob",
                  "store_dml_roundtrip",
                  # r8 in-round addition: delta-join IVM flagship
                  "mv_incremental_join",
@@ -75,7 +73,12 @@ def test_core_set_fits_driver_cap():
                  # storage flagships + the perplexity filter
                  "store_point_lookup", "store_time_travel",
                  "store_schema_evolution", "mv_incremental_distinct",
-                 "text_perplexity_filter"):
+                 "text_perplexity_filter",
+                 # r11 ninth-wave rotation (VERDICT r10 #1): the r10
+                 # flagships — the OCC-rebase race row, skipping-survives-
+                 # merges, the zero-shuffle entropy scan, the funnel report
+                 "store_occ_append_race", "store_merge_bloom_lookup",
+                 "text_letter_entropy", "corpus_filter_funnel"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -136,7 +139,16 @@ def test_core_set_fits_driver_cap():
                  # text family)
                  "mm_feature_vectors", "dedup_ngram_jaccard",
                  "corpus_pack_sequences", "corpus_token_budget_select",
-                 "text_lang_id"):
+                 "text_lang_id",
+                 # r11 ninth-wave rotation out (each driver-green 3+
+                 # rounds; family representatives stay in-window:
+                 # text_perplexity_filter consumes the same bigram LM as
+                 # text_bigram_logprob, mm_decode_meta pins the
+                 # header-parse kernel family, corpus_stratified_sample +
+                 # corpus_e2e_recipe the sampling family, and the
+                 # retraction/join/distinct MV rows the IVM family)
+                 "text_bigram_logprob", "mm_audio_meta",
+                 "corpus_dsir_sample", "mv_incremental_rollup"):
         assert name in overflow_names
 
 
