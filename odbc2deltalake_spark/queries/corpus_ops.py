@@ -1509,7 +1509,8 @@ def _funnel_oracle() -> str:
 
 
 @register(
-    "corpus_filter_funnel", _funnel_oracle(), tags=("corpus", "text"),
+    "corpus_filter_funnel", _funnel_oracle(),
+    tags=("corpus", "text", "flagship"),
 )  # r11: promoted into the driver window (r10 flagship)
 def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative quality-gate funnel == the same CASE-sum report in SQL.

@@ -695,7 +695,7 @@ LIMIT {_TOP_K}
 
 
 @register("sim_ann_ivfpq_search", _IVFPQ_ORACLE,
-          tags=("similarity", "index"))  # r9: promoted to the driver window (sixth-wave rotation)
+          tags=("similarity", "index", "flagship"))  # r9: promoted to the driver window (sixth-wave rotation)
 def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 by squared L2 for the fixed probe, THROUGH the IVF-PQ
     index in exact mode (nprobe = all cells, candidates = corpus). The

@@ -872,7 +872,8 @@ WHERE n_letters > 0
 
 
 @register(
-    "text_letter_entropy", _letter_entropy_oracle(), tags=("text", "corpus"),
+    "text_letter_entropy", _letter_entropy_oracle(),
+    tags=("text", "corpus", "flagship"),
 )  # r11: promoted into the driver window (r10 flagship)
 def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document a-z letter entropy == the same 26-term fold in SQL.

@@ -1194,6 +1194,9 @@ def test_delta_store_parity_matrix_covers_full_public_surface():
                   "overwrite_schema", "partition_by"},
         "history": set(),
         "version_at_timestamp": {"ts"},
+        "check_constraints": set(),
+        "set_check_constraint": {"name", "predicate"},
+        "drop_check_constraint": {"name"},
     }.items():
         sig = set(inspect.signature(getattr(D, meth)).parameters)
         missing = need - sig
@@ -1215,8 +1218,6 @@ def test_delta_store_parity_matrix_covers_full_public_surface():
         "column_stats": "reads analyze's output — same native home",
         "buckets_for_keys": "bucket routing is parquet-store physical "
                             "layout; Delta prunes via stats/Z-order",
-        "check_constraints": "native home: delta.constraints.* table "
-                             "properties (get_property reads them)",
         "checkpoint": "the Delta runtime writes its own _last_checkpoint",
         "compact": "OPTIMIZE (bin-packing) via the Delta runtime",
         "fold_masks": "no lazy-mask plane on Delta: delete_where/"
@@ -1246,3 +1247,37 @@ def test_delta_store_parity_matrix_covers_full_public_surface():
     # and an exemption must not shadow an implemented method
     shadowed = sorted(set(exempt) & dpub)
     assert not shadowed, f"implemented but still exempt: {shadowed}"
+
+
+def test_delta_check_constraint_sql_round_trips():
+    """VERDICT r10 #4: the delta store's CHECK-constraint translation
+    round-trips — the canonical SQL it emits for ADD CONSTRAINT parses
+    back (from where Delta stores it: the delta.constraints.* table
+    property) to the exact conjunct shape the parquet store's
+    check_constraints() returns. Classmethod-level, so it runs without
+    delta-spark installed — the grammar is the contract."""
+    import datetime
+
+    import importlib
+
+    D = importlib.import_module("odbc2deltalake_spark.delta_store").DeltaTableStore
+
+    cases = [
+        [("qty", ">=", 0)],
+        [("qty", ">", 0), ("price", "<=", 99.5)],
+        [("flag", "=", True), ("state", "!=", "x'); DROP")],
+        [("state", "in", ["a", "b''c", "d"])],
+        [("n", "in", [1, 2, 3]), ("s", "<>", "it's")],
+        [("d", ">=", datetime.date(2024, 1, 2))],
+        [("ts", "<", datetime.datetime(2024, 1, 2, 3, 4, 5, 123456))],
+    ]
+    for conj in cases:
+        sql = D._check_sql(conj)
+        assert D._parse_check_sql(sql) == conj, (conj, sql)
+
+    # a foreign (non-canonical) expression refuses loudly, never
+    # misparses — enforcement still lives in the Delta runtime
+    for foreign in ("qty > 0 OR price < 1", "length(s) < 10",
+                    "`a` BETWEEN 1 AND 2"):
+        with _pytest.raises(NotImplementedError):
+            D._parse_check_sql(foreign)

@@ -85,7 +85,20 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if window:
         # the external driver enumerates exactly the first 50 entries
-        qs = {n: qs[n] for n in list(qs)[:50]}
+        keep = list(qs)[:50]
+        if "--flagships" in flags:
+            # VERDICT r10 #6: flagship-tagged OVERFLOW entries keep
+            # sf0.1 oracle coverage across rotation churn — eviction
+            # from the window must never silently drop the bench-scale
+            # check for an operator the round shipped as a headliner
+            from odbc2deltalake_spark.queries import registry as _reg
+
+            keep += [
+                s.name
+                for s in _reg.ordered_specs()
+                if s.priority >= 100 and "flagship" in s.tags
+            ]
+        qs = {n: qs[n] for n in keep}
     failures = []
     results: dict[str, dict] = {}
     for name, fn in qs.items():

@@ -110,6 +110,10 @@ def main() -> int:
             "raw_total_sec": head.get("value"),
             "host_canary_sec": canary,
             "normalized_total_sec": norm,
+            "workload_canary_sec": head.get("workload_canary_sec"),
+            "workload_normalized_total_sec": head.get(
+                "workload_normalized_total_sec"
+            ),
             "n_queries": len(head.get("queries", {})),
             "sf": head.get("sf"),
         })
@@ -120,6 +124,37 @@ def main() -> int:
         print("TREND: docs/bench_trend.json regenerated -> commit it")
     else:
         print("TREND: docs/bench_trend.json current")
+
+    # 2c. regression agreement rule (VERDICT r10 #2): a single
+    # normalization over-corrects (the r10 CPU canary turned a flat
+    # round into a phantom −21%). A round-over-round regression is
+    # DECLARED only when the raw total AND every available normalized
+    # total move the same direction past the threshold; otherwise the
+    # swing is host weather and is reported as such.
+    if len(trend) >= 2:
+        prev, cur = trend[-2], trend[-1]
+        deltas = {}
+        for key in ("raw_total_sec", "normalized_total_sec",
+                    "workload_normalized_total_sec"):
+            a, b = prev.get(key), cur.get(key)
+            if a and b:
+                deltas[key] = (b - a) / a
+        thr = 0.05
+        if deltas:
+            worse = [k for k, v in deltas.items() if v > thr]
+            better = [k for k, v in deltas.items() if v < -thr]
+            shown = {k: f"{v:+.1%}" for k, v in deltas.items()}
+            if len(worse) == len(deltas):
+                print(f"AGREEMENT: REGRESSION r{prev['round']}->r{cur['round']} "
+                      f"(raw and all normalizations agree): {shown}")
+                rc = 1
+            elif len(better) == len(deltas):
+                print(f"AGREEMENT: improvement r{prev['round']}->"
+                      f"r{cur['round']}: {shown}")
+            else:
+                print(f"AGREEMENT: flat/mixed r{prev['round']}->"
+                      f"r{cur['round']} — no regression declared "
+                      f"(host weather unless ALL agree): {shown}")
 
     # 3. untracked round artifacts
     untracked = [
@@ -144,7 +179,8 @@ def main() -> int:
     if "--full" in sys.argv or "--sf01" in sys.argv:
         r = subprocess.run(
             [sys.executable, "tools/check_correctness.py",
-             "/root/testdata/sf0.1", "--window", f"--json={sweep_path}"],
+             "/root/testdata/sf0.1", "--window", "--flagships",
+             f"--json={sweep_path}"],
             cwd=REPO,
         )
         rc = rc or r.returncode
