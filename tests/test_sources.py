@@ -469,3 +469,103 @@ def test_rowversion_keyset_values_roundtrip_bit_exact():
     assert got == [(1, 1000), (2, rowversion_to_bigint(hi))]
     # and the normalized value maps back to the exact original bytes
     assert rowversion_to_bigint(hi).to_bytes(8, "big", signed=True) == hi
+
+
+def test_datetime2_7_watermark_rewind_duplicates_never_loss():
+    """Dialect edge (VERDICT r10 #5): temporal-table ROW START columns
+    are datetime2(7) (100 ns ticks) while the engine's type map — like
+    the reference's datetime2 → datetime2(6)
+    (reference:odbc2deltalake/write_init.py:29-38) — stores the
+    watermark at Spark micros. Depending on the path, the stored max is
+    the FLOOR (arrow/parquet truncation) or the ROUND-HALF-UP (T-SQL
+    CONVERT to lower precision) of the true 100 ns max; a rounded-up
+    watermark with ``>`` silently LOSES every row in
+    (true_max, rounded]. The criterion therefore rewinds a
+    >6-precision temporal watermark by exactly 1 µs. EXECUTED in
+    DuckDB over real TIMESTAMP_NS payloads: under BOTH rounding modes
+    every post-watermark row extracts (never loss), and the
+    re-extraction window is the bounded ≤2 µs boundary bucket the
+    MERGE upsert absorbs (duplicate-not-loss)."""
+    import datetime
+
+    import duckdb
+
+    # --- generated shape: the rewind applies only to tsql datetime2
+    # with precision 7 (bare datetime2 IS datetime2(7)); micros
+    # precision and non-temporal types are untouched
+    w = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    s = _tsql()
+    s._col_cache = [
+        ColInfo("rs7", T.TimestampType(), "datetime2(7)", False),
+        ColInfo("rs", T.TimestampType(), "datetime2", False),
+        ColInfo("rs6", T.TimestampType(), "datetime2(6)", False),
+    ]
+    assert "2024-01-01 00:00:00.123455" in s.delta_criterion_sql("rs7", w)
+    assert "2024-01-01 00:00:00.123455" in s.delta_criterion_sql("rs", w)
+    assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("rs6", w)
+
+    # --- execute against 100 ns-precision data. True server-side max
+    # after the first load is .1234567; its micros floor is .123456,
+    # its T-SQL CONVERT(datetime2(6)) round is .123457 — the dangerous
+    # one. Rows 4 and 5 arrive AFTER the first load, 100 ns and 400 ns
+    # above the true max: a rounded-up watermark with a plain > MISSES
+    # both; the rewound criterion must fetch them.
+    con = duckdb.connect()
+    # the comparison domain is ns TICKS as bigints (this duckdb build's
+    # TIMESTAMP_NS literal parser truncates to micros, which would
+    # silently destroy the 100 ns payload under test — same bigint-
+    # domain technique as the rowversion pin above); a datetime2(7)
+    # column compared against a micros literal behaves identically to
+    # ns_ticks > epoch_ns(literal)
+    base_ns = 1704067200_000000000  # 2024-01-01 00:00:00 UTC
+    rows = {
+        1: base_ns + 123_450_0 * 100,   # .1234500
+        2: base_ns + 123_456_1 * 100,   # .1234561
+        3: base_ns + 123_456_7 * 100,   # .1234567  — 1st-load max
+        4: base_ns + 123_456_8 * 100,   # .1234568  — post-load
+        5: base_ns + 123_457_1 * 100,   # .1234571  — post-load
+    }
+    con.sql("CREATE TABLE src (id INT, rs7 BIGINT)")
+    con.sql(
+        "INSERT INTO src VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in rows.items())
+    )
+    # the payload really is 100 ns-granular (guards the harness itself)
+    assert con.sql(
+        "SELECT count(DISTINCT rs7) FROM src WHERE id IN (2,3,4)"
+    ).fetchone()[0] == 3
+
+    def extracted(watermark: datetime.datetime) -> set[int]:
+        sql = s.delta_criterion_sql("rs7", watermark)
+        # adapt the T-SQL shape to DuckDB: strip brackets, lift the
+        # quoted micros literal into the ns-tick domain
+        cond = (
+            sql.replace("t.[rs7]", "rs7")
+            .replace("> '", "> epoch_ns(TIMESTAMP '")
+            .replace(sql[sql.index("> '") + 2:], sql[sql.index("> '") + 2:] + ")")
+        )
+        return {r[0] for r in con.sql(f"SELECT id FROM src WHERE {cond}").fetchall()}
+
+    floor_wm = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    roundup_wm = datetime.datetime(2024, 1, 1, 0, 0, 0, 123457)
+    # never-loss: rows 4 and 5 extract under BOTH stored-watermark modes
+    got_floor = extracted(floor_wm)
+    got_round = extracted(roundup_wm)
+    assert {4, 5} <= got_floor and {4, 5} <= got_round
+    # bounded duplicates: only the boundary micro-bucket re-extracts —
+    # row 1 (1.5 µs below) never does
+    assert 1 not in got_floor and 1 not in got_round
+    assert got_floor == {2, 3, 4, 5}   # floor: boundary bucket re-reads
+    assert got_round == {2, 3, 4, 5}   # round-up: rewind covers the gap
+
+    # the UNREWOUND criterion under a rounded-up watermark is the loss
+    # mode this pin exists for: row 4 (.1234568, genuinely after the
+    # first load's true max .1234567) vanishes
+    lost = {
+        r[0]
+        for r in con.sql(
+            "SELECT id FROM src WHERE rs7 > "
+            "epoch_ns(TIMESTAMP '2024-01-01 00:00:00.123457')"
+        ).fetchall()
+    }
+    assert 4 not in lost and 5 in lost
