@@ -879,7 +879,13 @@ class VersionedParquetTable(TableStore):
         if c.get("dirs_added"):
             return list(c["dirs_added"])
         if c.get("dir"):
+            # same entry shape _state_at's replay builds — stats/bloom
+            # included (the patch-rebase disjointness proof reads them)
             entry: dict[str, Any] = {"dir": c["dir"], "schema": c["schema"]}
+            if c.get("stats"):
+                entry["stats"] = c["stats"]
+            if c.get("bloom"):
+                entry["bloom"] = c["bloom"]
             if c.get("partition_by"):
                 entry["partitioned"] = True
             return [entry]
@@ -944,6 +950,147 @@ class VersionedParquetTable(TableStore):
                         for e in absorbed
                         if e["dir"] not in seen
                     )
+                commit["version"] = head + 1
+        # burst deeper than the retry budget — surface the conflict
+        self._write_commit(commit)
+        return commit["version"]
+
+    # bounded driver-side probe: a patch's key list is small by
+    # construction (the patch route exists for delta-sized batches);
+    # past this many keys the bloom half of the disjointness proof is
+    # skipped and only the range half can commute the race
+    PATCH_BLOOM_PROBE_MAX = 10_000
+
+    def _patch_disjoint_from_dir(
+        self,
+        spark: SparkSession,
+        entry: dict[str, Any],
+        key_cols: list[str],
+        key_stats: dict[str, tuple],
+        commit: dict[str, Any],
+    ) -> bool:
+        """True iff the appended dir ``entry`` PROVABLY contains none of
+        this patch's target keys — decidable from metadata the racer's
+        commit already carries (VERDICT r10 #3):
+
+        1. interval disjointness: the patch keys' [min, max] (observed
+           on the patch write) against the dir's recorded footer stats,
+           dir-level or per-file — disjoint on ANY key column proves the
+           composite key absent;
+        2. bloom probe: every patch key value provably absent from
+           every file's bitmap for one key column.
+
+        Returns False (refuse) whenever the proof is unavailable —
+        missing stats, missing bloom, NULL key bounds, oversized key
+        list — never guesses."""
+        stats = entry.get("stats") or {}
+        for c in key_cols:
+            ks = key_stats.get(c)
+            if ks is None or ks[0] is None or ks[1] is None:
+                continue  # NULL bounds prove nothing
+            klo, khi = ks
+
+            def _disjoint(iv) -> bool:
+                lo, hi = self._stat_deser(iv[0]), self._stat_deser(iv[1])
+                if lo is None or hi is None:
+                    return False
+                try:
+                    return khi < lo or klo > hi
+                except TypeError:
+                    return False  # incomparable types: no proof
+            iv = stats.get("", {}).get(c)
+            if iv is not None and _disjoint(iv):
+                return True
+            per_file = {
+                f: s for f, s in stats.items() if f != "" and c in s
+            }
+            files_all = {f for f in stats if f != ""}
+            if (
+                per_file
+                and set(per_file) == files_all
+                and all(_disjoint(s[c]) for s in per_file.values())
+            ):
+                return True
+        bloom = entry.get("bloom")
+        if bloom and bloom.get("files"):
+            probe_col = next(
+                (c for c in key_cols if c in (bloom.get("types") or {})), None
+            )
+            if probe_col is not None and all(
+                probe_col in per for per in bloom["files"].values()
+            ):
+                written = T.StructType.fromJson(
+                    json.loads(commit["written_schema"])
+                )
+                rows = (
+                    spark.read.schema(written)
+                    .parquet(self._path(commit["dir"]))
+                    .select(probe_col)
+                    .limit(self.PATCH_BLOOM_PROBE_MAX + 1)
+                    .collect()
+                )
+                vals = sorted({r[0] for r in rows if r[0] is not None})
+                if (
+                    len(rows) <= self.PATCH_BLOOM_PROBE_MAX
+                    and vals
+                    and len(vals) == len({r[0] for r in rows})
+                ):
+                    hs = self._bloom_hash_values(
+                        spark, vals, bloom["types"][probe_col]
+                    )
+                    m, k = bloom["m"], bloom["k"]
+                    if all(
+                        not self._bloom_may_contain(
+                            per[probe_col], m, k, h
+                        )
+                        for per in bloom["files"].values()
+                        for h in hs
+                    ):
+                        return True
+        return False
+
+    def _publish_patch_with_rebase(
+        self,
+        spark: SparkSession,
+        commit: dict[str, Any],
+        key_cols: list[str],
+        key_stats: dict[str, tuple],
+    ) -> int:
+        """Publish a patch commit, auto-rebasing past racers it provably
+        commutes with (VERDICT r10 #3; previously ``patch`` always lost
+        a same-version race). A patch commutes with a blind append iff
+        the appended dirs cannot contain the patch's target keys
+        (:meth:`_patch_disjoint_from_dir` — footer stats + bloom bitmaps
+        already in the racer's commit record), and with disjoint
+        metadata-only commits under the same classifier rules as
+        appends. Anything else — overlap, missing proof, masks, other
+        patches/merges/overwrites — re-raises, preserving the
+        refuse-and-recompute contract. Sound because disjoint key sets
+        make the read-time reconciliation identical under either commit
+        order: the patch overrides no row of the racer's dir and vice
+        versa."""
+        my_schema = commit.get("schema")
+        my_props = set(commit.get("set_props") or {})
+        for _ in range(self.MAX_REBASE_ATTEMPTS):
+            try:
+                self._write_commit(commit)
+                return commit["version"]
+            except CommitConflictError:
+                head = self.version()
+                for name in self._commit_names():
+                    v = int(name.split(".")[0])
+                    if v < commit["version"]:
+                        continue
+                    c = self._read_commit(v)
+                    if not self._commutes_with_blind_append(
+                        c, my_schema, my_props, allow_mask=False,
+                    ):
+                        raise
+                    for e in self._dirs_added_by_commit(c):
+                        if not self._patch_disjoint_from_dir(
+                            spark, e, key_cols, key_stats, commit
+                        ):
+                            raise
                 commit["version"] = head + 1
         # burst deeper than the retry budget — surface the conflict
         self._write_commit(commit)
@@ -5367,12 +5514,23 @@ class VersionedParquetTable(TableStore):
         new_version = st["version"] + 1
         dir_name = f"d{new_version:010d}-{uuid.uuid4().hex[:8]}"
         obs = Observation()
-        pdf = pdf.observe(obs, F.count(F.lit(1)).alias("n"))
+        # key-range stats ride the SAME Observation as the row count
+        # (zero extra jobs) — they are the cheap half of the OCC
+        # key-disjointness proof (VERDICT r10 #3)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in key_cols:
+            aggs.append(F.min(F.col(c)).alias(f"__kmin_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__kmax_{c}"))
+        pdf = pdf.observe(obs, *aggs)
         pdf.write.mode("overwrite").parquet(self._path(dir_name))
-        n = int(obs.get["n"])
+        got = obs.get
+        n = int(got["n"])
         if n == 0:
             self.backend.remove_recursive(self._path(dir_name))
             return st["version"]
+        key_stats = {
+            c: (got[f"__kmin_{c}"], got[f"__kmax_{c}"]) for c in key_cols
+        }
         commit: dict[str, Any] = {
             "version": new_version,
             "mode": "patch",
@@ -5380,11 +5538,16 @@ class VersionedParquetTable(TableStore):
             "schema": st["schema"],
             "written_schema": pdf.schema.json(),
             "patch_rows": n,
+            "patch_key_stats": {
+                c: [self._stat_ser(lo), self._stat_ser(hi)]
+                for c, (lo, hi) in key_stats.items()
+            },
         }
         if extra_commit_fields:
             commit.update(extra_commit_fields)
-        self._write_commit(commit)
-        return new_version
+        return self._publish_patch_with_rebase(
+            spark, commit, key_cols, key_stats
+        )
 
     def fold_patches(self, spark: SparkSession) -> int:
         """Amortize the outstanding patch chain into the bucketized base

@@ -372,6 +372,90 @@ def test_lazy_mask_vs_widening_append_refused(spark, root):
     ]
 
 
+# ------------------------------------------ patch key-disjointness races ----
+
+
+def test_patch_rebases_over_key_disjoint_append_via_stats(spark, root):
+    """VERDICT r10 #3: a patch upsert racing a blind append lands via
+    rebase when the appended dir's footer stats PROVE it cannot contain
+    the patch's target keys — both writers commit, no caller retry."""
+    t1 = VersionedParquetTable(root)
+    t1.merge_upsert(
+        spark, _df(spark, [(i, 10 * i) for i in range(8)]), ["id"],
+        target_bucket_rows=4,
+    )
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival.write(
+            _df(spark, [(101, 1)]), mode="append", stats_cols=["id"]
+        ),
+    )
+    t1.merge_upsert(spark, _df(spark, [(2, 999)]), ["id"], strategy="patch")
+    got = dict(_rows(spark, VersionedParquetTable(root)))
+    assert got[2] == 999 and got[101] == 1 and len(got) == 9
+
+
+def test_patch_refuses_overlapping_append(spark, root):
+    """Stats overlap (the appended dir may hold the patch's key):
+    refuse — read-time reconciliation would depend on commit order."""
+    t1 = VersionedParquetTable(root)
+    t1.merge_upsert(
+        spark, _df(spark, [(i, 10 * i) for i in range(8)]), ["id"],
+        target_bucket_rows=4,
+    )
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival.write(
+            _df(spark, [(2, 1)]), mode="append", stats_cols=["id"]
+        ),
+    )
+    with pytest.raises(CommitConflictError):
+        t1.merge_upsert(spark, _df(spark, [(2, 999)]), ["id"],
+                        strategy="patch")
+    # the rival's append stands; the patch left no trace
+    got = dict(_rows(spark, VersionedParquetTable(root)))
+    assert (2, 999) not in got.items() and got[0] == 0
+
+
+def test_patch_refuses_unprovable_append(spark, root):
+    """A bare append (no stats, no bloom) gives NO disjointness proof —
+    refuse even though the keys happen to be disjoint: the classifier
+    never guesses."""
+    t1 = VersionedParquetTable(root)
+    t1.merge_upsert(
+        spark, _df(spark, [(i, 10 * i) for i in range(8)]), ["id"],
+        target_bucket_rows=4,
+    )
+    rival = VersionedParquetTable(root)
+    _arm_race(t1, lambda: rival.write(_df(spark, [(101, 1)]), mode="append"))
+    with pytest.raises(CommitConflictError):
+        t1.merge_upsert(spark, _df(spark, [(2, 999)]), ["id"],
+                        strategy="patch")
+
+
+def test_patch_rebases_over_range_overlapping_append_via_bloom(spark, root):
+    """The bloom half of the proof: the appended dir's id RANGE straddles
+    the patch key, but its bloom bitmap proves the key absent — commute.
+    (No stats recorded, so only the bloom can decide.)"""
+    t1 = VersionedParquetTable(root)
+    t1.merge_upsert(
+        spark, _df(spark, [(i, 10 * i) for i in range(8)]), ["id"],
+        target_bucket_rows=4,
+    )
+    rival = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival.write(
+            _df(spark, [(1, 1), (3, 3)]), mode="append", bloom_cols=["id"]
+        ),
+    )
+    t1.merge_upsert(spark, _df(spark, [(2, 999)]), ["id"], strategy="patch")
+    rows = _rows(spark, VersionedParquetTable(root))
+    assert (2, 999) in rows and (1, 1) in rows and (3, 3) in rows
+
+
 # ------------------------------------- property: random same-version races --
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
@@ -389,8 +473,13 @@ _COMMUTES = {
     "props": {"append", "props", "del_mask", "upd_mask"},
     "del_mask": {"append", "props"},
     "upd_mask": {"append", "props"},
-    # patch / merge / overwrite publish without the rebase: always lose
-    "patch": set(),
+    # patch (r11, VERDICT r10 #3): commutes with a blind append IFF the
+    # appended dir provably cannot hold the patch's keys — in this
+    # harness the rival append records id stats and its key (100+tag)
+    # is range-disjoint from every patch target (0.._N_BASE-1), so the
+    # proof always lands; props commits are row-free
+    "patch": {"append", "props"},
+    # merge / overwrite publish without the rebase: always lose
     "merge": set(),
     "overwrite": set(),
 }
@@ -431,11 +520,16 @@ def _apply_loser_model(model: dict[int, int], base: dict[int, int],
     elif kind == "upd_mask":
         if x in model:
             model[x] += 100
+    elif kind == "patch":
+        model[x] = 999
 
 
 def _run_op(spark, t, kind: str, x: int, tag: int, prop_key: str):
     if kind == "append":
-        return t.write(_df(spark, [(100 + tag, tag)]), mode="append")
+        # stats on the append are what make a racing patch's key-
+        # disjointness proof decidable (bare appends refuse the patch)
+        return t.write(_df(spark, [(100 + tag, tag)]), mode="append",
+                       stats_cols=["id"])
     if kind == "props":
         return t.set_properties({prop_key: str(tag)})
     if kind == "del_mask":

@@ -105,9 +105,12 @@ def test_merge_strategies_match_dict_model(
 
 def test_racing_patch_writers_conflict_cleanly(spark, tmp_path):
     """Two writers claiming the same version: the commit log's atomic
-    create-if-absent lets exactly one patch commit win; the loser gets
-    CommitConflictError and its data dir stays un-referenced (vacuum
-    fodder), never silently merged."""
+    create-if-absent lets exactly one commit win. Since r11 a patch
+    auto-rebases over PROVABLY-commuting racers (key-disjoint appends,
+    disjoint props — see test_occ_rebase), so the racer here is a
+    NON-commuting merge: the losing patch gets CommitConflictError and
+    its data dir stays un-referenced (vacuum fodder), never silently
+    merged."""
     import pytest
 
     from odbc2deltalake_spark.tablestore import CommitConflictError
@@ -128,8 +131,9 @@ def test_racing_patch_writers_conflict_cleanly(spark, tmp_path):
 
     def _racing_write(commit):
         racer = {
-            "version": commit["version"], "mode": "append", "dir": None,
-            "schema": t._state_at()["schema"], "set_props": {"racer": "1"},
+            "version": commit["version"], "mode": "merge",
+            "schema": t._state_at()["schema"],
+            "buckets_replaced": [], "dirs_added": [],
         }
         t.backend.write_text_exclusive(
             t.backend.join(t._commits_dir, f"{commit['version']:010d}.json"),
