@@ -1402,6 +1402,178 @@ def store_occ_append_race(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ------------------------------- exactly-once txn replay ----
+# r11: the idempotent-writer contract (Delta txnAppId/txnVersion; the
+# foreachBatch exactly-once sink) as an oracled row — a replayed batch
+# with the same (app, version) marker must land EXACTLY once, so the
+# table hashes to a single copy of the union, never a doubled slice.
+
+_TXN_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+"""
+
+
+@register(
+    "store_txn_exactly_once",
+    _TXN_ORACLE,
+    tags=("store", "streaming", "flagship"),
+    priority=100,
+)
+def store_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayed txn-marked batches land exactly once == one plain copy.
+
+    Batch 1 (docs%2==0) commits under txn ('loader', 1); the SAME batch
+    replays (a crashed foreachBatch redelivers the last micro-batch) and
+    must be SKIPPED before any job runs; batch 2 under ('loader', 2)
+    lands; an out-of-order stale replay ('loader', 1) is skipped again.
+    Asserted in-query via version counts, then the table is hashed
+    against the plain documents projection (tablestore.py:write txn
+    contract; Delta's txnAppId/txnVersion)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="store_txn_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        v1 = t.write(b1, mode="append", txn=("loader", 1))
+        assert t.write(b1, mode="append", txn=("loader", 1)) == v1  # replay
+        v2 = t.write(b2, mode="append", txn=("loader", 2))
+        assert v2 == v1 + 1
+        assert t.write(b1, mode="append", txn=("loader", 1)) == v2  # stale
+        assert t.version() == v2
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- shallow clone divergence ----
+# r11: SHALLOW CLONE as an oracled row — the clone references the
+# source's dirs (zero data copied), diverges via its own DML
+# (copy-on-write at dir granularity), and the SOURCE stays bit-stable.
+
+_CLONE_ORACLE = """
+SELECT doc_id, lang, source, n_chars, 'src' AS side FROM documents
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'clone' AS side
+FROM documents WHERE n_chars >= 200
+"""
+
+
+@register(
+    "store_shallow_clone_divergence",
+    _CLONE_ORACLE,
+    tags=("store", "flagship"),
+    priority=100,
+)
+def store_shallow_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone + divergent DML == the two SQL projections.
+
+    Clone the loaded table (metadata-only: asserted zero local data
+    dirs), DELETE the short docs on the CLONE (copy-on-write rewrites
+    land locally), and hash source+clone side by side: the source must
+    still carry every row, the clone only the survivors
+    (tablestore.py:clone_to; Delta's CREATE TABLE SHALLOW CLONE)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="store_clone_")
+    try:
+        src = VersionedParquetTable(f"{root}/src")
+        src.write(docs, mode="append", stats_cols=["n_chars"])
+        clone = src.clone_to(f"{root}/clone")
+        # metadata-only: the clone root holds no local data dir yet
+        assert not any(
+            d.startswith("d")
+            for d in clone.backend.list_dir(f"{root}/clone")
+        ), "shallow clone copied data"
+        clone.delete_where(spark, ("n_chars", "<", 200))
+        out = src.read(spark).withColumn("side", F.lit("src")).unionByName(
+            clone.read(spark).withColumn("side", F.lit("clone"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- CHECK-constraint write gate ----
+# r11: the constraint surface end-to-end as an oracled row — add a
+# CHECK over existing-valid rows, an enforced append passes, a
+# violating batch REFUSES atomically (no partial rows), the structured
+# read-back returns the conjuncts, and the surviving table equals the
+# plain SQL filter. Delta's ADD CONSTRAINT semantics
+# (delta.constraints.* — DeltaTableStore translates both directions,
+# delta_store.py:check_constraints); the reference relies on Delta's
+# runtime for this, so the engine's own store must carry it natively.
+
+_CHECK_GATE_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE n_chars >= 100
+"""
+
+
+@register(
+    "store_check_constraint_gate",
+    _CHECK_GATE_ORACLE,
+    tags=("store", "constraints", "flagship"),
+    priority=100,
+)
+def store_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint lifecycle == the plain SQL filter it enforces.
+
+    Loads the valid half, adds the constraint (existing rows validated
+    with one LIMIT-1 pushdown scan, tablestore.py:set_check_constraint),
+    appends the rest of the valid rows THROUGH enforcement, then
+    asserts in-query that (a) a violating batch refuses atomically —
+    rows and version both untouched, (b) the structured read-back
+    returns the exact conjuncts (the same surface DeltaTableStore
+    round-trips via delta.constraints.*). Only then is the table
+    hashed against the oracle."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.tablestore import (
+        ConstraintViolationError,
+        VersionedParquetTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    valid = docs.filter(F.col("n_chars") >= 100)
+    root = tempfile.mkdtemp(prefix="store_check_")
+    try:
+        t = VersionedParquetTable(f"{root}/t")
+        t.write(valid.filter(F.col("doc_id") % 2 == 0), mode="append")
+        t.set_check_constraint(spark, "min_len", ("n_chars", ">=", 100))
+        assert t.check_constraints() == {"min_len": [("n_chars", ">=", 100)]}
+        t.write(valid.filter(F.col("doc_id") % 2 == 1), mode="append")
+        v = t.version()
+        try:
+            t.write(docs.filter(F.col("n_chars") < 100), mode="append")
+            raise AssertionError("violating batch was accepted")
+        except ConstraintViolationError:
+            pass
+        # atomic refusal: no partial rows, no version bump
+        assert t.version() == v
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ------------------------------- post-merge bloom point lookup ----
 # r10 second wave: a bucket rewrite re-collects the table's bloom
 # bitmaps (tablestore.py:_write_bucketized), so a point lookup on a

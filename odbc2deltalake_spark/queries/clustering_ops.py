@@ -42,6 +42,38 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(vectors, cent)
 
 
+# ------------------------------------------------------------- PCA ----
+
+_PCA_DIM = 64
+_PCA_K = 4
+
+
+@register("emb_pca_project", None, tags=("clustering", "similarity"),
+          priority=100)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 principal components of the embeddings corpus, projected
+    per vector: (vec_id, label, pc1..pc4, 6dp). Rows-only for the
+    driver (an eigendecomposition is not SQL-expressible); the fit is
+    gated against a full-data numpy reference, orthonormality, and the
+    variance-equals-eigenvalue invariant in tests/test_pca.py. Scale
+    shape in operators/pca.py: ONE mapInPandas pass of D(D+1)-double
+    partials (collect is partitions x D^2 — control-plane at any N),
+    driver-side D x D eigh, then a zero-shuffle JVM projection map."""
+    from odbc2deltalake_spark.operators.pca import fit_pca, project_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.select("vec_id", "label", dbl.alias("v"))
+    mean, comps, _ = fit_pca(vectors, "v", _PCA_DIM, _PCA_K)
+    out = project_pca(vectors, "v", mean, comps)
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.round(F.col(f"pc{i + 1}"), 6).alias(f"pc{i + 1}")
+          for i in range(_PCA_K)],
+    )
+
+
 # ------------------------------------------------- product quantization ----
 
 _PQ_DIM = 64
