@@ -75,3 +75,29 @@ def test_every_red_row_was_eventually_green():
         if e["red"] and (not e["green"] or max(e["green"]) < max(e["red"]))
     ]
     assert not stuck, f"operators whose last driver verdict was red: {stuck}"
+
+
+def test_bench_agreement_rule():
+    """VERDICT r10 #2: one over-correcting normalization must not read
+    as a regression — only raw AND every normalization agreeing past
+    the threshold declares one. The r9->r10 artifact pair (raw +1.0%,
+    CPU-normalized +21%) is the canonical phantom."""
+    from tools.round_close import agreement_verdict
+
+    r9 = {"raw_total_sec": 31.84, "normalized_total_sec": 30.16}
+    r10 = {"raw_total_sec": 32.18, "normalized_total_sec": 36.50}
+    status, deltas = agreement_verdict(r9, r10)
+    assert status == "flat" and deltas["normalized_total_sec"] > 0.2
+
+    # genuine regression: all three move together
+    a = {"raw_total_sec": 30.0, "normalized_total_sec": 30.0,
+         "workload_normalized_total_sec": 30.0}
+    b = {k: v * 1.2 for k, v in a.items()}
+    assert agreement_verdict(a, b)[0] == "regression"
+    assert agreement_verdict(b, a)[0] == "improvement"
+    # sub-threshold moves are flat; missing metrics don't block
+    c = {k: v * 1.03 for k, v in a.items()}
+    assert agreement_verdict(a, c)[0] == "flat"
+    assert agreement_verdict({"raw_total_sec": 30.0},
+                             {"raw_total_sec": 40.0})[0] == "regression"
+    assert agreement_verdict({}, {})[0] == "flat"

@@ -53,6 +53,31 @@ def _final_headline(tail: str) -> dict | None:
     return best
 
 
+def agreement_verdict(
+    prev: dict, cur: dict, thr: float = 0.05
+) -> tuple[str, dict[str, float]]:
+    """('regression'|'improvement'|'flat', per-metric deltas): a
+    regression is DECLARED only when the raw total and every available
+    normalized total move the same direction past ``thr`` — one
+    normalization alone is host weather (VERDICT r10 #2: the CPU canary
+    turned a flat r10 into a phantom −21%)."""
+    deltas: dict[str, float] = {}
+    for key in ("raw_total_sec", "normalized_total_sec",
+                "workload_normalized_total_sec"):
+        a, b = prev.get(key), cur.get(key)
+        if a and b:
+            deltas[key] = (b - a) / a
+    if not deltas:
+        return "flat", deltas
+    worse = [k for k, v in deltas.items() if v > thr]
+    better = [k for k, v in deltas.items() if v < -thr]
+    if len(worse) == len(deltas):
+        return "regression", deltas
+    if len(better) == len(deltas):
+        return "improvement", deltas
+    return "flat", deltas
+
+
 def main() -> int:
     rc = 0
     # 1. ledger regen
@@ -133,28 +158,19 @@ def main() -> int:
     # swing is host weather and is reported as such.
     if len(trend) >= 2:
         prev, cur = trend[-2], trend[-1]
-        deltas = {}
-        for key in ("raw_total_sec", "normalized_total_sec",
-                    "workload_normalized_total_sec"):
-            a, b = prev.get(key), cur.get(key)
-            if a and b:
-                deltas[key] = (b - a) / a
-        thr = 0.05
+        status, deltas = agreement_verdict(prev, cur)
         if deltas:
-            worse = [k for k, v in deltas.items() if v > thr]
-            better = [k for k, v in deltas.items() if v < -thr]
             shown = {k: f"{v:+.1%}" for k, v in deltas.items()}
-            if len(worse) == len(deltas):
-                print(f"AGREEMENT: REGRESSION r{prev['round']}->r{cur['round']} "
+            span = f"r{prev['round']}->r{cur['round']}"
+            if status == "regression":
+                print(f"AGREEMENT: REGRESSION {span} "
                       f"(raw and all normalizations agree): {shown}")
                 rc = 1
-            elif len(better) == len(deltas):
-                print(f"AGREEMENT: improvement r{prev['round']}->"
-                      f"r{cur['round']}: {shown}")
+            elif status == "improvement":
+                print(f"AGREEMENT: improvement {span}: {shown}")
             else:
-                print(f"AGREEMENT: flat/mixed r{prev['round']}->"
-                      f"r{cur['round']} — no regression declared "
-                      f"(host weather unless ALL agree): {shown}")
+                print(f"AGREEMENT: flat/mixed {span} — no regression "
+                      f"declared (host weather unless ALL agree): {shown}")
 
     # 3. untracked round artifacts
     untracked = [
