@@ -2922,6 +2922,9 @@ class VersionedParquetTable(TableStore):
         # racers; any other row mutation refuses too (two masks can
         # read through each other's SET transforms).
         summary["version"] = self._publish_append_with_rebase(commit)
+        # a rebase may have absorbed racing appends' dirs — report the
+        # count the COMMIT actually carries, not the pre-race estimate
+        summary["dirs_masked"] = len(commit["dirs_masked"])
         return summary
 
     def fold_masks(self, spark: SparkSession) -> int:

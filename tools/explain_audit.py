@@ -365,6 +365,10 @@ AUDIT = [
     # 7-row stack)
     "text_letter_entropy",
     "corpus_filter_funnel",
+    # r11: the PCA projection — the fit is a one-pass mapInPandas
+    # sufficient-statistics collect at build; the RETURNED frame is the
+    # zero-shuffle zip_with projection map this audits
+    "emb_pca_project",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
@@ -476,6 +480,25 @@ EXCLUDED = {
         "re-collected by every bucket rewrite, file cut <= ids + FP "
         "slack) is asserted INSIDE the query and pinned in "
         "tests/test_bloom_skipping.py::test_merge_preserves_bloom_index"
+    ),
+    "store_check_constraint_gate": (
+        "constraint-lifecycle store writes executed at build (add over "
+        "validated rows, enforced append, atomic violating refuse — all "
+        "asserted INSIDE the query); returns a checkpointed frame — "
+        "enforcement plans are the write-riding Observations audited "
+        "via tests/test_constraints.py"
+    ),
+    "store_txn_exactly_once": (
+        "idempotent-writer lifecycle executed at build (replayed + "
+        "stale txn batches asserted skipped in-query); returns a "
+        "checkpointed frame — the marker check is one control-plane "
+        "property read, pinned in tests/test_tablestore.py txn cases"
+    ),
+    "store_shallow_clone_divergence": (
+        "clone + divergent-DML lifecycle executed at build (zero-copy "
+        "clone asserted in-query); returns a checkpointed union — "
+        "copy-on-write and own-root vacuum are pinned in "
+        "tests/test_clone.py"
     ),
 }
 
