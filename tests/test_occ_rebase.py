@@ -339,6 +339,34 @@ def test_lazy_update_mask_absorbs_racing_append(spark, root):
     assert _rows(spark, t1) == [(1, 1010), (1, 1111), (2, 20), (9, 90)]
 
 
+def test_lazy_mask_absorbs_append_burst(spark, root):
+    """A mask racing a BURST of appends absorbs every racer's dirs
+    across successive rebase attempts: each retry classifies only the
+    commits above its last claimed version, so no dir is absorbed twice
+    and none is missed."""
+    t1 = _base(spark, root)  # (1,10), (2,20)
+    burst = {"left": 3}
+    orig = t1.backend.write_text_exclusive
+
+    def hook(path: str, text: str):
+        if burst["left"] > 0 and "_commits" in path:
+            burst["left"] -= 1
+            # each rival row MATCHES the delete predicate
+            VersionedParquetTable(root).write(
+                _df(spark, [(1, 100 + burst["left"])])
+            )
+        return orig(path, text)
+
+    t1.backend.write_text_exclusive = hook
+    out = t1.delete_where(spark, ("id", "=", 1), lazy=True)
+    assert out["version"] == 4 == t1.version()
+    # base dir + 3 absorbed rival dirs all masked
+    assert out["dirs_masked"] == 4
+    assert _rows(spark, VersionedParquetTable(root)) == [(2, 20)]
+    t1.fold_masks(spark)
+    assert _rows(spark, VersionedParquetTable(root)) == [(2, 20)]
+
+
 def test_lazy_mask_vs_lazy_mask_refused(spark, root):
     """Two racing masks refuse: an UPDATE mask transforms the values a
     later DELETE predicate reads through, so commit order changes the
