@@ -1281,3 +1281,72 @@ def test_delta_check_constraint_sql_round_trips():
                     "`a` BETWEEN 1 AND 2"):
         with _pytest.raises(NotImplementedError):
             D._parse_check_sql(foreign)
+
+
+def test_delta_check_constraint_grammar_property():
+    """Hypothesis round-trip over the canonical constraint grammar:
+    ANY conjunct list the parquet store accepts must survive
+    render -> parse bit-exactly — including strings full of quotes,
+    negative/expontent floats, and mixed IN lists."""
+    import datetime
+    import importlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    D = importlib.import_module(
+        "odbc2deltalake_spark.delta_store"
+    ).DeltaTableStore
+
+    col = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+    scalar = st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+        st.text(max_size=12),
+        st.dates(min_value=datetime.date(1, 1, 2)),
+        st.datetimes(min_value=datetime.datetime(1, 1, 2)),
+    )
+    clause = st.one_of(
+        st.tuples(col, st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+                  scalar),
+        st.tuples(col, st.just("in"),
+                  st.lists(scalar, min_size=1, max_size=4)),
+    )
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(conj=st.lists(clause, min_size=1, max_size=4))
+    def run(conj):
+        conj = [tuple(c) for c in conj]
+        # the degenerate all-NULL IN list renders as FALSE and is
+        # documented non-round-trippable; keep at least one non-null
+        for c, op, v in conj:
+            if op == "in" and all(x is None for x in v):
+                return
+        sql = D._check_sql(conj)
+        back = D._parse_check_sql(sql)
+        want = [
+            (c, op, [x for x in v if x is not None] if op == "in" else v)
+            for c, op, v in conj
+        ]
+        assert len(back) == len(want)
+        for (gc, gop, gv), (wc, wop, wv) in zip(back, want):
+            assert (gc, gop) == (wc, wop)
+            if wop == "in":
+                assert len(gv) == len(wv)
+                for g, w in zip(gv, wv):
+                    _val_eq(g, w)
+            else:
+                _val_eq(gv, wv)
+
+    def _val_eq(g, w):
+        import math
+        if isinstance(w, bool) or isinstance(g, bool):
+            assert g == w
+        elif isinstance(w, float):
+            assert (math.isclose(g, w, rel_tol=0, abs_tol=0)
+                    or str(g) == str(w)), (g, w)
+        else:
+            assert g == w, (g, w)
+
+    run()
