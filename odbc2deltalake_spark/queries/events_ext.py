@@ -1093,3 +1093,76 @@ def ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ------------------------------------ stream == batch driver row ----
+# r11: the §2.9 streaming surface as an ORACLED row, not just a pytest
+# pin — the hourly rollup runs THROUGH Structured Streaming (file
+# source -> watermarked tumbling window -> availableNow -> memory sink)
+# and must hash to the plain batch GROUP BY. Complete output mode makes
+# the final emission the full aggregate, so stream == batch exactly;
+# count(DISTINCT) is structurally unsupported in streaming aggs, hence
+# the count+sum shape (ev_hourly_rollup keeps the distinct-user batch
+# form in the window).
+
+_STREAM_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_hourly_rollup",
+    _STREAM_ROLLUP_ORACLE,
+    tags=("events", "streaming", "flagship"),
+    priority=100,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming hourly rollup == the batch GROUP BY.
+
+    Stages the canonicalized events as a file-source dir, runs the
+    SAME windowed_rollup_stream the streaming module ships
+    (streaming/events.py) under Trigger.AvailableNow with a memory
+    sink, and returns the final complete-mode table. At scale this is
+    the production shape: file-source backfill + watermarked tumbling
+    windows, state bounded by the watermark delay; the memory sink is
+    only the test harness' collector (production lands in the
+    exactly-once table sink, streaming/driver.py)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from odbc2deltalake_spark.streaming.events import windowed_rollup_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    stage = tempfile.mkdtemp(prefix="stream_rollup_")
+    name = f"stream_rollup_{_uuid.uuid4().hex[:8]}"
+    try:
+        ev.write.mode("overwrite").parquet(f"{stage}/events")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{stage}/events")
+        rolled = windowed_rollup_stream(stream).withColumnRenamed(
+            "total_value", "__tv"
+        )
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        out = spark.table(name).select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("__tv").alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
