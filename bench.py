@@ -112,11 +112,13 @@ EXTRAS = [
     # r10: zero-shuffle letter entropy + the C4 gate funnel
     "text_letter_entropy",
     "corpus_filter_funnel",
-    # r11: distributed PCA + the three new store-lifecycle rows
+    # r11: distributed PCA + the three new store-lifecycle rows + the
+    # streaming==batch rollup
     "emb_pca_project",
     "store_check_constraint_gate",
     "store_txn_exactly_once",
     "store_shallow_clone_divergence",
+    "stream_hourly_rollup",
 ]
 
 

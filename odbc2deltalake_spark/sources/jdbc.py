@@ -70,6 +70,11 @@ def sql_quote_value(v: Any, dialect: str = "tsql") -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
+        # tsql bit compares against 1/0; postgres boolean has NO
+        # boolean=integer operator — a 1/0 literal is a server-side
+        # type error, so it must be TRUE/FALSE there
+        if dialect == "postgres":
+            return "TRUE" if v else "FALSE"
         return "1" if v else "0"
     if isinstance(v, (bytes, bytearray)):
         if dialect == "postgres":

@@ -569,3 +569,28 @@ def test_datetime2_7_watermark_rewind_duplicates_never_loss():
         ).fetchall()
     }
     assert 4 not in lost and 5 in lost
+
+
+def test_bool_literal_dialect_pin():
+    """postgres boolean has no boolean=integer operator — a keyset join
+    or criterion on a bool column must emit TRUE/FALSE there; tsql bit
+    compares against 1/0. Executed in DuckDB (postgres-family boolean
+    semantics) to prove the TRUE literal really matches bool rows."""
+    import duckdb
+
+    from odbc2deltalake_spark.sources.jdbc import sql_quote_value
+
+    assert sql_quote_value(True) == "1"
+    assert sql_quote_value(False, dialect="tsql") == "0"
+    assert sql_quote_value(True, dialect="postgres") == "TRUE"
+    assert sql_quote_value(False, dialect="postgres") == "FALSE"
+
+    s = _pg()
+    sql = s.keyset_join_sql([{"id": 1, "flag": True}], ["id", "flag"])
+    assert "(VALUES (1, TRUE))" in sql
+    got = duckdb.sql(
+        "SELECT t.id FROM (VALUES (1, TRUE), (2, FALSE)) t(id, flag) "
+        "INNER JOIN (VALUES (1, TRUE)) AS k (id, flag) "
+        "ON t.id = k.id AND t.flag = k.flag"
+    ).fetchall()
+    assert got == [(1,)]
