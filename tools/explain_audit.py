@@ -500,6 +500,13 @@ EXCLUDED = {
         "copy-on-write and own-root vacuum are pinned in "
         "tests/test_clone.py"
     ),
+    "stream_hourly_rollup": (
+        "Structured Streaming query executed at build (availableNow "
+        "into a memory sink); returns a checkpointed scan of the final "
+        "complete-mode table — the streaming plan itself (watermark + "
+        "tumbling window state) is the engine's, pinned stream==batch "
+        "by the oracle hash and tests/test_streaming.py"
+    ),
 }
 
 
