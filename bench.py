@@ -34,14 +34,14 @@ CANARY_ANCHOR_SEC = 1.42
 # Spark scheduling + parquet IO, so a flat round can read as a ±20%
 # normalized swing. This canary is a small parquet scan+groupBy over the
 # bench lineitem (scheduler- and IO-sensitive, fixed plan every round);
-# min-of-3, calibrated on the r11 build host (measured 0.426 in-bench at
-# CPU-canary 1.959, scaled to the r8 anchor host's CPU speed:
-# 0.426 × 1.42/1.959 ≈ 0.31). The anchor's absolute value only shifts
-# the normalized series by a constant — round-over-round deltas are
-# anchor-independent — so the calibration is cosmetic by construction.
-# round_close flags a regression only when raw AND BOTH normalizations
-# agree in direction.
-WORKLOAD_ANCHOR_SEC = 0.31
+# min-of-3, calibrated on the IDLE r11 build host (0.257 in-bench at
+# raw 32.50 s / CPU-canary 1.682 — the same run's raw total matches the
+# r10 driver artifact, so this is the reference weather). The anchor's
+# absolute value only shifts the normalized series by a constant —
+# round-over-round deltas are anchor-independent — so the calibration
+# is cosmetic by construction. round_close flags a regression only when
+# raw AND BOTH normalizations agree in direction.
+WORKLOAD_ANCHOR_SEC = 0.26
 
 HEADLINE = [
     "q1_pricing_summary",
