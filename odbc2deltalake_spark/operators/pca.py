@@ -119,3 +119,56 @@ def project_pca(
         )
         out = out.withColumn(f"{out_prefix}{i + 1}", dot - F.lit(const))
     return out
+
+
+def opq_rotation(
+    vectors: DataFrame, vec_col: str, dim: int, m: int
+) -> np.ndarray:
+    """OPQ-style rotation matrix R[D, D] for product quantization: the
+    full PCA basis with its dimensions dealt ROUND-ROBIN (by descending
+    eigenvalue) across the ``m`` PQ subspaces, so each subspace receives
+    a balanced share of the variance — the parametric OPQ
+    initialization (Ge et al., CVPR 2013: decorrelate, then balance).
+    Unbalanced subspaces are the standard PQ failure mode: one codebook
+    quantizes almost all the energy while the rest encode noise.
+
+    Rotation is orthonormal, so L2 distances are PRESERVED — ADC scores
+    and exact reranks in rotated space equal the originals.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    _, comps, _ = fit_pca(vectors, vec_col, dim, dim)
+    d_sub = dim // m
+    # eigen-order index e goes to subspace e % m, slot e // m
+    order = [0] * dim
+    for e in range(dim):
+        order[(e % m) * d_sub + (e // m)] = e
+    return comps[order]
+
+
+def rotate_vectors(
+    vectors: DataFrame, vec_col: str, rotation: np.ndarray,
+    out_col: str = "v",
+) -> DataFrame:
+    """x -> R·x as ONE Arrow-batched matmul per partition (the JVM
+    zip_with form would be D aggregate expressions per row; a numpy
+    GEMM over the whole batch is the right kernel for a dense D×D
+    rotation). Pure map, zero shuffle."""
+    r = np.asarray(rotation, dtype=np.float64)
+    other = [c for c in vectors.columns if c != vec_col]
+    out_schema = T.StructType(
+        [vectors.schema[c] for c in other]
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            y = x @ r.T
+            out = b[other].copy()
+            out[out_col] = list(y)
+            yield out
+
+    return vectors.mapInPandas(kern, out_schema)

@@ -116,6 +116,49 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ann_opq", None, tags=("clustering", "similarity"),
+          priority=100)
+def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style ANN: PCA-rotate (eigenvalue-balanced round-robin across
+    the 8 subspaces — parametric OPQ init) then the standard PQ pipeline
+    over the ROTATED corpus. Rotation is orthonormal, so ADC scores and
+    the exact rerank are in the same metric as the original space; the
+    balanced subspaces are what plain PQ lacks when the embedding
+    covariance is anisotropic. Rows-only for the driver; quantization-
+    error improvement vs plain PQ and recall floor gated in
+    tests/test_pca.py."""
+    import numpy as np
+
+    from odbc2deltalake_spark.operators.pca import (
+        opq_rotation,
+        rotate_vectors,
+    )
+    from odbc2deltalake_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        fit_pq_codebooks,
+    )
+
+    vectors = _corpus(spark, sf_dir)
+    r = opq_rotation(vectors, "v", _PQ_DIM, _PQ_M)
+    rot = rotate_vectors(vectors, "v", r).localCheckpoint(eager=False)
+    books = fit_pq_codebooks(rot, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
+    codes = encode_pq(rot, _PQ_DIM, _PQ_M, books).localCheckpoint(
+        eager=False
+    )
+    q = vectors.filter(F.col("vec_id") == _PQ_QUERY_VEC).first()["v"]
+    q_rot = [float(x) for x in (np.asarray(r) @ np.asarray(q))]
+    return adc_topk(
+        q_rot,
+        codes.filter(F.col("vec_id") != _PQ_QUERY_VEC),
+        books,
+        _PQ_DIM,
+        _PQ_M,
+        _PQ_TOPK,
+        rerank_vectors=rot,
+    )
+
+
 # --------------------------------------------------------- BPE trainer ----
 
 _BPE_MERGES = 10

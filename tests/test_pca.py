@@ -99,3 +99,119 @@ def test_driver_row_shape(spark):
     # projections are centered: column means ~ 0
     m = np.array([[r[f"pc{i}"] for i in (1, 2, 3, 4)] for r in rows]).mean(0)
     np.testing.assert_allclose(m, 0, atol=1e-3)
+
+
+def test_opq_rotation_balances_and_preserves_distance(spark, corpus):
+    """The OPQ rotation is orthonormal (L2-preserving) and deals the
+    variance round-robin: each PQ subspace's variance share is far more
+    balanced than the plain-PCA ordering would give."""
+    x, df = corpus
+    from odbc2deltalake_spark.operators.pca import (
+        opq_rotation,
+        rotate_vectors,
+    )
+
+    m = 4
+    r = opq_rotation(df, "v", DIM, m)
+    np.testing.assert_allclose(r @ r.T, np.eye(DIM), atol=1e-9)
+    y = np.array(
+        [row["v"] for row in rotate_vectors(df, "v", r)
+         .orderBy("vec_id").collect()]
+    )
+    np.testing.assert_allclose(y, x @ r.T, atol=1e-9)
+    # pairwise distance preserved (spot pair)
+    d0 = np.linalg.norm(x[0] - x[1])
+    np.testing.assert_allclose(np.linalg.norm(y[0] - y[1]), d0, rtol=1e-9)
+    # balance: per-subspace variance shares under the round-robin deal
+    # vs the unbalanced contiguous-PCA deal
+    yc = y - y.mean(0)
+    d_sub = DIM // m
+    shares = [
+        yc[:, s * d_sub:(s + 1) * d_sub].var(axis=0).sum()
+        for s in range(m)
+    ]
+    _, comps, vals = __import__(
+        "odbc2deltalake_spark.operators.pca", fromlist=["fit_pca"]
+    ).fit_pca(df, "v", DIM, DIM)
+    contiguous = [
+        vals[s * d_sub:(s + 1) * d_sub].sum() for s in range(m)
+    ]
+    spread = max(shares) / min(shares)
+    spread_contiguous = max(contiguous) / min(contiguous)
+    assert spread < spread_contiguous / 3, (spread, spread_contiguous)
+
+
+def test_opq_reduces_quantization_error_vs_plain_pq(spark):
+    """On the real embeddings fixture: PQ codebooks fit in OPQ-rotated
+    space reconstruct with LOWER total squared error than plain PQ —
+    the point of balancing the subspace variance. (Rotation preserves
+    L2, so the errors are directly comparable.)"""
+    from odbc2deltalake_spark.operators.pca import (
+        opq_rotation,
+        rotate_vectors,
+    )
+    from odbc2deltalake_spark.operators.pq import (
+        encode_pq,
+        fit_pq_codebooks,
+    )
+    from odbc2deltalake_spark.queries.registry import load_table
+    from pyspark.sql import functions as F
+
+    spark_df = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vectors = spark_df.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("v"),
+    )
+
+    def total_sq_err(vecs):
+        books = fit_pq_codebooks(vecs, 64, 8, 16, 2)
+        codes = encode_pq(vecs, 64, 8, books)
+        cb = {
+            (r["sub"], r["cid"]): np.array(r["cv"])
+            for r in books.collect()
+        }
+        xs = {r["vec_id"]: np.array(r["v"]) for r in vecs.collect()}
+        cs = {r["vec_id"]: r["codes"] for r in codes.collect()}
+        err = 0.0
+        for vid, v in xs.items():
+            rec = np.concatenate([cb[(s, c)] for s, c in enumerate(cs[vid])])
+            err += float(((v - rec) ** 2).sum())
+        return err
+
+    plain = total_sq_err(vectors)
+    r = opq_rotation(vectors, "v", 64, 8)
+    rotated = rotate_vectors(vectors, "v", r)
+    opq = total_sq_err(rotated)
+    assert opq < plain, (opq, plain)
+
+
+def test_sim_ann_opq_registry_row(spark):
+    """The registry entry runs end-to-end and its top-10 in ROTATED
+    space matches the brute-force top-10 in ORIGINAL space (rotation
+    preserves L2) within a recall floor."""
+    from odbc2deltalake_spark.queries import registry
+    from pyspark.sql import functions as F
+
+    registry.load_all()
+    out = registry.QUERIES["sim_ann_opq"].fn(spark, "/root/testdata/sf0.001")
+    got = [r["vec_id"] for r in out.collect()]
+    assert len(got) == 10
+
+    emb = registry.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {
+        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    }
+    q = rows[0]
+    truth = sorted(
+        ((vid, float(((v - q) ** 2).sum())) for vid, v in rows.items()
+         if vid != 0),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    truth_ids = {vid for vid, _ in truth}
+    recall = len(truth_ids & set(got)) / 10
+    # the 64-candidate ADC prefilter at K=16 bounds recall; plain PQ's
+    # own gate is 0.4 on this fixture (tests/test_pq.py:124) — OPQ must
+    # clear it with margin (measured 0.6 here; the codebook-quality win
+    # is pinned separately by the quantization-error test)
+    assert recall >= 0.5, (recall, got, sorted(truth_ids))

@@ -403,6 +403,12 @@ EXCLUDED = {
         "per-cluster kernel; numpy-parity gated in "
         "tests/test_clustering.py"
     ),
+    "sim_ann_opq": (
+        "iterative PQ Lloyd rounds over the PCA-rotated corpus (same "
+        "driver-coordinated shape as sim_ann_pq, which is also "
+        "excluded); rotation orthonormality, quantization-error win vs "
+        "plain PQ, and the recall floor are gated in tests/test_pca.py"
+    ),
     "store_dml_roundtrip": (
         "multi-commit store DML lifecycle executed at build; returns a "
         "checkpointed frame — the rewrite-engine plans are property- "
