@@ -56,6 +56,22 @@ class IvfPqIndex:
         self.cells = VersionedParquetTable(root / "cells")
         self.centroids = VersionedParquetTable(root / "centroids")
         self.codebooks = VersionedParquetTable(root / "codebooks")
+        # optional OPQ pre-transform (r11): a persisted D×D orthonormal
+        # rotation applied to every vector/centroid/query — FAISS's
+        # OPQ..,IVF..,PQ.. layout. Absent on indexes built without it.
+        self.rotation = VersionedParquetTable(root / "rotation")
+
+    def _load_rotation(self, spark: SparkSession):
+        """The persisted rotation as a numpy [D, D] matrix, or None."""
+        if not self.rotation.exists():
+            return None
+        import numpy as np
+
+        rows = self.rotation.read(spark).collect()
+        r = np.zeros((self.dim, self.dim))
+        for row in rows:
+            r[int(row["i"])] = row["r"]
+        return r
 
     # ---------- construction ----------
 
@@ -74,11 +90,43 @@ class IvfPqIndex:
         vectors: DataFrame,
         centroids: DataFrame,
         iterations: int = 2,
+        rotate: bool = False,
     ) -> int:
         """Build from (vec_id, v) and a pinned coarse quantizer (cid,
         cv) — e.g. `fit_kmeans_centroids`. Fits the PQ codebooks on the
         residual corpus, encodes, and stores codes partitioned by cell.
-        Returns the cells-table version."""
+        Returns the cells-table version.
+
+        ``rotate=True`` fits and PERSISTS an OPQ pre-transform
+        (operators/pca.opq_rotation: PCA basis, eigenvalue-balanced
+        round-robin across the M subspaces) and builds the whole index
+        in rotated space. The provided centroids are rotated with the
+        SAME matrix — orthonormality preserves cosine, so cell
+        assignments are identical to the unrotated ones; only the PQ
+        codebooks see the balanced-variance space. Queries rotate
+        driver-side; reranks stay in the original metric (L2 is
+        preserved)."""
+        if rotate:
+            from odbc2deltalake_spark.operators.pca import (
+                opq_rotation,
+                rotate_vectors,
+            )
+
+            r = opq_rotation(vectors, "v", self.dim, self.m)
+            spark = vectors.sparkSession
+            self.rotation.write(
+                spark.createDataFrame(
+                    [(i, [float(x) for x in row]) for i, row in enumerate(r)],
+                    "i int, r array<double>",
+                ),
+                mode="overwrite",
+            )
+            vectors = rotate_vectors(
+                vectors.select("vec_id", "v"), "v", r
+            )
+            centroids = rotate_vectors(
+                centroids.select("cid", "cv"), "cv", r, out_col="cv"
+            )
         cent = centroids.select("cid", "cv").localCheckpoint(eager=True)
         self.centroids.write(cent, mode="overwrite")
         assigned = assign_cosine(
@@ -98,6 +146,11 @@ class IvfPqIndex:
         append — existing cell partitions untouched (same incremental
         contract as IvfIndex.append)."""
         spark = vectors.sparkSession
+        r = self._load_rotation(spark)
+        if r is not None:
+            from odbc2deltalake_spark.operators.pca import rotate_vectors
+
+            vectors = rotate_vectors(vectors.select("vec_id", "v"), "v", r)
         cent = self.centroids.read(spark).localCheckpoint(eager=True)
         books = self.codebooks.read(spark).localCheckpoint(eager=True)
         assigned = assign_cosine(vectors.select("vec_id", "v"), cent)
@@ -124,7 +177,15 @@ class IvfPqIndex:
         partition-pruned scan of code rows, M map lookups each, then
         TakeOrdered; with ``rerank_vectors`` the candidate ids fetch
         their raw rows via broadcast semi-join for exact scoring."""
-        q = [float(x) for x in query_vec]
+        q_orig = [float(x) for x in query_vec]
+        q = q_orig
+        rot = self._load_rotation(spark)
+        if rot is not None:
+            # pre-transform the query into index space (driver-side
+            # D×D matvec); the exact rerank below stays in the ORIGINAL
+            # metric — rotation preserves L2, and rerank_vectors are
+            # original-space rows
+            q = [float(x) for x in (rot @ __import__("numpy").asarray(q))]
         qn = math.sqrt(sum(x * x for x in q))
         cent = self.centroids.read(spark).collect()
         ranked = sorted(
@@ -190,7 +251,7 @@ class IvfPqIndex:
             .limit(candidates)
             .select("vec_id")
         )
-        qlit = F.array(*[F.lit(x) for x in q])
+        qlit = F.array(*[F.lit(x) for x in q_orig])
         exact = _sq_l2(F.col("v"), qlit)
         return (
             rerank_vectors.join(F.broadcast(cand), "vec_id")

@@ -244,3 +244,75 @@ def test_recall_floor_at_30x_scale(spark, tmp_path):
         hits += len(set(got_ids) & set(true_top))
         tot += 10
     assert hits / tot >= 0.9, f"recall@10 collapsed to {hits / tot:.2f}"
+
+
+def test_opq_rotated_index_round_trips_and_recalls(spark, corpus, tmp_path):
+    """rotate=True persists the OPQ pre-transform with the index: a
+    FRESH handle re-opened from disk rotates queries and appends with
+    the stored matrix; cell assignments equal the unrotated build's
+    (orthonormal rotation preserves cosine); search+rerank stays in the
+    original metric and clears the plain index's recall floor."""
+    cent = fit_kmeans_centroids(corpus, NCENT, 2)
+    plain = IvfPqIndex(tmp_path / "plain", DIM, M, K)
+    plain.build(corpus, cent)
+    rot = IvfPqIndex(tmp_path / "rot", DIM, M, K)
+    rot.build(corpus, cent, rotate=True)
+
+    # identical coarse assignments — rotation is invisible to the IVF
+    a = {
+        r["vec_id"]: r["cid"]
+        for r in plain.cells.read(spark).select("vec_id", "cid").collect()
+    }
+    b = {
+        r["vec_id"]: r["cid"]
+        for r in rot.cells.read(spark).select("vec_id", "cid").collect()
+    }
+    assert a == b
+
+    # fresh handle: the rotation must come off DISK, not object state
+    reopened = IvfPqIndex(tmp_path / "rot", DIM, M, K)
+    r_mat = reopened._load_rotation(spark)
+    assert r_mat is not None
+    np.testing.assert_allclose(r_mat @ r_mat.T, np.eye(DIM), atol=1e-9)
+
+    rows = {
+        r["vec_id"]: np.array(r["v"]) for r in corpus.collect()
+    }
+    q = rows[0]
+    truth = {
+        vid
+        for vid, _ in sorted(
+            ((vid, float(((v - q) ** 2).sum())) for vid, v in rows.items()
+             if vid != 0),
+            key=lambda t: (t[1], t[0]),
+        )[:10]
+    }
+    got = reopened.search(
+        spark, list(q), nprobe=NCENT, k=10, candidates=64,
+        rerank_vectors=corpus.filter(F.col("vec_id") != 0),
+    )
+    ids = [r["vec_id"] for r in got.collect()]
+    assert 0 not in ids
+    recall = len(set(ids) & truth) / 10
+    assert recall >= 0.4, recall  # the plain index's own floor
+
+    # exact_dist is the ORIGINAL-metric distance (rerank unrotated)
+    d = {r["vec_id"]: r["exact_dist"] for r in got.collect()}
+    for vid, dist in d.items():
+        np.testing.assert_allclose(
+            dist, float(((rows[vid] - q) ** 2).sum()), rtol=1e-4
+        )
+
+    # append through the reopened handle: encoded in rotated space,
+    # searchable, original rows untouched
+    clone = corpus.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    reopened.append(clone)
+    assert (
+        reopened.cells.read(spark).filter("vec_id >= 100000").count() == 5
+    )
+    # the planted clone of the query's nearest neighbor surfaces
+    got2 = reopened.search(spark, list(rows[0]), nprobe=NCENT, k=10)
+    ids2 = {r["vec_id"] for r in got2.collect()}
+    assert 100000 in ids2  # vec_id 0's clone has distance ~0
