@@ -520,3 +520,79 @@ def test_external_reader_refuses_exotic_set_text(spark, tmp_path):
         read_table(tmp_path / "t")
     # the engine itself still reads it fine
     assert t.read(spark).count() == 30
+
+
+def test_external_reader_sees_absorbed_mask_and_patch_key_stats(spark, tmp_path):
+    """r11 commit shapes through the standalone reader: a mask that
+    auto-rebased over a racing append carries ABSORBED dirs in
+    dirs_masked (the racer's matching rows must be masked externally
+    too), and a patch commit now records patch_key_stats — an unknown
+    field an older-format reader must ignore, not choke on."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = tmp_path / "t"
+    t = VersionedParquetTable(root)
+    t.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        mode="append",
+    )
+
+    # deterministic mask-over-append race (same harness as
+    # tests/test_occ_rebase.py): the rival's matching row lands mid-mask
+    rival = VersionedParquetTable(root)
+    orig = t.backend.write_text_exclusive
+    fired = {"done": False}
+
+    def hook(path: str, text: str):
+        if not fired["done"] and "_commits" in path:
+            fired["done"] = True
+            rival.write(
+                spark.createDataFrame([(1, 111)], "id long, v long")
+            )
+        return orig(path, text)
+
+    t.backend.write_text_exclusive = hook
+    out = t.delete_where(spark, ("id", "=", 1), lazy=True)
+    t.backend.write_text_exclusive = orig
+    assert out["dirs_masked"] == 2  # base dir + the absorbed rival dir
+
+    ext = sorted(
+        (d["id"], d["v"]) for d in read_table(root).to_pylist()
+    )
+    assert ext == [(2, 20)]  # the absorbed dir's (1,111) masked too
+
+    # patch commit with patch_key_stats: reader reconciles and ignores
+    # the extra metadata field
+    t2 = VersionedParquetTable(tmp_path / "p")
+    t2.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, 0) for i in range(8)], "id long, v long"),
+        ["id"],
+        target_bucket_rows=4,
+    )
+    import pytest as _p
+
+    _p.MonkeyPatch().setattr(
+        VersionedParquetTable, "PATCH_MIN_TABLE_ROWS", 1
+    )
+    try:
+        t2.merge_upsert(
+            spark,
+            spark.createDataFrame([(3, 99)], "id long, v long"),
+            ["id"],
+            strategy="patch",
+        )
+    finally:
+        VersionedParquetTable.PATCH_MIN_TABLE_ROWS = 1_000_000
+    import json as _json
+
+    last = max(
+        int(p.name.split(".")[0])
+        for p in (tmp_path / "p" / "_commits").glob("*.json")
+    )
+    commit = _json.loads(
+        (tmp_path / "p" / "_commits" / f"{last:010d}.json").read_text()
+    )
+    assert commit["mode"] == "patch" and "patch_key_stats" in commit
+    ext2 = {d["id"]: d["v"] for d in read_table(tmp_path / "p").to_pylist()}
+    assert ext2[3] == 99 and len(ext2) == 8
