@@ -823,3 +823,78 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l2_norm",
         (F.col("l2_norm") > F.col("c")).alias("is_outlier"),
     )
+
+
+# ------------------------------ centroid semantic quality gate ------
+# r11: the classifier-free quality signal real pretraining pipelines
+# use (cosine to a trusted-reference centroid — "is this document
+# embedding close to the high-quality region?"). The reference set is
+# the label-0 slice; its centroid is one 64-avg aggregate (single
+# broadcast row), every vector scores with one JVM dot product, and the
+# keep cut is an order statistic of the ROUNDED scores (the
+# text_perplexity_filter exactness recipe: Spark percentile == DuckDB
+# quantile_cont over identical 4dp inputs — no float knife edge).
+# Scale: one scan + two single-row broadcasts; zero data-proportional
+# shuffles.
+
+_SQ_DIM = 64
+_SQ_DROP_Q = 0.25  # drop the bottom quartile
+
+_SEM_QUALITY_ORACLE = f"""
+WITH ref AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE label = 0
+),
+dims AS (
+  SELECT r.i AS i, avg(ref.v[r.i]) AS m
+  FROM ref, range(1, {_SQ_DIM + 1}) AS r(i)
+  GROUP BY r.i
+),
+cent AS (SELECT list(m ORDER BY i) AS cv FROM dims),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+  FROM embeddings e, cent c
+),
+cut AS (SELECT quantile_cont(cosine, {_SQ_DROP_Q}) AS c FROM scored)
+SELECT s.vec_id, s.label, s.cosine, s.cosine >= cut.c AS kept
+FROM scored s, cut
+"""
+
+
+@register("corpus_semantic_quality", _SEM_QUALITY_ORACLE,
+          tags=("corpus", "similarity"), priority=100)
+def corpus_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-to-reference-centroid quality gate == the same centroid,
+    dot products, and order-statistic cut in SQL. Every vector scored
+    against the label-0 centroid; the bottom quartile is flagged
+    dropped."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", dbl.alias("v"))
+    ref = base.filter(F.col("label") == 0)
+    cent = ref.agg(
+        F.array(
+            *[
+                F.avg(F.element_at(F.col("v"), i + 1))
+                for i in range(_SQ_DIM)
+            ]
+        ).alias("cv")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        _norm(F.col("v")) * _norm(F.col("cv"))
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", F.round(cos, 4).alias("cosine")
+    )
+    cut = scored.agg(
+        F.expr(f"percentile(cosine, {_SQ_DROP_Q})").alias("c")
+    )
+    return scored.crossJoin(F.broadcast(cut)).select(
+        "vec_id",
+        "label",
+        "cosine",
+        (F.col("cosine") >= F.col("c")).alias("kept"),
+    )

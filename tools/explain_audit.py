@@ -369,6 +369,9 @@ AUDIT = [
     # sufficient-statistics collect at build; the RETURNED frame is the
     # zero-shuffle zip_with projection map this audits
     "emb_pca_project",
+    # r11: centroid quality gate — one scan + two single-row broadcasts
+    # (the centroid and the percentile cut); zero data-sized shuffles
+    "corpus_semantic_quality",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
