@@ -119,6 +119,9 @@ EXTRAS = [
     "store_txn_exactly_once",
     "store_shallow_clone_divergence",
     "stream_hourly_rollup",
+    "stream_cdc_scd2",
+    "corpus_semantic_quality",
+    "sim_ann_opq",
 ]
 
 

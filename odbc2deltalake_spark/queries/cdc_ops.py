@@ -1641,3 +1641,94 @@ def store_merge_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return probe.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------- streaming CDC ingestion row ----
+# r11: the engine's FLAGSHIP lifecycle (incremental SCD2 ingestion)
+# driven by Structured Streaming instead of an external scheduler —
+# three availableNow passes over a growing file-source dir, each
+# micro-batch one simple_delta load through foreachBatch
+# (streaming/driver.py:stream_db_to_delta), checkpoint continuity
+# between passes. The final CURRENT state must be independent of the
+# batching: hash it against the plain latest-row-per-key SQL. rv is
+# the monotone event_id (the rowversion analog), so the delta
+# criterion and the current-row choice are tie-free by construction.
+
+_STREAM_CDC_ORACLE = """
+WITH m AS (SELECT user_id, max(event_id) AS rv FROM events GROUP BY user_id)
+SELECT e.user_id, m.rv, e.event_type, e.value
+FROM events e
+JOIN m ON e.user_id = m.user_id AND e.event_id = m.rv
+"""
+
+
+@register(
+    "stream_cdc_scd2",
+    _STREAM_CDC_ORACLE,
+    tags=("cdc", "streaming", "flagship"),
+    priority=100,
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 ingestion == batch latest-per-key, batching-free.
+
+    The events table (rv = event_id) is split into three rv-ordered
+    chunks landed as successive file-source files; each availableNow
+    pass ingests the new chunk as one simple_delta micro-batch (full
+    load on the first, watermarked deltas after). The current rows —
+    history joined to latest_pk_version on (pk, rv) — must equal the
+    one-shot GROUP BY regardless of the 3-way batching."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odbc2deltalake_spark.plans.destination import DeltaDestination
+    from odbc2deltalake_spark.streaming.driver import stream_db_to_delta
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.col("event_id").alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = ev.agg(F.max("rv")).collect()[0][0] or 0
+    cuts = [0, mx // 3, 2 * mx // 3, mx + 1]
+    schema = ev.schema
+    root = tempfile.mkdtemp(prefix="stream_cdc_")
+    src_dir = f"{root}/in"
+    dest = f"{root}/dest"
+    ckpt = f"{root}/ckpt"
+    try:
+        for i in range(3):
+            (
+                ev.filter(
+                    (F.col("rv") >= cuts[i]) & (F.col("rv") < cuts[i + 1])
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            q = stream_db_to_delta(
+                spark, stream, dest, ["user_id"], "rv", ckpt,
+                available_now=True,
+            )
+            q.awaitTermination(300)
+        d = DeltaDestination(dest)
+        # current rows: W1 latest-rv window + tombstone filter — the
+        # read-side contract of the whole engine (same shape
+        # scd2_current_rows pins over the batch path)
+        from pyspark.sql import Window as W
+
+        hist = d.delta.read(spark)
+        w = W.partitionBy("user_id").orderBy(F.col("rv").desc())
+        out = (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (~F.col("__is_deleted")))
+            .select("user_id", "rv", "event_type", "value")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -516,6 +516,13 @@ EXCLUDED = {
         "tumbling window state) is the engine's, pinned stream==batch "
         "by the oracle hash and tests/test_streaming.py"
     ),
+    "stream_cdc_scd2": (
+        "three availableNow foreachBatch SCD2 loads executed at build "
+        "(checkpoint-continuous micro-batches); returns a checkpointed "
+        "current-rows frame — each micro-batch runs the SAME plans the "
+        "batch lifecycle's audited queries pin, and the batching-"
+        "independence claim is the oracle hash itself"
+    ),
 }
 
 
