@@ -411,3 +411,69 @@ def test_foreach_batch_append_exactly_once(spark, tmp_path):
     last = int(t.get_property("txn.ingest"))
     sink(spark.createDataFrame([(3, "c", 12)], SCHEMA), last)
     assert t.read(spark).count() == 3  # skipped, not duplicated
+
+
+def test_cdc_batching_independence_property(spark, tmp_path):
+    """Hypothesis-style sweep without the fixture overhead: for several
+    random-ish split layouts (2-4 rv-ordered chunks, uneven cut points,
+    duplicate-pk churn inside and across chunks), the streaming SCD2
+    ingestion's final current rows equal the one-shot latest-per-key —
+    the batching-independence contract stream_cdc_scd2 pins at driver
+    scale, generalized over split geometry."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from odbc2deltalake_spark.plans.destination import DeltaDestination
+    from odbc2deltalake_spark.streaming.driver import stream_db_to_delta
+
+    rows = [
+        # (rv, pk, val): heavy churn — pk 1 updated in every chunk
+        (i, (i * 7) % 5, i * 10) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "rv long, pk long, val long")
+    expect = sorted(
+        tuple(r)
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("pk").orderBy(F.col("rv").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("pk", "rv", "val")
+        .collect()
+    )
+
+    for case, cuts in enumerate(
+        [[0, 20, 40], [0, 5, 12, 40], [0, 1, 2, 40], [0, 39, 40]]
+    ):
+        base = tmp_path / f"c{case}"
+        src, dest, ckpt = base / "in", base / "dest", base / "ckpt"
+        for i in range(len(cuts) - 1):
+            df.filter(
+                (F.col("rv") >= cuts[i]) & (F.col("rv") < cuts[i + 1])
+            ).coalesce(1).write.mode("append").parquet(str(src))
+            q = stream_db_to_delta(
+                spark,
+                spark.readStream.schema(df.schema).parquet(str(src)),
+                dest,
+                ["pk"],
+                "rv",
+                str(ckpt),
+                available_now=True,
+            )
+            q.awaitTermination(180)
+        hist = DeltaDestination(dest).delta.read(spark)
+        got = sorted(
+            tuple(r)
+            for r in hist.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("pk").orderBy(F.col("rv").desc())
+                ),
+            )
+            .filter((F.col("rn") == 1) & (~F.col("__is_deleted")))
+            .select("pk", "rv", "val")
+            .collect()
+        )
+        assert got == expect, (case, cuts, got, expect)
