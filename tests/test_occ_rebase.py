@@ -629,3 +629,46 @@ def test_random_same_version_races_match_model(
             _run_op(spark, t1, loser, x_loser, tag=2, prop_key="k")
     got = dict(_rows(spark, VersionedParquetTable(root)))
     assert got == model, (loser, rival, x_loser, x_rival, got, model)
+
+
+def test_patch_disjointness_proof_on_string_keys(spark, root):
+    """The range half of the patch proof over STRING bucket keys —
+    lexicographic interval disjointness (and the refuse when ranges
+    overlap), exercising the non-numeric _stat_ser/_stat_deser path."""
+    t1 = VersionedParquetTable(root)
+    base = spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(8)], "id string, v long"
+    )
+    t1.merge_upsert(spark, base, ["id"], target_bucket_rows=4)
+    rival = VersionedParquetTable(root)
+    # disjoint: rival appends z-prefixed keys, patch targets k-prefixed
+    _arm_race(
+        t1,
+        lambda: rival.write(
+            spark.createDataFrame([("z99", 1)], "id string, v long"),
+            mode="append", stats_cols=["id"],
+        ),
+    )
+    t1.merge_upsert(
+        spark,
+        spark.createDataFrame([("k02", 999)], "id string, v long"),
+        ["id"], strategy="patch",
+    )
+    got = {r["id"]: r["v"] for r in t1.read(spark).collect()}
+    assert got["k02"] == 999 and got["z99"] == 1 and len(got) == 9
+
+    # overlapping string range: refuse
+    rival2 = VersionedParquetTable(root)
+    _arm_race(
+        t1,
+        lambda: rival2.write(
+            spark.createDataFrame([("k05", 1)], "id string, v long"),
+            mode="append", stats_cols=["id"],
+        ),
+    )
+    with pytest.raises(CommitConflictError):
+        t1.merge_upsert(
+            spark,
+            spark.createDataFrame([("k05", 777)], "id string, v long"),
+            ["id"], strategy="patch",
+        )
