@@ -143,6 +143,7 @@ def adc_topk(
     k: int = 10,
     rerank_vectors: DataFrame | None = None,
     candidates: int = 64,
+    rerank_query: list[float] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: distance(query, x) ≈ Σ_sub
     ||q_sub − centroid(code_sub)||². The M*K lookup table is built from
@@ -183,7 +184,12 @@ def adc_topk(
     cand = scored.orderBy("approx_dist", "vec_id").limit(candidates).select(
         "vec_id"
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    # under a pre-transform (OPQ) the ADC ranking runs in rotated space
+    # while rerank_vectors may be ORIGINAL-space rows — rerank_query
+    # carries the matching-space query (defaults to the ADC query)
+    qlit = F.array(
+        *[F.lit(float(x)) for x in (rerank_query or query)]
+    )
     exact = _sq_l2(F.col("v"), qlit)
     return (
         rerank_vectors.join(F.broadcast(cand), "vec_id")

@@ -116,17 +116,40 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_opq", None, tags=("clustering", "similarity"),
+# Exact-equivalence configuration (the sim_ann_ivfpq_search recipe):
+# the rotation, codebook fit, encode, and ADC ranking all execute, and
+# the rerank covers the FULL candidate slice against the ORIGINAL
+# vectors — so the final top-10 must equal brute-force squared L2
+# regardless of quantizer quality, which is what an independent SQL
+# engine can verify. (Recall at a REAL candidate budget is gated
+# separately in tests/test_pca.py.)
+_OPQ_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {0}
+)
+SELECT e.vec_id,
+       round(list_sum([ (x[1] - x[2]) ^ 2
+                        for x in list_zip(e.embedding::DOUBLE[], q.qv) ]),
+             6) AS exact_dist
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY exact_dist, e.vec_id
+LIMIT {10}
+"""
+
+
+@register("sim_ann_opq", _OPQ_ORACLE, tags=("clustering", "similarity"),
           priority=100)
 def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ-style ANN: PCA-rotate (eigenvalue-balanced round-robin across
-    the 8 subspaces — parametric OPQ init) then the standard PQ pipeline
-    over the ROTATED corpus. Rotation is orthonormal, so ADC scores and
-    the exact rerank are in the same metric as the original space; the
-    balanced subspaces are what plain PQ lacks when the embedding
-    covariance is anisotropic. Rows-only for the driver; quantization-
-    error improvement vs plain PQ and recall floor gated in
-    tests/test_pca.py."""
+    """OPQ-style ANN == brute-force squared L2 (exact-mode oracle).
+
+    PCA-rotate (eigenvalue-balanced round-robin across the 8 subspaces —
+    parametric OPQ init, operators/pca.opq_rotation) then the standard
+    PQ pipeline over the ROTATED corpus; the ADC prefilter runs in
+    rotated space and the full-slice exact rerank runs in the ORIGINAL
+    space (orthonormal rotation preserves L2, and original-space floats
+    are what DuckDB recomputes bit-for-bit). Quantization-error win and
+    the bounded-candidate recall floor are gated in tests/test_pca.py."""
     import numpy as np
 
     from odbc2deltalake_spark.operators.pca import (
@@ -148,6 +171,7 @@ def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = vectors.filter(F.col("vec_id") == _PQ_QUERY_VEC).first()["v"]
     q_rot = [float(x) for x in (np.asarray(r) @ np.asarray(q))]
+    n = vectors.count()
     return adc_topk(
         q_rot,
         codes.filter(F.col("vec_id") != _PQ_QUERY_VEC),
@@ -155,7 +179,9 @@ def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PQ_DIM,
         _PQ_M,
         _PQ_TOPK,
-        rerank_vectors=rot,
+        rerank_vectors=vectors.filter(F.col("vec_id") != _PQ_QUERY_VEC),
+        candidates=int(n),  # full slice -> exact top-k, SQL-verifiable
+        rerank_query=[float(x) for x in q],  # original space, like the rows
     )
 
 

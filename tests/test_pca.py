@@ -185,33 +185,59 @@ def test_opq_reduces_quantization_error_vs_plain_pq(spark):
     assert opq < plain, (opq, plain)
 
 
-def test_sim_ann_opq_registry_row(spark):
-    """The registry entry runs end-to-end and its top-10 in ROTATED
-    space matches the brute-force top-10 in ORIGINAL space (rotation
-    preserves L2) within a recall floor."""
-    from odbc2deltalake_spark.queries import registry
+def test_sim_ann_opq_bounded_candidate_recall(spark):
+    """The PRODUCTION configuration (64-candidate ADC prefilter in
+    rotated space + original-space exact rerank): top-10 recall against
+    brute force must clear plain PQ's own floor with margin. (The
+    registry row runs the exact-equivalence configuration — full slice,
+    SQL-oracled — so the bounded-budget behavior is gated here.)"""
     from pyspark.sql import functions as F
 
-    registry.load_all()
-    out = registry.QUERIES["sim_ann_opq"].fn(spark, "/root/testdata/sf0.001")
-    got = [r["vec_id"] for r in out.collect()]
-    assert len(got) == 10
+    from odbc2deltalake_spark.operators.pca import (
+        opq_rotation,
+        rotate_vectors,
+    )
+    from odbc2deltalake_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        fit_pq_codebooks,
+    )
+    from odbc2deltalake_spark.queries import registry
 
+    registry.load_all()
     emb = registry.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    vectors = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).localCheckpoint(eager=True)
+    r = opq_rotation(vectors, "v", 64, 8)
+    rot = rotate_vectors(vectors, "v", r)
+    books = fit_pq_codebooks(rot, 64, 8, 16, 2)
+    codes = encode_pq(rot, 64, 8, books)
     rows = {
-        r["vec_id"]: np.array([float(x) for x in r["embedding"]])
-        for r in emb.collect()
+        row["vec_id"]: np.array(row["v"]) for row in vectors.collect()
     }
     q = rows[0]
-    truth = sorted(
-        ((vid, float(((v - q) ** 2).sum())) for vid, v in rows.items()
-         if vid != 0),
-        key=lambda t: (t[1], t[0]),
-    )[:10]
-    truth_ids = {vid for vid, _ in truth}
-    recall = len(truth_ids & set(got)) / 10
-    # the 64-candidate ADC prefilter at K=16 bounds recall; plain PQ's
-    # own gate is 0.4 on this fixture (tests/test_pq.py:124) — OPQ must
-    # clear it with margin (measured 0.6 here; the codebook-quality win
-    # is pinned separately by the quantization-error test)
-    assert recall >= 0.5, (recall, got, sorted(truth_ids))
+    q_rot = [float(x) for x in (r @ q)]
+    out = adc_topk(
+        q_rot,
+        codes.filter(F.col("vec_id") != 0),
+        books,
+        64, 8, 10,
+        rerank_vectors=vectors.filter(F.col("vec_id") != 0),
+        candidates=64,
+        rerank_query=[float(x) for x in q],
+    )
+    got = {row["vec_id"] for row in out.collect()}
+    truth = {
+        vid
+        for vid, _ in sorted(
+            ((vid, float(((v - q) ** 2).sum())) for vid, v in rows.items()
+             if vid != 0),
+            key=lambda t: (t[1], t[0]),
+        )[:10]
+    }
+    recall = len(truth & got) / 10
+    # plain PQ's own gate is 0.4 on this fixture (tests/test_pq.py:124)
+    # — OPQ must clear it with margin (measured 0.6)
+    assert recall >= 0.5, (recall, sorted(got), sorted(truth))
