@@ -1,0 +1,171 @@
+"""Pure-stdlib PNG codec — a REAL decode path for the multimodal
+family, no Pillow required.
+
+The container has no image libraries, so the multimodal kernels stub
+the codec swap point (operators/multimodal.py). PNG, however, is
+zlib + per-row byte filters, both stdlib: this module implements a
+genuine encoder/decoder for 8-bit greyscale / RGB / RGBA,
+non-interlaced — enough to decode real screenshots and synthetic
+fixtures alike, and to prove the engine's decode PLUMBING end-to-end
+(schema, Arrow batching, per-row kernels) with real compressed bytes
+instead of a NotImplementedError.
+
+The encoder cycles through ALL FIVE filter types (None/Sub/Up/
+Average/Paeth, one per row) so a decode of its output exercises every
+unfilter branch in the production data path, not just the trivial one.
+
+Scale shape: both directions are per-row Arrow kernels (mapInPandas) —
+embarrassingly parallel, no shuffle; a 100 TB image corpus decodes at
+scan speed bounded by zlib throughput per executor core.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, truecolor, truecolor+alpha
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Raw row-major pixel bytes -> a valid PNG. Row y uses filter
+    y % 5, so every filter type appears in any image ≥5 rows tall."""
+    if channels not in _COLOR_TYPE:
+        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i]
+                 - ((row[i - channels] if i >= channels else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[i]
+                 - _paeth(
+                     row[i - channels] if i >= channels else 0,
+                     prev[i],
+                     prev[i - channels] if i >= channels else 0,
+                 ))
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
+    )
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes -> (width, height, channels, raw row-major pixels).
+    8-bit greyscale/RGB/RGBA, non-interlaced; every filter type
+    (None/Sub/Up/Average/Paeth) unfiltered. Raises ValueError on
+    anything else — loud, never a wrong image."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color not in _CHANNELS or ilace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={ilace}) — 8-bit grey/RGB/RGBA only"
+                )
+            channels = _CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated IDAT")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(stride):
+                row[i] = (row[i] + (row[i - channels] if i >= channels else 0)) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                row[i] = (
+                    row[i]
+                    + ((row[i - channels] if i >= channels else 0) + prev[i]) // 2
+                ) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                row[i] = (
+                    row[i]
+                    + _paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out += row
+        prev = bytes(row)
+    return width, height, channels, bytes(out)

@@ -190,3 +190,74 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_meta(make_fake_wav(docs))
+
+
+# ------------------------------- REAL PNG decode, oracled ----
+# r11: the decode step UN-STUBBED for PNG — a pure-stdlib codec
+# (operators/png.py: zlib + all five row filters) runs inside the Arrow
+# kernel, so the engine decodes real compressed image bytes without
+# Pillow. Each doc synthesizes a deterministic greyscale image
+# (pixel(x,y) = (doc_id + 3x + 7y) mod 256, ≥5 rows so every filter
+# type None/Sub/Up/Average/Paeth is exercised per image), encodes it to
+# a genuine PNG, decodes it back, and emits pixel statistics — which
+# the oracle recomputes ANALYTICALLY from the pattern. A decoder bug on
+# any filter branch shifts the stats and fails the value hash.
+
+_PNG_STATS_ORACLE = """
+WITH g AS (
+  SELECT d.doc_id, (d.doc_id % 16 + 5) AS w, (d.doc_id % 12 + 5) AS h,
+         x.range AS x, y.range AS y
+  FROM documents d, range(0, 21) x, range(0, 17) y
+  WHERE x.range < d.doc_id % 16 + 5 AND y.range < d.doc_id % 12 + 5
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       round(avg((doc_id + 3 * x + 7 * y) % 256), 4) AS px_mean,
+       min((doc_id + 3 * x + 7 * y) % 256)::INT AS px_min,
+       max((doc_id + 3 * x + 7 * y) % 256)::INT AS px_max
+FROM g
+GROUP BY doc_id, w, h
+"""
+
+
+@register("mm_png_pixel_stats", _PNG_STATS_ORACLE,
+          tags=("multimodal", "flagship"), priority=100)
+def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG encode -> decode -> pixel stats == the analytic pattern.
+
+    The round trip happens through genuine zlib-compressed PNG bytes
+    inside one mapInPandas kernel (per-row, no shuffle); stats come
+    from the DECODED buffer only, so the oracle's analytic recomputation
+    certifies every unfilter branch."""
+    import pandas as pd
+
+    from odbc2deltalake_spark.operators.png import decode_png, encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kern(batches):
+        for b in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "px_mean": [], "px_min": [], "px_max": []}
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 16 + 5, doc_id % 12 + 5
+                px = bytes(
+                    (doc_id + 3 * x + 7 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                w2, h2, c2, decoded = decode_png(encode_png(px, w, h, 1))
+                assert (w2, h2, c2) == (w, h, 1)
+                out["media_id"].append(doc_id)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["px_mean"].append(round(sum(decoded) / len(decoded), 4))
+                out["px_min"].append(min(decoded))
+                out["px_max"].append(max(decoded))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kern,
+        "media_id long, width int, height int, "
+        "px_mean double, px_min int, px_max int",
+    )

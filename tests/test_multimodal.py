@@ -207,3 +207,83 @@ def test_parse_audio_header_edge_cases():
         "sample_rate": 8000, "channels": 1, "bits": 16,
         "n_frames": 10, "duration_ms": 1,  # int(10 * 1000 / 8000)
     }
+
+
+# ---------------------------------------- pure-stdlib PNG codec ----
+
+
+def test_png_codec_round_trips_all_shapes():
+    """encode->decode identity for grey/RGB/RGBA across sizes that
+    exercise every filter type (>=5 rows) and the 1x1 degenerate."""
+    import random
+
+    from odbc2deltalake_spark.operators.png import decode_png, encode_png
+
+    rng = random.Random(7)
+    for w, h, c in [(1, 1, 1), (4, 5, 1), (7, 9, 3), (16, 12, 4), (20, 6, 3)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * c))
+        w2, h2, c2, out = decode_png(encode_png(px, w, h, c))
+        assert (w2, h2, c2, out) == (w, h, c, px)
+
+
+def test_png_decoder_handles_each_filter_type_alone():
+    """A hand-built single-filter PNG per type: the decoder must undo
+    each of None/Sub/Up/Average/Paeth independently (the encoder cycles
+    them, so a broken branch could hide behind its neighbors)."""
+    import struct
+    import zlib
+
+    from odbc2deltalake_spark.operators.png import (
+        _chunk,
+        _paeth,
+        decode_png,
+    )
+
+    w, h = 6, 3
+    px = bytes((13 * i + 5) % 256 for i in range(w * h))
+    rows = [px[y * w : (y + 1) * w] for y in range(h)]
+    for ft in range(5):
+        raw = bytearray()
+        prev = bytes(w)
+        for row in rows:
+            raw.append(ft)
+            for i in range(w):
+                a = row[i - 1] if i >= 1 else 0
+                b = prev[i]
+                c = prev[i - 1] if i >= 1 else 0
+                sub = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ft]
+                raw.append((row[i] - sub) & 0xFF)
+            prev = row
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        got = decode_png(data)
+        assert got == (w, h, 1, px), f"filter {ft}"
+
+
+def test_png_decoder_refuses_unsupported_loudly():
+    import pytest
+
+    from odbc2deltalake_spark.operators.png import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    # 16-bit depth: flip the depth byte and re-CRC via re-encoding path
+    import struct
+    import zlib
+
+    from odbc2deltalake_spark.operators.png import _chunk
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="channels"):
+        encode_png(b"\x00\x00", 1, 1, 2)

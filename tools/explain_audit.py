@@ -372,6 +372,9 @@ AUDIT = [
     # r11: centroid quality gate — one scan + two single-row broadcasts
     # (the centroid and the percentile cut); zero data-sized shuffles
     "corpus_semantic_quality",
+    # r11: real PNG encode->decode->stats — one per-row Arrow kernel,
+    # no shuffle
+    "mm_png_pixel_stats",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
