@@ -5,9 +5,11 @@ odbc2deltalake_spark/operators/multimodal.py).
 The payload construction is JVM-side expressions, so DuckDB reproduces it
 bit-for-bit (from_hex / encode) — the oracles pin byte-exact plumbing:
 header arithmetic, binary concat, digest. The decode/feature kernels are
-Arrow-batched mapInPandas; the codec itself is stubbed (no image libs in
-this container) behind a try-import, which is exactly the swap point for
-Pillow/soundfile/av in production.
+Arrow-batched mapInPandas; the general codec swap point stays a
+try-import stub (Pillow/soundfile/av in production), but PNG is
+genuinely DECODED here — operators/png.py is a pure-stdlib codec (zlib
++ all five row filters), exercised end-to-end by mm_png_pixel_stats'
+analytic oracle; WAV headers likewise parse for real (mm_audio_meta).
 """
 
 from __future__ import annotations
