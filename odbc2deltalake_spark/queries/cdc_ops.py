@@ -665,7 +665,8 @@ GROUP BY event_type
 
 
 @register("mv_cdf_retraction", _MV_CDF_ORACLE,
-          tags=("cdc", "streaming", "dml", "flagship"))  # r9: promoted to the driver window (sixth-wave rotation)
+          tags=("cdc", "streaming", "dml", "flagship"),
+          priority=100)  # r12: rotated out (mv_join_retraction + mv_incremental_join/_distinct pin the retraction mechanism; green r9-r11)
 def mv_cdf_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup view maintained through merge + UPDATE + DELETE == the
     same lifecycle replayed as one SQL query.
@@ -1418,8 +1419,7 @@ FROM documents
     "store_txn_exactly_once",
     _TXN_ORACLE,
     tags=("store", "streaming", "flagship"),
-    priority=100,
-)
+)  # r12: promoted to the driver window (tenth-wave rotation)
 def store_txn_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replayed txn-marked batches land exactly once == one plain copy.
 
@@ -1529,8 +1529,7 @@ WHERE n_chars >= 100
     "store_check_constraint_gate",
     _CHECK_GATE_ORACLE,
     tags=("store", "constraints", "flagship"),
-    priority=100,
-)
+)  # r12: promoted to the driver window (tenth-wave rotation)
 def store_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK-constraint lifecycle == the plain SQL filter it enforces.
 
@@ -1666,8 +1665,7 @@ JOIN m ON e.user_id = m.user_id AND e.event_id = m.rv
     "stream_cdc_scd2",
     _STREAM_CDC_ORACLE,
     tags=("cdc", "streaming", "flagship"),
-    priority=100,
-)
+)  # r12: promoted to the driver window (tenth-wave rotation)
 def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SCD2 ingestion == batch latest-per-key, batching-free.
 

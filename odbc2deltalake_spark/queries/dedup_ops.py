@@ -587,7 +587,8 @@ def _positional_grams(ext: DataFrame, k: int) -> DataFrame:
     return arr.select("doc_id", F.inline(grams))
 
 
-@register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",))
+@register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",),
+          priority=100)  # r12: rotated out (dedup_exact/minhash/cluster/keep_best hold the family; green r5-r11)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal word spans duplicated across documents (cross-doc verbatim
     8-grams, adjacent positions merged): per doc, the 1-based word range

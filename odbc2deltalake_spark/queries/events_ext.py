@@ -201,7 +201,8 @@ GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
 """
 
 
-@register("ev_range_join", _RANGE_ORACLE, tags=("events", "join"))
+@register("ev_range_join", _RANGE_ORACLE, tags=("events", "join"),
+          priority=100)  # r12: rotated out (ev_asof_join pins the harder interval mechanics; green r5-r11)
 def ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: per 'error' event, count/sum same-user
     'click' events within ±5 minutes.

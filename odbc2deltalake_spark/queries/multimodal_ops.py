@@ -222,7 +222,7 @@ GROUP BY doc_id, w, h
 
 
 @register("mm_png_pixel_stats", _PNG_STATS_ORACLE,
-          tags=("multimodal", "flagship"), priority=100)
+          tags=("multimodal", "flagship"))  # r12: promoted to the driver window (tenth-wave rotation)
 def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG encode -> decode -> pixel stats == the analytic pattern.
 

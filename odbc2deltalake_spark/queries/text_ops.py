@@ -194,7 +194,8 @@ FROM ext
 """
 
 
-@register("text_pii_scrub", _PII_ORACLE, tags=("text",))
+@register("text_pii_scrub", _PII_ORACLE, tags=("text",),
+          priority=100)  # r12: rotated out (text family holds 5 window rows; green r4-r11)
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: emails and phone-shaped tokens replaced with typed
     placeholders, plus a per-doc redaction count. Pure JVM regexp built-ins
