@@ -384,30 +384,29 @@ def main() -> None:
 
     extras_pre = _bench_store_maintenance(spark, sf_dir)
 
+    # Min-of-2 for EVERY headline entry (VERDICT r11 #2). The former rule
+    # re-ran only entries above max(2.5, 3×median) — asymmetric: a warm-up
+    # stall landing just UNDER the cutoff was kept (r11: dedup_exact's
+    # 2.384 s first sample vs its real 0.5 s plan faked a +3.4% headline
+    # "regression"), while one just OVER it was resampled away. Two passes
+    # per entry with per-entry min measure the plan, not JIT/shuffle
+    # warm-up or host stalls, and cost ~30 s of bench wall at sf0.1.
+    # Both samples are recorded in `reruns` so the resampling is
+    # auditable, not an invisible downward bias.
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).collect()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).collect()
+            samples.append(round(time.time() - t0, 3))
+        reruns[name] = {"first": samples[0], "rerun": samples[1]}
+        timings[name] = min(samples)
 
-    # Outlier re-run: this sandbox's host occasionally stalls a vCPU / JIT
-    # compile for tens of seconds, turning a ~0.5s plan into a 30s+ entry
-    # (round-1 driver run: dedup_exact 37.2s on a single-groupBy plan).
-    # The bench measures plan cost, not transient host stalls, so any entry
-    # far above the pass median is re-run once and the faster time kept —
-    # the standard min-of-N discipline, applied only where it matters.
+    # extras keep the outlier-rerun discipline (2× wall for all ~40 of
+    # them is real money); cutoff from the already-stall-free headline
     head_times = sorted(timings[n] for n in HEADLINE)
     median = head_times[len(head_times) // 2]
     outlier_cutoff = max(2.5, 3 * median)
-    for name in HEADLINE:
-        if timings[name] > outlier_cutoff:
-            t0 = time.time()
-            qs[name](spark, sf_dir).collect()
-            dt = round(time.time() - t0, 3)
-            # both samples recorded in the output so the resampling is
-            # auditable, not an invisible downward bias
-            reruns[name] = {"first": timings[name], "rerun": dt}
-            timings[name] = min(timings[name], dt)
 
     total += sum(timings[n] for n in HEADLINE)
 

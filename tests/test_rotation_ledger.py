@@ -101,3 +101,78 @@ def test_bench_agreement_rule():
     assert agreement_verdict({"raw_total_sec": 30.0},
                              {"raw_total_sec": 40.0})[0] == "regression"
     assert agreement_verdict({}, {})[0] == "flat"
+
+
+def test_per_query_attribution_rule():
+    """VERDICT r11 #7: a >50% per-query move is 'sampling' when no commit
+    between the two bench artifacts touched the query's module, and
+    'code-change' when one did; sub-floor and sub-threshold moves are
+    ignored."""
+    from tools.round_close import per_query_verdicts
+
+    modpaths = {"dedup_exact": "odbc2deltalake_spark/queries/dedup_ops.py",
+                "q1_pricing_summary": "odbc2deltalake_spark/queries/analytics.py"}
+    prev = {"dedup_exact": 0.523, "q1_pricing_summary": 1.0,
+            "tiny": 0.05, "steady": 2.0}
+    cur = {"dedup_exact": 2.384, "q1_pricing_summary": 1.8,
+           "tiny": 0.25, "steady": 2.2}
+
+    # nothing touched -> both big movers are sampling; tiny (under the
+    # 0.3s floor) and steady (under 50%) never flag
+    got = per_query_verdicts(prev, cur, set(), modpaths)
+    assert [(n, k) for n, _, k, _ in got] == [
+        ("dedup_exact", "sampling"), ("q1_pricing_summary", "sampling")]
+
+    # the analytics module was touched -> q1 reclassifies, dedup stays
+    got = per_query_verdicts(
+        prev, cur, {"odbc2deltalake_spark/queries/analytics.py"}, modpaths)
+    kinds = {n: k for n, _, k, _ in got}
+    assert kinds == {"dedup_exact": "sampling",
+                     "q1_pricing_summary": "code-change"}
+
+
+def test_r11_dedup_exact_reproduces_as_sampling():
+    """The canonical r11 phantom: dedup_exact +356% r10->r11 with
+    dedup_ops.py untouched between the two bench artifacts must classify
+    as a sampling artifact against the REAL committed history."""
+    import json
+    import subprocess
+
+    from tools.round_close import (
+        _final_headline,
+        _query_module_paths,
+        per_query_verdicts,
+    )
+
+    heads = {}
+    for rn in (10, 11):
+        p = REPO / f"BENCH_r{rn}.json"
+        if not p.exists():
+            import pytest
+
+            pytest.skip("bench artifacts not present")
+        heads[rn] = _final_headline(json.loads(p.read_text()).get("tail", ""))
+
+    def commit_of(name: str) -> str:
+        return subprocess.run(
+            ["git", "log", "--format=%H", "-1", "--", name],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.strip()
+
+    c10, c11 = commit_of("BENCH_r10.json"), commit_of("BENCH_r11.json")
+    if not (c10 and c11):
+        import pytest
+
+        pytest.skip("git history unavailable")
+    changed = set(
+        subprocess.run(
+            ["git", "diff", "--name-only", f"{c10}..{c11}"],
+            capture_output=True, text=True, cwd=REPO,
+        ).stdout.splitlines()
+    )
+    got = per_query_verdicts(
+        heads[10]["queries"], heads[11]["queries"], changed,
+        _query_module_paths(),
+    )
+    by_name = {n: k for n, _, k, _ in got}
+    assert by_name.get("dedup_exact") == "sampling", got

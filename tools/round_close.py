@@ -78,6 +78,55 @@ def agreement_verdict(
     return "flat", deltas
 
 
+def _query_module_paths() -> dict[str, str]:
+    """query name -> repo-relative path of the module defining it."""
+    if str(REPO) not in sys.path:
+        sys.path.insert(0, str(REPO))
+    from odbc2deltalake_spark.queries import registry
+
+    registry.load_all()
+    out: dict[str, str] = {}
+    for name, spec in registry.QUERIES.items():
+        mod = sys.modules.get(spec.fn.__module__)
+        f = getattr(mod, "__file__", None)
+        if f:
+            try:
+                out[name] = str(Path(f).resolve().relative_to(REPO))
+            except ValueError:
+                pass
+    return out
+
+
+def per_query_verdicts(
+    prev_q: dict[str, float],
+    cur_q: dict[str, float],
+    changed_paths: set[str],
+    modpaths: dict[str, str],
+    thr: float = 0.5,
+    floor: float = 0.3,
+) -> list[tuple[str, float, str, str | None]]:
+    """(name, rel_delta, 'sampling'|'code-change', module) for every
+    shared per-query timing that moved more than ``thr`` between rounds
+    (VERDICT r11 #7). 'sampling' = no commit in the inter-round range
+    touched the query's defining module, so the swing is host/JIT
+    weather (the r11 dedup_exact +356% case); 'code-change' = the module
+    WAS touched — a real candidate regression/improvement to attribute.
+    Entries where both samples sit under ``floor`` seconds are noise-band
+    and skipped."""
+    out: list[tuple[str, float, str, str | None]] = []
+    for name in sorted(set(prev_q) & set(cur_q)):
+        a, b = prev_q[name], cur_q[name]
+        if not a or max(a, b) < floor:
+            continue
+        delta = (b - a) / a
+        if abs(delta) <= thr:
+            continue
+        mod = modpaths.get(name)
+        kind = "code-change" if (mod and mod in changed_paths) else "sampling"
+        out.append((name, delta, kind, mod))
+    return out
+
+
 def main() -> int:
     rc = 0
     # 1. ledger regen
@@ -114,11 +163,13 @@ def main() -> int:
     # file can never drift from the artifacts it summarizes. Rounds
     # before the canary existed record nulls — honest gaps, not guesses.
     trend = []
+    trend_paths: list[str] = []  # artifact filename per trend row (2d)
     for p in benches:
         d = json.loads(p.read_text())
         head = _final_headline(d.get("tail", ""))
         if head is None:
             continue
+        trend_paths.append(p.name)
         norm = head.get("normalized_total_sec")
         canary = head.get("host_canary_sec")
         if norm is None and canary:
@@ -141,6 +192,9 @@ def main() -> int:
             ),
             "n_queries": len(head.get("queries", {})),
             "sf": head.get("sf"),
+            # per-query series (VERDICT r11 #2/#7): gives the
+            # sampling-vs-regression classifier history to read
+            "queries": head.get("queries") or {},
         })
     trend_path = REPO / "docs" / "bench_trend.json"
     trend_text = json.dumps(trend, indent=1) + "\n"
@@ -158,10 +212,10 @@ def main() -> int:
     # swing is host weather and is reported as such.
     if len(trend) >= 2:
         prev, cur = trend[-2], trend[-1]
+        span = f"r{prev['round']}->r{cur['round']}"
         status, deltas = agreement_verdict(prev, cur)
         if deltas:
             shown = {k: f"{v:+.1%}" for k, v in deltas.items()}
-            span = f"r{prev['round']}->r{cur['round']}"
             if status == "regression":
                 print(f"AGREEMENT: REGRESSION {span} "
                       f"(raw and all normalizations agree): {shown}")
@@ -171,6 +225,46 @@ def main() -> int:
             else:
                 print(f"AGREEMENT: flat/mixed {span} — no regression "
                       f"declared (host weather unless ALL agree): {shown}")
+
+        # 2d. per-query attribution (VERDICT r11 #7): any shared query
+        # whose raw time moved >50% round-over-round is flagged and
+        # classified — 'sampling' when no commit between the two bench
+        # artifacts touched its defining module, 'code-change' (with the
+        # touching commits named) when one did. Informational: sampling
+        # swings must not fail the round, and code-change swings need a
+        # human read of direction/intent.
+        if trend[-2].get("queries") and trend[-1].get("queries"):
+            prev_commit = sh(
+                "git", "log", "--format=%H", "-1", "--", trend_paths[-2]
+            ).strip()
+            cur_commit = sh(
+                "git", "log", "--format=%H", "-1", "--", trend_paths[-1]
+            ).strip()
+            changed: set[str] = set()
+            if prev_commit and cur_commit:
+                changed = {
+                    ln.strip()
+                    for ln in sh(
+                        "git", "diff", "--name-only",
+                        f"{prev_commit}..{cur_commit}",
+                    ).splitlines()
+                    if ln.strip()
+                }
+            verdicts = per_query_verdicts(
+                trend[-2]["queries"], trend[-1]["queries"],
+                changed, _query_module_paths(),
+            )
+            for name, delta, kind, mod in verdicts:
+                note = ""
+                if kind == "code-change" and mod:
+                    touching = sh(
+                        "git", "log", "--format=%h", f"{prev_commit}..{cur_commit}",
+                        "--", mod,
+                    ).split()
+                    note = f" (commits touching {mod}: {','.join(touching[:5])})"
+                print(f"PERQUERY: {name} {delta:+.0%} {span} -> {kind}{note}")
+            if not verdicts:
+                print(f"PERQUERY: no >50% per-query moves {span}")
 
     # 3. untracked round artifacts
     untracked = [
