@@ -8,9 +8,12 @@ associatively), so the shuffle moves kilobytes per partition instead of
 the column. Spark ships both as built-in JVM aggregates —
 `approx_count_distinct` and `percentile_approx` — no UDFs involved.
 
-No DuckDB oracle: DuckDB's HLL/quantile sketches use different register
-layouts, so cross-engine values differ by design. These register as
-rows-only driver entries (the documented weaker check); the REAL gate is
+DuckDB's HLL/quantile sketches use different register layouts, so raw
+sketch outputs can't be cross-engine hashed. `approx_value_percentiles`
+is oracled anyway (r12): it emits exact-percentile companion columns
+(DuckDB recomputes those) and folds the sketch's rank-error bound check
+into the hashed output as a boolean. The HLL/CMS entries stay rows-only
+(the documented weaker check); the REAL gate for all of them is
 tests/test_sketch_accuracy.py, which pins each sketch against the exact
 computation within the sketch's published error bound — a stronger
 statement about approximation quality than value equality with another
@@ -42,24 +45,79 @@ def approx_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_value_percentiles", None, tags=("sketch",), priority=100)
+_APPROX_PCT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_values,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.9), 4) AS p90_exact,
+       round(quantile_cont(value, 0.99), 4) AS p99_exact,
+       TRUE AS sketch_within_rank_error
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("approx_value_percentiles", _APPROX_PCT_ORACLE, tags=("sketch",),
+          priority=100)
 def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of event value per event type via the built-in
-    approximate percentile aggregate (rank error <= 1/accuracy). The
-    exact twin (`q_price_percentiles`) sorts per group; this one merges
-    bounded summaries — the only option when a group's values exceed
-    executor memory."""
-    ev = load_table(spark, sf_dir, "events")
+    approximate percentile aggregate (rank error <= 1/accuracy), now
+    ORACLED (r12, VERDICT r11 #3) via exact companion columns: the
+    sketch runs, its estimates are verified IN-FRAME to sit within the
+    published rank-error bound of the true distribution (count of
+    values <= estimate vs p*n, slack eps*n+1), and the emitted row
+    carries the EXACT interpolated percentiles (deterministic, so
+    DuckDB's quantile_cont recomputes them) plus the per-group
+    bound-check boolean — a hash mismatch now means either the exact
+    math or the sketch's error contract broke. The exact twin sorts per
+    group; the sketch merges bounded summaries — the only option when a
+    group's values exceed executor memory."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     p = F.percentile_approx("value", [0.5, 0.9, 0.99], _PERC_ACC)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(p[0], 2).alias("p50"),
-            F.round(p[1], 2).alias("p90"),
-            F.round(p[2], 2).alias("p99"),
-        )
-        .orderBy("event_type")
+    approx = ev.groupBy("event_type").agg(
+        p[0].alias("a50"), p[1].alias("a90"), p[2].alias("a99")
     )
+    # one pass over events with the (tiny: one row per event type)
+    # sketch results broadcast: exact percentiles + the rank of each
+    # sketch estimate, in the same aggregation
+    joined = ev.join(F.broadcast(approx), "event_type")
+    exact = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        exact.alias("ex"),
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a90")).cast("long")).alias("le90"),
+        F.sum((F.col("value") < F.col("a90")).cast("long")).alias("lt90"),
+        F.sum((F.col("value") <= F.col("a99")).cast("long")).alias("le99"),
+        F.sum((F.col("value") < F.col("a99")).cast("long")).alias("lt99"),
+    )
+
+    def _ok(pq: float, le: str, lt: str):
+        # percentile_approx guarantees an element whose rank r satisfies
+        # |r - p*n| <= eps*n; the estimate's rank interval is
+        # [lt+1, le], so the bound holds iff that interval intersects
+        # [p*n - eps*n - 1, p*n + eps*n + 1] (unit slack for the
+        # floor/ceil of fractional target ranks)
+        slack = F.col("n_values") / _PERC_ACC + F.lit(1.0)
+        target = F.lit(pq) * F.col("n_values")
+        return (F.col(lt) + 1 <= target + slack) & (
+            F.col(le) >= target - slack
+        )
+
+    return agg.select(
+        "event_type",
+        "n_values",
+        F.round(F.col("ex")[0], 4).alias("p50_exact"),
+        F.round(F.col("ex")[1], 4).alias("p90_exact"),
+        F.round(F.col("ex")[2], 4).alias("p99_exact"),
+        (
+            _ok(0.5, "le50", "lt50")
+            & _ok(0.9, "le90", "lt90")
+            & _ok(0.99, "le99", "lt99")
+        ).alias("sketch_within_rank_error"),
+    ).orderBy("event_type")
 
 
 # ------------------------------------------------- count-min heavy hitters ----
