@@ -122,6 +122,9 @@ EXTRAS = [
     "stream_cdc_scd2",
     "corpus_semantic_quality",
     "sim_ann_opq",
+    # r12: the full delta algorithm (deletes + strange updates) under
+    # foreachBatch — trend line from day 1
+    "stream_cdc_full",
 ]
 
 

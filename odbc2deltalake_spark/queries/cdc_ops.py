@@ -1730,3 +1730,193 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------- streaming FULL delta algorithm row ----
+# r12 (VERDICT r11 #4): stream_cdc_scd2 exercises simple_delta loads
+# only; this row drives the reference's HARDEST semantics — the full
+# do_delta_load path with the primary_keys_ts snapshot, tombstone
+# deletes, and the delta_2 key-set fetch of timestamp-inconsistent
+# ("strange") updates (reference:odbc2deltalake/db_to_delta.py:995-1184,
+# 749-859) — under Structured Streaming. Each micro-batch is a FULL
+# source snapshot (the periodic-snapshot CDC pattern: read_keys needs
+# the whole key set to detect deletes), landed as one file-source file
+# per availableNow pass with checkpoint continuity.
+
+def _stream_full_snapshots(spark: SparkSession, sf_dir: str):
+    """Three deterministic snapshot states derived from events:
+
+    S1: latest event per user — (user_id, event_type, value, rv=event_id).
+    S2: users %10==3 DELETED; users %7==0 updated (value+1000, rv+10M).
+    S3: users %11==5 get a STRANGE update — value+5000 with rv REWOUND
+        by 1 (content changed below the watermark: the
+        restore-from-backup shape); plus ONE new user inserted past the
+        watermark (so the source (max, count) probe can't short-circuit
+        the load — the same blindness the reference has).
+
+    Returns (s1, s2, s3, n_strange, n_deleted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.col("event_id").alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_del = F.col("user_id") % 10 == 3
+    is_upd = F.col("user_id") % 7 == 0
+    is_strange = F.col("user_id") % 11 == 5
+
+    s1 = latest
+    s2 = latest.filter(~is_del).select(
+        "user_id",
+        "event_type",
+        (F.col("value") + F.when(is_upd, F.lit(1000.0)).otherwise(F.lit(0.0))
+         ).alias("value"),
+        (F.col("rv") + F.when(is_upd, F.lit(10_000_000)).otherwise(F.lit(0))
+         ).alias("rv"),
+    ).localCheckpoint(eager=True)
+
+    agg = s2.agg(
+        F.max("user_id").alias("mu"), F.max("rv").alias("mr")
+    ).collect()[0]
+    ins = spark.createDataFrame(
+        [(int(agg["mu"]) + 1, "inserted", 1.0, int(agg["mr"]) + 1)],
+        schema=s2.schema,
+    )
+    s3 = s2.select(
+        "user_id",
+        "event_type",
+        (F.col("value") + F.when(is_strange, F.lit(5000.0)).otherwise(F.lit(0.0))
+         ).alias("value"),
+        (F.col("rv") - F.when(is_strange, F.lit(1)).otherwise(F.lit(0))
+         ).alias("rv"),
+    ).unionByName(ins).localCheckpoint(eager=True)
+
+    n_strange = s2.filter(is_strange).count()
+    n_deleted = latest.filter(is_del).count()
+    return s1, s2, s3, n_strange, n_deleted
+
+
+def _run_snapshot_stream(spark: SparkSession, snapshots, root: str):
+    """Land each snapshot as one file-source file and drain it with one
+    availableNow pass through the FULL delta algorithm (load_mode=None:
+    key snapshot -> watermark delta -> strange key-set fetch ->
+    tombstone deletes), checkpoint-continuous across passes. Returns
+    the DeltaDestination."""
+    from odbc2deltalake_spark.config import WriteConfig
+    from odbc2deltalake_spark.plans.destination import DeltaDestination
+    from odbc2deltalake_spark.streaming.driver import stream_db_to_delta
+
+    src_dir = f"{root}/in"
+    dest = f"{root}/dest"
+    ckpt = f"{root}/ckpt"
+    cfg = WriteConfig(primary_keys=["user_id"], delta_col="rv")
+    schema = snapshots[0].schema
+    for snap in snapshots:
+        snap.coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = stream_db_to_delta(
+            spark, stream, dest, ["user_id"], "rv", ckpt,
+            available_now=True, write_config=cfg,
+        )
+        q.awaitTermination(300)
+    return DeltaDestination(dest)
+
+
+_STREAM_FULL_ORACLE = """
+WITH latest AS (
+  SELECT e.user_id, e.event_type, round(e.value, 2) AS value,
+         e.event_id AS rv
+  FROM events e
+  JOIN (SELECT user_id, max(event_id) AS m FROM events GROUP BY user_id) mx
+    ON e.user_id = mx.user_id AND e.event_id = mx.m
+),
+final AS (
+  SELECT user_id,
+         rv + CASE WHEN user_id % 7 = 0 THEN 10000000 ELSE 0 END
+            - CASE WHEN user_id % 11 = 5 THEN 1 ELSE 0 END AS rv,
+         event_type,
+         value + CASE WHEN user_id % 7 = 0 THEN 1000.0 ELSE 0.0 END
+               + CASE WHEN user_id % 11 = 5 THEN 5000.0 ELSE 0.0 END AS value
+  FROM latest
+  WHERE user_id % 10 <> 3
+)
+SELECT user_id, rv, event_type, value, FALSE AS is_tombstone FROM final
+UNION ALL
+SELECT (SELECT max(user_id) + 1 FROM latest) AS user_id,
+       (SELECT max(rv + CASE WHEN user_id % 7 = 0 THEN 10000000 ELSE 0 END)
+          FROM latest WHERE user_id % 10 <> 3) + 1 AS rv,
+       'inserted' AS event_type, 1.0 AS value, FALSE AS is_tombstone
+UNION ALL
+SELECT user_id, CAST(NULL AS BIGINT) AS rv, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS DOUBLE) AS value, TRUE AS is_tombstone
+FROM latest WHERE user_id % 10 = 3
+"""
+
+
+@register(
+    "stream_cdc_full",
+    _STREAM_FULL_ORACLE,
+    tags=("cdc", "streaming", "flagship"),
+    priority=100,
+)
+def stream_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FULL delta algorithm == one SQL replay of the lifecycle.
+
+    Three snapshot micro-batches (see _stream_full_snapshots): batch 1
+    full-loads, batch 2 detects deletes (tombstones with NULLed non-pk
+    columns — reference:odbc2deltalake/db_to_delta.py:794-843) and
+    watermarked updates, batch 3 carries rv-REWOUND strange updates
+    that only the delta_2 key-set fetch can see plus one insert past
+    the watermark. Asserted in-query before hashing: the strange branch
+    actually ran (delta_2 holds exactly the strange keys) and every
+    tombstone has all non-pk columns NULL. Output = current rows via
+    the engine's hot J2 read path + the tombstone rows from history."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+
+    s1, s2, s3, n_strange, n_deleted = _stream_full_snapshots(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stream_cdc_full_")
+    try:
+        dest = _run_snapshot_stream(spark, [s1, s2, s3], root)
+
+        # the strange path must have taken the key-set branch: delta_2
+        # holds exactly the strange keys (empty/overwritten otherwise)
+        d2 = dest.delta_2.read(spark)
+        got_strange = d2.count()
+        assert got_strange == n_strange, (got_strange, n_strange)
+
+        hist = dest.delta.read(spark)
+        tombs = hist.filter(F.col("__is_deleted"))
+        bad_tombs = tombs.filter(
+            F.col("rv").isNotNull()
+            | F.col("event_type").isNotNull()
+            | F.col("value").isNotNull()
+        ).count()
+        assert bad_tombs == 0, f"{bad_tombs} tombstones with non-NULL data"
+        got_deleted = tombs.count()
+        assert got_deleted == n_deleted, (got_deleted, n_deleted)
+
+        cur = read_current_rows(spark, dest, ["user_id"], "rv").select(
+            "user_id", "rv", "event_type", "value",
+            F.lit(False).alias("is_tombstone"),
+        )
+        tomb_rows = tombs.select(
+            "user_id",
+            F.lit(None).cast("bigint").alias("rv"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(True).alias("is_tombstone"),
+        )
+        return cur.unionByName(tomb_rows).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -477,3 +477,54 @@ def test_cdc_batching_independence_property(spark, tmp_path):
             .collect()
         )
         assert got == expect, (case, cuts, got, expect)
+
+
+def test_full_delta_stream_geometry_sweep(spark, tmp_path):
+    """r12 (VERDICT r11 #4): the FULL delta algorithm under foreachBatch
+    — snapshot micro-batches carrying deletes, watermarked updates, an
+    rv-rewound strange update, and an insert — must land the SAME final
+    current rows and tombstone set regardless of snapshot geometry:
+
+      A: [S1, S2, S3]      (the registry row's shape)
+      B: [S1, S3]          (deletes + strange + insert in ONE batch)
+      C: [S1, S2, S3, S3]  (trailing no-op snapshot short-circuits)
+      D: [S1, S1, S2, S3]  (mid-stream no-op)
+    """
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+    from odbc2deltalake_spark.queries.cdc_ops import (
+        _run_snapshot_stream,
+        _stream_full_snapshots,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s1, s2, s3, n_strange, n_deleted = _stream_full_snapshots(spark, sf)
+
+    def run(tag, snaps):
+        root = tmp_path / tag
+        root.mkdir()
+        dest = _run_snapshot_stream(spark, snaps, str(root))
+        cur = sorted(
+            tuple(r)
+            for r in read_current_rows(spark, dest, ["user_id"], "rv")
+            .select("user_id", "rv", "event_type", "value")
+            .collect()
+        )
+        tombs = sorted(
+            r["user_id"]
+            for r in dest.delta.read(spark)
+            .filter(F.col("__is_deleted"))
+            .select("user_id")
+            .collect()
+        )
+        return cur, tombs
+
+    expect_cur, expect_tombs = run("a", [s1, s2, s3])
+    assert len(expect_tombs) == n_deleted
+    for tag, snaps in (
+        ("b", [s1, s3]),
+        ("c", [s1, s2, s3, s3]),
+        ("d", [s1, s1, s2, s3]),
+    ):
+        cur, tombs = run(tag, snaps)
+        assert cur == expect_cur, f"geometry {tag}: current rows diverge"
+        assert tombs == expect_tombs, f"geometry {tag}: tombstones diverge"

@@ -526,6 +526,14 @@ EXCLUDED = {
         "batch lifecycle's audited queries pin, and the batching-"
         "independence claim is the oracle hash itself"
     ),
+    "stream_cdc_full": (
+        "availableNow foreachBatch FULL delta loads executed at build "
+        "(snapshot micro-batches: deletes, strange-update key-set "
+        "fetch, insert); returns a checkpointed current+tombstone "
+        "union — the underlying step plans are the audited batch "
+        "lifecycle's, geometry-independence pinned by the oracle hash "
+        "and tests/test_streaming.py's sweep"
+    ),
 }
 
 
