@@ -82,6 +82,14 @@ def sql_quote_value(v: Any, dialect: str = "tsql") -> str:
         return "0x" + bytes(v).hex()
     if isinstance(v, (int, float)):
         return str(v)
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        # exact, non-scientific, UNQUOTED: a quoted '123.457' works on
+        # tsql (numeric wins type precedence) but is a hard error on
+        # postgres (no numeric>text operator) — and format('f') never
+        # emits 1E+12-style notation the server could mis-scale
+        return format(v, "f")
     return "'" + str(v).replace("'", "''") + "'"
 
 
@@ -253,6 +261,33 @@ class JDBCSource(Source):
             prec = int(m.group(1)) if m else 7  # bare datetime2 IS (7)
             if prec > 6 and isinstance(value, _dt.datetime):
                 value = value - _dt.timedelta(microseconds=1)
+        if ts in ("decimal", "numeric") and op in (">", ">=") and isinstance(
+            value, float
+        ):
+            # NUMERIC/DECIMAL watermark through a double-mapped pipeline
+            # (VERDICT r11 #5; the reference's user type-map decimal →
+            # double, reference:tests/test_05_conversion.py:29-36): the
+            # stored double is within ulp/2 of the true decimal max, and
+            # at precision ≥ 16 (e.g. numeric(18,3) near its ceiling,
+            # ulp = 0.125) the nearest double — and even its shortest
+            # repr — can land ABOVE the true max by more than one scale
+            # unit, so a plain ``> str(float)`` criterion silently LOSES
+            # every later row in (true_max, literal]. Same cure as the
+            # datetime2(7) edge: rewind by one double-ulp (provably ≤
+            # the true max since |stored − true| ≤ ulp/2), then floor to
+            # the column's declared scale for an exact decimal literal —
+            # duplicates bounded by ~1.5 ulp + one scale unit, never
+            # loss; the MERGE upsert absorbs the boundary bucket.
+            import decimal as _dec
+            import math as _math
+            import re as _re2
+
+            ms = _re2.search(r"\(\s*\d+\s*,\s*(\d+)\s*\)", info.data_type_str)
+            scale = int(ms.group(1)) if ms else 0
+            rew = _dec.Decimal(value - _math.ulp(value)).quantize(
+                _dec.Decimal(1).scaleb(-scale), rounding=_dec.ROUND_FLOOR
+            )
+            return f"{expr} {op} {format(rew, 'f')}"
         if self.dialect == "postgres" and ts == "xid" and op in (">", ">="):
             w = self._quote_for(column, value)
             lo = "1" if op == ">" else "0"

