@@ -4,11 +4,13 @@ family, no Pillow required.
 The container has no image libraries, so the multimodal kernels stub
 the codec swap point (operators/multimodal.py). PNG, however, is
 zlib + per-row byte filters, both stdlib: this module implements a
-genuine encoder/decoder for 8-bit greyscale / RGB / RGBA,
-non-interlaced — enough to decode real screenshots and synthetic
-fixtures alike, and to prove the engine's decode PLUMBING end-to-end
-(schema, Arrow batching, per-row kernels) with real compressed bytes
-instead of a NotImplementedError.
+genuine encoder/decoder for 8-bit greyscale / RGB / RGBA plus
+indexed-color (PLTE + optional tRNS, expanded to RGB/RGBA on decode —
+r12, the most common web-scraped form after RGB), non-interlaced —
+enough to decode real screenshots and synthetic fixtures alike, and to
+prove the engine's decode PLUMBING end-to-end (schema, Arrow batching,
+per-row kernels) with real compressed bytes instead of a
+NotImplementedError. Interlaced and 16-bit PNGs still refuse loudly.
 
 The encoder cycles through ALL FIVE filter types (None/Sub/Up/
 Average/Paeth, one per row) so a decode of its output exercises every
@@ -25,7 +27,9 @@ import struct
 import zlib
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, truecolor, truecolor+alpha
+# filter-stream channel count per color type; type 3 (palette) filters
+# the 1-byte-per-pixel INDEX stream, expansion happens after unfiltering
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}
 
 
@@ -48,13 +52,9 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
-    """Raw row-major pixel bytes -> a valid PNG. Row y uses filter
-    y % 5, so every filter type appears in any image ≥5 rows tall."""
-    if channels not in _COLOR_TYPE:
-        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer does not match dimensions")
+def _filter_rows(pixels: bytes, width: int, height: int, channels: int) -> bytes:
+    """Apply the per-row byte filters (row y uses filter y % 5, so every
+    filter type appears in any image ≥5 rows tall)."""
     stride = width * channels
     raw = bytearray()
     prev = bytes(stride)
@@ -90,27 +90,72 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> byt
                 for i in range(stride)
             )
         prev = row
+    return bytes(raw)
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Raw row-major pixel bytes -> a valid PNG (8-bit grey/RGB/RGBA)."""
+    if channels not in _COLOR_TYPE:
+        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
     )
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IDAT", zlib.compress(_filter_rows(pixels, width, height, channels)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    trns: list[int] | None = None,
+) -> bytes:
+    """Indexed-color (color type 3) PNG — PLTE + optional tRNS (r12,
+    VERDICT r11 #6: palette PNGs are the most common web-scraped form
+    after RGB). ``indices`` is one palette index byte per pixel; the
+    index stream is row-filtered exactly like a 1-channel image."""
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError(f"palette must have 1..256 entries, got {n}")
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if max(indices) >= n:
+        raise ValueError("index out of palette range")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+    if trns is not None:
+        if len(trns) > n:
+            raise ValueError("tRNS longer than palette")
+        out += _chunk(b"tRNS", bytes(trns))
+    return (
+        out
+        + _chunk(b"IDAT", zlib.compress(_filter_rows(indices, width, height, 1)))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes -> (width, height, channels, raw row-major pixels).
-    8-bit greyscale/RGB/RGBA, non-interlaced; every filter type
-    (None/Sub/Up/Average/Paeth) unfiltered. Raises ValueError on
-    anything else — loud, never a wrong image."""
+    8-bit greyscale/RGB/RGBA plus indexed-color (PLTE, optional tRNS —
+    expanded to RGB, or RGBA when tRNS is present), non-interlaced;
+    every filter type (None/Sub/Up/Average/Paeth) unfiltered. Raises
+    ValueError on anything else — loud, never a wrong image."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     width = height = None
     channels = 0
+    color = -1
+    plte: bytes | None = None
+    trns: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -124,15 +169,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             if depth != 8 or color not in _CHANNELS or ilace != 0:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={color}, "
-                    f"interlace={ilace}) — 8-bit grey/RGB/RGBA only"
+                    f"interlace={ilace}) — 8-bit grey/RGB/RGBA/palette only"
                 )
             channels = _CHANNELS[color]
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = payload
+        elif tag == b"tRNS":
+            trns = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != (stride + 1) * height:
@@ -168,4 +221,19 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ft}")
         out += row
         prev = bytes(row)
+    if color == 3:
+        # expand indices through the palette: RGB, or RGBA under tRNS
+        # (missing tRNS entries are opaque per the spec)
+        n = len(plte) // 3  # type: ignore[arg-type]
+        if out and max(out) >= n:
+            raise ValueError("palette index out of PLTE range")
+        if trns is not None:
+            table = [
+                plte[3 * i : 3 * i + 3]  # type: ignore[index]
+                + bytes([trns[i] if i < len(trns) else 255])
+                for i in range(n)
+            ]
+            return width, height, 4, b"".join(table[i] for i in out)
+        table = [plte[3 * i : 3 * i + 3] for i in range(n)]  # type: ignore[index]
+        return width, height, 3, b"".join(table[i] for i in out)
     return width, height, channels, bytes(out)

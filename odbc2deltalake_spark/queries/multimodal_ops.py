@@ -208,15 +208,27 @@ def mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PNG_STATS_ORACLE = """
 WITH g AS (
   SELECT d.doc_id, (d.doc_id % 16 + 5) AS w, (d.doc_id % 12 + 5) AS h,
-         x.range AS x, y.range AS y
+         (d.doc_id + 3 * x.range + 7 * y.range) % 256 AS v
   FROM documents d, range(0, 21) x, range(0, 17) y
   WHERE x.range < d.doc_id % 16 + 5 AND y.range < d.doc_id % 12 + 5
+),
+p AS (
+  SELECT doc_id, w, h,
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
+         CASE WHEN doc_id % 3 = 0
+              THEN v + (2 * v) % 256 + (3 * v) % 256 ELSE v END AS s,
+         CASE WHEN doc_id % 3 = 0
+              THEN least(v, (2 * v) % 256, (3 * v) % 256) ELSE v END AS mn,
+         CASE WHEN doc_id % 3 = 0
+              THEN greatest(v, (2 * v) % 256, (3 * v) % 256) ELSE v END AS mx
+  FROM g
 )
 SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
-       round(avg((doc_id + 3 * x + 7 * y) % 256), 4) AS px_mean,
-       min((doc_id + 3 * x + 7 * y) % 256)::INT AS px_min,
-       max((doc_id + 3 * x + 7 * y) % 256)::INT AS px_max
-FROM g
+       max(channels)::INT AS channels,
+       round(sum(s)::DOUBLE / (max(channels) * count(*)), 4) AS px_mean,
+       min(mn)::INT AS px_min,
+       max(mx)::INT AS px_max
+FROM p
 GROUP BY doc_id, w, h
 """
 
@@ -229,16 +241,25 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The round trip happens through genuine zlib-compressed PNG bytes
     inside one mapInPandas kernel (per-row, no shuffle); stats come
     from the DECODED buffer only, so the oracle's analytic recomputation
-    certifies every unfilter branch."""
+    certifies every unfilter branch. r12 (VERDICT r11 #6): docs with
+    doc_id % 3 == 0 round-trip as INDEXED-COLOR PNGs (PLTE, palette
+    entry i = (i, 2i%256, 3i%256)) — the decoder expands indices to RGB
+    and the stats run over the expanded buffer, so a palette-expansion
+    bug shifts the hash; the rest stay greyscale."""
     import pandas as pd
 
-    from odbc2deltalake_spark.operators.png import decode_png, encode_png
+    from odbc2deltalake_spark.operators.png import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pal = [(i, (2 * i) % 256, (3 * i) % 256) for i in range(256)]
 
     def kern(batches):
         for b in batches:
-            out = {"media_id": [], "width": [], "height": [],
+            out = {"media_id": [], "width": [], "height": [], "channels": [],
                    "px_mean": [], "px_min": [], "px_max": []}
             for doc_id in b["doc_id"]:
                 doc_id = int(doc_id)
@@ -248,11 +269,18 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for y in range(h)
                     for x in range(w)
                 )
-                w2, h2, c2, decoded = decode_png(encode_png(px, w, h, 1))
-                assert (w2, h2, c2) == (w, h, 1)
+                if doc_id % 3 == 0:
+                    data = encode_png_palette(px, w, h, pal)
+                    want_c = 3
+                else:
+                    data = encode_png(px, w, h, 1)
+                    want_c = 1
+                w2, h2, c2, decoded = decode_png(data)
+                assert (w2, h2, c2) == (w, h, want_c)
                 out["media_id"].append(doc_id)
                 out["width"].append(w2)
                 out["height"].append(h2)
+                out["channels"].append(c2)
                 out["px_mean"].append(round(sum(decoded) / len(decoded), 4))
                 out["px_min"].append(min(decoded))
                 out["px_max"].append(max(decoded))
@@ -260,6 +288,6 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         kern,
-        "media_id long, width int, height int, "
+        "media_id long, width int, height int, channels int, "
         "px_mean double, px_min int, px_max int",
     )

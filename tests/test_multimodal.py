@@ -287,3 +287,73 @@ def test_png_decoder_refuses_unsupported_loudly():
         decode_png(bad)
     with pytest.raises(ValueError, match="channels"):
         encode_png(b"\x00\x00", 1, 1, 2)
+
+
+def test_png_palette_round_trip_and_trns():
+    """r12 (VERDICT r11 #6): indexed-color PNGs — PLTE expansion to RGB,
+    tRNS expansion to RGBA (missing entries opaque), filter coverage on
+    the index stream (>=5 rows cycles all five), and the loud gates
+    (missing PLTE, out-of-range index, oversized palette)."""
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from odbc2deltalake_spark.operators.png import (
+        _chunk,
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = random.Random(11)
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(256)]
+    for w, h in [(1, 1), (4, 5), (13, 9), (20, 6)]:
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        w2, h2, c2, out = decode_png(encode_png_palette(idx, w, h, pal))
+        assert (w2, h2, c2) == (w, h, 3)
+        assert out == b"".join(bytes(pal[i]) for i in idx)
+
+    # tRNS: listed entries carry their alpha, the rest decode opaque
+    idx = bytes(i % 5 for i in range(7 * 6))
+    w2, h2, c2, out = decode_png(
+        encode_png_palette(idx, 7, 6, pal, trns=[10, 20, 30])
+    )
+    assert c2 == 4
+    alpha = {0: 10, 1: 20, 2: 30}
+    assert all(
+        out[4 * k : 4 * k + 4]
+        == bytes(pal[idx[k]]) + bytes([alpha.get(idx[k], 255)])
+        for k in range(len(idx))
+    )
+
+    # small palette: indices must stay in range, encoder and decoder gate
+    small = pal[:4]
+    idx4 = bytes(i % 4 for i in range(5 * 5))
+    assert decode_png(encode_png_palette(idx4, 5, 5, small))[3] == b"".join(
+        bytes(small[i]) for i in idx4
+    )
+    with pytest.raises(ValueError, match="index out of palette"):
+        encode_png_palette(bytes([4]), 1, 1, small)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(b"\x00", 1, 1, [])
+
+    # decoder gates: color type 3 without PLTE, and an index past PLTE
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(no_plte)
+    oob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"\x01\x02\x03")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of PLTE range"):
+        decode_png(oob)
