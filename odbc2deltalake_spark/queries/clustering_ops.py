@@ -1,13 +1,18 @@
 """Embedding-clustering and tokenizer-training registry entries
 (distributed k-means, product quantization, BPE).
 
-Registered rows-only (no cross-engine SQL oracle): k-means is iterative
-and its fixed-point depends on float summation order, so a DuckDB
-recursive-CTE twin would pin brittle last-ulp behavior instead of the
-algorithm. The quantitative gates live in tests/test_clustering.py: an
-independent numpy implementation must reproduce the assignments and
-centroids, and inertia must improve monotonically over iterations —
-a stronger check than a value-hash.
+The PQ ANN rows (`sim_ann_pq`, `sim_ann_opq`) are ORACLED via the
+exact-equivalence configuration: the whole quantization pipeline runs,
+and a full-slice exact rerank in the original metric makes the top-k
+equal brute-force L2 — SQL-verifiable regardless of quantizer quality
+(bounded-candidate recall is gated separately in tests/test_pq.py /
+test_pca.py). The iterative fits (k-means, PCA projection, BPE, the
+trained classifier) stay rows-only: their fixed points depend on float
+summation order, so a DuckDB recursive-CTE twin would pin brittle
+last-ulp behavior instead of the algorithm — the quantitative gates
+live in tests/test_clustering.py et al.: an independent numpy
+implementation must reproduce assignments and centroids, and inertia
+must improve monotonically — a stronger check than a value-hash.
 """
 
 from __future__ import annotations

@@ -8,16 +8,17 @@ associatively), so the shuffle moves kilobytes per partition instead of
 the column. Spark ships both as built-in JVM aggregates —
 `approx_count_distinct` and `percentile_approx` — no UDFs involved.
 
-DuckDB's HLL/quantile sketches use different register layouts, so raw
-sketch outputs can't be cross-engine hashed. `approx_value_percentiles`
-is oracled anyway (r12): it emits exact-percentile companion columns
-(DuckDB recomputes those) and folds the sketch's rank-error bound check
-into the hashed output as a boolean. The HLL/CMS entries stay rows-only
-(the documented weaker check); the REAL gate for all of them is
+DuckDB's HLL/quantile/CMS layouts differ from Spark's, so raw sketch
+outputs can't be cross-engine hashed. All three rows are oracled anyway
+(r12): each emits EXACT companion columns (percentiles / countDistinct
+/ top-20 true counts — DuckDB recomputes those) and folds the sketch's
+published error-bound check into the hashed output as a boolean — the
+sketch runs, the exact math is hashed, and the error contract is part
+of the hash. The corpus-wide quantitative gate stays
 tests/test_sketch_accuracy.py, which pins each sketch against the exact
-computation within the sketch's published error bound — a stronger
-statement about approximation quality than value equality with another
-engine's sketch would be.
+computation within its published error bound. (The exact companions
+are themselves full shuffles — at 100 TB the production call is the
+sketch alone; these rows are its verification harness.)
 """
 
 from __future__ import annotations
@@ -31,18 +32,45 @@ _RSD = 0.02  # target relative standard deviation for HLL++
 _PERC_ACC = 10_000  # percentile_approx accuracy knob (1/accuracy rank error)
 
 
-@register("approx_user_cardinality", None, tags=("sketch",), priority=100)
+_APPROX_CARD_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS sketch_within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("approx_user_cardinality", _APPROX_CARD_ORACLE, tags=("sketch",),
+          priority=100)
 def approx_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via HyperLogLog++ (rsd=2%).
-    Partial aggregation merges HLL registers map-side; the shuffle
-    carries one sketch per (partition, event_type) — constant size
-    regardless of user cardinality."""
+    """Distinct users per event type via HyperLogLog++ (rsd=2%), ORACLED
+    (r12, the approx_value_percentiles recipe): the HLL sketch runs —
+    partial aggregation merges registers map-side, the shuffle carries
+    one sketch per (partition, event_type) regardless of user
+    cardinality — and the SAME aggregation computes the exact
+    countDistinct companion; the emitted row carries the exact count
+    plus an in-frame boolean asserting |est − exact| within the
+    deterministic-in-practice 10% / ±2 envelope
+    tests/test_sketch_accuracy.py pins. A hash mismatch means either
+    the exact math or the sketch's error contract broke. (The exact
+    companion is itself a full distinct shuffle — at 100 TB the
+    production call is the sketch alone; this row is its verification
+    harness.)"""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=_RSD).alias("approx_users"))
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_RSD).alias("est"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    bound = F.greatest(F.lit(2.0), 0.10 * F.col("exact_users"))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users")) <= bound).alias(
+            "sketch_within_bound"
+        ),
+    ).orderBy("event_type")
 
 
 _APPROX_PCT_ORACLE = """
@@ -164,19 +192,47 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFra
     )
 
 
-@register("approx_heavy_hitters", None, tags=("sketch",), priority=100)
+_HEAVY_ORACLE = """
+WITH c AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+  GROUP BY w
+)
+SELECT w, cnt, TRUE AS cms_within_bound
+FROM c
+ORDER BY cnt DESC, w
+LIMIT 20
+"""
+
+
+@register("approx_heavy_hitters", _HEAVY_ORACLE, tags=("sketch",),
+          priority=100)
 def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 words of the documents corpus with their count-min
-    estimated frequencies: build the bounded sketch (one constant-size
-    shuffle), then probe the candidate set. Accuracy gate
-    (tests/test_sketch_accuracy.py): est >= true always, and
-    est <= true + eps*N with eps = depth-min over 4096-wide rows."""
+    """Top-20 words of the documents corpus, ORACLED (r12, the
+    approx_value_percentiles recipe): the count-min sketch builds (one
+    constant-size shuffle — at most depth*width counters regardless of
+    corpus size) and probes every candidate; the emitted rows are the
+    EXACT top-20 (deterministic count + word tiebreak, DuckDB
+    recomputes them) carrying an in-frame boolean that each word's CMS
+    estimate satisfied the published contract — never undercounts,
+    overcount <= eps*N with eps = e/width (the bound
+    tests/test_sketch_accuracy.py pins corpus-wide)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    )
+    ).localCheckpoint(eager=False)
+    n_total = toks.count()
     sketch = count_min_sketch(toks, "w").localCheckpoint(eager=False)
-    # candidate probes: every distinct word (bounded vocab)
-    probes = toks.distinct()
-    est = cms_estimate(sketch, probes, "w")
-    return est.orderBy(F.col("est").desc(), "w").limit(20)
+    true_counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    est = cms_estimate(sketch, true_counts.select("w"), "w")
+    eps_n = 2.72 / _CMS_WIDTH * n_total
+    ok = (F.col("est") >= F.col("cnt")) & (
+        F.col("est") <= F.col("cnt") + F.lit(eps_n)
+    )
+    return (
+        true_counts.join(est, "w")
+        .select("w", "cnt", ok.alias("cms_within_bound"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(20)
+    )

@@ -17,10 +17,14 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_hll_cardinality_within_rsd_bound(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in approx_user_cardinality(spark, SF_DIR).collect()
-    }
+    """r12 oracled shape: the row emits the EXACT countDistinct (pinned
+    here against an independent aggregation) plus the in-frame verdict
+    that the HLL estimate sat within the 10% / ±2 envelope."""
+    rows = approx_user_cardinality(spark, SF_DIR).collect()
+    assert rows
+    got = {r["event_type"]: r["exact_users"] for r in rows}
+    for r in rows:
+        assert r["sketch_within_bound"] is True, r
     exact = {
         r["event_type"]: r["n"]
         for r in load_table(spark, SF_DIR, "events")
@@ -28,10 +32,7 @@ def test_hll_cardinality_within_rsd_bound(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
-    for et, n in exact.items():
-        # rsd=0.02 → 5 sigma gives a deterministic-in-practice envelope
-        assert abs(approx[et] - n) <= max(2, 0.10 * n), (et, approx[et], n)
+    assert got == exact
 
 
 def test_percentiles_within_rank_error(spark):
