@@ -253,12 +253,21 @@ class JDBCSource(Source):
             None,
         )
         ts = (info.data_type_str if info else "").split("(")[0].lower()
-        if self.dialect == "tsql" and ts == "datetime2" and op in (">", ">="):
+        if (
+            self.dialect == "tsql"
+            and ts in ("datetime2", "datetimeoffset")
+            and op in (">", ">=")
+        ):
+            # datetimeoffset(7) has the SAME 100 ns grain as datetime2(7)
+            # (r12; an offset-typed audit/delta col is compared as a UTC
+            # instant server-side, so the micros-stored watermark carries
+            # the identical round-up loss mode) — both rewind 1 µs when
+            # declared precision exceeds micros; bare forms ARE (7)
             import datetime as _dt
             import re as _re
 
-            m = _re.search(r"datetime2\((\d)\)", info.data_type_str.lower())
-            prec = int(m.group(1)) if m else 7  # bare datetime2 IS (7)
+            m = _re.search(r"\((\d)\)", info.data_type_str.lower())
+            prec = int(m.group(1)) if m else 7
             if prec > 6 and isinstance(value, _dt.datetime):
                 value = value - _dt.timedelta(microseconds=1)
         if ts in ("decimal", "numeric") and op in (">", ">=") and isinstance(

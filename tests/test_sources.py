@@ -670,3 +670,27 @@ def test_decimal_watermark_rewind_duplicates_never_loss():
         ).fetchall()
     }
     assert 4 not in lost and 5 in lost, lost
+
+
+def test_datetimeoffset_watermark_rewind_matches_datetime2():
+    """r12: datetimeoffset(7) carries the same 100 ns grain as
+    datetime2(7) (the server compares offset values as UTC instants),
+    so a micros-stored watermark has the identical round-up loss mode —
+    the 1 µs rewind must apply to it, with the same precision gate
+    (bare datetimeoffset IS (7); (<=6) never rewinds)."""
+    import datetime
+
+    w = datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    s = _tsql()
+    s._col_cache = [
+        ColInfo("o7", T.TimestampType(), "datetimeoffset(7)", False),
+        ColInfo("o", T.TimestampType(), "datetimeoffset", False),
+        ColInfo("o6", T.TimestampType(), "datetimeoffset(6)", False),
+        ColInfo("o3", T.TimestampType(), "datetimeoffset(3)", False),
+    ]
+    assert "2024-01-01 00:00:00.123455" in s.delta_criterion_sql("o7", w)
+    assert "2024-01-01 00:00:00.123455" in s.delta_criterion_sql("o", w)
+    assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("o6", w)
+    assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("o3", w)
+    # equality (keyset-join shape) never rewinds
+    assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("o7", w, op="=")
