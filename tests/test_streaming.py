@@ -528,3 +528,94 @@ def test_full_delta_stream_geometry_sweep(spark, tmp_path):
         cur, tombs = run(tag, snaps)
         assert cur == expect_cur, f"geometry {tag}: current rows diverge"
         assert tombs == expect_tombs, f"geometry {tag}: tombstones diverge"
+
+
+def test_full_delta_stream_crash_mid_load_recovers(spark, tmp_path):
+    """r12: kill the FULL delta algorithm INSIDE a foreachBatch micro-
+    batch — after the batch's delta_1 history append, before deletes/
+    index write — then restart from the same checkpoint. The engine's
+    failure protocol restores latest_pk_version to its pre-load version;
+    Spark redelivers the uncommitted batch; the rerun completes. Final
+    current rows and tombstones must equal a never-crashed run (the
+    replayed history append differs only in __timestamp, which the
+    current-rows projection dedupes)."""
+    from odbc2deltalake_spark.plans import db_to_delta as mod
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+    from odbc2deltalake_spark.queries.cdc_ops import (
+        _run_snapshot_stream,
+        _stream_full_snapshots,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s1, s2, _s3, _n_strange, n_deleted = _stream_full_snapshots(spark, sf)
+
+    def state(dest):
+        cur = sorted(
+            tuple(r)
+            for r in read_current_rows(spark, dest, ["user_id"], "rv")
+            .select("user_id", "rv", "event_type", "value")
+            .distinct()
+            .collect()
+        )
+        tombs = sorted(
+            r["user_id"]
+            for r in dest.delta.read(spark)
+            .filter(F.col("__is_deleted"))
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        return cur, tombs
+
+    clean = state(_run_snapshot_stream(spark, [s1, s2], str(tmp_path / "clean")))
+
+    # crashed run: batch 1 lands clean; batch 2's load dies inside
+    # _do_deletes (delta_1 history append already published — the
+    # orphan-history crash point)
+    root = tmp_path / "crash"
+    root.mkdir()
+    dest = _run_snapshot_stream(spark, [s1], str(root))
+    real = mod._do_deletes
+    armed = {"on": True}
+
+    def bomb(ctx, old_pk_version):
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash before deletes")
+        return real(ctx, old_pk_version)
+
+    mod._do_deletes = bomb
+    try:
+        try:
+            _run_snapshot_stream(spark, [s2], str(root))
+            crashed = False
+        except Exception:
+            crashed = True
+        assert crashed, "injected crash did not surface"
+        assert not armed["on"], "crash point never reached"
+        # restore protocol: the index rolled back to the s1 state, no
+        # tombstones published yet
+        _, tombs_mid = state(dest)
+        assert tombs_mid == []
+    finally:
+        mod._do_deletes = real
+
+    # restart from the SAME checkpoint without new input: the crashed
+    # pass committed nothing, so a fresh availableNow pass over the same
+    # source dir redelivers the uncommitted batch and the load completes
+    from odbc2deltalake_spark.config import WriteConfig
+    from odbc2deltalake_spark.streaming.driver import stream_db_to_delta
+
+    stream = spark.readStream.schema(s1.schema).parquet(f"{root}/in")
+
+    q = stream_db_to_delta(
+        spark, stream, f"{root}/dest", ["user_id"], "rv", f"{root}/ckpt",
+        available_now=True,
+        write_config=WriteConfig(primary_keys=["user_id"], delta_col="rv"),
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None, q.exception()
+
+    got = state(dest)
+    assert got == clean
+    assert len(got[1]) == n_deleted
