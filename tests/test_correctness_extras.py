@@ -42,9 +42,8 @@ def test_core_set_fits_driver_cap():
     # operators rotated in from overflow in r4
     for name in ("q1_pricing_summary", "ev_sessionize", "sim_neardup_bucketed",
                  "dedup_cluster", "ev_asof_join",
-                 "ev_range_join", "text_pii_scrub",
-                 # r5 rotation: the second-wave LLM-pipeline shapes
-                 "dedup_substring_spans",
+                 # ev_range_join / text_pii_scrub / dedup_substring_spans
+                 # moved to overflow in r12 (tenth-wave rotation)
                  # r6 rotation: the round-5 flagship operators (VERDICT
                  # r5 #1); mv_incremental_rollup moved to overflow in r11
                  "corpus_leakage_safe_split",
@@ -65,8 +64,9 @@ def test_core_set_fits_driver_cap():
                  "store_mor_roundtrip", "store_gdpr_erasure",
                  # r9 sixth-wave rotation (VERDICT r8 #1): the r8
                  # flagships still in overflow — retraction-mode IVM
-                 # pair, the mixture-sampling pair, IVF-PQ search
-                 "mv_cdf_retraction", "mv_join_retraction",
+                 # (mv_cdf_retraction moved to overflow in r12), the
+                 # mixture-sampling pair, IVF-PQ search
+                 "mv_join_retraction",
                  "corpus_mixture_apply", "corpus_stratified_sample",
                  "sim_ann_ivfpq_search",
                  # r10 eighth-wave rotation (VERDICT r9 #1): the r9
@@ -78,7 +78,12 @@ def test_core_set_fits_driver_cap():
                  # flagships — the OCC-rebase race row, skipping-survives-
                  # merges, the zero-shuffle entropy scan, the funnel report
                  "store_occ_append_race", "store_merge_bloom_lookup",
-                 "text_letter_entropy", "corpus_filter_funnel"):
+                 "text_letter_entropy", "corpus_filter_funnel",
+                 # r12 tenth-wave rotation (VERDICT r11 #1): the r11
+                 # flagships — streaming SCD2 lifecycle, exactly-once txn
+                 # markers, the CHECK gate, the real PNG codec row
+                 "stream_cdc_scd2", "store_txn_exactly_once",
+                 "store_check_constraint_gate", "mm_png_pixel_stats"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -148,7 +153,15 @@ def test_core_set_fits_driver_cap():
                  # corpus_e2e_recipe the sampling family, and the
                  # retraction/join/distinct MV rows the IVM family)
                  "text_bigram_logprob", "mm_audio_meta",
-                 "corpus_dsir_sample", "mv_incremental_rollup"):
+                 "corpus_dsir_sample", "mv_incremental_rollup",
+                 # r12 tenth-wave rotation out (each driver-green 3+
+                 # rounds; family representatives stay in-window:
+                 # mv_join_retraction + mv_incremental_join/_distinct
+                 # pin retraction IVM, ev_asof_join the interval joins,
+                 # dedup_exact/minhash/cluster/keep_best the dedup
+                 # family, and 4 text rows remain in-window)
+                 "mv_cdf_retraction", "ev_range_join",
+                 "text_pii_scrub", "dedup_substring_spans"):
         assert name in overflow_names
 
 

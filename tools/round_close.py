@@ -12,6 +12,10 @@ Steps, in order, fail-fast:
 2. Recompute the headline sum from the NEWEST BENCH_r*.json tail and
    print it — round claims must quote THIS number, nothing else
    (the r6 "31.1s" incident: a number no committed artifact contained).
+   2b regenerates docs/bench_trend.json (now with per-query series);
+   2c applies the raw+normalized agreement rule; 2d classifies >50%
+   per-query moves as 'sampling' vs 'code-change' via git attribution
+   (VERDICT r11 #7).
 3. Untracked round artifacts (CORRECTNESS/BENCH jsons) are listed as
    MUST-COMMIT.
 4. --full: also run the ledger test file and the overflow oracle gate.
