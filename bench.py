@@ -123,8 +123,10 @@ EXTRAS = [
     "corpus_semantic_quality",
     "sim_ann_opq",
     # r12: the full delta algorithm (deletes + strange updates) under
-    # foreachBatch — trend line from day 1
+    # foreachBatch, and the persisted BM25 inverted index (2-batch
+    # build + term-sliced search) — trend lines from day 1
     "stream_cdc_full",
+    "bm25_index_search",
 ]
 
 

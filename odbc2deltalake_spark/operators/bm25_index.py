@@ -1,0 +1,162 @@
+"""Persisted incremental BM25 inverted index — the production form of
+lexical retrieval for a continuously-ingested corpus.
+
+The batch query (`queries/text_ops.py:bm25_search`) re-tokenizes the
+whole corpus per query; at 100 TB that is the wrong shape. A real
+pipeline maintains a PERSISTED index and pays per query only for the
+query's own terms:
+
+- `postings` (w, doc_id, tf): one row per term-per-doc, written
+  repartitioned ON the term so each parquet file holds a hash-slice of
+  the vocabulary, with per-file [min,max] stats AND bloom bitmaps on
+  ``w`` — a query's term list prunes at the commit log before Spark
+  plans the scan (`skip_where=("w", "in", terms)`), so the scan cost
+  follows the query's posting lists, not the corpus.
+- `docstats` (doc_id, dl): per-doc token lengths for the BM25 length
+  normalization (joined only for candidate docs).
+- `counters` (batch_id, n_docs, sum_dl): one tiny row per update batch;
+  the corpus-wide (N, avgdl) scalars are the SUM of this table —
+  reading it is control-plane at any corpus size, and appending keeps
+  updates O(|batch|) with no global recomputation.
+
+Incrementality contract (the oracle): update batches carry DISJOINT doc
+sets (append-only corpus), so per-(w, doc_id) postings stay unique
+across batches, per-term document frequency is a plain count over the
+term's slice, and a search over any batch split equals the one-shot
+BM25 SQL over the full corpus — pinned by tests/test_bm25_index.py and
+the `bm25_index_search` registry row's DuckDB oracle.
+
+All three tables are `VersionedParquetTable`s: appends are commit-
+logged, time travel and vacuum work like every other table in the
+store. Scoring mirrors `bm25_search`'s expression tree exactly so the
+float summation parity already proven cross-engine carries over.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odbc2deltalake_spark.tablestore import VersionedParquetTable
+
+K1 = 1.2
+B = 0.75
+_POSTING_SLICES = 8  # vocabulary hash-slices (files) per update batch
+
+
+class Bm25Index:
+    def __init__(self, root: str | Path):
+        root = Path(root)
+        self.postings = VersionedParquetTable(root / "postings")
+        self.docstats = VersionedParquetTable(root / "docstats")
+        self.counters = VersionedParquetTable(root / "counters")
+
+    def exists(self) -> bool:
+        return self.counters.exists()
+
+    # ------------------------------------------------------------ build --
+
+    def update(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """Index one batch of NEW documents (disjoint from all prior
+        batches — the append-only-corpus contract). One token scan per
+        batch; everything appended, nothing rewritten."""
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("w"),
+        ).localCheckpoint(eager=False)
+        tf = toks.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        self.postings.write(
+            tf.repartition(_POSTING_SLICES, "w"),
+            mode="append",
+            per_file_stats=True,
+            bloom_cols=["w"],
+        )
+        self.docstats.write(dl, mode="append")
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        ).collect()[0]
+        batch_id = (
+            self.counters.count_rows(spark) if self.counters.exists() else 0
+        )
+        return self.counters.write(
+            spark.createDataFrame(
+                [(int(batch_id), int(row["n"]), int(row["sdl"] or 0))],
+                "batch_id int, n_docs long, sum_dl long",
+            ),
+            mode="append",
+        )
+
+    # ----------------------------------------------------------- search --
+
+    def search(
+        self,
+        spark: SparkSession,
+        terms: list[str],
+        topk: int = 10,
+    ) -> DataFrame:
+        """Okapi BM25 top-k over the stored index. The postings read is
+        term-sliced (bloom + footer stats prune files at the commit
+        log); (N, avgdl) come from summing the counters table
+        (control-plane); df per term is a count over the term's own
+        slice. Expression tree mirrors bm25_search exactly (same
+        6-decimal tiebreak / 4-decimal output rounding)."""
+        if not terms:
+            raise ValueError("search requires at least one term")
+        if not self.exists():
+            raise ValueError("empty index — call update() first")
+        ctr = self.counters.read(spark).agg(
+            F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("sdl")
+        ).collect()[0]
+        n_docs = int(ctr["n"] or 0)
+        if n_docs == 0:
+            raise ValueError("empty index")
+        post = self.postings.read(
+            spark, skip_where=("w", "in", list(terms))
+        ).localCheckpoint(eager=False)
+        dfq = post.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        dl = self.docstats.read(spark)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        avgdl = F.lit(float(ctr["sdl"]) / n_docs)
+        denom = F.col("tf") + F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * F.col("dl") / avgdl
+        )
+        contrib = idf * F.col("tf") * F.lit(K1 + 1.0) / denom
+        scored = (
+            post.join(F.broadcast(dfq), "w")
+            .join(dl, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("bm25"))
+        )
+        return (
+            scored.orderBy(F.round("bm25", 6).desc(), "doc_id")
+            .limit(topk)
+            .select("doc_id", F.round("bm25", 4).alias("bm25_score"))
+        )
+
+    def files_touched(self, spark: SparkSession, terms: list[str]) -> tuple[int, int]:
+        """(pruned, total) postings file counts for a term list — the
+        observable data-skipping contract (tests + the registry row's
+        in-query file-cut assert)."""
+        pruned = self.postings.read(
+            spark, skip_where=("w", "in", list(terms))
+        )
+        total = self.postings.read(spark)
+        return (
+            len(set(pruned.inputFiles())),
+            len(set(total.inputFiles())),
+        )

@@ -913,3 +913,41 @@ def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_letters") > 0)
     )
+
+
+# --------------------------------------- persisted BM25 inverted index ----
+# r12: the production form of bm25_search — a persisted, incrementally
+# appended inverted index (operators/bm25_index.py). The oracle is the
+# SAME one-shot BM25 SQL: the index is built in TWO disjoint batches,
+# so a matching hash proves the incrementality contract (batch-split
+# invariance) AND the scoring algebra at once. The in-query file-cut
+# assert pins the data-skipping contract: the term-sliced postings read
+# must touch strictly fewer files than the full index.
+
+
+@register("bm25_index_search", _BM25_ORACLE, tags=("text", "similarity", "flagship"),
+          priority=100)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 via the persisted inverted index == the one-shot BM25 SQL.
+
+    Two-batch build (doc_id parity split) -> same top-10 as recomputing
+    from raw text; postings read pruned by bloom + footer stats on the
+    term column (scan cost follows the query's posting lists, not the
+    corpus)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.operators.bm25_index import Bm25Index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        idx = Bm25Index(root)
+        idx.update(spark, docs.filter(F.col("doc_id") % 2 == 0))
+        idx.update(spark, docs.filter(F.col("doc_id") % 2 == 1))
+        pruned, total = idx.files_touched(spark, _HYBRID_QUERY_TERMS)
+        assert pruned < total, (pruned, total)
+        out = idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

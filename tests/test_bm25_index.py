@@ -1,0 +1,94 @@
+"""Persisted BM25 inverted-index gates (operators/bm25_index.py):
+batch-split invariance (incrementality contract), equality with the
+one-shot batch query, the data-skipping file cut, and loud edges."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from odbc2deltalake_spark.operators.bm25_index import Bm25Index  # noqa: E402
+from odbc2deltalake_spark.queries.registry import load_table  # noqa: E402
+from odbc2deltalake_spark.queries.text_ops import (  # noqa: E402
+    _HYBRID_QUERY_TERMS,
+    _HYBRID_TOPK,
+    bm25_search,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _build(spark, root, splits):
+    idx = Bm25Index(root)
+    docs = _docs(spark)
+    for pred in splits:
+        idx.update(spark, docs.filter(pred))
+    return idx
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_batch_split_invariance_and_one_shot_equality(spark, tmp_path):
+    """1-batch, 2-batch, and 3-batch builds over disjoint doc slices all
+    return the SAME top-k — and it equals the one-shot batch query
+    (bm25_search recomputing from raw text)."""
+    one_shot = _rows(bm25_search(spark, SF_DIR))
+
+    d = F.col("doc_id")
+    cases = {
+        "bulk": [d >= 0],
+        "parity": [d % 2 == 0, d % 2 == 1],
+        "thirds": [d % 3 == 0, d % 3 == 1, d % 3 == 2],
+    }
+    for tag, splits in cases.items():
+        idx = _build(spark, tmp_path / tag, splits)
+        got = _rows(idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK))
+        assert got == one_shot, tag
+
+
+def test_term_sliced_read_prunes_files(spark, tmp_path):
+    idx = _build(spark, tmp_path / "i", [F.col("doc_id") % 2 == 0,
+                                         F.col("doc_id") % 2 == 1])
+    pruned, total = idx.files_touched(spark, _HYBRID_QUERY_TERMS)
+    assert 0 < pruned < total, (pruned, total)
+    # a term that cannot exist prunes everything the bitmaps can prove
+    # absent; the search over it returns no rows rather than erroring
+    none_pruned, _ = idx.files_touched(spark, ["zz_no_such_term_zz"])
+    assert none_pruned <= pruned
+    got = idx.search(spark, ["zz_no_such_term_zz"], 5).collect()
+    assert got == []
+
+
+def test_incremental_update_extends_results(spark, tmp_path):
+    """Docs indexed in a later batch are searchable; corpus scalars
+    (N, avgdl) reflect every batch (scores shift when N grows)."""
+    docs = _docs(spark)
+    idx = Bm25Index(tmp_path / "i")
+    idx.update(spark, docs.filter(F.col("doc_id") < 10))
+    before = _rows(idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK))
+    idx.update(spark, docs.filter(F.col("doc_id") >= 10))
+    after = _rows(idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK))
+    assert after == _rows(bm25_search(spark, SF_DIR))
+    assert before != after  # the second batch genuinely changed the view
+
+
+def test_loud_edges(spark, tmp_path):
+    idx = Bm25Index(tmp_path / "i")
+    with pytest.raises(ValueError, match="empty index"):
+        idx.search(spark, ["x"])
+    idx.update(spark, _docs(spark).filter(F.col("doc_id") < 5))
+    with pytest.raises(ValueError, match="at least one term"):
+        idx.search(spark, [])

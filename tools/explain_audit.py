@@ -526,6 +526,13 @@ EXCLUDED = {
         "batch lifecycle's audited queries pin, and the batching-"
         "independence claim is the oracle hash itself"
     ),
+    "bm25_index_search": (
+        "two persisted-index build commits execute at query time; the "
+        "search plan (term-sliced postings scan + broadcast df join) is "
+        "the audited bm25_search shape over stored tables — batch-split "
+        "invariance and the file-cut contract are pinned in "
+        "tests/test_bm25_index.py and the row's own oracle hash"
+    ),
     "stream_cdc_full": (
         "availableNow foreachBatch FULL delta loads executed at build "
         "(snapshot micro-batches: deletes, strange-update key-set "
