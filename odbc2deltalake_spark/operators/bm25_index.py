@@ -148,6 +148,25 @@ class Bm25Index:
             .select("doc_id", F.round("bm25", 4).alias("bm25_score"))
         )
 
+    def compact(
+        self, spark: SparkSession, out_partitions: int | None = None
+    ) -> None:
+        """Index maintenance: fold the one-dir-per-batch postings layout
+        into few large files, Z-ordered BY TERM with stats + bloom
+        re-collected — after many small update batches the term slices
+        re-cluster, so query-time pruning gets BETTER, not lost
+        (pinned by tests/test_bm25_index.py). Time travel keeps working;
+        vacuum retires superseded dirs after retention like every other
+        store table."""
+        self.postings.compact(
+            spark,
+            zorder_by=["w"],
+            stats_cols=["w"],
+            bloom_cols=["w"],
+            out_partitions=out_partitions,
+        )
+        self.docstats.compact(spark)
+
     def files_touched(self, spark: SparkSession, terms: list[str]) -> tuple[int, int]:
         """(pruned, total) postings file counts for a term list — the
         observable data-skipping contract (tests + the registry row's
