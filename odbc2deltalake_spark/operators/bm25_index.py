@@ -104,6 +104,7 @@ class Bm25Index:
         spark: SparkSession,
         terms: list[str],
         topk: int = 10,
+        with_rank: bool = False,
     ) -> DataFrame:
         """Okapi BM25 top-k over the stored index. The postings read is
         term-sliced (bloom + footer stats prune files at the commit
@@ -142,11 +143,23 @@ class Bm25Index:
             .groupBy("doc_id")
             .agg(F.sum(contrib).alias("bm25"))
         )
-        return (
-            scored.orderBy(F.round("bm25", 6).desc(), "doc_id")
-            .limit(topk)
-            .select("doc_id", F.round("bm25", 4).alias("bm25_score"))
-        )
+        top = scored.orderBy(F.round("bm25", 6).desc(), "doc_id").limit(topk)
+        if with_rank:
+            # rank over the ALREADY-TRUNCATED candidate frame (bounded
+            # input — the unpartitioned window is a topk-row reduction,
+            # not a corpus funnel); ties break on the 6-decimal rounded
+            # score + doc_id, the same total order the truncation used
+            from pyspark.sql import Window as W
+
+            rn = F.row_number().over(
+                W.orderBy(F.round("bm25", 6).desc(), "doc_id")
+            )
+            return top.select(
+                "doc_id",
+                F.round("bm25", 4).alias("bm25_score"),
+                rn.cast("long").alias("rank"),
+            )
+        return top.select("doc_id", F.round("bm25", 4).alias("bm25_score"))
 
     def compact(
         self, spark: SparkSession, out_partitions: int | None = None

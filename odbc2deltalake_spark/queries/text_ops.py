@@ -951,3 +951,139 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------- hybrid retrieval over persisted indexes ----
+# r12: the production RAG read path — BOTH persisted indexes composed:
+# lexical candidates from the BM25 inverted index (term-sliced postings
+# scan), semantic candidates from the IVF-PQ index run in its
+# exact-equivalence configuration (probe all cells, full-slice raw
+# rerank -> exact squared L2, which is what an independent SQL engine
+# can recompute), fused with reciprocal-rank fusion. One row proves the
+# whole composition: index builds, both ranked reads, and the fusion
+# algebra hash against a from-scratch SQL replay.
+
+_IDX_RRF_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+nd AS (SELECT count(DISTINCT doc_id) AS n, avg(dl) AS avgdl FROM dl),
+lex AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+         ), 6) AS s
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN nd
+  WHERE tf.w IN ({", ".join(f"'{t}'" for t in _HYBRID_QUERY_TERMS)})
+  GROUP BY tf.doc_id
+),
+lex_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM lex ORDER BY s DESC, doc_id LIMIT {_RRF_CAND}
+),
+q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {_HYBRID_QUERY_VEC}
+),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_sum([ (x[1] - x[2]) ^ 2
+                          for x in list_zip(e.embedding::DOUBLE[], q.qv) ]),
+               6) AS d
+  FROM embeddings e, q
+),
+sem_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS r
+  FROM sem ORDER BY d, doc_id LIMIT {_RRF_CAND}
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.r AS BIGINT) AS lex_rank,
+       CAST(s.r AS BIGINT) AS sem_rank,
+       round(COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+             + COALESCE(1.0 / ({_RRF_K} + s.r), 0), 6) AS rrf_score
+FROM lex_rank l FULL OUTER JOIN sem_rank s USING (doc_id)
+ORDER BY COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+           + COALESCE(1.0 / ({_RRF_K} + s.r), 0) DESC,
+         doc_id
+LIMIT {_HYBRID_TOPK}
+"""
+
+
+@register("hybrid_index_rrf", _IDX_RRF_ORACLE,
+          tags=("text", "similarity", "index", "flagship"), priority=100)
+def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion over BOTH persisted indexes == a from-scratch replay.
+
+    Lexical top-N via Bm25Index (2-batch build, ranked term-sliced
+    read); semantic top-N via IvfPqIndex in exact mode (squared L2,
+    SQL-recomputable); full-outer fuse with 1/(K + rank). Everything
+    after the per-ranker truncation is O(N) independent of corpus
+    size — the scale shape hybrid_search_rrf documents, now over stored
+    index tables instead of per-query recomputation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from odbc2deltalake_spark.operators.bm25_index import Bm25Index
+    from odbc2deltalake_spark.operators.clustering import fit_kmeans_centroids
+    from odbc2deltalake_spark.operators.ivfpq import IvfPqIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
+    n = corpus.count()
+    ncent = max(4, int(n ** 0.5))
+    dim = len(corpus.first()["v"])
+    qv = corpus.filter(F.col("vec_id") == _HYBRID_QUERY_VEC).first()["v"]
+
+    root = tempfile.mkdtemp(prefix="hybrid_idx_")
+    try:
+        bm25 = Bm25Index(f"{root}/bm25")
+        bm25.update(spark, docs.filter(F.col("doc_id") % 2 == 0))
+        bm25.update(spark, docs.filter(F.col("doc_id") % 2 == 1))
+        lex_rank = bm25.search(
+            spark, _HYBRID_QUERY_TERMS, _RRF_CAND, with_rank=True
+        ).select("doc_id", F.col("rank").alias("lex_rank"))
+
+        ivf = IvfPqIndex(f"{root}/ivfpq", dim, 8, 16)
+        ivf.build(corpus, fit_kmeans_centroids(corpus, ncent, 2))
+        sem = ivf.search(
+            spark, qv, nprobe=ncent, k=_RRF_CAND, candidates=n,
+            rerank_vectors=corpus,
+        )
+        sem_rank = sem.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy("exact_dist", "vec_id"))
+            .cast("long")
+            .alias("sem_rank"),
+        )
+
+        contrib = F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        ) + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+        )
+        out = (
+            lex_rank.join(sem_rank, "doc_id", "full_outer")
+            .select("doc_id", "lex_rank", "sem_rank", contrib.alias("raw"))
+            .orderBy(F.col("raw").desc(), "doc_id")
+            .limit(_HYBRID_TOPK)
+            .select(
+                "doc_id",
+                "lex_rank",
+                "sem_rank",
+                F.round("raw", 6).alias("rrf_score"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -526,6 +526,12 @@ EXCLUDED = {
         "batch lifecycle's audited queries pin, and the batching-"
         "independence claim is the oracle hash itself"
     ),
+    "hybrid_index_rrf": (
+        "builds BOTH persisted indexes at query time (BM25 2-batch + "
+        "IVF-PQ exact mode); the fused read is the audited "
+        "hybrid_search_rrf shape over stored tables — truncate-then-rank "
+        "windows on bounded candidate frames, full-outer O(N) fuse"
+    ),
     "bm25_index_search": (
         "two persisted-index build commits execute at query time; the "
         "search plan (term-sliced postings scan + broadcast df join) is "
