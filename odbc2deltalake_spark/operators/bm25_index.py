@@ -13,7 +13,15 @@ query's own terms:
   plans the scan (`skip_where=("w", "in", terms)`), so the scan cost
   follows the query's posting lists, not the corpus.
 - `docstats` (doc_id, dl): per-doc token lengths for the BM25 length
-  normalization (joined only for candidate docs).
+  normalization — written hash-sliced on ``doc_id`` with per-file
+  stats + bloom bitmaps, and joined only for CANDIDATE docs: search
+  collects the pruned postings' distinct doc_ids (bounded by the
+  query's posting-list length) up to ``_CAND_CAP`` and routes them
+  through the same commit-log file pruning + broadcast join, so a
+  rare-term query never pays a corpus-proportional docstats scan.
+  Past the cap (stop-word-like queries whose posting lists are
+  themselves corpus-proportional) it falls back to the shuffle join,
+  where the join cost is proportional to the real work anyway.
 - `counters` (batch_id, n_docs, sum_dl): one tiny row per update batch;
   the corpus-wide (N, avgdl) scalars are the SUM of this table —
   reading it is control-plane at any corpus size, and appending keeps
@@ -41,9 +49,20 @@ from pyspark.sql import functions as F
 
 from odbc2deltalake_spark.tablestore import VersionedParquetTable
 
+# Okapi BM25 constants — CANONICAL HOME (ADVICE r12): queries/text_ops.py
+# imports these as _BM25_K1/_BM25_B, so the persisted index and the
+# one-shot bm25_search query cannot drift apart; bm25_index_search's
+# oracle depends on the two scoring exactly alike.
 K1 = 1.2
 B = 0.75
 _POSTING_SLICES = 8  # vocabulary hash-slices (files) per update batch
+_DOCSTAT_SLICES = 8  # doc_id hash-slices (files) per update batch
+# Candidate-set cap for the driver-side doc_id collect that bounds the
+# docstats join (VERDICT r12 #2). ≤ cap: docstats is file-pruned at the
+# commit log and broadcast (a rare-term query pays only its own posting
+# lists). > cap: the posting lists are themselves corpus-proportional,
+# so the plain shuffle join is proportional to the real work.
+_CAND_CAP = 100_000
 
 
 class Bm25Index:
@@ -82,7 +101,12 @@ class Bm25Index:
             per_file_stats=True,
             bloom_cols=["w"],
         )
-        self.docstats.write(dl, mode="append")
+        self.docstats.write(
+            dl.repartition(_DOCSTAT_SLICES, "doc_id"),
+            mode="append",
+            per_file_stats=True,
+            bloom_cols=["doc_id"],
+        )
         row = dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
         ).collect()[0]
@@ -126,7 +150,27 @@ class Bm25Index:
             spark, skip_where=("w", "in", list(terms))
         ).localCheckpoint(eager=False)
         dfq = post.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-        dl = self.docstats.read(spark)
+        # Candidate-bound the docstats side (VERDICT r12 #2): the pruned
+        # postings frame holds only the query's terms, so its distinct
+        # doc_ids are bounded by the query's posting-list length — NOT
+        # the corpus. Collect up to _CAND_CAP of them and read docstats
+        # through the same commit-log pruning (stats + bloom on doc_id),
+        # then broadcast: a rare-term query touches a few docstats files
+        # instead of one-row-per-corpus-doc. Past the cap the query is
+        # corpus-proportional anyway — plain shuffle join.
+        cands = [
+            r[0]
+            for r in post.select("doc_id")
+            .distinct()
+            .limit(_CAND_CAP + 1)
+            .collect()
+        ]
+        if len(cands) <= _CAND_CAP:
+            dl = F.broadcast(
+                self.docstats.read(spark, skip_where=("doc_id", "in", cands))
+            )
+        else:
+            dl = self.docstats.read(spark)
         idf = F.log(
             F.lit(1.0)
             + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
@@ -178,7 +222,13 @@ class Bm25Index:
             bloom_cols=["w"],
             out_partitions=out_partitions,
         )
-        self.docstats.compact(spark)
+        self.docstats.compact(
+            spark,
+            zorder_by=["doc_id"],
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+            out_partitions=out_partitions,
+        )
 
     def files_touched(self, spark: SparkSession, terms: list[str]) -> tuple[int, int]:
         """(pruned, total) postings file counts for a term list — the
@@ -188,6 +238,32 @@ class Bm25Index:
             spark, skip_where=("w", "in", list(terms))
         )
         total = self.postings.read(spark)
+        return (
+            len(set(pruned.inputFiles())),
+            len(set(total.inputFiles())),
+        )
+
+    def docstats_files_touched(
+        self, spark: SparkSession, terms: list[str]
+    ) -> tuple[int, int]:
+        """(pruned, total) DOCSTATS file counts for a term list's
+        candidate docs — the observable for the candidate-bounded
+        length join (VERDICT r12 #2): a rare-term query must open
+        fewer docstats files than the corpus holds."""
+        post = self.postings.read(spark, skip_where=("w", "in", list(terms)))
+        cands = [
+            r[0]
+            for r in post.select("doc_id")
+            .distinct()
+            .limit(_CAND_CAP + 1)
+            .collect()
+        ]
+        if len(cands) > _CAND_CAP:
+            total = self.docstats.read(spark)
+            n = len(set(total.inputFiles()))
+            return (n, n)
+        pruned = self.docstats.read(spark, skip_where=("doc_id", "in", cands))
+        total = self.docstats.read(spark)
         return (
             len(set(pruned.inputFiles())),
             len(set(total.inputFiles())),

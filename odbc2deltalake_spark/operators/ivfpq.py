@@ -198,6 +198,28 @@ class IvfPqIndex:
             for r in cent
         )
         probes = ranked[:nprobe]
+        probe_cids = [cid for _, cid, _ in probes]
+        probed = self.cells.read(spark).filter(F.col("cid").isin(probe_cids))
+        if rerank_vectors is not None and candidates >= probed.count():
+            # Exact-equivalence configuration (probe-everything,
+            # full-slice rerank — what the SQL oracles recompute): every
+            # probed row IS a candidate, so the ADC pass ranks a set it
+            # cannot shrink. Skip it — building the nprobe*M*K literal
+            # lookup map and evaluating M map-lookups per row is the
+            # dominant cost of exact-mode searches, for zero effect on
+            # the result (the exact rerank re-scores the same set).
+            qlit0 = F.array(*[F.lit(x) for x in q_orig])
+            return (
+                rerank_vectors.join(
+                    F.broadcast(probed.select("vec_id")), "vec_id"
+                )
+                .select(
+                    "vec_id",
+                    F.round(_sq_l2(F.col("v"), qlit0), 6).alias("exact_dist"),
+                )
+                .orderBy("exact_dist", "vec_id")
+                .limit(k)
+            )
         slices = _sub_slices(self.dim, self.m)
         books = self.codebooks.read(spark).collect()
         by_sub: dict[int, list] = {}
@@ -238,11 +260,8 @@ class IvfPqIndex:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        probe_cids = [cid for _, cid, _ in probes]
-        scored = (
-            self.cells.read(spark)
-            .filter(F.col("cid").isin(probe_cids))
-            .select("vec_id", F.round(dist, 6).alias("approx_dist"))
+        scored = probed.select(
+            "vec_id", F.round(dist, 6).alias("approx_dist")
         )
         if rerank_vectors is None:
             return scored.orderBy("approx_dist", "vec_id").limit(k)

@@ -773,7 +773,8 @@ FROM f JOIN d ON f.custkey = d.custkey
 
 
 @register("mv_join_retraction", _MV_JOIN_RETRACT_ORACLE,
-          tags=("cdc", "streaming", "dml", "flagship"))  # r9: promoted to the driver window (sixth-wave rotation)
+          tags=("cdc", "streaming", "dml", "flagship"),
+          priority=100)  # r9: promoted; r13: rotated out (mv_incremental_join + mv_incremental_distinct pin the IVM mechanism; green r9-r12)
 def mv_join_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed join view maintained through DML + merges == the same
     lifecycle replayed as one SQL join (Delta CDF folded into a MERGE'd
@@ -1783,11 +1784,15 @@ def _stream_full_snapshots(spark: SparkSession, sf_dir: str):
          ).alias("rv"),
     ).localCheckpoint(eager=True)
 
-    agg = s2.agg(
-        F.max("user_id").alias("mu"), F.max("rv").alias("mr")
-    ).collect()[0]
+    # The inserted key is max(user_id)+1 over LATEST (pre-delete), not s2:
+    # if the corpus max happens to be a deleted user (%10 == 3), max(s2)+1
+    # would REUSE that tombstoned key (an update-after-delete, a different
+    # scenario) and diverge from the oracle's `max(user_id)+1 FROM latest`.
+    # max(latest)+1 is fresh by construction under every fixture.
+    mu = latest.agg(F.max("user_id")).collect()[0][0]
+    mr = s2.agg(F.max("rv")).collect()[0][0]
     ins = spark.createDataFrame(
-        [(int(agg["mu"]) + 1, "inserted", 1.0, int(agg["mr"]) + 1)],
+        [(int(mu) + 1, "inserted", 1.0, int(mr) + 1)],
         schema=s2.schema,
     )
     s3 = s2.select(
@@ -1865,7 +1870,7 @@ FROM latest WHERE user_id % 10 = 3
     "stream_cdc_full",
     _STREAM_FULL_ORACLE,
     tags=("cdc", "streaming", "flagship"),
-    priority=100,
+    # r13: promoted to the driver window (eleventh-wave rotation)
 )
 def stream_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming FULL delta algorithm == one SQL replay of the lifecycle.

@@ -108,8 +108,8 @@ LIMIT {10}
 """
 
 
-@register("sim_ann_pq", _EXACT_L2_ORACLE, tags=("clustering", "similarity"),
-          priority=100)
+@register("sim_ann_pq", _EXACT_L2_ORACLE, tags=("clustering", "similarity"))
+# r13: promoted to the driver window (eleventh-wave rotation)
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN == brute-force squared L2 (exact-mode oracle,
     the sim_ann_opq recipe — r12, VERDICT r11 #3).

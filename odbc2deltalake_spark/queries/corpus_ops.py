@@ -1098,7 +1098,8 @@ ORDER BY lang, rank_in_stratum
     "corpus_stratified_sample",
     _STRAT_ORACLE,
     tags=("corpus", "sampling"),
-)  # r9: promoted to the driver window (sixth-wave rotation)
+    priority=100,
+)  # r9: promoted; r13: rotated out (corpus_mixture_apply pins the sampling mechanism; green r9-r12)
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-stratum sampling: ceil(frac x |stratum|) docs from each
     language, chosen in deterministic md5(seed‖doc_id) order — the

@@ -288,7 +288,8 @@ WHERE {_COS_SQL} >= {_NEARDUP_THRESHOLD}
 """
 
 
-@register("sim_neardup_bucketed", _BUCKETED_ORACLE, tags=("similarity", "dedup"))
+@register("sim_neardup_bucketed", _BUCKETED_ORACLE, tags=("similarity", "dedup"),
+          priority=100)  # r13: rotated out (sim_ann_ivfpq_search pins the harder persisted-index path; green r2-r12)
 def sim_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via LSH buckets → per-bucket cosine verify.
 

@@ -115,3 +115,36 @@ def test_compaction_preserves_results_and_pruning(spark, tmp_path):
     assert total < total_before  # small files actually folded
     assert pruned < total, (pruned, total)  # pruning survived the rewrite
     assert after == _rows(bm25_search(spark, SF_DIR))
+
+
+def test_docstats_join_is_candidate_bounded(spark, tmp_path, monkeypatch):
+    """r13 (VERDICT r12 #2): the per-query docstats read is bounded by
+    the query's CANDIDATE docs, not the corpus — a rare-term query
+    opens fewer docstats files than the corpus holds (file cut through
+    the same commit-log stats/bloom pruning the postings use), and the
+    over-cap fallback (plain shuffle join) returns bit-identical
+    results."""
+    from odbc2deltalake_spark import operators
+    from odbc2deltalake_spark.operators import bm25_index as mod
+
+    rows = [
+        (i, f"common shared tok{i} filler words here") for i in range(64)
+    ]
+    rows[7] = (7, "common shared tok7 xyzzyrare unique")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = Bm25Index(tmp_path / "i")
+    idx.update(spark, docs.filter(F.col("doc_id") % 2 == 0))
+    idx.update(spark, docs.filter(F.col("doc_id") % 2 == 1))
+
+    dpruned, dtotal = idx.docstats_files_touched(spark, ["xyzzyrare"])
+    assert 0 < dpruned < dtotal, (dpruned, dtotal)
+
+    bounded = _rows(idx.search(spark, ["xyzzyrare", "common"], 5))
+    assert bounded and bounded[0][0] == 7  # the rare doc ranks first
+
+    # force the over-cap fallback: same results either path
+    monkeypatch.setattr(mod, "_CAND_CAP", 0)
+    fallback = _rows(idx.search(spark, ["xyzzyrare", "common"], 5))
+    assert fallback == bounded
+    fp, ft = idx.docstats_files_touched(spark, ["xyzzyrare"])
+    assert fp == ft  # over cap: no pruning claimed

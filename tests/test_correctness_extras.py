@@ -40,7 +40,9 @@ def test_core_set_fits_driver_cap():
     core_names = [s.name for s in specs[:50]]
     # the r4 core set stays enumerable — spot anchors, including the six
     # operators rotated in from overflow in r4
-    for name in ("q1_pricing_summary", "ev_sessionize", "sim_neardup_bucketed",
+    for name in ("q1_pricing_summary", "ev_sessionize",
+                 # sim_neardup_bucketed moved to overflow in r13
+                 # (eleventh-wave rotation)
                  "dedup_cluster", "ev_asof_join",
                  # ev_range_join / text_pii_scrub / dedup_substring_spans
                  # moved to overflow in r12 (tenth-wave rotation)
@@ -64,16 +66,15 @@ def test_core_set_fits_driver_cap():
                  "store_mor_roundtrip", "store_gdpr_erasure",
                  # r9 sixth-wave rotation (VERDICT r8 #1): the r8
                  # flagships still in overflow — retraction-mode IVM
-                 # (mv_cdf_retraction moved to overflow in r12), the
-                 # mixture-sampling pair, IVF-PQ search
-                 "mv_join_retraction",
-                 "corpus_mixture_apply", "corpus_stratified_sample",
+                 # (mv_cdf_retraction moved to overflow in r12;
+                 # mv_join_retraction in r13), the mixture-sampling
+                 # representative, IVF-PQ search
+                 "corpus_mixture_apply",
                  "sim_ann_ivfpq_search",
                  # r10 eighth-wave rotation (VERDICT r9 #1): the r9
                  # storage flagships + the perplexity filter
                  "store_point_lookup", "store_time_travel",
                  "store_schema_evolution", "mv_incremental_distinct",
-                 "text_perplexity_filter",
                  # r11 ninth-wave rotation (VERDICT r10 #1): the r10
                  # flagships — the OCC-rebase race row, skipping-survives-
                  # merges, the zero-shuffle entropy scan, the funnel report
@@ -83,7 +84,13 @@ def test_core_set_fits_driver_cap():
                  # flagships — streaming SCD2 lifecycle, exactly-once txn
                  # markers, the CHECK gate, the real PNG codec row
                  "stream_cdc_scd2", "store_txn_exactly_once",
-                 "store_check_constraint_gate", "mm_png_pixel_stats"):
+                 "store_check_constraint_gate", "mm_png_pixel_stats",
+                 # r13 eleventh-wave rotation (VERDICT r12 #1): the r12
+                 # flagships — the FULL delta algorithm under Structured
+                 # Streaming, the persisted BM25 inverted index, RRF
+                 # fusion over both persisted indexes, oracled PQ ANN
+                 "stream_cdc_full", "bm25_index_search",
+                 "hybrid_index_rrf", "sim_ann_pq"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -161,7 +168,16 @@ def test_core_set_fits_driver_cap():
                  # dedup_exact/minhash/cluster/keep_best the dedup
                  # family, and 4 text rows remain in-window)
                  "mv_cdf_retraction", "ev_range_join",
-                 "text_pii_scrub", "dedup_substring_spans"):
+                 "text_pii_scrub", "dedup_substring_spans",
+                 # r13 eleventh-wave rotation out (each driver-green 3+
+                 # rounds; family representatives stay in-window:
+                 # mv_incremental_join/_distinct pin the IVM mechanism,
+                 # sim_ann_ivfpq_search the persisted-index ANN path,
+                 # text_quality_score + text_letter_entropy the text
+                 # gate family, corpus_mixture_apply the sampling
+                 # mechanism)
+                 "mv_join_retraction", "sim_neardup_bucketed",
+                 "text_perplexity_filter", "corpus_stratified_sample"):
         assert name in overflow_names
 
 

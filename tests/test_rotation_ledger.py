@@ -133,8 +133,13 @@ def test_per_query_attribution_rule():
 
 def test_r11_dedup_exact_reproduces_as_sampling():
     """The canonical r11 phantom: dedup_exact +356% r10->r11 with
-    dedup_ops.py untouched between the two bench artifacts must classify
-    as a sampling artifact against the REAL committed history."""
+    dedup_ops.py untouched between the two bench artifacts. Under the
+    r13 closure-widened attribution (ADVICE r12 #4) the honest label is
+    'possible-code-change' — shared code the query imports WAS touched
+    in that range, so the classifier flags it for a human read instead
+    of hiding it as weather — but it must NEVER escalate to
+    'code-change' (the defining module is untouched; r12's min-of-2
+    later proved the swing was sampling)."""
     import json
     import subprocess
 
@@ -175,4 +180,92 @@ def test_r11_dedup_exact_reproduces_as_sampling():
         _query_module_paths(),
     )
     by_name = {n: k for n, _, k, _ in got}
-    assert by_name.get("dedup_exact") == "sampling", got
+    assert by_name.get("dedup_exact") in (
+        "sampling", "possible-code-change"
+    ), got
+    assert by_name.get("dedup_exact") != "code-change", got
+
+
+def test_method_change_hop_is_never_a_verdict():
+    """VERDICT r12 #4: the r11->r12 min-of-2 switch lowers every entry
+    with zero code change — both the agreement rule and the per-query
+    classifier must report 'method-change' across that boundary, never
+    an improvement/regression or a sampling/code attribution."""
+    from tools.round_close import agreement_verdict, per_query_verdicts
+
+    r11 = {"raw_total_sec": 33.282, "normalized_total_sec": 26.488,
+           "method": "single"}
+    r12 = {"raw_total_sec": 26.241, "normalized_total_sec": 18.165,
+           "method": "min2"}
+    status, deltas = agreement_verdict(r11, r12)
+    assert status == "method-change"
+    assert deltas["raw_total_sec"] < -0.2  # the raw drop is still shown
+
+    # same-method hops keep their ordinary verdicts
+    r12b = dict(r12, raw_total_sec=26.0, normalized_total_sec=18.0)
+    assert agreement_verdict(r12, r12b)[0] == "flat"
+    # rows without a method tag (pre-r13 trend files) stay comparable
+    assert agreement_verdict({"raw_total_sec": 30.0},
+                             {"raw_total_sec": 40.0})[0] == "regression"
+
+    got = per_query_verdicts(
+        {"dedup_exact": 2.384}, {"dedup_exact": 0.409},
+        set(), {"dedup_exact": "odbc2deltalake_spark/queries/dedup_ops.py"},
+        method_change=True,
+    )
+    assert [(n, k) for n, _, k, _ in got] == [("dedup_exact", "method-change")]
+
+
+def test_possible_code_change_tier():
+    """ADVICE r12 #4: a move on a query whose DEFINING module is
+    untouched but whose import closure (shared operators) was touched
+    classifies 'possible-code-change' — flagged for a human read, not
+    hidden as sampling, not asserted as code-change."""
+    from tools.round_close import per_query_verdicts
+
+    modpaths = {"bm25_index_search": [
+        "odbc2deltalake_spark/queries/text_ops.py",
+        "odbc2deltalake_spark/operators/bm25_index.py",
+        "odbc2deltalake_spark/tablestore.py",
+    ]}
+    prev, cur = {"bm25_index_search": 6.0}, {"bm25_index_search": 12.0}
+
+    got = per_query_verdicts(prev, cur, set(), modpaths)
+    assert got[0][2] == "sampling"
+    got = per_query_verdicts(
+        prev, cur, {"odbc2deltalake_spark/operators/bm25_index.py"}, modpaths)
+    assert got[0][2] == "possible-code-change"
+    got = per_query_verdicts(
+        prev, cur, {"odbc2deltalake_spark/queries/text_ops.py"}, modpaths)
+    assert got[0][2] == "code-change"
+
+
+def test_query_module_closure_includes_operators():
+    """The real registry mapping must carry each query's import closure:
+    bm25_index_search's list leads with its defining module and includes
+    the operator module behind it."""
+    from tools.round_close import _query_module_paths
+
+    paths = _query_module_paths()
+    got = paths.get("bm25_index_search")
+    assert got and got[0] == "odbc2deltalake_spark/queries/text_ops.py"
+    assert "odbc2deltalake_spark/operators/bm25_index.py" in got
+
+
+def test_bench_trend_is_contiguous_with_method_tags():
+    """VERDICT r12 #8 + #4: docs/bench_trend.json carries one row per
+    committed BENCH round with no gaps (rounds 4-7 are honest PARTIAL
+    rows — truncated artifacts, no invented totals) and every row is
+    method-tagged (single before r12, min2 after)."""
+    import json
+
+    p = REPO / "docs" / "bench_trend.json"
+    rows = json.loads(p.read_text())
+    rounds = [r["round"] for r in rows]
+    assert rounds == list(range(1, max(rounds) + 1)), rounds
+    for r in rows:
+        assert r.get("method") == ("min2" if r["round"] >= 12 else "single")
+        if r.get("partial"):
+            assert r["raw_total_sec"] is None  # never invented
+        else:
+            assert r["raw_total_sec"] is not None

@@ -619,3 +619,55 @@ def test_full_delta_stream_crash_mid_load_recovers(spark, tmp_path):
     got = state(dest)
     assert got == clean
     assert len(got[1]) == n_deleted
+
+
+def test_stream_full_insert_key_when_corpus_max_is_deleted(spark, tmp_path):
+    """ADVICE r12 (medium): the inserted user's key must be
+    max(user_id)+1 over LATEST (pre-delete), matching the oracle — NOT
+    max over s2 (post-delete). Under a fixture whose corpus-max user is
+    a deleted key (%10 == 3), max(s2)+1 would REUSE the tombstoned key
+    and the Spark result would silently diverge from
+    _STREAM_FULL_ORACLE. Full end-to-end: registry row vs DuckDB oracle
+    on a synthetic events table with max(user_id)=13 (deleted)."""
+    import duckdb
+
+    from tools.check_correctness import table_hash
+
+    from odbc2deltalake_spark.queries.cdc_ops import (
+        _STREAM_FULL_ORACLE,
+        stream_cdc_full,
+    )
+
+    # users 1..13: 3 & 13 deleted (max IS deleted — the advice trigger),
+    # 7 updated, 5 strange. Two events for one user to exercise latest-rv.
+    rows = [
+        (100 + u, "2026-01-01 00:00:00", u, "click", float(u), "{}")
+        for u in range(1, 14)
+    ] + [(99, "2026-01-01 00:00:00", 1, "view", 0.5, "{}")]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(sf_dir / "events.parquet"))
+
+    out = stream_cdc_full(spark, str(sf_dir))
+    scols, srows = out.columns, [tuple(r) for r in out.collect()]
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf_dir}/events.parquet/*.parquet'"
+    )
+    res = con.sql(_STREAM_FULL_ORACLE)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert table_hash(scols, srows) == table_hash(dcols, drows)
+    # and the insert landed on a FRESH key, not the tombstoned corpus max
+    inserted = [r for r in srows if r[scols.index("event_type")] == "inserted"]
+    assert len(inserted) == 1
+    assert inserted[0][scols.index("user_id")] == 14

@@ -57,6 +57,31 @@ def _final_headline(tail: str) -> dict | None:
     return best
 
 
+def _round_method(rnd: int | None) -> str:
+    """Per-query timing method used by bench.py in a given round
+    (VERDICT r12 #4): r12 switched every headline entry to min-of-2
+    (r11 #2 order), which systematically lowers entries vs the earlier
+    single-sample method — trend rows carry the tag so a cross-method
+    hop is never read as an engine-wide speedup."""
+    return "min2" if (rnd or 0) >= 12 else "single"
+
+
+def _recovered_extras(tail: str) -> dict[str, list[float]]:
+    """Salvage complete ``"name": {"first": f, "rerun": r}`` pairs from
+    a truncated BENCH tail (rounds 4-7 predate the compact headline
+    line; their 2000-byte tails keep only the end of the diagnostics
+    dump). These are EXTRAS/rerun diagnostics, not headline entries —
+    recorded under their own key so no rule mistakes them for headline
+    per-query times."""
+    out: dict[str, list[float]] = {}
+    for m in re.finditer(
+        r'"(\w+)":\s*\{"first":\s*([0-9.]+),\s*"rerun":\s*([0-9.]+)\}',
+        tail.replace("\\n", "\n"),
+    ):
+        out[m.group(1)] = [float(m.group(2)), float(m.group(3))]
+    return out
+
+
 def agreement_verdict(
     prev: dict, cur: dict, thr: float = 0.05
 ) -> tuple[str, dict[str, float]]:
@@ -71,6 +96,14 @@ def agreement_verdict(
         a, b = prev.get(key), cur.get(key)
         if a and b:
             deltas[key] = (b - a) / a
+    # VERDICT r12 #4: across a timing-method boundary (single -> min2)
+    # the totals are not comparable — min-of-2 lowers every entry with
+    # zero code change. Report the hop as such, never as a per-engine
+    # verdict.
+    if ("method" in prev or "method" in cur) and (
+        prev.get("method") != cur.get("method")
+    ):
+        return "method-change", deltas
     if not deltas:
         return "flat", deltas
     worse = [k for k, v in deltas.items() if v > thr]
@@ -82,22 +115,57 @@ def agreement_verdict(
     return "flat", deltas
 
 
-def _query_module_paths() -> dict[str, str]:
-    """query name -> repo-relative path of the module defining it."""
+def _module_import_closure(rel_path: str) -> list[str]:
+    """Repo-relative paths of ``rel_path`` plus every odbc2deltalake_spark
+    module it (transitively) imports — including imports inside function
+    bodies, which is where query modules pull their operators from. The
+    defining module stays first (ADVICE r12 #4: a commit to shared code a
+    query executes must not classify as 'sampling')."""
+    seen: list[str] = []
+    stack = [rel_path]
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        f = REPO / p
+        if not f.exists():
+            continue
+        seen.append(p)
+        src = f.read_text()
+        for m in re.finditer(
+            r"(?:from|import)\s+(odbc2deltalake_spark(?:\.\w+)*)", src
+        ):
+            name = m.group(1)
+            cand = Path(name.replace(".", "/") + ".py")
+            if not (REPO / cand).exists():
+                cand = Path(name.replace(".", "/")) / "__init__.py"
+            if (REPO / cand).exists():
+                stack.append(str(cand))
+    return seen
+
+
+def _query_module_paths() -> dict[str, list[str]]:
+    """query name -> repo-relative module paths: the defining module
+    FIRST, then its transitive odbc2deltalake_spark import closure."""
     if str(REPO) not in sys.path:
         sys.path.insert(0, str(REPO))
     from odbc2deltalake_spark.queries import registry
 
     registry.load_all()
-    out: dict[str, str] = {}
+    out: dict[str, list[str]] = {}
+    closures: dict[str, list[str]] = {}
     for name, spec in registry.QUERIES.items():
         mod = sys.modules.get(spec.fn.__module__)
         f = getattr(mod, "__file__", None)
-        if f:
-            try:
-                out[name] = str(Path(f).resolve().relative_to(REPO))
-            except ValueError:
-                pass
+        if not f:
+            continue
+        try:
+            rel = str(Path(f).resolve().relative_to(REPO))
+        except ValueError:
+            continue
+        if rel not in closures:
+            closures[rel] = _module_import_closure(rel)
+        out[name] = closures[rel]
     return out
 
 
@@ -105,18 +173,28 @@ def per_query_verdicts(
     prev_q: dict[str, float],
     cur_q: dict[str, float],
     changed_paths: set[str],
-    modpaths: dict[str, str],
+    modpaths: dict[str, str | list[str]],
     thr: float = 0.5,
     floor: float = 0.3,
+    method_change: bool = False,
 ) -> list[tuple[str, float, str, str | None]]:
-    """(name, rel_delta, 'sampling'|'code-change', module) for every
-    shared per-query timing that moved more than ``thr`` between rounds
-    (VERDICT r11 #7). 'sampling' = no commit in the inter-round range
-    touched the query's defining module, so the swing is host/JIT
-    weather (the r11 dedup_exact +356% case); 'code-change' = the module
-    WAS touched — a real candidate regression/improvement to attribute.
-    Entries where both samples sit under ``floor`` seconds are noise-band
-    and skipped."""
+    """(name, rel_delta, kind, module) for every shared per-query timing
+    that moved more than ``thr`` between rounds (VERDICT r11 #7 + r12
+    #4, ADVICE r12 #4). Kinds:
+
+    - 'method-change': the two rounds timed with different methods
+      (single vs min-of-2) — no per-query verdict is meaningful.
+    - 'code-change': a commit in the inter-round range touched the
+      query's DEFINING module.
+    - 'possible-code-change': the defining module is untouched but a
+      module in its import closure (shared operators, tablestore) was —
+      a candidate real regression that needs a human read.
+    - 'sampling': nothing the query executes changed — host/JIT weather
+      (the r11 dedup_exact +356% case).
+
+    ``modpaths`` values may be a single path or a list with the defining
+    module first. Entries where both samples sit under ``floor`` seconds
+    are noise-band and skipped."""
     out: list[tuple[str, float, str, str | None]] = []
     for name in sorted(set(prev_q) & set(cur_q)):
         a, b = prev_q[name], cur_q[name]
@@ -125,8 +203,17 @@ def per_query_verdicts(
         delta = (b - a) / a
         if abs(delta) <= thr:
             continue
-        mod = modpaths.get(name)
-        kind = "code-change" if (mod and mod in changed_paths) else "sampling"
+        paths = modpaths.get(name)
+        paths = [paths] if isinstance(paths, str) else list(paths or [])
+        mod = paths[0] if paths else None
+        if method_change:
+            kind = "method-change"
+        elif mod and mod in changed_paths:
+            kind = "code-change"
+        elif any(p in changed_paths for p in paths[1:]):
+            kind = "possible-code-change"
+        else:
+            kind = "sampling"
         out.append((name, delta, kind, mod))
     return out
 
@@ -172,6 +259,27 @@ def main() -> int:
         d = json.loads(p.read_text())
         head = _final_headline(d.get("tail", ""))
         if head is None:
+            # rounds 4-7 predate the compact headline line; their
+            # truncated tails keep no recoverable total (VERDICT r12
+            # #8). Emit a PARTIAL row — nulls for the unrecoverable
+            # fields, salvaged extras first/rerun diagnostics under
+            # their own key — so the series stays contiguous without
+            # inventing numbers.
+            trend_paths.append(p.name)
+            trend.append({
+                "round": d.get("n"),
+                "raw_total_sec": None,
+                "host_canary_sec": None,
+                "normalized_total_sec": None,
+                "workload_canary_sec": None,
+                "workload_normalized_total_sec": None,
+                "n_queries": 0,
+                "sf": d.get("sf"),
+                "method": _round_method(d.get("n")),
+                "partial": True,
+                "queries": {},
+                "recovered_extras": _recovered_extras(d.get("tail", "")),
+            })
             continue
         trend_paths.append(p.name)
         norm = head.get("normalized_total_sec")
@@ -196,6 +304,10 @@ def main() -> int:
             ),
             "n_queries": len(head.get("queries", {})),
             "sf": head.get("sf"),
+            # timing method (VERDICT r12 #4): min-of-2 from r12 on —
+            # cross-method hops are reported as method-change, not as
+            # engine-wide speedups
+            "method": _round_method(d.get("n")),
             # per-query series (VERDICT r11 #2/#7): gives the
             # sampling-vs-regression classifier history to read
             "queries": head.get("queries") or {},
@@ -226,9 +338,17 @@ def main() -> int:
                 rc = 1
             elif status == "improvement":
                 print(f"AGREEMENT: improvement {span}: {shown}")
+            elif status == "method-change":
+                print(f"AGREEMENT: METHOD-CHANGE {span} "
+                      f"({prev.get('method')} -> {cur.get('method')}) — "
+                      f"totals not comparable, no verdict: {shown}")
             else:
                 print(f"AGREEMENT: flat/mixed {span} — no regression "
                       f"declared (host weather unless ALL agree): {shown}")
+        elif status == "method-change":
+            print(f"AGREEMENT: METHOD-CHANGE {span} "
+                  f"({prev.get('method')} -> {cur.get('method')}) — "
+                  f"totals not comparable, no verdict")
 
         # 2d. per-query attribution (VERDICT r11 #7): any shared query
         # whose raw time moved >50% round-over-round is flagged and
@@ -257,6 +377,9 @@ def main() -> int:
             verdicts = per_query_verdicts(
                 trend[-2]["queries"], trend[-1]["queries"],
                 changed, _query_module_paths(),
+                method_change=(
+                    trend[-2].get("method") != trend[-1].get("method")
+                ),
             )
             for name, delta, kind, mod in verdicts:
                 note = ""
