@@ -243,6 +243,45 @@ class Bm25Index:
             len(set(total.inputFiles())),
         )
 
+    def maintenance_report(
+        self,
+        batch_threshold: int = 8,
+        target_file_bytes: int = 128 << 20,
+        **kwargs,
+    ) -> dict:
+        """Index-aware maintenance advisor (VERDICT r12 #7): wraps the
+        store advisor for both data tables but recommends the INDEX'S
+        OWN `compact()` — postings must be re-clustered Z-order-by-term
+        (plain file folding would destroy the term-slice pruning the
+        whole design rests on), docstats by doc_id. Metadata-only, like
+        the store advisor. Recommends compaction once the one-dir-per-
+        update-batch layout passes ``batch_threshold`` dirs (every
+        query's file-prune loop walks per-dir stats, so dir count is a
+        per-query metadata cost) or when the store advisor itself flags
+        the small-files problem."""
+        post = self.postings.maintenance_report(
+            target_file_bytes=target_file_bytes, **kwargs
+        )
+        ds = self.docstats.maintenance_report(
+            target_file_bytes=target_file_bytes, **kwargs
+        )
+        advise = (
+            post["n_live_dirs"] >= batch_threshold
+            or post["advise_compact"]
+            or ds["advise_compact"]
+        )
+        return {
+            "postings": post,
+            "docstats": ds,
+            "n_update_batches": post["n_live_dirs"],
+            "advise_compact": advise,
+            "recommended_action": (
+                "Bm25Index.compact() — Z-order postings by term, "
+                "docstats by doc_id (plain table compaction would drop "
+                "the term-slice clustering)"
+            ) if advise else None,
+        }
+
     def docstats_files_touched(
         self, spark: SparkSession, terms: list[str]
     ) -> tuple[int, int]:

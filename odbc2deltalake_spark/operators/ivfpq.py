@@ -161,6 +161,48 @@ class IvfPqIndex:
         )
         return self.cells.write(stored, mode="append", partition_by=["cid"])
 
+    # ---------- maintenance ----------
+
+    def compact(
+        self, spark: SparkSession, out_partitions: int | None = None
+    ) -> None:
+        """Fold the one-dir-per-append cells layout into few files PER
+        CELL — ``partition_by=["cid"]`` is load-bearing: the probe-time
+        `cid ∈ probes` filter prunes at the hive-partition level, so a
+        compaction that dropped the partitioning would turn every probe
+        into a full-index scan. Centroids/codebooks/rotation are
+        single-commit control-plane tables — nothing to fold."""
+        self.cells.compact(
+            spark, partition_by=["cid"], out_partitions=out_partitions
+        )
+
+    def maintenance_report(
+        self,
+        batch_threshold: int = 8,
+        target_file_bytes: int = 128 << 20,
+        **kwargs,
+    ) -> dict:
+        """Index-aware maintenance advisor (VERDICT r12 #7) over the
+        cells table; recommends the INDEX'S `compact()` (cell-partition-
+        preserving) once appends pass ``batch_threshold`` dirs or the
+        store advisor flags small files. Metadata-only."""
+        cells = self.cells.maintenance_report(
+            target_file_bytes=target_file_bytes, **kwargs
+        )
+        advise = (
+            cells["n_live_dirs"] >= batch_threshold
+            or cells["advise_compact"]
+        )
+        return {
+            "cells": cells,
+            "n_append_batches": cells["n_live_dirs"],
+            "advise_compact": advise,
+            "recommended_action": (
+                "IvfPqIndex.compact() — refold cells per cid partition "
+                "(dropping the partitioning would un-prune every probe)"
+            ) if advise else None,
+        }
+
     # ---------- query ----------
 
     def search(

@@ -124,6 +124,10 @@ def encode_png_palette(
     n = len(palette)
     if not 1 <= n <= 256:
         raise ValueError(f"palette must have 1..256 entries, got {n}")
+    if width * height == 0:
+        # ADVICE r12: without this, max(indices) below raises a bare
+        # "max() arg is an empty sequence" instead of a deliberate error
+        raise ValueError("zero-area image (width*height == 0)")
     if len(indices) != width * height:
         raise ValueError("index buffer does not match dimensions")
     if max(indices) >= n:
@@ -175,6 +179,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif tag == b"PLTE":
             if length % 3:
                 raise ValueError("PLTE length not a multiple of 3")
+            if length > 768:  # spec: at most 256 RGB entries (ADVICE r12)
+                raise ValueError("PLTE holds more than 256 entries")
             plte = payload
         elif tag == b"tRNS":
             trns = payload

@@ -19,6 +19,18 @@ tests/test_sketch_accuracy.py, which pins each sketch against the exact
 computation within its published error bound. (The exact companions
 are themselves full shuffles — at 100 TB the production call is the
 sketch alone; these rows are its verification harness.)
+
+PROBABILISTIC-BOUND CAVEAT (ADVICE r12): HLL's 2% band and CMS's
+eps/delta guarantee hold only with high probability — the booleans are
+deterministic TODAY because the fixtures, seeds, and sketch widths are
+pinned (HLL rsd=0.02 over these corpora measures <=0.7% error in
+tests/test_sketch_accuracy.py; the CMS check uses the one-sided
+overcount bound with eps sized ~10x the observed error). If a FUTURE
+fixture/seed/width change flips one of these booleans, read it as the
+sketch landing in its published low-probability tail — re-derive the
+bound or widen the sketch — NOT as an engine correctness regression;
+the exact companion columns in the same row tell the two apart
+immediately (they hash independently of the boolean).
 """
 
 from __future__ import annotations

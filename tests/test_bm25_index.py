@@ -148,3 +148,28 @@ def test_docstats_join_is_candidate_bounded(spark, tmp_path, monkeypatch):
     assert fallback == bounded
     fp, ft = idx.docstats_files_touched(spark, ["xyzzyrare"])
     assert fp == ft  # over cap: no pruning claimed
+
+
+def test_maintenance_advisor_lifecycle(spark, tmp_path):
+    """VERDICT r12 #7: N small update batches -> the index-aware
+    advisor recommends the INDEX'S compact() (Z-order-by-term, never
+    plain folding) -> compact -> results bit-identical, fewer dirs, and
+    the advisor stands down."""
+    docs = _docs(spark)
+    idx = Bm25Index(tmp_path / "i")
+    for k in range(8):
+        idx.update(spark, docs.filter(F.col("doc_id") % 8 == k))
+    rep = idx.maintenance_report(batch_threshold=8)
+    assert rep["n_update_batches"] == 8
+    assert rep["advise_compact"] is True
+    assert "Z-order postings by term" in rep["recommended_action"]
+
+    before = _rows(idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK))
+    idx.compact(spark, out_partitions=2)
+    after = _rows(idx.search(spark, _HYBRID_QUERY_TERMS, _HYBRID_TOPK))
+    assert after == before
+
+    rep2 = idx.maintenance_report(batch_threshold=8)
+    assert rep2["n_update_batches"] < 8
+    assert rep2["advise_compact"] is False
+    assert rep2["recommended_action"] is None

@@ -316,3 +316,63 @@ def test_opq_rotated_index_round_trips_and_recalls(spark, corpus, tmp_path):
     got2 = reopened.search(spark, list(rows[0]), nprobe=NCENT, k=10)
     ids2 = {r["vec_id"] for r in got2.collect()}
     assert 100000 in ids2  # vec_id 0's clone has distance ~0
+
+
+def test_ivfpq_maintenance_advisor_and_compact(spark, tmp_path):
+    """VERDICT r12 #7: appends accumulate one dir each; the advisor
+    recommends the cell-partition-preserving compact(); after it,
+    search results are identical and probe-time partition pruning
+    still holds (unprobed cells' files stay unopened)."""
+    import pandas as pd
+
+    from odbc2deltalake_spark.operators.clustering import (
+        fit_kmeans_centroids,
+    )
+    from odbc2deltalake_spark.operators.ivfpq import IvfPqIndex
+
+    rng = __import__("numpy").random.default_rng(7)
+    dim = 16
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(256)]
+    df = spark.createDataFrame(pd.DataFrame(vecs, columns=["vec_id", "v"]))
+    base = df.filter(F.col("vec_id") < 128)
+    idx = IvfPqIndex(tmp_path / "i", dim, 4, 8)
+    idx.build(base, fit_kmeans_centroids(base, 4, 2))
+    for k in range(8):
+        idx.append(df.filter((F.col("vec_id") >= 128)
+                             & (F.col("vec_id") % 8 == k)))
+
+    rep = idx.maintenance_report(batch_threshold=8)
+    assert rep["n_append_batches"] >= 8
+    assert rep["advise_compact"] is True
+    assert "per cid partition" in rep["recommended_action"]
+
+    q = vecs[3][1]
+    before = [tuple(r) for r in idx.search(
+        spark, q, nprobe=2, k=5, candidates=32, rerank_vectors=df
+    ).collect()]
+    idx.compact(spark, out_partitions=1)
+    after = [tuple(r) for r in idx.search(
+        spark, q, nprobe=2, k=5, candidates=32, rerank_vectors=df
+    ).collect()]
+    assert after == before
+
+    rep2 = idx.maintenance_report(batch_threshold=8)
+    assert rep2["advise_compact"] is False
+
+    # partition pruning survives the rewrite: a 1-cell probe READS
+    # strictly fewer files than the whole index holds (input_file_name
+    # at execution time observes the hive-partition pruning;
+    # inputFiles() is pre-pushdown and would not)
+    from pyspark.sql import functions as FF
+    cent = idx.centroids.read(spark).collect()
+
+    def files_read(df):
+        return {
+            r[0]
+            for r in df.select(FF.input_file_name()).distinct().collect()
+        }
+
+    one_cell = idx.cells.read(spark).filter(
+        FF.col("cid") == cent[0]["cid"])
+    all_cells = idx.cells.read(spark)
+    assert len(files_read(one_cell)) < len(files_read(all_cells))

@@ -357,3 +357,17 @@ def test_png_palette_round_trip_and_trns():
     )
     with pytest.raises(ValueError, match="out of PLTE range"):
         decode_png(oob)
+
+    # ADVICE r12 loud edges: zero-area encode is a deliberate error (not
+    # a bare max()-on-empty), and a PLTE past 256 entries is refused
+    with pytest.raises(ValueError, match="zero-area"):
+        encode_png_palette(b"", 0, 5, small)
+    big_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", bytes(257 * 3))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="more than 256"):
+        decode_png(big_plte)
