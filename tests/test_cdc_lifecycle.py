@@ -707,3 +707,59 @@ def test_post_load_maintenance_preserves_consistency(spark, dest):
         (2, "Peter", "Johniingham", 42.0),
         (4, "Marie", "Curie", 67.0),
     ]
+
+
+# --------------------- r13: case-divergent string keys (VERDICT r12 #5) --
+
+
+def test_case_divergent_string_keys_stay_byte_exact(spark, dest):
+    """The engine's key world is BYTE-EXACT (SCALE.md §CDC). Against a
+    case-insensitive source, a server-side 'update that only changes
+    key casing' surfaces here as the old byte-key leaving the key set
+    and a new byte-key arriving — the FULL algorithm must tombstone the
+    old casing, insert the new one, and keep check_latest_pk green
+    (one latest_pk row per BYTE key, never a conflated or duplicated
+    key). The server-side half of the contract — the keyset fetch
+    never conflates casings — is pinned DuckDB-executed in
+    tests/test_sources.py::test_ci_collation_keyset_join_stays_byte_exact."""
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("val", T.DoubleType(), True),
+        T.StructField("rv", T.LongType(), False),
+    ])
+    cols = [
+        ColInfo("k", T.StringType(), "varchar(50)", False),
+        ColInfo("val", T.DoubleType(), "float"),
+        ColInfo("rv", T.LongType(), "rowversion", False),
+    ]
+    v1 = [("Alice", 1.0, 1000), ("bob", 2.0, 1001), ("Carol", 3.0, 1002)]
+    src = DataFrameSource(
+        spark.createDataFrame(v1, schema), cols, primary_keys=["k"]
+    )
+    _, r1 = run_load(spark, src, dest)
+
+    # CI-server view: one key 'alice' updated (casing + payload).
+    # Byte-exact view: 'Alice' deleted, 'ALICE' inserted.
+    v2 = [("ALICE", 9.0, 2000), ("bob", 2.0, 1001), ("Carol", 3.0, 1002)]
+    src.set_df(spark.createDataFrame(v2, schema))
+    _, r2 = run_load(spark, src, dest)  # run_load re-checks latest_pk
+
+    d = DeltaDestination(dest)
+    lpk = sorted(tuple(r) for r in d.latest_pk_version.read(spark).collect())
+    assert lpk == [("ALICE", 2000), ("Carol", 1002), ("bob", 1001)], lpk
+
+    hist = d.delta.read(spark)
+    tombs = sorted(
+        r["k"] for r in hist.filter(F.col("__is_deleted")).collect()
+    )
+    assert tombs == ["Alice"], tombs  # the old casing is tombstoned
+
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+
+    cur = sorted(
+        tuple(r)
+        for r in read_current_rows(spark, d, ["k"], "rv")
+        .select("k", "val")
+        .collect()
+    )
+    assert cur == [("ALICE", 9.0), ("Carol", 3.0), ("bob", 2.0)], cur

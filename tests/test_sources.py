@@ -694,3 +694,52 @@ def test_datetimeoffset_watermark_rewind_matches_datetime2():
     assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("o3", w)
     # equality (keyset-join shape) never rewinds
     assert "2024-01-01 00:00:00.123456" in s.delta_criterion_sql("o7", w, op="=")
+
+
+def test_ci_collation_keyset_join_stays_byte_exact():
+    """Dialect edge (VERDICT r12 #5): SQL Server's default collations
+    are case-insensitive — on a CI column, two keys differing only in
+    case are ONE key server-side while Spark's byte-exact world holds
+    TWO. An unpinned keyset join would fetch/flag the wrong rows (the
+    conflation mode shown below). The engine replicates the reference's
+    pin (COLLATE Latin1_General_100_BIN on every string key comparison,
+    reference:odbc2deltalake/db_to_delta.py:913-916). EXECUTED in
+    DuckDB against a genuinely CI-collated (NOCASE) column: the
+    generated join, with the MSSQL collation name translated to
+    DuckDB's binary collate, selects exactly the byte-exact row."""
+    import duckdb
+
+    s = _tsql()
+    s._col_cache = [
+        ColInfo("k", T.StringType(), "varchar(50)", False),
+        ColInfo("v", T.LongType(), "bigint", True),
+    ]
+    sql = s.keyset_join_sql([{"k": "Alice"}], ["k"])
+    assert "COLLATE Latin1_General_100_BIN = k.[k]" in sql, sql
+
+    con = duckdb.connect()
+    # ICU collation: NOCASE makes the COLUMN case-insensitive — the
+    # MSSQL-default-collation stand-in. Both casings coexist as rows.
+    con.sql("CREATE TABLE src (k VARCHAR COLLATE NOCASE, v BIGINT)")
+    con.sql("INSERT INTO src VALUES ('Alice', 1), ('ALICE', 2), ('bob', 3)")
+
+    # the conflation mode the pin exists for: plain equality on the CI
+    # column matches BOTH casings for one key literal
+    conflated = con.sql(
+        "SELECT v FROM src t JOIN (VALUES ('Alice')) k(k) ON t.k = k.k"
+    ).fetchall()
+    assert {r[0] for r in conflated} == {1, 2}, conflated
+
+    # the engine's generated join, translated to DuckDB syntax (bracket
+    # quoting -> double quotes, MSSQL binary collation name -> DuckDB's
+    # byte-comparison collation C, table name -> the fixture):
+    # byte-exact rows only
+    ducked = (
+        sql.replace("[dbo].[user2$]", "src")
+        .replace("COLLATE Latin1_General_100_BIN", "COLLATE C")
+        .replace("[", '"')
+        .replace("]", '"')
+    )
+    got = con.sql(ducked).fetchall()
+    ks = {r[0] for r in got}
+    assert ks == {"Alice"}, (ducked, got)
