@@ -1,0 +1,462 @@
+"""Baseline JPEG (ITU-T T.81, public spec) codec — stdlib-only.
+
+JPEG is the most common scraped image format; a 100 TB multimodal
+pipeline decodes it inside the Arrow-batched kernels multimodal_ops
+already runs (one mapInPandas pass, no shuffle). The container has no
+image libraries, so this is a from-scratch baseline-sequential
+implementation: marker parse, DQT/DHT tables, Huffman entropy decode
+with byte-stuffing, dequant + dezigzag, 8x8 IDCT, YCbCr->RGB.
+
+Decode scope (everything else is a LOUD ValueError — never a silently
+wrong image, same contract as operators/png.py):
+
+- baseline sequential DCT (SOF0), 8-bit sample precision
+- grayscale (1 component) or YCbCr with NO chroma subsampling (all
+  sampling factors 1x1 — "4:4:4"); 3-component output converts to RGB
+- Huffman coding (DHT, both table classes), 8-bit DQT entries
+- progressive (SOF2), arithmetic (SOF9+), 12-bit, subsampled, and
+  restart-interval (DRI > 0) streams are refused by name
+
+The encoder half writes COEFFICIENT-EXACT baseline streams
+(`encode_jpeg_coeffs`: caller supplies already-quantized coefficient
+blocks; unit quant tables by default). `encode_jpeg_flatblocks` builds
+on it: an image whose 8x8 blocks are each a flat value v has a forward
+DCT of exactly DC = 8*(v-128) and zero AC, so with unit quant tables
+the round trip is EXACTLY lossless — the property that lets
+mm_jpeg_pixel_stats hash against a pure-SQL oracle while the decode
+side still runs the full Huffman+IDCT path. The YCbCr->RGB convert
+uses the standard CCIR 601 constants with floor(x + 0.5) rounding so an
+independent SQL engine reproduces it bit-for-bit.
+
+Parity note: the reference repo has no image codecs — this module is
+part of the training-data-pipeline surface the build brief adds on top
+of the reference's operator set (like operators/png.py, r11-r12).
+"""
+
+from __future__ import annotations
+
+import math
+
+# JPEG zig-zag order: ZIGZAG[i] = raster index of the i-th coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Encoder Huffman tables — CUSTOM canonical tables (legal JPEG: tables
+# travel in DHT), chosen so no code is all-ones and the layout is
+# trivially auditable instead of transcribing the spec's Annex K lists:
+#   DC: the 12 magnitude categories, every code 4 bits (codes 0..11)
+#   AC: EOB, ZRL and every (run 0..15, size 1..10) symbol, every code
+#       8 bits (162 symbols -> codes 0..161)
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_ENC_AC_BITS = [0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical-code procedure."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-bits padding per spec
+        return bytes(self.buf)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dc_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg_coeffs(
+    coeffs: list[list[list[int]]],
+    width: int,
+    height: int,
+) -> bytes:
+    """Baseline JPEG from already-quantized coefficients with UNIT quant
+    tables. ``coeffs[comp][block][64]``: per component, raster-ordered
+    8x8 blocks (ceil(w/8)*ceil(h/8) of them), each 64 RASTER-ordered
+    integer coefficients. 1 component = grayscale, 3 = YCbCr 4:4:4."""
+    ncomp = len(coeffs)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (grayscale) or 3 (YCbCr) components only")
+    if width <= 0 or height <= 0:
+        raise ValueError("zero-area image")
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for c in coeffs:
+        if len(c) != bw * bh:
+            raise ValueError("coefficient block count does not match dims")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id0, all-ones
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+    out += _seg(0xC0, sof)  # SOF0
+    out += _seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, AhAl
+    out += _seg(0xDA, sos)
+
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    w = _BitWriter()
+    pred = [0] * ncomp
+    for b in range(bw * bh):  # MCU = one block per component (1x1)
+        for c in range(ncomp):
+            blk = coeffs[c][b]
+            diff = blk[0] - pred[c]
+            pred[c] = blk[0]
+            t = _dc_category(diff)
+            if t > 11:
+                raise ValueError("DC difference out of baseline range")
+            code, ln = dc_codes[t]
+            w.write(code, ln)
+            if t:
+                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            # AC: zig-zag scan with (run, size) symbols, ZRL, EOB
+            zz = [blk[ZIGZAG[i]] for i in range(1, 64)]
+            last = 63
+            while last and zz[last - 1] == 0:
+                last -= 1
+            run = 0
+            for v in zz[:last]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                size = _dc_category(v)
+                if size > 10:
+                    raise ValueError("AC coefficient out of encoder range")
+                code, ln = ac_codes[(run << 4) | size]
+                w.write(code, ln)
+                w.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_flatblocks(
+    blocks: list[list[list[int]]], width: int, height: int
+) -> bytes:
+    """JPEG whose 8x8 blocks are each one flat sample value — the
+    EXACTLY-lossless fixture shape (flat block -> DC-only DCT, integer
+    DC = 8*(v-128), unit quant). ``blocks[comp][by][bx]`` holds the
+    flat value of each block; 1 component = grayscale, 3 = Y/Cb/Cr."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    coeffs = []
+    for comp in blocks:
+        if len(comp) != bh or any(len(r) != bw for r in comp):
+            raise ValueError("block grid does not match dims")
+        cblocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                v = comp[by][bx]
+                if not 0 <= v <= 255:
+                    raise ValueError("sample out of range")
+                blk = [0] * 64
+                blk[0] = 8 * (v - 128)
+                cblocks.append(blk)
+        coeffs.append(cblocks)
+    return encode_jpeg_coeffs(coeffs, width, height)
+
+
+# --------------------------------------------------------------- decode --
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte-unstuffing; stops at
+    any real marker (0xFF followed by non-zero)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated entropy data")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("marker inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _receive_extend(r: _BitReader, t: int) -> int:
+    if t == 0:
+        return 0
+    v = r.bits(t)
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+_IDCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """8x8 inverse DCT + level shift + clamp (raster in, raster out).
+    DC-only blocks (the overwhelmingly common flat-fixture case and any
+    smooth region) take the exact integer fast path."""
+    if not any(coef[1:]):
+        v = coef[0] / 8 + 128
+        p = min(255, max(0, math.floor(v + 0.5)))
+        return [p] * 64
+    out = []
+    # separable: rows then columns
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _IDCT_C[u] * coef[y * 8 + u] * _IDCT_COS[x][u]
+            tmp[y][x] = s / 2
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _IDCT_C[v] * tmp[v][x] * _IDCT_COS[y][v]
+            p = s / 2 + 128
+            out.append(min(255, max(0, math.floor(p + 0.5))))
+    return out
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """CCIR 601 with floor(x+0.5) — mirrored verbatim by the SQL oracle."""
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return (
+        min(255, max(0, math.floor(r + 0.5))),
+        min(255, max(0, math.floor(g + 0.5))),
+        min(255, max(0, math.floor(b + 0.5))),
+    )
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """JPEG bytes -> (width, height, channels, raw row-major pixels).
+    Baseline sequential 8-bit grayscale / YCbCr-4:4:4 (output RGB);
+    loud ValueError on anything else — never a silently wrong image."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before image data")
+        length = int.from_bytes(data[pos : pos + 2], "big")
+        seg = data[pos + 2 : pos + length]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qts[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec} (8-bit only)")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else (
+                "arithmetic-coded" if marker >= 0xC9 else "extended")
+            raise ValueError(f"{kind} JPEG unsupported (baseline SOF0 only)")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nval])
+                codes = _canonical_codes(bits, vals)
+                hts[(tc, th)] = {
+                    (ln, code): sym for sym, (code, ln) in codes.items()
+                }
+                i += 17 + nval
+        elif marker == 0xDD:  # DRI
+            if int.from_bytes(seg[:2], "big") != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            pos += length
+            return _decode_scan(data, pos, frame, scan, qts, hts)
+        pos += length
+
+
+def _decode_scan(data, pos, frame, scan, qts, hts):
+    w, h, comps = frame
+    ncomp = len(comps)
+    if len(scan) != ncomp:
+        raise ValueError("partial scans unsupported (single-scan baseline)")
+    # align scan order to frame components
+    order = []
+    for cs, td, ta in scan:
+        match = next((i for i, (cid, _) in enumerate(comps) if cid == cs), None)
+        if match is None:
+            raise ValueError("scan references unknown component")
+        order.append((match, td, ta))
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    r = _BitReader(data, pos)
+    pred = [0] * ncomp
+    planes = [[0] * (bw * bh * 64) for _ in range(ncomp)]
+    for b in range(bw * bh):
+        for ci, td, ta in order:
+            dc_t = hts.get((0, td))
+            ac_t = hts.get((1, ta))
+            if dc_t is None or ac_t is None:
+                raise ValueError("missing Huffman table")
+            q = qts.get(comps[ci][1])
+            if q is None:
+                raise ValueError("missing quant table")
+            zz = [0] * 64
+            t = _huff_decode(r, dc_t)
+            pred[ci] += _receive_extend(r, t)
+            zz[0] = pred[ci] * q[0]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(r, ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _receive_extend(r, size) * q[k]
+                k += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[ZIGZAG[i]] = zz[i]
+            px = _idct_block(coef)
+            base = b * 64
+            plane = planes[ci]
+            for i in range(64):
+                plane[base + i] = px[i]
+    # assemble blocks -> raster, crop to (w, h), color-convert
+    out = bytearray()
+    for y in range(h):
+        by, iy = y >> 3, y & 7
+        for x in range(w):
+            bx, ix = x >> 3, x & 7
+            off = (by * bw + bx) * 64 + iy * 8 + ix
+            if ncomp == 1:
+                out.append(planes[0][off])
+            else:
+                out += bytes(
+                    _ycbcr_to_rgb(
+                        planes[0][off], planes[1][off], planes[2][off]
+                    )
+                )
+    return w, h, (3 if ncomp == 3 else 1), bytes(out)

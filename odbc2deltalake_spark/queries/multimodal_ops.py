@@ -291,3 +291,117 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, width int, height int, channels int, "
         "px_mean double, px_min int, px_max int",
     )
+
+
+# ------------------------------------------------- JPEG pixel stats ----
+# r13 (VERDICT r12 #6): JPEG is the most common scraped format; this row
+# drives the from-scratch baseline Huffman+IDCT decoder
+# (operators/jpeg.py) end-to-end inside the same Arrow-batched
+# mapInPandas shape as the PNG row. Fixtures are FLAT-8x8-BLOCK images:
+# a flat block's DCT is DC-only and integer (DC = 8*(v-128)), so with
+# unit quant tables the decode is EXACTLY lossless and a pure-SQL
+# oracle can recompute every pixel — while the decode side still runs
+# the full marker-parse -> Huffman -> dequant -> IDCT -> color-convert
+# pipeline. Color docs (doc_id % 3 == 0) pin the YCbCr->RGB constants
+# bit-for-bit (floor(x+0.5) in both engines); dims are deliberately
+# non-multiples of 8 so the block-crop path is part of the hash.
+
+_JPEG_STATS_ORACLE = """
+WITH g AS (
+  SELECT d.doc_id, (d.doc_id % 21 + 4) AS w, (d.doc_id % 13 + 4) AS h,
+         (d.doc_id + 5 * (x.range // 8) + 11 * (y.range // 8)) % 256 AS v
+  FROM documents d, range(0, 25) x, range(0, 17) y
+  WHERE x.range < d.doc_id % 21 + 4 AND y.range < d.doc_id % 13 + 4
+),
+c AS (
+  SELECT doc_id, w, h, v,
+         v AS yy, (2 * v) % 256 AS cb, (3 * v) % 256 AS cr
+  FROM g
+),
+p AS (
+  SELECT doc_id, w, h,
+         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
+         CASE WHEN doc_id % 3 = 0 THEN
+           least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5)))
+           + least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
+                                             - 0.714136 * (cr - 128) + 0.5)))
+           + least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5)))
+         ELSE v END AS s,
+         CASE WHEN doc_id % 3 = 0 THEN least(
+           least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
+           least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
+                                           - 0.714136 * (cr - 128) + 0.5))),
+           least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5))))
+         ELSE v END AS mn,
+         CASE WHEN doc_id % 3 = 0 THEN greatest(
+           least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
+           least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
+                                           - 0.714136 * (cr - 128) + 0.5))),
+           least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5))))
+         ELSE v END AS mx
+  FROM c
+)
+SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
+       max(channels)::INT AS channels,
+       round(sum(s)::DOUBLE / (max(channels) * count(*)), 4) AS px_mean,
+       min(mn)::INT AS px_min,
+       max(mx)::INT AS px_max
+FROM p
+GROUP BY doc_id, w, h
+"""
+
+
+@register("mm_jpeg_pixel_stats", _JPEG_STATS_ORACLE,
+          tags=("multimodal", "flagship"), priority=100)
+def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG encode -> Huffman+IDCT decode -> pixel stats.
+
+    Per doc: flat-block image, w = doc_id%21+4, h = doc_id%13+4 (block
+    crop exercised), block (bx,by) value = (doc_id + 5bx + 11by) % 256;
+    doc_id % 3 == 0 round-trips as YCbCr 4:4:4 (Cb = 2Y % 256,
+    Cr = 3Y % 256) and converts to RGB, the rest grayscale. Stats come
+    from the DECODED buffer only; the oracle recomputes every pixel
+    analytically (flat blocks make the codec exactly lossless)."""
+    import pandas as pd
+
+    from odbc2deltalake_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flatblocks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kern(batches):
+        for b in batches:
+            out = {"media_id": [], "width": [], "height": [], "channels": [],
+                   "px_mean": [], "px_min": [], "px_max": []}
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = doc_id % 21 + 4, doc_id % 13 + 4
+                bw, bh = (w + 7) // 8, (h + 7) // 8
+                gy = [[(doc_id + 5 * bx + 11 * by) % 256
+                       for bx in range(bw)] for by in range(bh)]
+                if doc_id % 3 == 0:
+                    gcb = [[(2 * v) % 256 for v in row] for row in gy]
+                    gcr = [[(3 * v) % 256 for v in row] for row in gy]
+                    data = encode_jpeg_flatblocks([gy, gcb, gcr], w, h)
+                    want_c = 3
+                else:
+                    data = encode_jpeg_flatblocks([gy], w, h)
+                    want_c = 1
+                w2, h2, c2, decoded = decode_jpeg(data)
+                assert (w2, h2, c2) == (w, h, want_c)
+                out["media_id"].append(doc_id)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["channels"].append(c2)
+                out["px_mean"].append(round(sum(decoded) / len(decoded), 4))
+                out["px_min"].append(min(decoded))
+                out["px_max"].append(max(decoded))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kern,
+        "media_id long, width int, height int, channels int, "
+        "px_mean double, px_min int, px_max int",
+    )
