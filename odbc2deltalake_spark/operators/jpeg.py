@@ -11,11 +11,15 @@ Decode scope (everything else is a LOUD ValueError — never a silently
 wrong image, same contract as operators/png.py):
 
 - baseline sequential DCT (SOF0), 8-bit sample precision
-- grayscale (1 component) or YCbCr with NO chroma subsampling (all
-  sampling factors 1x1 — "4:4:4"); 3-component output converts to RGB
+- grayscale (1 component) or YCbCr with sampling factors up to 2x2 —
+  4:4:4, 4:2:2 and 4:2:0 (the dominant scraped layout); chroma
+  upsampling is NEAREST-NEIGHBOR (a legitimate decoder choice, exact
+  for the flat-block fixtures); 3-component output converts to RGB
+- restart intervals (DRI / RSTn: byte-align, consume marker, reset DC
+  predictors — r13)
 - Huffman coding (DHT, both table classes), 8-bit DQT entries
-- progressive (SOF2), arithmetic (SOF9+), 12-bit, subsampled, and
-  restart-interval (DRI > 0) streams are refused by name
+- progressive (SOF2), arithmetic (SOF9+), 12-bit, and sampling factors
+  above 2 are refused by name
 
 The encoder half writes COEFFICIENT-EXACT baseline streams
 (`encode_jpeg_coeffs`: caller supplies already-quantized coefficient
@@ -108,30 +112,46 @@ def encode_jpeg_coeffs(
     coeffs: list[list[list[int]]],
     width: int,
     height: int,
+    sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG from already-quantized coefficients with UNIT quant
     tables. ``coeffs[comp][block][64]``: per component, raster-ordered
-    8x8 blocks (ceil(w/8)*ceil(h/8) of them), each 64 RASTER-ordered
-    integer coefficients. 1 component = grayscale, 3 = YCbCr 4:4:4."""
+    8x8 blocks over THAT COMPONENT'S block grid (``mcux*h_i`` by
+    ``mcuy*v_i``), each 64 RASTER-ordered integer coefficients.
+    1 component = grayscale, 3 = YCbCr. ``sampling`` gives (h_i, v_i)
+    per component (default all 1x1 — 4:4:4); [(2,2),(1,1),(1,1)] is
+    4:2:0. ``restart_interval`` > 0 emits DRI + RSTn markers every that
+    many MCUs (DC predictors reset — r13)."""
     ncomp = len(coeffs)
     if ncomp not in (1, 3):
         raise ValueError("1 (grayscale) or 3 (YCbCr) components only")
     if width <= 0 or height <= 0:
         raise ValueError("zero-area image")
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    for c in coeffs:
-        if len(c) != bw * bh:
+    sampling = sampling or [(1, 1)] * ncomp
+    if len(sampling) != ncomp or any(
+        not (1 <= hh <= 2 and 1 <= vv <= 2) for hh, vv in sampling
+    ):
+        raise ValueError("sampling factors must be 1 or 2 per component")
+    hmax = max(hh for hh, _ in sampling)
+    vmax = max(vv for _, vv in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c, (hh, vv) in zip(coeffs, sampling):
+        if len(c) != mcux * hh * mcuy * vv:
             raise ValueError("coefficient block count does not match dims")
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id0, all-ones
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
     sof += bytes([ncomp])
-    for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+    for i, (hh, vv) in enumerate(sampling):
+        sof += bytes([i + 1, (hh << 4) | vv, 0])  # id, sampling, quant 0
     out += _seg(0xC0, sof)  # SOF0
     out += _seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
@@ -142,62 +162,93 @@ def encode_jpeg_coeffs(
     ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     w = _BitWriter()
     pred = [0] * ncomp
-    for b in range(bw * bh):  # MCU = one block per component (1x1)
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            pred = [0] * ncomp
+        my, mx = divmod(m, mcux)
         for c in range(ncomp):
-            blk = coeffs[c][b]
-            diff = blk[0] - pred[c]
-            pred[c] = blk[0]
-            t = _dc_category(diff)
-            if t > 11:
-                raise ValueError("DC difference out of baseline range")
-            code, ln = dc_codes[t]
-            w.write(code, ln)
-            if t:
-                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            # AC: zig-zag scan with (run, size) symbols, ZRL, EOB
-            zz = [blk[ZIGZAG[i]] for i in range(1, 64)]
-            last = 63
-            while last and zz[last - 1] == 0:
-                last -= 1
-            run = 0
-            for v in zz[:last]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    w.write(code, ln)
-                    run -= 16
-                size = _dc_category(v)
-                if size > 10:
-                    raise ValueError("AC coefficient out of encoder range")
-                code, ln = ac_codes[(run << 4) | size]
-                w.write(code, ln)
-                w.write(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                w.write(code, ln)
+            hh, vv = sampling[c]
+            cbw = mcux * hh
+            for dv in range(vv):
+                for dh in range(hh):
+                    b = (my * vv + dv) * cbw + (mx * hh + dh)
+                    _encode_block(
+                        w, coeffs[c][b], pred, c, dc_codes, ac_codes
+                    )
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
+def _encode_block(w, blk, pred, c, dc_codes, ac_codes):
+    diff = blk[0] - pred[c]
+    pred[c] = blk[0]
+    t = _dc_category(diff)
+    if t > 11:
+        raise ValueError("DC difference out of baseline range")
+    code, ln = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    # AC: zig-zag scan with (run, size) symbols, ZRL, EOB
+    zz = [blk[ZIGZAG[i]] for i in range(1, 64)]
+    last = 63
+    while last and zz[last - 1] == 0:
+        last -= 1
+    run = 0
+    for v in zz[:last]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            run -= 16
+        size = _dc_category(v)
+        if size > 10:
+            raise ValueError("AC coefficient out of encoder range")
+        code, ln = ac_codes[(run << 4) | size]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+
+
 def encode_jpeg_flatblocks(
-    blocks: list[list[list[int]]], width: int, height: int
+    blocks: list[list[list[int]]],
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """JPEG whose 8x8 blocks are each one flat sample value — the
     EXACTLY-lossless fixture shape (flat block -> DC-only DCT, integer
     DC = 8*(v-128), unit quant). ``blocks[comp][by][bx]`` holds the
-    flat value of each block; 1 component = grayscale, 3 = Y/Cb/Cr."""
-    bw, bh = (width + 7) // 8, (height + 7) // 8
+    flat value of each block over THAT COMPONENT'S block grid
+    (``mcux*h_i`` wide by ``mcuy*v_i`` tall); 1 component = grayscale,
+    3 = Y/Cb/Cr. 4:2:0 = ``sampling=[(2,2),(1,1),(1,1)]`` with chroma
+    grids one block per 16x16 macroblock."""
+    ncomp = len(blocks)
+    sampling = sampling or [(1, 1)] * ncomp
+    hmax = max(hh for hh, _ in sampling)
+    vmax = max(vv for _, vv in sampling)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
     coeffs = []
-    for comp in blocks:
-        if len(comp) != bh or any(len(r) != bw for r in comp):
+    for comp, (hh, vv) in zip(blocks, sampling):
+        cbw, cbh = mcux * hh, mcuy * vv
+        if len(comp) != cbh or any(len(r) != cbw for r in comp):
             raise ValueError("block grid does not match dims")
         cblocks = []
-        for by in range(bh):
-            for bx in range(bw):
+        for by in range(cbh):
+            for bx in range(cbw):
                 v = comp[by][bx]
                 if not 0 <= v <= 255:
                     raise ValueError("sample out of range")
@@ -205,7 +256,10 @@ def encode_jpeg_flatblocks(
                 blk[0] = 8 * (v - 128)
                 cblocks.append(blk)
         coeffs.append(cblocks)
-    return encode_jpeg_coeffs(coeffs, width, height)
+    return encode_jpeg_coeffs(
+        coeffs, width, height, sampling=sampling,
+        restart_interval=restart_interval,
+    )
 
 
 # --------------------------------------------------------------- decode --
@@ -245,6 +299,18 @@ class _BitReader:
         for _ in range(count):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (r13): padding bits are
+        discarded, the two marker bytes eaten; anything else is loud."""
+        self.n = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated entropy data at restart")
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker")
+        self.pos += 2
 
 
 def _receive_extend(r: _BitReader, t: int) -> int:
@@ -321,6 +387,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     qts: dict[int, list[int]] = {}
     hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    ri = 0
     while True:
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG (no SOS)")
@@ -354,11 +421,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hh, vv = samp >> 4, samp & 0x0F
+                if not (1 <= hh <= 2 and 1 <= vv <= 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"sampling factor {hh}x{vv} unsupported (max 2x2)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hh, vv, tq))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -378,8 +446,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 }
                 i += 17 + nval
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(seg[:2], "big") != 0:
-                raise ValueError("restart intervals unsupported")
+            ri = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
@@ -389,11 +456,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             pos += length
-            return _decode_scan(data, pos, frame, scan, qts, hts)
+            return _decode_scan(data, pos, frame, scan, qts, hts, ri)
         pos += length
 
 
-def _decode_scan(data, pos, frame, scan, qts, hts):
+def _decode_scan(data, pos, frame, scan, qts, hts, ri=0):
     w, h, comps = frame
     ncomp = len(comps)
     if len(scan) != ncomp:
@@ -401,62 +468,86 @@ def _decode_scan(data, pos, frame, scan, qts, hts):
     # align scan order to frame components
     order = []
     for cs, td, ta in scan:
-        match = next((i for i, (cid, _) in enumerate(comps) if cid == cs), None)
+        match = next(
+            (i for i, (cid, *_rest) in enumerate(comps) if cid == cs), None
+        )
         if match is None:
             raise ValueError("scan references unknown component")
         order.append((match, td, ta))
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component block-grid geometry
+    geo = [(mcux * c[1], mcuy * c[2]) for c in comps]
     r = _BitReader(data, pos)
     pred = [0] * ncomp
-    planes = [[0] * (bw * bh * 64) for _ in range(ncomp)]
-    for b in range(bw * bh):
+    planes = [[0] * (gw * gh * 64) for gw, gh in geo]
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            r.restart()
+            pred = [0] * ncomp
+        my, mx = divmod(m, mcux)
         for ci, td, ta in order:
             dc_t = hts.get((0, td))
             ac_t = hts.get((1, ta))
             if dc_t is None or ac_t is None:
                 raise ValueError("missing Huffman table")
-            q = qts.get(comps[ci][1])
+            q = qts.get(comps[ci][3])
             if q is None:
                 raise ValueError("missing quant table")
-            zz = [0] * 64
-            t = _huff_decode(r, dc_t)
-            pred[ci] += _receive_extend(r, t)
-            zz[0] = pred[ci] * q[0]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(r, ac_t)
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _receive_extend(r, size) * q[k]
-                k += 1
-            coef = [0.0] * 64
-            for i in range(64):
-                coef[ZIGZAG[i]] = zz[i]
-            px = _idct_block(coef)
-            base = b * 64
-            plane = planes[ci]
-            for i in range(64):
-                plane[base + i] = px[i]
-    # assemble blocks -> raster, crop to (w, h), color-convert
+            hh, vv = comps[ci][1], comps[ci][2]
+            cbw = geo[ci][0]
+            for dv in range(vv):
+                for dh in range(hh):
+                    zz = [0] * 64
+                    t = _huff_decode(r, dc_t)
+                    pred[ci] += _receive_extend(r, t)
+                    zz[0] = pred[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, ac_t)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _receive_extend(r, size) * q[k]
+                        k += 1
+                    coef = [0.0] * 64
+                    for i in range(64):
+                        coef[ZIGZAG[i]] = zz[i]
+                    px = _idct_block(coef)
+                    b = (my * vv + dv) * cbw + (mx * hh + dh)
+                    base = b * 64
+                    plane = planes[ci]
+                    for i in range(64):
+                        plane[base + i] = px[i]
+    # assemble blocks -> raster, crop to (w, h); subsampled components
+    # upsample by nearest neighbor (sx = x*h_i//hmax), exact for the
+    # flat-block fixtures and a legitimate decoder choice elsewhere
+    def sample(ci: int, x: int, y: int) -> int:
+        hh, vv = comps[ci][1], comps[ci][2]
+        sx = x * hh // hmax
+        sy = y * vv // vmax
+        cbw = geo[ci][0]
+        return planes[ci][
+            ((sy >> 3) * cbw + (sx >> 3)) * 64 + (sy & 7) * 8 + (sx & 7)
+        ]
+
     out = bytearray()
     for y in range(h):
-        by, iy = y >> 3, y & 7
         for x in range(w):
-            bx, ix = x >> 3, x & 7
-            off = (by * bw + bx) * 64 + iy * 8 + ix
             if ncomp == 1:
-                out.append(planes[0][off])
+                out.append(sample(0, x, y))
             else:
                 out += bytes(
                     _ycbcr_to_rgb(
-                        planes[0][off], planes[1][off], planes[2][off]
+                        sample(0, x, y), sample(1, x, y), sample(2, x, y)
                     )
                 )
     return w, h, (3 if ncomp == 3 else 1), bytes(out)

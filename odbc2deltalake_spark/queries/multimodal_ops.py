@@ -309,31 +309,38 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JPEG_STATS_ORACLE = """
 WITH g AS (
   SELECT d.doc_id, (d.doc_id % 21 + 4) AS w, (d.doc_id % 13 + 4) AS h,
-         (d.doc_id + 5 * (x.range // 8) + 11 * (y.range // 8)) % 256 AS v
+         (d.doc_id + 5 * (x.range // 8) + 11 * (y.range // 8)) % 256 AS v,
+         (2 * d.doc_id + 7 * (x.range // 16) + 3 * (y.range // 16)) % 256
+           AS cb420,
+         (3 * d.doc_id + 11 * (x.range // 16) + 5 * (y.range // 16)) % 256
+           AS cr420
   FROM documents d, range(0, 25) x, range(0, 17) y
   WHERE x.range < d.doc_id % 21 + 4 AND y.range < d.doc_id % 13 + 4
 ),
 c AS (
   SELECT doc_id, w, h, v,
-         v AS yy, (2 * v) % 256 AS cb, (3 * v) % 256 AS cr
+         CASE WHEN doc_id % 3 = 0 THEN 3
+              WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS channels,
+         v AS yy,
+         CASE WHEN doc_id % 3 = 0 THEN (2 * v) % 256 ELSE cb420 END AS cb,
+         CASE WHEN doc_id % 3 = 0 THEN (3 * v) % 256 ELSE cr420 END AS cr
   FROM g
 ),
 p AS (
-  SELECT doc_id, w, h,
-         CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
-         CASE WHEN doc_id % 3 = 0 THEN
+  SELECT doc_id, w, h, channels,
+         CASE WHEN channels = 3 THEN
            least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5)))
            + least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                              - 0.714136 * (cr - 128) + 0.5)))
            + least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5)))
          ELSE v END AS s,
-         CASE WHEN doc_id % 3 = 0 THEN least(
+         CASE WHEN channels = 3 THEN least(
            least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                            - 0.714136 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5))))
          ELSE v END AS mn,
-         CASE WHEN doc_id % 3 = 0 THEN greatest(
+         CASE WHEN channels = 3 THEN greatest(
            least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                            - 0.714136 * (cr - 128) + 0.5))),
@@ -357,11 +364,15 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline JPEG encode -> Huffman+IDCT decode -> pixel stats.
 
     Per doc: flat-block image, w = doc_id%21+4, h = doc_id%13+4 (block
-    crop exercised), block (bx,by) value = (doc_id + 5bx + 11by) % 256;
-    doc_id % 3 == 0 round-trips as YCbCr 4:4:4 (Cb = 2Y % 256,
-    Cr = 3Y % 256) and converts to RGB, the rest grayscale. Stats come
-    from the DECODED buffer only; the oracle recomputes every pixel
-    analytically (flat blocks make the codec exactly lossless)."""
+    crop exercised), Y block (bx,by) value = (doc_id + 5bx + 11by) % 256.
+    Three fixture classes: doc_id % 3 == 0 round-trips as YCbCr 4:4:4
+    (Cb = 2Y % 256, Cr = 3Y % 256); doc_id % 5 == 0 (and % 3 != 0) as
+    4:2:0 — chroma one flat block per 16x16 macroblock (Cb = (2*doc_id
+    + 7mx + 3my) % 256, Cr = (3*doc_id + 11mx + 5my) % 256), so the
+    subsampled MCU interleave + nearest upsample is part of the hash
+    (r13); the rest grayscale. Stats come from the DECODED buffer only;
+    the oracle recomputes every pixel analytically (flat blocks make
+    the codec exactly lossless)."""
     import pandas as pd
 
     from odbc2deltalake_spark.operators.jpeg import (
@@ -378,15 +389,34 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in b["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = doc_id % 21 + 4, doc_id % 13 + 4
-                bw, bh = (w + 7) // 8, (h + 7) // 8
-                gy = [[(doc_id + 5 * bx + 11 * by) % 256
-                       for bx in range(bw)] for by in range(bh)]
                 if doc_id % 3 == 0:
+                    bw, bh = (w + 7) // 8, (h + 7) // 8
+                    gy = [[(doc_id + 5 * bx + 11 * by) % 256
+                           for bx in range(bw)] for by in range(bh)]
                     gcb = [[(2 * v) % 256 for v in row] for row in gy]
                     gcr = [[(3 * v) % 256 for v in row] for row in gy]
                     data = encode_jpeg_flatblocks([gy, gcb, gcr], w, h)
                     want_c = 3
+                elif doc_id % 5 == 0:
+                    # 4:2:0: Y per 8x8 over the padded macroblock grid,
+                    # chroma one flat block per 16x16 macroblock
+                    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+                    gy = [[(doc_id + 5 * bx + 11 * by) % 256
+                           for bx in range(mcux * 2)]
+                          for by in range(mcuy * 2)]
+                    gcb = [[(2 * doc_id + 7 * mx + 3 * my) % 256
+                            for mx in range(mcux)] for my in range(mcuy)]
+                    gcr = [[(3 * doc_id + 11 * mx + 5 * my) % 256
+                            for mx in range(mcux)] for my in range(mcuy)]
+                    data = encode_jpeg_flatblocks(
+                        [gy, gcb, gcr], w, h,
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                    )
+                    want_c = 3
                 else:
+                    bw, bh = (w + 7) // 8, (h + 7) // 8
+                    gy = [[(doc_id + 5 * bx + 11 * by) % 256
+                           for bx in range(bw)] for by in range(bh)]
                     data = encode_jpeg_flatblocks([gy], w, h)
                     want_c = 1
                 w2, h2, c2, decoded = decode_jpeg(data)

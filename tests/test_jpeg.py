@@ -143,12 +143,12 @@ def test_loud_refusals():
     arith = good.replace(b"\xff\xc0", b"\xff\xc9")
     with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg(arith)
-    # subsampling: patch the sampling byte (0x11 -> 0x22) inside SOF0
+    # sampling factor above 2: patch the sampling byte (0x11 -> 0x33)
     i = good.index(b"\xff\xc0")
     sub = bytearray(good)
     assert sub[i + 2 + 2 + 1 + 4 + 1 + 1] == 0x11
-    sub[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x22
-    with pytest.raises(ValueError, match="subsampling"):
+    sub[i + 2 + 2 + 1 + 4 + 1 + 1] = 0x33
+    with pytest.raises(ValueError, match="sampling factor"):
         decode_jpeg(bytes(sub))
     # 16-bit quant table: Pq nibble
     j = good.index(b"\xff\xdb")
@@ -156,11 +156,6 @@ def test_loud_refusals():
     q16[j + 4] = 0x10
     with pytest.raises(ValueError, match="16-bit quant"):
         decode_jpeg(bytes(q16))
-    # restart interval: inject a DRI segment with Ri=4 before SOS
-    k = good.index(b"\xff\xda")
-    dri = good[:k] + b"\xff\xdd\x00\x04\x00\x04" + good[k:]
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg(dri)
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_jpeg(good[:-4])
@@ -173,3 +168,79 @@ def test_loud_refusals():
         encode_jpeg_flatblocks([[[300]]], 8, 8)
     with pytest.raises(ValueError, match="components"):
         encode_jpeg_coeffs([[[0] * 64]] * 2, 8, 8)
+
+
+def test_420_subsampled_flat_round_trip_is_exact():
+    """4:2:0 (the dominant scraped layout, r13): Y blocks per 8x8,
+    chroma per 16x16 macroblock; with flat blocks the nearest-neighbor
+    upsample is exact, so every RGB pixel is independently
+    recomputable — including non-multiple-of-16 crop dims."""
+
+    def conv(y_, cb, cr):
+        cl = lambda v: min(255, max(0, math.floor(v + 0.5)))  # noqa: E731
+        return (
+            cl(y_ + 1.402 * (cr - 128)),
+            cl(y_ - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            cl(y_ + 1.772 * (cb - 128)),
+        )
+
+    for w, h in ((16, 16), (19, 11), (32, 8), (7, 23)):
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        gy = _flat_grid(mcux * 2, mcuy * 2, lambda bx, by: 3 * bx + 7 * by + 100)
+        gcb = _flat_grid(mcux, mcuy, lambda bx, by: 50 + 9 * bx + 4 * by)
+        gcr = _flat_grid(mcux, mcuy, lambda bx, by: 210 - 13 * bx - 6 * by)
+        data = encode_jpeg_flatblocks(
+            [gy, gcb, gcr], w, h, sampling=[(2, 2), (1, 1), (1, 1)]
+        )
+        w2, h2, c, px = decode_jpeg(data)
+        assert (w2, h2, c) == (w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                want = conv(
+                    gy[y // 8][x // 8],
+                    gcb[y // 16][x // 16],
+                    gcr[y // 16][x // 16],
+                )
+                got = tuple(px[3 * (y * w + x) : 3 * (y * w + x) + 3])
+                assert got == want, (w, h, x, y, got, want)
+
+
+def test_422_subsampled_flat_round_trip_is_exact():
+    """4:2:2 (2x1 luma sampling): chroma halves horizontally only."""
+    w, h = 21, 10
+    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+    gy = _flat_grid(mcux * 2, mcuy, lambda bx, by: 5 * bx + 17 * by + 60)
+    gcb = _flat_grid(mcux, mcuy, lambda bx, by: 128)  # neutral chroma
+    gcr = _flat_grid(mcux, mcuy, lambda bx, by: 128)
+    data = encode_jpeg_flatblocks(
+        [gy, gcb, gcr], w, h, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    w2, h2, c, px = decode_jpeg(data)
+    assert (w2, h2, c) == (w, h, 3)
+    # neutral chroma -> R=G=B=Y exactly
+    for y in range(h):
+        for x in range(w):
+            yv = gy[y // 8][x // 8]
+            got = tuple(px[3 * (y * w + x) : 3 * (y * w + x) + 3])
+            assert got == (yv, yv, yv), (x, y, got, yv)
+
+
+def test_restart_intervals_reset_predictors_and_round_trip():
+    """DRI/RSTn (r13): markers land every Ri MCUs, DC predictors reset,
+    decode is byte-exact; a stream whose RSTn is corrupted is loud."""
+    w, h = 48, 8
+    grid = [[(37 + 50 * bx) % 256 for bx in range(6)]]
+    data = encode_jpeg_flatblocks([grid], w, h, restart_interval=2)
+    assert b"\xff\xdd" in data
+    n_rst = sum(data.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst == 2  # 6 MCUs / Ri=2 -> markers after MCU 2 and 4
+    w2, h2, c, px = decode_jpeg(data)
+    assert (w2, h2, c) == (w, h, 1)
+    assert all(
+        px[y * w + x] == grid[0][x // 8] for y in range(h) for x in range(w)
+    )
+    # corrupt the first RSTn into a non-restart marker byte
+    i = data.index(b"\xff\xd0")
+    bad = data[:i] + b"\xff\xc8" + data[i + 2 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
