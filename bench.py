@@ -127,6 +127,11 @@ EXTRAS = [
     # build + term-sliced search) — trend lines from day 1
     "stream_cdc_full",
     "bm25_index_search",
+    # r13: hybrid fusion over both persisted indexes (the per-process
+    # index cache makes the rerun sample the production read path) and
+    # the baseline JPEG Huffman+IDCT row — trend lines from day 1
+    "hybrid_index_rrf",
+    "mm_jpeg_pixel_stats",
 ]
 
 
