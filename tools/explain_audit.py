@@ -375,6 +375,9 @@ AUDIT = [
     # r11: real PNG encode->decode->stats — one per-row Arrow kernel,
     # no shuffle
     "mm_png_pixel_stats",
+    # r13: baseline JPEG encode->Huffman+IDCT decode->stats — the same
+    # per-row Arrow kernel shape as the PNG row, no shuffle
+    "mm_jpeg_pixel_stats",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
