@@ -1075,13 +1075,18 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
     n = corpus.count()
-    # r13 (VERDICT r12 #3): cap the coarse quantizer — this row proves
-    # FUSION over persisted indexes, not quantizer quality, and the
-    # exact-mode rerank (nprobe=ncent, full-slice candidates) makes the
-    # result centroid-count-independent, so the cap cannot change the
-    # oracle hash. √N stands at small N; 64 bounds the in-query k-means
-    # at bench scale.
-    ncent = max(4, min(int(n ** 0.5), 64))
+    # r13 (VERDICT r12 #3): this row proves FUSION over persisted
+    # indexes, not quantizer quality — and in the exact-equivalence
+    # configuration (nprobe=ncent, full-slice rerank) the result is
+    # PROVABLY independent of centroid count, centroid training, and
+    # codebook training: every row is a candidate and the exact rerank
+    # re-scores it, so the hash cannot move. The in-query build
+    # therefore uses the cheapest REAL index: 16 seed-initialized cells
+    # (0 Lloyd passes) and seed PQ codebooks (iterations=0). Trained
+    # quantizers are pinned where they matter: emb_kmeans (Lloyd
+    # parity), sim_ann_ivfpq_search / sim_ann_opq (trained builds with
+    # recall floors).
+    ncent = max(4, min(int(n ** 0.5), 16))
     dim = len(corpus.first()["v"])
     qv = corpus.filter(F.col("vec_id") == _HYBRID_QUERY_VEC).first()["v"]
 
@@ -1101,15 +1106,20 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         bm25 = Bm25Index(f"{root}/bm25")
         if fresh:
-            bm25.update(spark, docs.filter(F.col("doc_id") % 2 == 0))
-            bm25.update(spark, docs.filter(F.col("doc_id") % 2 == 1))
+            # one-shot build: batch-split invariance is bm25_index_
+            # search's own oracle; paying it twice here doubled the
+            # build for zero additional coverage
+            bm25.update(spark, docs)
         lex_rank = bm25.search(
             spark, _HYBRID_QUERY_TERMS, _RRF_CAND, with_rank=True
         ).select("doc_id", F.col("rank").alias("lex_rank"))
 
         ivf = IvfPqIndex(f"{root}/ivfpq", dim, 8, 16)
         if fresh:
-            ivf.build(corpus, fit_kmeans_centroids(corpus, ncent, 2))
+            ivf.build(
+                corpus, fit_kmeans_centroids(corpus, ncent, 0),
+                iterations=0,
+            )
         sem = ivf.search(
             spark, qv, nprobe=ncent, k=_RRF_CAND, candidates=n,
             rerank_vectors=corpus,
