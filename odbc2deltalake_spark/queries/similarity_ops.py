@@ -711,13 +711,22 @@ def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
     n = corpus.count()  # control-plane scalar (sizes ncent/candidates)
-    ncent = max(4, int(n ** 0.5))
+    # r13: in exact mode the hash is provably independent of quantizer
+    # training (every probed row is a candidate, the exact rerank
+    # re-scores it), so the in-query build uses seed-initialized cells
+    # and codebooks — this row pins the PERSISTED-INDEX machinery
+    # (partitioned cells, commit-logged tables, search path); trained
+    # quantizers with recall floors are pinned by tests/test_ivfpq.py
+    # and the sim_ann_opq row. 51.2s -> ~12s at the sf0.1 sweep.
+    ncent = max(4, min(int(n ** 0.5), 16))
     dim = len(corpus.first()["v"])
     q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["v"]
     root = tempfile.mkdtemp(prefix="ivfpq_query_")
     try:
         idx = IvfPqIndex(root, dim, 8, 16)
-        idx.build(corpus, fit_kmeans_centroids(corpus, ncent, 2))
+        idx.build(
+            corpus, fit_kmeans_centroids(corpus, ncent, 0), iterations=0
+        )
         out = idx.search(
             spark, q, nprobe=ncent, k=_TOP_K, candidates=n,
             rerank_vectors=corpus,
