@@ -393,6 +393,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        # the spec allows optional 0xFF fill bytes before any marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:

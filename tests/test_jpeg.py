@@ -244,3 +244,14 @@ def test_restart_intervals_reset_predictors_and_round_trip():
     bad = data[:i] + b"\xff\xc8" + data[i + 2 :]
     with pytest.raises(ValueError):
         decode_jpeg(bad)
+
+
+def test_fill_bytes_before_markers_are_tolerated():
+    """T.81 allows any number of 0xFF fill bytes before a marker; real
+    encoders emit them for alignment — decode must skip, not misparse."""
+    good = encode_jpeg_flatblocks([[[100]]], 8, 8)
+    i = good.index(b"\xff\xc0")
+    filled = good[:i] + b"\xff\xff\xff" + good[i:]
+    w, h, c, px = decode_jpeg(filled)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(px) == {100}
