@@ -242,7 +242,15 @@ class IvfPqIndex:
         probes = ranked[:nprobe]
         probe_cids = [cid for _, cid, _ in probes]
         probed = self.cells.read(spark).filter(F.col("cid").isin(probe_cids))
-        if rerank_vectors is not None and candidates >= probed.count():
+        # The probe-everything gate keeps the count() off the production
+        # path: a bounded search (nprobe < cells) never pays it, and an
+        # exact-mode search is corpus-proportional by definition so the
+        # one count is noise there.
+        if (
+            rerank_vectors is not None
+            and len(probes) == len(ranked)
+            and candidates >= probed.count()
+        ):
             # Exact-equivalence configuration (probe-everything,
             # full-slice rerank — what the SQL oracles recompute): every
             # probed row IS a candidate, so the ADC pass ranks a set it
