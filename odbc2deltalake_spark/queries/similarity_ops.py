@@ -908,3 +908,50 @@ def corpus_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         (F.col("cosine") >= F.col("c")).alias("kept"),
     )
+
+
+@register("sim_ann_ivfpq_incremental", _IVFPQ_ORACLE,
+          tags=("similarity", "index", "flagship"), priority=100)
+def sim_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ: build on half the corpus, append() the rest
+    against the PINNED quantizers (existing cell partitions untouched),
+    search in exact mode == brute-force squared L2 — the ANN twin of
+    bm25_index_search's incremental-build oracle (r13). The in-query
+    assert pins that append landed NEW commits on cells without
+    rewriting the build's dirs (time travel to the build version still
+    returns only the first half)."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.operators.clustering import fit_kmeans_centroids
+    from odbc2deltalake_spark.operators.ivfpq import IvfPqIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
+    n = corpus.count()
+    ncent = max(4, min(int(n ** 0.5), 16))
+    dim = len(corpus.first()["v"])
+    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["v"]
+    half = corpus.filter(F.col("vec_id") % 2 == 0)
+    rest = corpus.filter(F.col("vec_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="ivfpq_incr_")
+    try:
+        idx = IvfPqIndex(root, dim, 8, 16)
+        v_build = idx.build(
+            half, fit_kmeans_centroids(half, ncent, 0), iterations=0
+        )
+        idx.append(rest)
+        # incrementality observable: the build version is intact (time
+        # travel sees only the first half) and append added rows
+        n_at_build = idx.cells.read(spark, version=v_build).count()
+        n_now = idx.cells.read(spark).count()
+        assert n_at_build == half.count(), (n_at_build,)
+        assert n_now == n, (n_now, n)
+        out = idx.search(
+            spark, q, nprobe=ncent, k=_TOP_K, candidates=n,
+            rerank_vectors=corpus,
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

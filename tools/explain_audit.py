@@ -340,6 +340,9 @@ AUDIT = [
     "sim_neardup_bucketed",
     "corpus_semantic_decontaminate",
     "sim_ann_ivfpq_search",
+    # r13: incremental build + append + exact-mode search — same
+    # post-build search plan as sim_ann_ivfpq_search
+    "sim_ann_ivfpq_incremental",
     "text_fingerprint",
     "text_lang_id",
     "text_token_count",
