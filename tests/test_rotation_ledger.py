@@ -103,6 +103,43 @@ def test_bench_agreement_rule():
     assert agreement_verdict({}, {})[0] == "flat"
 
 
+def test_canary_workload_sign_disagreement_is_inconclusive():
+    """VERDICT r13 #1/#2: in the r12->r13 artifact pair BOTH canaries ran
+    FASTER (cpu 2.051->1.592, workload 0.366->0.274) while the raw total
+    ran +8.8% SLOWER — a host-speed model cannot improve 25% while ~20
+    untouched queries degrade 10-30%, so dividing by it AMPLIFIED the
+    environment shift into a phantom +40% normalized 'regression'. The
+    rule must report such a round as 'inconclusive' (rerun required),
+    never declare. Pinned beside the r9->r10 phantom above."""
+    from tools.round_close import agreement_verdict
+
+    r12 = {"raw_total_sec": 26.241, "normalized_total_sec": 18.165,
+           "workload_normalized_total_sec": 18.632,
+           "host_canary_sec": 2.051, "workload_canary_sec": 0.366,
+           "method": "min2"}
+    r13 = {"raw_total_sec": 28.546, "normalized_total_sec": 25.459,
+           "workload_normalized_total_sec": 27.1,
+           "host_canary_sec": 1.592, "workload_canary_sec": 0.274,
+           "method": "min2"}
+    status, deltas = agreement_verdict(r12, r13)
+    assert status == "inconclusive", (status, deltas)
+    # the opposing canary moves are still surfaced in the deltas
+    assert deltas["host_canary_sec"] < -0.05
+    assert deltas["raw_total_sec"] > 0.05
+
+    # a slowdown the canaries AGREE with (host genuinely slower OR flat)
+    # still declares a regression
+    r13_agree = dict(r13, host_canary_sec=2.05, workload_canary_sec=0.37)
+    assert agreement_verdict(r12, r13_agree)[0] == "regression"
+    # an improvement with faster canaries is same-sign — still declared
+    r12_fast = {k: (v * 0.8 if isinstance(v, float) else v)
+                for k, v in r12.items()}
+    assert agreement_verdict(r12, r12_fast)[0] == "improvement"
+    # rows without canary fields (pre-r8 trend) keep the old behavior
+    assert agreement_verdict({"raw_total_sec": 30.0},
+                             {"raw_total_sec": 40.0})[0] == "regression"
+
+
 def test_per_query_attribution_rule():
     """VERDICT r11 #7: a >50% per-query move is 'sampling' when no commit
     between the two bench artifacts touched the query's module, and

@@ -90,9 +90,10 @@ def agreement_verdict(
     normalized total move the same direction past ``thr`` — one
     normalization alone is host weather (VERDICT r10 #2: the CPU canary
     turned a flat r10 into a phantom −21%)."""
+    total_keys = ("raw_total_sec", "normalized_total_sec",
+                  "workload_normalized_total_sec")
     deltas: dict[str, float] = {}
-    for key in ("raw_total_sec", "normalized_total_sec",
-                "workload_normalized_total_sec"):
+    for key in total_keys + ("host_canary_sec", "workload_canary_sec"):
         a, b = prev.get(key), cur.get(key)
         if a and b:
             deltas[key] = (b - a) / a
@@ -104,13 +105,30 @@ def agreement_verdict(
         prev.get("method") != cur.get("method")
     ):
         return "method-change", deltas
-    if not deltas:
+    # VERDICT r13 #2: canary-vs-workload sign disagreement. A host-speed
+    # model in which the canaries run FASTER while the workload runs
+    # SLOWER (or vice versa) past the threshold is not measuring host
+    # speed — dividing by it AMPLIFIES the environment shift instead of
+    # removing it (r12->r13: canaries −22%/−25% while raw +8.8% inflated
+    # the normalized delta to +40%). The interleaved r12/r13 rerun (see
+    # docs/bench_trend.json narrative) confirmed the engine was flat.
+    # Such a round is inconclusive: rerun on a quiet host, never declare.
+    raw = deltas.get("raw_total_sec")
+    if raw is not None and abs(raw) > thr:
+        opposing = [
+            k for k in ("host_canary_sec", "workload_canary_sec")
+            if k in deltas and deltas[k] * raw < 0 and abs(deltas[k]) > thr
+        ]
+        if opposing:
+            return "inconclusive", deltas
+    totals = {k: deltas[k] for k in total_keys if k in deltas}
+    if not totals:
         return "flat", deltas
-    worse = [k for k, v in deltas.items() if v > thr]
-    better = [k for k, v in deltas.items() if v < -thr]
-    if len(worse) == len(deltas):
+    worse = [k for k, v in totals.items() if v > thr]
+    better = [k for k, v in totals.items() if v < -thr]
+    if len(worse) == len(totals):
         return "regression", deltas
-    if len(better) == len(deltas):
+    if len(better) == len(totals):
         return "improvement", deltas
     return "flat", deltas
 
@@ -342,6 +360,13 @@ def main() -> int:
                 print(f"AGREEMENT: METHOD-CHANGE {span} "
                       f"({prev.get('method')} -> {cur.get('method')}) — "
                       f"totals not comparable, no verdict: {shown}")
+            elif status == "inconclusive":
+                print(f"AGREEMENT: INCONCLUSIVE {span} — the canaries "
+                      f"moved OPPOSITE to the raw total past the "
+                      f"threshold, so the normalizations amplify an "
+                      f"environment shift instead of removing it; rerun "
+                      f"interleaved on one host required, no verdict: "
+                      f"{shown}")
             else:
                 print(f"AGREEMENT: flat/mixed {span} — no regression "
                       f"declared (host weather unless ALL agree): {shown}")
