@@ -132,6 +132,8 @@ EXTRAS = [
     # the baseline JPEG Huffman+IDCT row — trend lines from day 1
     "hybrid_index_rrf",
     "mm_jpeg_pixel_stats",
+    # r14: frozen-weight classifier deploy scoring (zero-shuffle map)
+    "text_classifier_score",
 ]
 
 

@@ -158,14 +158,27 @@ class Bm25Index:
         # then broadcast: a rare-term query touches a few docstats files
         # instead of one-row-per-corpus-doc. Past the cap the query is
         # corpus-proportional anyway — plain shuffle join.
-        cands = [
-            r[0]
-            for r in post.select("doc_id")
-            .distinct()
-            .limit(_CAND_CAP + 1)
-            .collect()
-        ]
-        if len(cands) <= _CAND_CAP:
+        # ADVICE r13: for stop-word-like queries the 100k-row candidate
+        # collect is pure overhead preceding the inevitable fallback —
+        # a one-row approx_count_distinct over the (checkpointed) pruned
+        # postings decides first. 1.2x margin over the ±5% HLL rsd: an
+        # over-estimate only costs taking the shuffle path a query that
+        # is already near-corpus-proportional; never a wrong result.
+        approx = post.agg(
+            F.approx_count_distinct("doc_id").alias("a")
+        ).collect()[0]["a"]
+        cands = (
+            [
+                r[0]
+                for r in post.select("doc_id")
+                .distinct()
+                .limit(_CAND_CAP + 1)
+                .collect()
+            ]
+            if approx <= _CAND_CAP * 1.2
+            else None
+        )
+        if cands is not None and len(cands) <= _CAND_CAP:
             dl = F.broadcast(
                 self.docstats.read(spark, skip_where=("doc_id", "in", cands))
             )

@@ -218,7 +218,16 @@ class IvfPqIndex:
         ranking + LUT build over nprobe*M*K floats. Data plane: one
         partition-pruned scan of code rows, M map lookups each, then
         TakeOrdered; with ``rerank_vectors`` the candidate ids fetch
-        their raw rows via broadcast semi-join for exact scoring."""
+        their raw rows via broadcast semi-join for exact scoring.
+
+        Coverage note (ADVICE r13): every ORACLED registry row calls
+        this in the exact-equivalence configuration (probe-everything +
+        full-slice rerank), which takes the skip branch below — the
+        bounded ADC LUT path (nprobe < cells or candidates < slice) is
+        pinned by unit tests (tests/test_ivfpq.py: ADC == from-scratch
+        numpy residual distances; recall floors on trained builds), not
+        by a SQL oracle: ADC distances are quantizer-dependent, so no
+        fixture-independent SQL can recompute them."""
         q_orig = [float(x) for x in query_vec]
         q = q_orig
         rot = self._load_rotation(spark)

@@ -379,8 +379,10 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """JPEG bytes -> (width, height, channels, raw row-major pixels).
-    Baseline sequential 8-bit grayscale / YCbCr-4:4:4 (output RGB);
-    loud ValueError on anything else — never a silently wrong image."""
+    Baseline sequential 8-bit grayscale / YCbCr with sampling factors up
+    to 2x2 — 4:4:4, 4:2:2 and 4:2:0 (output RGB) — plus DRI/RSTn restart
+    intervals; loud ValueError on anything else (progressive,
+    arithmetic, 12-bit) — never a silently wrong image."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2

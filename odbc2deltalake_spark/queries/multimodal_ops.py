@@ -25,6 +25,23 @@ from odbc2deltalake_spark.operators.multimodal import (
 )
 from odbc2deltalake_spark.queries.registry import load_table, register
 
+
+def _round_half_away(x: float, nd: int = 4) -> float:
+    """Round half-away-from-zero, matching DuckDB's round() on DOUBLE.
+
+    Python's round() is banker's (half-to-even); ADVICE r13: a pixel
+    mean that is an exactly-representable tie at the 4th decimal
+    (sum/len = k/2^m) would hash-mismatch against the oracle. Pixel
+    sums are non-negative dyadic rationals, so normalize the kernel to
+    DuckDB's convention explicitly rather than relying on fixtures
+    never producing a tie."""
+    import math
+
+    scaled = x * 10 ** nd
+    if x >= 0:
+        return math.floor(scaled + 0.5) / 10 ** nd
+    return math.ceil(scaled - 0.5) / 10 ** nd
+
 # payload blob in DuckDB: 'FK' + 2 BE bytes width + 2 BE bytes height + text
 _PAYLOAD_SQL = """
 (from_hex('464b'
@@ -45,7 +62,8 @@ FROM documents
 """
 
 
-@register("mm_decode_meta", _DECODE_ORACLE, tags=("multimodal",))
+@register("mm_decode_meta", _DECODE_ORACLE, tags=("multimodal",),
+          priority=100)  # r14: rotated out (mm_png_pixel_stats + mm_jpeg_pixel_stats pin strictly harder decode paths; green r1-r13)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode (stub codec) over binary payloads via mapInPandas —
     the oracle pins the header arithmetic and byte counts the kernel must
@@ -281,7 +299,8 @@ def mm_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["width"].append(w2)
                 out["height"].append(h2)
                 out["channels"].append(c2)
-                out["px_mean"].append(round(sum(decoded) / len(decoded), 4))
+                out["px_mean"].append(
+                    _round_half_away(sum(decoded) / len(decoded)))
                 out["px_min"].append(min(decoded))
                 out["px_max"].append(max(decoded))
             yield pd.DataFrame(out)
@@ -310,6 +329,9 @@ _JPEG_STATS_ORACLE = """
 WITH g AS (
   SELECT d.doc_id, (d.doc_id % 21 + 4) AS w, (d.doc_id % 13 + 4) AS h,
          (d.doc_id + 5 * (x.range // 8) + 11 * (y.range // 8)) % 256 AS v,
+         (d.doc_id + 3 * (x.range // 8) + 7 * (y.range // 8)) % 13 - 6
+           AS acv,
+         (x.range % 8) AS xb,
          (2 * d.doc_id + 7 * (x.range // 16) + 3 * (y.range // 16)) % 256
            AS cb420,
          (3 * d.doc_id + 11 * (x.range // 16) + 5 * (y.range // 16)) % 256
@@ -318,9 +340,21 @@ WITH g AS (
   WHERE x.range < d.doc_id % 21 + 4 AND y.range < d.doc_id % 13 + 4
 ),
 c AS (
-  SELECT doc_id, w, h, v,
+  SELECT doc_id, w, h,
          CASE WHEN doc_id % 3 = 0 THEN 3
               WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS channels,
+         -- grayscale pixel: the doc_id%7 gradient class carries DC +
+         -- one horizontal AC (u=1) per block; its decoded value is the
+         -- codec's separable IDCT replayed closed-form (bit-exact: same
+         -- libm cos/sqrt, same float op order as _idct_block). ac = 0
+         -- blocks take the codec's exact DC fast path (== v).
+         CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 = 0
+                   AND acv <> 0
+           THEN least(255, greatest(0, floor(
+             ((1.0 / sqrt(2.0)) * (((1.0 / sqrt(2.0)) * (8 * (v - 128))
+                 + acv * cos((2 * xb + 1) * pi() / 16)) / 2)) / 2
+             + 128 + 0.5)))
+           ELSE v END AS gv,
          v AS yy,
          CASE WHEN doc_id % 3 = 0 THEN (2 * v) % 256 ELSE cb420 END AS cb,
          CASE WHEN doc_id % 3 = 0 THEN (3 * v) % 256 ELSE cr420 END AS cr
@@ -333,19 +367,19 @@ p AS (
            + least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                              - 0.714136 * (cr - 128) + 0.5)))
            + least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5)))
-         ELSE v END AS s,
+         ELSE gv END AS s,
          CASE WHEN channels = 3 THEN least(
            least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                            - 0.714136 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5))))
-         ELSE v END AS mn,
+         ELSE gv END AS mn,
          CASE WHEN channels = 3 THEN greatest(
            least(255, greatest(0, floor(yy + 1.402 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy - 0.344136 * (cb - 128)
                                            - 0.714136 * (cr - 128) + 0.5))),
            least(255, greatest(0, floor(yy + 1.772 * (cb - 128) + 0.5))))
-         ELSE v END AS mx
+         ELSE gv END AS mx
   FROM c
 )
 SELECT doc_id AS media_id, w::INT AS width, h::INT AS height,
@@ -359,7 +393,7 @@ GROUP BY doc_id, w, h
 
 
 @register("mm_jpeg_pixel_stats", _JPEG_STATS_ORACLE,
-          tags=("multimodal", "flagship"), priority=100)
+          tags=("multimodal", "flagship"))  # r14: promoted (r13 flagship — the JPEG codec's first driver window)
 def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline JPEG encode -> Huffman+IDCT decode -> pixel stats.
 
@@ -377,6 +411,7 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from odbc2deltalake_spark.operators.jpeg import (
         decode_jpeg,
+        encode_jpeg_coeffs,
         encode_jpeg_flatblocks,
     )
 
@@ -413,6 +448,25 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sampling=[(2, 2), (1, 1), (1, 1)],
                     )
                     want_c = 3
+                elif doc_id % 7 == 0:
+                    # r14 (VERDICT r13 #5): NON-FLAT content — each 8x8
+                    # block carries DC + one horizontal AC (u=1), so the
+                    # decoder runs the real separable float IDCT, not
+                    # the DC fast path; the oracle replays the same
+                    # closed-form IDCT bit-exactly (same libm cos/sqrt,
+                    # same op order)
+                    bw, bh = (w + 7) // 8, (h + 7) // 8
+                    blocks = []
+                    for by in range(bh):
+                        for bx in range(bw):
+                            vflat = (doc_id + 5 * bx + 11 * by) % 256
+                            ac = (doc_id + 3 * bx + 7 * by) % 13 - 6
+                            coef = [0] * 64
+                            coef[0] = 8 * (vflat - 128)
+                            coef[1] = ac
+                            blocks.append(coef)
+                    data = encode_jpeg_coeffs([blocks], w, h)
+                    want_c = 1
                 else:
                     bw, bh = (w + 7) // 8, (h + 7) // 8
                     gy = [[(doc_id + 5 * bx + 11 * by) % 256
@@ -425,7 +479,8 @@ def mm_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["width"].append(w2)
                 out["height"].append(h2)
                 out["channels"].append(c2)
-                out["px_mean"].append(round(sum(decoded) / len(decoded), 4))
+                out["px_mean"].append(
+                    _round_half_away(sum(decoded) / len(decoded)))
                 out["px_min"].append(min(decoded))
                 out["px_max"].append(max(decoded))
             yield pd.DataFrame(out)

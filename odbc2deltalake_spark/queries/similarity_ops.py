@@ -675,11 +675,15 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
 # The persisted IvfPqIndex (operators/ivfpq.py) is exercised end-to-end
 # against an independent engine by running it in its EXACT-equivalence
 # configuration: probe every cell and rerank the full candidate slice
-# with raw vectors — coarse assignment, residual PQ encoding, ADC
-# ranking, partition-pruned cell reads and the rerank join all execute,
-# and the final top-k must equal brute-force squared-L2 regardless of
-# quantizer quality. (Recall at the DEFAULT nprobe is gated separately:
-# tests/test_ivfpq.py::test_recall_floor_at_30x_scale.)
+# with raw vectors — coarse assignment, residual PQ encoding,
+# partition-pruned cell reads and the rerank join all execute, and the
+# final top-k must equal brute-force squared-L2 regardless of quantizer
+# quality. NOTE (ADVICE r13): since the r13 exact-mode skip, the ADC
+# LUT scoring branch does NOT run in this configuration — it is pinned
+# unit-test-only (tests/test_ivfpq.py: ADC == from-scratch numpy
+# residual distances; recall floors at the default nprobe), because ADC
+# distances are quantizer-dependent and no SQL oracle can recompute
+# them independently.
 
 _IVFPQ_ORACLE = f"""
 WITH q AS (
@@ -715,9 +719,11 @@ def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training (every probed row is a candidate, the exact rerank
     # re-scores it), so the in-query build uses seed-initialized cells
     # and codebooks — this row pins the PERSISTED-INDEX machinery
-    # (partitioned cells, commit-logged tables, search path); trained
-    # quantizers with recall floors are pinned by tests/test_ivfpq.py
-    # and the sim_ann_opq row. 51.2s -> ~12s at the sf0.1 sweep.
+    # (partitioned cells, commit-logged tables, exact-mode search path;
+    # the bounded ADC branch is unit-test-only, see operators/ivfpq.py
+    # search() coverage note); trained quantizers with recall floors are
+    # pinned by tests/test_ivfpq.py and the sim_ann_opq row.
+    # 51.2s -> ~12s at the sf0.1 sweep.
     ncent = max(4, min(int(n ** 0.5), 16))
     dim = len(corpus.first()["v"])
     q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["v"]
@@ -911,7 +917,7 @@ def corpus_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("sim_ann_ivfpq_incremental", _IVFPQ_ORACLE,
-          tags=("similarity", "index", "flagship"), priority=100)
+          tags=("similarity", "index", "flagship"))  # r14: promoted (r13 flagship — incremental index maintenance enters the window)
 def sim_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ: build on half the corpus, append() the rest
     against the PINNED quantizers (existing cell partitions untouched),

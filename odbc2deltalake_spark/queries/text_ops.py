@@ -901,7 +901,8 @@ WHERE n_letters > 0
 @register(
     "text_letter_entropy", _letter_entropy_oracle(),
     tags=("text", "corpus", "flagship"),
-)  # r11: promoted into the driver window (r10 flagship)
+    priority=100,
+)  # r11: promoted (r10 flagship); r14: rotated out (text_quality_score covers the zero-shuffle gate family; green r11-r13)
 def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document a-z letter entropy == the same 26-term fold in SQL.
 
@@ -1153,6 +1154,13 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HYBRID_IDX_CACHE[key] = root  # keep only after a clean build
         return result
     except BaseException:
+        # ADVICE r13: only delete the dir when THIS invocation built it —
+        # a transient failure on a cached rerun's read path must not
+        # discard a valid persisted index (the next call would silently
+        # pay a full rebuild, skewing the first/rerun bench diagnostic).
+        # On a rerun failure, drop the cache entry and leave deletion to
+        # the atexit sweep.
         _HYBRID_IDX_CACHE.pop(key, None)
-        shutil.rmtree(root, ignore_errors=True)
+        if fresh:
+            shutil.rmtree(root, ignore_errors=True)
         raise

@@ -78,8 +78,9 @@ def test_core_set_fits_driver_cap():
                  # r11 ninth-wave rotation (VERDICT r10 #1): the r10
                  # flagships — the OCC-rebase race row, skipping-survives-
                  # merges, the zero-shuffle entropy scan, the funnel report
+                 # (text_letter_entropy moved to overflow in r14)
                  "store_occ_append_race", "store_merge_bloom_lookup",
-                 "text_letter_entropy", "corpus_filter_funnel",
+                 "corpus_filter_funnel",
                  # r12 tenth-wave rotation (VERDICT r11 #1): the r11
                  # flagships — streaming SCD2 lifecycle, exactly-once txn
                  # markers, the CHECK gate, the real PNG codec row
@@ -90,7 +91,11 @@ def test_core_set_fits_driver_cap():
                  # Streaming, the persisted BM25 inverted index, RRF
                  # fusion over both persisted indexes, oracled PQ ANN
                  "stream_cdc_full", "bm25_index_search",
-                 "hybrid_index_rrf", "sim_ann_pq"):
+                 "hybrid_index_rrf", "sim_ann_pq",
+                 # r14 twelfth-wave rotation (VERDICT r13 #2): the r13
+                 # flagships — the from-scratch JPEG codec's first driver
+                 # window, and incremental IVF-PQ index maintenance
+                 "mm_jpeg_pixel_stats", "sim_ann_ivfpq_incremental"):
         assert name in core_names
     # and the rotated-out shapes remain registered as pytest-gated overflow
     overflow_names = {s.name for s in specs if s.priority >= 100}
@@ -177,7 +182,13 @@ def test_core_set_fits_driver_cap():
                  # gate family, corpus_mixture_apply the sampling
                  # mechanism)
                  "mv_join_retraction", "sim_neardup_bucketed",
-                 "text_perplexity_filter", "corpus_stratified_sample"):
+                 "text_perplexity_filter", "corpus_stratified_sample",
+                 # r14 twelfth-wave rotation out (both driver-green 3+
+                 # rounds; family representatives stay in-window:
+                 # mm_png_pixel_stats + mm_jpeg_pixel_stats pin strictly
+                 # harder decode paths than the header-parse kernel,
+                 # text_quality_score the zero-shuffle text gate family)
+                 "mm_decode_meta", "text_letter_entropy"):
         assert name in overflow_names
 
 
@@ -270,15 +281,12 @@ SF01_DIR = "/root/testdata/sf0.01"
 # list whenever a round touches an overflow query's plan or rotates an
 # entry out of the driver window.
 ROUND_TOUCHED_OVERFLOW = [
-    # r10 eighth-wave evictions (fresh overflow rows)
-    "mm_feature_vectors", "dedup_ngram_jaccard",
-    "corpus_pack_sequences", "corpus_token_budget_select",
-    "text_lang_id",
-    # r10 trailing-sort removal (VERDICT r9 finding #1)
-    "text_quality_classifier",
-    # r10 new operators
-    "store_occ_append_race", "text_letter_entropy", "corpus_filter_funnel",
-    "store_merge_bloom_lookup",
+    # r14 twelfth-wave evictions (fresh overflow rows)
+    "mm_decode_meta", "text_letter_entropy",
+    # r14 new oracled row: classifier deploy scoring (VERDICT r13 #6)
+    "text_classifier_score",
+    # r14 sweep-tail slimming (VERDICT r13 #4): fact-slice subset
+    "mv_join_retraction",
 ]
 
 _SLICE_SIZE = 8

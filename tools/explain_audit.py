@@ -381,6 +381,9 @@ AUDIT = [
     # r13: baseline JPEG encode->Huffman+IDCT decode->stats — the same
     # per-row Arrow kernel shape as the PNG row, no shuffle
     "mm_jpeg_pixel_stats",
+    # r14: frozen-weight classifier deploy gate — a zero-shuffle
+    # codegen'd map (weights as an array literal, one fold per row)
+    "text_classifier_score",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
