@@ -148,9 +148,19 @@ def _resolve_cols(
     (reference:odbc2deltalake/write_init.py:29-38; user override
     tests/test_05_conversion.py:29-36). The dialect scopes type-string
     aliases (tsql "timestamp" = rowversion) so Spark-native timestamp
-    columns are never remapped to bigint."""
+    columns are never remapped to bigint.
+
+    Temporal-table ROW END columns (generated_always_type_desc ==
+    'AS_ROW_END') are excluded from the projection by design (r14,
+    VERDICT r13 #3): on the CURRENT row version MSSQL pins ROW END to
+    9999-12-31 (it only moves in the hidden history table, which a
+    plain SELECT never sees), so loading it adds a column that never
+    carries information — while ROW START is the delta criterion
+    (reference:odbc2deltalake/write_init.py:144-167) and IS loaded."""
     out = []
     for c in raw:
+        if c.generated_always_type_desc == "AS_ROW_END":
+            continue
         mapped = resolve_type(c.data_type_str, cfg.data_type_map or None, dialect)
         if mapped is not None and mapped != c.data_type:
             c = dataclasses.replace(c, data_type=mapped)

@@ -763,3 +763,150 @@ def test_case_divergent_string_keys_stay_byte_exact(spark, dest):
         .collect()
     )
     assert cur == [("ALICE", 9.0), ("Carol", 3.0), ("bob", 2.0)], cur
+
+
+# -------- temporal-table (GENERATED ALWAYS AS ROW START) delta column ------
+#
+# The reference auto-detects a temporal table's ROW START as the delta
+# column (reference:odbc2deltalake/write_init.py:144-167) and its hardest
+# scenario manipulates temporal history: ROW START moves forward on a
+# normal UPDATE, but a RESTORE rewinds it below the watermark — the
+# strange-update path with a TIMESTAMP delta column instead of a
+# rowversion (reference:tests/test_04_strange_delta.py:134-229: drop
+# PERIOD FOR SYSTEM_TIME, backdate an INSERT to 2022 and rewind an
+# UPDATE to 2000, re-add the period; the next load must surface both).
+# No RDBMS is reachable in this sandbox, so the scenario runs the same
+# lifecycle against the DataFrame-backed source with the SAME column
+# metadata a temporal table introspects (generated_always_type_desc).
+
+_FAR_FUTURE = "9999-12-31 23:59:59"
+
+
+def _temporal_schema():
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("SysStartTime", T.TimestampType(), False),
+            T.StructField("SysEndTime", T.TimestampType(), False),
+        ]
+    )
+
+
+_TEMPORAL_COLS = [
+    ColInfo("id", T.StringType(), "varchar(100)", False),
+    ColInfo("name", T.StringType(), "varchar(100)"),
+    ColInfo(
+        "SysStartTime", T.TimestampType(), "datetime2", False,
+        generated_always_type_desc="AS_ROW_START",
+    ),
+    ColInfo(
+        "SysEndTime", T.TimestampType(), "datetime2", False,
+        generated_always_type_desc="AS_ROW_END",
+    ),
+]
+
+
+def _temporal_rows(spark, rows):
+    from datetime import datetime
+
+    far = datetime.fromisoformat(_FAR_FUTURE)
+    data = [
+        (i, n, datetime.fromisoformat(ts), far) for (i, n, ts) in rows
+    ]
+    return spark.createDataFrame(data, _temporal_schema())
+
+
+def _temporal_current(spark, dest):
+    from odbc2deltalake_spark.plans.db_to_delta import read_current_rows
+
+    cur = read_current_rows(spark, dest, ["id"], "SysStartTime")
+    # distinct: a rewind re-extraction legitimately appends history rows
+    # identical in (pk, ROW START) to ones already present — same as
+    # cdc_utils.current_rows
+    return sorted(
+        (r["id"], r["name"])
+        for r in cur.select("id", "name").distinct().collect()
+    )
+
+
+def _run_temporal_lifecycle(spark, dest, strange_cfg):
+    src = DataFrameSource(
+        _temporal_rows(spark, [
+            ("c1", "The 1 company", "2023-05-01 10:00:00"),
+            ("c2", "The Second company", "2023-05-01 10:00:01"),
+            ("c3", "The 3rd company", "2023-05-01 10:00:02"),
+        ]),
+        _TEMPORAL_COLS,
+        primary_keys=["id"],
+    )
+    infos, r = run_load(spark, src, dest)
+    # ROW START auto-detected as the delta column (no rowversion col)
+    assert infos.delta_col is not None
+    assert infos.delta_col.column_name == "SysStartTime"
+    from odbc2deltalake_spark import DeltaDestination
+
+    d = DeltaDestination(dest)
+    hist = d.delta.read(spark)
+    # ROW END is excluded from the projection by design (r14): on the
+    # current row version it is constant 9999-12-31 noise
+    assert "SysEndTime" not in hist.columns
+    assert "SysStartTime" in hist.columns
+
+    # normal delta: ROW START moves FORWARD on an update; plus an insert
+    src.set_df(_temporal_rows(spark, [
+        ("c1", "The 1 company", "2023-05-01 10:00:00"),
+        ("c2", "The Second company renamed", "2023-06-01 09:00:00"),
+        ("c3", "The 3rd company", "2023-05-01 10:00:02"),
+        ("c4", "The 4th company", "2023-06-01 09:00:01"),
+    ]))
+    infos, r = run_load(spark, src, dest)
+    assert isinstance(r, DeltaLoadResult)
+    assert _temporal_current(spark, dest) == [
+        ("c1", "The 1 company"),
+        ("c2", "The Second company renamed"),
+        ("c3", "The 3rd company"),
+        ("c4", "The 4th company"),
+    ]
+
+    # the restore (reference:tests/test_04_strange_delta.py:168-189):
+    # c299 INSERTED with a ROW START backdated BELOW the watermark and
+    # c1 renamed with its ROW START rewound to 2000 — both invisible to
+    # the plain `> watermark` criterion
+    src.set_df(_temporal_rows(spark, [
+        ("c1", "The 1 company - renamed", "2000-01-01 00:00:00"),
+        ("c2", "The Second company renamed", "2023-06-01 09:00:00"),
+        ("c3", "The 3rd company", "2023-05-01 10:00:02"),
+        ("c4", "The 4th company", "2023-06-01 09:00:01"),
+        ("c299", "The 299th company", "2022-01-01 00:00:00"),
+    ]))
+    infos, r = run_load(spark, src, dest, strange_cfg)  # consistency-checked
+    assert _temporal_current(spark, dest) == [
+        ("c1", "The 1 company - renamed"),
+        ("c2", "The Second company renamed"),
+        ("c299", "The 299th company"),  # sorts before c3 ('2' < '3')
+        ("c3", "The 3rd company"),
+        ("c4", "The 4th company"),
+    ]
+    # and the NEXT load is clean — no phantom strange updates
+    _, r2 = run_load(spark, src, dest, check=False)
+    assert isinstance(r2, NoLoadResult)
+    return d
+
+
+def test_temporal_row_start_strange_update_keyset(spark, dest):
+    """Backdated restore fetched via the key-list path (few keys)."""
+    d = _run_temporal_lifecycle(spark, dest, WriteConfig())
+    # the keyset path fetched the strange rows into delta_2
+    assert d.delta_2.read(spark).count() > 0
+
+
+def test_temporal_row_start_strange_update_rewind(spark, dest):
+    """Same restore forced through the watermark-rewind strategy: the
+    re-extraction criterion is `>= MIN(rewound ROW START)` — the 2000
+    rewind drags the whole table back in, and the load must still
+    converge with consistency green and no phantom re-detections."""
+    d = _run_temporal_lifecycle(
+        spark, dest, WriteConfig(max_complex_entries=0)
+    )
+    assert d.delta_2.read(spark).count() == 0  # rewind leaves delta_2 empty
