@@ -134,6 +134,8 @@ EXTRAS = [
     "mm_jpeg_pixel_stats",
     # r14: frozen-weight classifier deploy scoring (zero-shuffle map)
     "text_classifier_score",
+    # r14: frozen-basis PCA projection (zero-shuffle map)
+    "emb_pca_apply",
 ]
 
 

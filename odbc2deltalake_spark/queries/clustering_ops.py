@@ -437,3 +437,212 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prob", 4).alias("prob"),
         F.col("pred").cast("long").alias("pred"),
     )
+
+
+# ----------------------------------------- frozen-basis PCA projection ----
+#
+# r14 (the text_classifier_score pattern applied to the PCA family):
+# emb_pca_project's FIT is legitimately rows-only (an eigendecomposition
+# is not SQL-expressible), but the DEPLOY half — project every vector
+# onto a FROZEN orthonormal basis — is a zero-shuffle codegen'd map
+# (operators/pca.py:project_pca), and that is exactly SQL-oracle-able.
+# The basis below is the real top-4 eigenbasis of the sf0.01 corpus
+# (numpy eigh over the biased covariance, deterministic sign pin:
+# largest-|entry| positive), frozen as literals; the oracle recomputes
+# each projection with the IDENTICAL float op order (elementwise
+# product list, left fold from 0.0, minus the same dot(mean, c)
+# literal), so the hash pins zip_with + aggregate + centering algebra
+# against an independent engine. Scale: weights enter the plan as four
+# 64-double array literals — the projection runs at scan speed with
+# zero shuffle on any corpus.
+
+_PCA_APPLY_MEAN = [
+    0.0021647098540561274, -0.004547794351470656, 0.003930154383007902,
+    -0.004793201057444094, 0.009943076466443017, 0.007772532952541951,
+    -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607,
+    -0.0006178791260463186, 0.006436078068451025,
+    0.0033540127822197976, -0.0026588912964216433,
+    0.0020540317017294003, -0.00021456623025005683,
+    0.005910249243548606, 0.0033342206680827074, 0.005826121678226628,
+    -0.00046127636556047945, 0.0012317155191558413,
+    -0.0038391390424221752, 0.0023021840666187926,
+    0.004168265111627988, -0.008054586122045293,
+    -0.0018911654613621067, 0.012808142676018179,
+    -0.0015970649567898362, 0.01062632681982359,
+    -0.0011532765734009445, 0.0003903653704910539,
+    0.0056047214816790075, -0.005792685562460974, 0.008335300238788477,
+    -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968,
+    -0.0053353315424174074, -0.0015937965741213702,
+    -0.0009667016767925815, -0.001140981935830496,
+    -0.0017442115085141267, -0.01183411476330366,
+    0.00031351819908741164, -0.0005631569666620635,
+    -0.011520562025547406, 0.003832613509031944, -0.000598060307384003,
+    0.005890298187849112, -0.003749661162350094, -0.010264404615503736,
+    0.009377152467495762, -0.001481992187706055, 0.007770042697302415,
+    -0.003917563282562696, 0.00470978261413984, -0.003577291431953199,
+    0.004773866848874604, -0.0024703639050130733,
+    -0.004844514904165408, -0.00872118095526821,
+    -0.0002811656921039685, 0.005004184705336229,
+    -0.0011590625974931754, -0.013266222528531216,
+]
+_PCA_APPLY_COMPS = [
+    [
+        -0.20963933002020163, -0.12057271532723646,
+        0.03654785815761208, 0.01181956673367568, 0.07567008238652181,
+        0.013214628819759558, 0.09058411852537562, 0.2866187923515347,
+        0.04954696219839244, 0.41405652648109587, 0.06530498182357561,
+        0.1820788538770332, 0.06513224150018793, -0.03653205474591013,
+        0.17114897510631688, -0.1853497773155224, 0.08898987448652947,
+        -0.15702655458925796, -0.030136686337288686,
+        0.0321789695121162, 0.06121320408639294, -0.11068832311424723,
+        -0.08347512785867195, -0.055437468648054676,
+        0.019550012020346924, 0.19912542853516949,
+        -0.03751725245021884, 0.14950769892189059,
+        -0.17287963096364795, -0.006123114085459409,
+        -0.05871572670346968, 0.06203771797942716, 0.29653854353776904,
+        0.10616457882139847, -0.03204193889380884, 0.10414385148185491,
+        0.044538759536710756, 0.06146405309394988,
+        0.013006698200673121, 0.021771205655913367,
+        -0.11667898779822887, 0.005524586419046101,
+        -0.24083692028370807, 0.09570759064866022,
+        -0.028307708356162933, -0.22512744473516866,
+        0.008731835914196136, -0.07903750804624526,
+        -0.08368084414987438, -0.11845091153313785,
+        0.12045949820882275, 0.07248325157918485,
+        -0.017186482157175637, 0.08160437407065278,
+        -0.015031355628749316, -0.06676477469561923,
+        -0.05565063627860205, -0.05137605781699038,
+        0.06019601767570923, -0.0911391434804863, 0.12198699564215854,
+        0.05064983387891546, -0.2182114649231543, -0.10201388636254505,
+    ],
+    [
+        -0.0038371272115919077, -0.05443024576702613,
+        -0.012567933480759845, -0.08813365797648628,
+        0.1748576977504261, 0.025214365797045002, 0.07494656338562342,
+        -0.06998070108596338, 0.07744817020896037,
+        0.030696056195262257, 0.10575814459049923, -0.017882873012908,
+        0.012975656331248479, 0.13369681742755304,
+        0.014559198307485168, 0.04139191933934132, 0.1484110007875093,
+        0.3603098511261561, -0.05418865141456937,
+        -0.050764775917262556, 0.03254316973478699,
+        0.03539112685064566, 0.06533467378092396, -0.3091228055052973,
+        -0.25768213825837827, -0.23906586362939564,
+        -0.020637632793312197, -0.00022331337887674958,
+        -0.08628570371767166, -0.17453292227143674,
+        -0.0240679272268987, -0.21754493603557165,
+        0.029463935144021194, 0.06153867890849659, 0.03375332841845147,
+        0.0792196748201447, 0.05946710015971157, 0.03649840257323439,
+        0.18210698156722896, 0.046673884808694985,
+        8.626507701597202e-06, 0.0469867556409594,
+        -0.06276704622858952, -0.17918979594373338,
+        0.17268649020937077, -0.1888352229469683, -0.04694587131589519,
+        0.14577948211480204, 0.11292397757725806, -0.11328063222737855,
+        -0.15743104350111561, -0.08197501074018389,
+        0.012979946743258124, -0.016092353749802314,
+        0.23803515091895197, 0.023384317388539355,
+        -0.30282027552250795, 0.01638284010820768, 0.13543364301205743,
+        -0.12158606610327048, -0.08367049603064577,
+        0.08483882908899502, -0.00044318486473711276,
+        -0.07861586992416257,
+    ],
+    [
+        -0.14804403755601075, -0.08512440644804595,
+        -0.06394747372242232, -0.00045759701416905885,
+        -0.20437466508880067, -0.04374173501666962,
+        0.11775529925597344, -0.2844978534972128, 0.04440239633087602,
+        0.02371733799578299, -0.051179527614310306,
+        0.035702033535258845, -0.06017956430904921,
+        -0.0345506072014531, 0.009449519103828942,
+        -0.23454575614197223, 0.171373527102441, -0.08492758806239534,
+        0.11604706769064442, 0.07732840317313219, 0.013131626731480772,
+        0.175307550900221, -0.10064801517013916, 0.053374704234944365,
+        0.09255730930450974, 0.1000839500217567, 0.09063736311928049,
+        -0.13414209861498147, 0.010277697050367657,
+        -0.10540482797763863, -0.1228596684339342, 0.09091210819168699,
+        0.04825216628489994, -0.18066130225251592,
+        -0.02976989042538495, -0.10216258213208258,
+        0.13907849924247392, -0.2125524417546431, -0.06345652309131394,
+        -0.10392899603893598, 0.18947963434480763, 0.19011010111192747,
+        -0.125855558070264, -0.2089327787438256, 0.16586568222613335,
+        0.05283627633707147, 0.04279757474764935, 0.01802001539784715,
+        -0.06832009323144878, -0.051275512977937796,
+        -0.12949844497534727, -0.1064545005613741, 0.22780031589942198,
+        -0.15329476793534783, -0.1791520941574068,
+        -0.0019200152180250118, -0.005381095587603493,
+        0.1097246009981515, 0.18279524157419863, -0.05268508458798239,
+        -0.06955779386901592, 0.28843060582385827,
+        -0.09008107781606604, -0.07553050141369709,
+    ],
+    [
+        0.06808659692680352, 0.06269221088043908, 0.008780757117714436,
+        0.17252698585081086, -0.2579610506305218, 0.10712924747584592,
+        -0.02320920976768323, 0.17754309288336953,
+        -0.11522019045334347, 0.13620195798666968,
+        0.007640884150526432, 0.20195047574509808,
+        -0.06077544466797557, -0.14021935394059204,
+        -0.09311367890542117, 0.049308065752209446,
+        0.09682486295851223, 0.07142426949944385,
+        -0.009319477553330678, -0.20316848780447333,
+        -0.22547295140274265, 0.15765898138963383,
+        -0.011856441212721907, 0.07323162375884257,
+        0.027470748399644904, -0.1190830826772109, 0.11645429213298576,
+        -0.0038352518581274177, 0.12892448335584836,
+        -0.1045231273232294, 0.15211656493727282, 0.20057539618764436,
+        -0.08141318128029107, -0.01767746908516616,
+        -0.1165029504483289, 0.3161901219698455, -0.11671862239947658,
+        -0.14843441728736906, -0.010252064348211912,
+        -0.048288865420290934, -0.014507537293041425,
+        -0.00017919674515212008, -0.08565322476918127,
+        -0.017434761707989365, -0.07573379923511875,
+        -0.04152082543952096, -0.013620431372914223, 0.369404474834825,
+        -0.10851089306173131, -0.1534460994206761, 0.0664723391092176,
+        -0.019778009359072788, 0.009329623098558629,
+        0.005401021761514751, -0.021917540538553465,
+        0.10147291470472687, -0.17091025495876352, 0.09292951416465792,
+        -0.17072042743327795, -0.07391767730726351,
+        -0.19206043423473812, -0.09621918574006412,
+        -0.08404634246068683, 0.026296885848707756,
+    ],
+]
+
+
+def _pca_apply_oracle() -> str:
+    import numpy as _np
+
+    parts = []
+    for i, comp in enumerate(_PCA_APPLY_COMPS):
+        clit = "[" + ", ".join(repr(float(c)) for c in comp) + "]"
+        const = repr(float(_np.dot(_PCA_APPLY_MEAN, comp)))
+        parts.append(
+            f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[x[1] * x[2] FOR x IN list_zip(embedding::DOUBLE[], {clit})]), "
+            f"(a, b) -> a + b) - {const}, 6) AS pc{i + 1}"
+        )
+    cols = ",\n       ".join(parts)
+    return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
+
+
+@register("emb_pca_apply", _pca_apply_oracle(),
+          tags=("clustering", "similarity"), priority=100)
+def emb_pca_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-basis PCA projection over the embeddings table — the
+    deploy half of emb_pca_project, oracled end-to-end (see the module
+    note above; the FIT stays rows-only and numpy-gated in
+    tests/test_pca.py)."""
+    import numpy as np
+
+    from odbc2deltalake_spark.operators.pca import project_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.select("vec_id", "label", dbl.alias("v"))
+    out = project_pca(
+        vectors, "v", np.asarray(_PCA_APPLY_MEAN),
+        np.asarray(_PCA_APPLY_COMPS),
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.round(F.col(f"pc{i + 1}"), 6).alias(f"pc{i + 1}")
+          for i in range(4)],
+    )

@@ -384,6 +384,9 @@ AUDIT = [
     # r14: frozen-weight classifier deploy gate — a zero-shuffle
     # codegen'd map (weights as an array literal, one fold per row)
     "text_classifier_score",
+    # r14: frozen-basis PCA projection — four 64-double array literals,
+    # one zip_with+aggregate fold per component, zero shuffle
+    "emb_pca_apply",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
