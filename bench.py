@@ -136,6 +136,8 @@ EXTRAS = [
     "text_classifier_score",
     # r14: frozen-basis PCA projection (zero-shuffle map)
     "emb_pca_apply",
+    # r14: persisted incremental substring index (build + append + spans)
+    "dedup_substring_incremental",
 ]
 
 

@@ -555,36 +555,16 @@ def _span_clones(docs: DataFrame) -> DataFrame:
 
 
 def _positional_grams(ext: DataFrame, k: int) -> DataFrame:
-    """(doc_id, text) -> (doc_id, pos, gk): a 64-bit digest of each
-    k-word gram at 1-based word position pos.
-
-    Two deliberate choices, both for scale:
-
-    - Built MAP-SIDE from the split array (transform over a position
-      sequence + slice), not by exploding words and running a k-lead
-      window: the window form shuffles the entire word stream on doc_id
-      before hashing — at 100 TB a full-corpus exchange for something
-      each row can compute locally. This plan has zero exchanges before
-      the gram-digest aggregation.
-    - gk = xxhash64 DIRECTLY over the sliced word array — no joined
-      string is ever materialized and no cryptographic digest is paid;
-      measured 1.55s vs 2.2s (lead-window+md5) vs 2.9s (slice+md5) for
-      the duplicate-gram aggregate at sf0.1. gk is query-internal
-      (only positions leave the operator), so the oracle's md5 keys
-      don't need to match it; a 64-bit collision mislabels one gram in
-      ~2^64/N — negligible against near-dup noise at any corpus size."""
-    a = F.split(F.trim(F.col("text")), r"\s+")
-    arr = ext.select("doc_id", a.alias("a"))
-    idx = F.when(
-        F.size("a") >= k, F.sequence(F.lit(1), F.size("a") - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"), F.xxhash64(F.slice("a", i, k)).alias("gk")
-        ),
+    """(doc_id, text) -> (doc_id, pos, gk) — canonical implementation
+    lives in operators/substring_index.py (r14: the persisted
+    incremental index shares the exact gram builder with the batch
+    operator, so the two cannot drift; docstring and the zero-shuffle /
+    xxhash64 scale rationale live there)."""
+    from odbc2deltalake_spark.operators.substring_index import (
+        positional_grams,
     )
-    return arr.select("doc_id", F.inline(grams))
+
+    return positional_grams(ext, k)
 
 
 @register("dedup_substring_spans", _SPAN_ORACLE, tags=("dedup",),
@@ -619,6 +599,49 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + F.lit(_SPAN_K - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+# ------------------------- incremental substring index (persisted) ----
+
+
+@register("dedup_substring_incremental", _SPAN_ORACLE,
+          tags=("dedup", "index", "flagship"), priority=100)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted incremental substring-dedup index == the one-shot batch
+    operator (r14, VERDICT r13 #8 — the DedupIndex/Bm25Index/IvfPq
+    incremental-oracle pattern applied to substring dedup).
+
+    Build the SubstringIndex on the ORIGINAL docs, then append() the
+    prefix clones as a second batch — so every duplicated gram is
+    CROSS-BATCH (the new batch's grams must pair against the stored
+    counts partials, the hardest incremental case). In-query asserts:
+    the append added commits without rewriting the build version (time
+    travel reads the original gram count), and the summed per-batch
+    distinct-doc partials drive span detection. The final spans() must
+    hash-equal the same one-shot SQL the batch row uses — proving the
+    split-build is invisible to consumers. Per-update cost is O(batch):
+    one gram scan, two appends; see operators/substring_index.py for
+    the 100 TB shape."""
+    import shutil
+    import tempfile
+
+    from odbc2deltalake_spark.operators.substring_index import SubstringIndex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="substr_idx_")
+    try:
+        idx = SubstringIndex(root, k=_SPAN_K)
+        idx.build(docs)
+        v_build = idx.grams.version()
+        n_build = idx.grams.read(spark).count()
+        idx.append(_span_clones(docs))
+        assert idx.grams.version() > v_build, "append added no commit"
+        assert (
+            idx.grams.read(spark, version=v_build).count() == n_build
+        ), "append rewrote the build version"
+        return idx.spans(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # ------------------------------------- duplicated-substring STRIP apply ----

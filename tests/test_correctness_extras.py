@@ -283,9 +283,11 @@ SF01_DIR = "/root/testdata/sf0.01"
 ROUND_TOUCHED_OVERFLOW = [
     # r14 twelfth-wave evictions (fresh overflow rows)
     "mm_decode_meta", "text_letter_entropy",
-    # r14 new oracled rows: classifier deploy scoring (VERDICT r13 #6)
-    # and the frozen-basis PCA projection (same deploy-half pattern)
+    # r14 new oracled rows: classifier deploy scoring (VERDICT r13 #6),
+    # the frozen-basis PCA projection (same deploy-half pattern), and
+    # the persisted incremental substring index (VERDICT r13 #8)
     "text_classifier_score", "emb_pca_apply",
+    "dedup_substring_incremental",
     # r14 sweep-tail slimming (VERDICT r13 #4): fact-slice subset
     "mv_join_retraction",
 ]

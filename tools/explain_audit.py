@@ -387,6 +387,10 @@ AUDIT = [
     # r14: frozen-basis PCA projection — four 64-double array literals,
     # one zip_with+aggregate fold per component, zero shuffle
     "emb_pca_apply",
+    # r14: persisted incremental substring index — zero-shuffle gram
+    # build, batch-proportional appends, per-doc windows over the
+    # duplicated grams only
+    "dedup_substring_incremental",
 ]
 
 # Registry queries deliberately NOT audited, each with the structural
