@@ -910,3 +910,57 @@ def test_temporal_row_start_strange_update_rewind(spark, dest):
         spark, dest, WriteConfig(max_complex_entries=0)
     )
     assert d.delta_2.read(spark).count() == 0  # rewind leaves delta_2 empty
+
+
+def test_delta_col_autodetect_precedence(spark):
+    """reference:odbc2deltalake/write_init.py:144-167 — a rowversion
+    column ALWAYS beats a temporal ROW START, which beats a column
+    literally named __timestamp; the ROW END column is never a
+    candidate (and is excluded from the projection entirely)."""
+    from datetime import datetime
+
+    from odbc2deltalake_spark.plans.db_to_delta import make_writer
+
+    far = datetime.fromisoformat(_FAR_FUTURE)
+    row = [(1, "x", datetime(2024, 1, 1), far, 7, datetime(2024, 2, 2))]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("SysStartTime", T.TimestampType(), False),
+            T.StructField("SysEndTime", T.TimestampType(), False),
+            T.StructField("rv", T.LongType(), False),
+            T.StructField("__timestamp", T.TimestampType(), True),
+        ]
+    )
+    base_cols = [
+        ColInfo("id", T.LongType(), "bigint", False),
+        ColInfo("name", T.StringType(), "varchar(100)"),
+        ColInfo("SysStartTime", T.TimestampType(), "datetime2", False,
+                generated_always_type_desc="AS_ROW_START"),
+        ColInfo("SysEndTime", T.TimestampType(), "datetime2", False,
+                generated_always_type_desc="AS_ROW_END"),
+        ColInfo("__timestamp", T.TimestampType(), "datetime2"),
+    ]
+    rv = ColInfo("rv", T.LongType(), "rowversion", False)
+    df = spark.createDataFrame(row, schema)
+
+    def pick(cols):
+        return DataFrameSource(
+            df, cols, primary_keys=["id"]
+        ).default_delta_col(spark)
+
+    # all three candidates present: rowversion wins
+    assert pick(base_cols + [rv]) == "rv"
+    # no rowversion: ROW START wins over __timestamp
+    assert pick(base_cols) == "SysStartTime"
+    # neither: the __timestamp name convention is the fallback
+    no_temporal = [c for c in base_cols
+                   if c.generated_always_type_desc is None]
+    assert pick(no_temporal) == "__timestamp"
+    # ROW END is never picked and never projected
+    infos = make_writer(spark, DataFrameSource(df, base_cols,
+                                               primary_keys=["id"]), "/tmp/_unused_dest")
+    assert infos.delta_col is not None
+    assert infos.delta_col.column_name == "SysStartTime"
+    assert "SysEndTime" not in [c.column_name for c in infos.col_infos]
