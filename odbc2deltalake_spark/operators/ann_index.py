@@ -36,6 +36,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 
 from odbc2deltalake_spark.tablestore import VersionedParquetTable
 
@@ -201,7 +202,7 @@ class IvfIndex:
             ),
         )
         probe_cids = [cid for _, cid in scored[:nprobe]]
-        qcol = F.array(*[F.lit(x) for x in q])
+        qcol = double_array_lit(q)
         cos = _dot(F.col("v"), qcol) / (_norm(F.col("v")) * F.lit(qn))
         return (
             self.cells.read(spark)

@@ -36,6 +36,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 
 
 def featurize(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -123,7 +124,7 @@ def _margin(weights: list[float]):
     job costs more than the per-step codegen compile it saves. At much
     larger D (where the literal array bloats the generated code) the
     trade flips."""
-    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    wlit = double_array_lit(weights)
     return F.aggregate(
         F.col("feats"),
         F.lit(0.0),

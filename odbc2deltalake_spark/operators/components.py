@@ -73,6 +73,11 @@ def min_label_propagation(
         # carry the previous label through the checkpoint so convergence
         # is a scan of the materialized frame — not a join of new-vs-old
         # labels (which added a full shuffle per round)
+        # lazy checkpoint + count: the convergence count is the FIRST
+        # action over the checkpoint-marked RDD, so one job both
+        # materializes the round's labels and counts the changes — the
+        # former eager-checkpoint-then-count shape paid a second
+        # scheduling round trip per iteration for the same answer
         new_labels = (
             labels.join(nb_min, labels.node == nb_min.src, "left")
             .select(
@@ -82,7 +87,7 @@ def min_label_propagation(
                 ).alias("lbl"),
                 F.col("lbl").alias("prev"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("lbl") != F.col("prev")).count()
         labels = new_labels.select("node", "lbl")

@@ -41,6 +41,7 @@ from odbc2deltalake_spark.operators.pq import (
     encode_pq,
     fit_pq_codebooks,
 )
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 from odbc2deltalake_spark.tablestore import VersionedParquetTable
 
 _CID_STRIDE = 1 << 20
@@ -135,9 +136,10 @@ class IvfPqIndex:
         resid = self._residuals(assigned, cent).localCheckpoint(eager=True)
         books = fit_pq_codebooks(resid, self.dim, self.m, self.k, iterations)
         self.codebooks.write(books, mode="overwrite")
-        codes = encode_pq(resid, self.dim, self.m, books)
-        stored = codes.join(
-            assigned.select("vec_id", "cid"), "vec_id"
+        # carry=["cid"]: the encode map passes the cell id through, so no
+        # corpus-sized join back to assignments (guide §2.4)
+        stored = encode_pq(
+            resid, self.dim, self.m, books, carry=["cid"]
         ).select("vec_id", "cid", "codes")
         return self.cells.write(stored, mode="overwrite", partition_by=["cid"])
 
@@ -155,10 +157,9 @@ class IvfPqIndex:
         books = self.codebooks.read(spark).localCheckpoint(eager=True)
         assigned = assign_cosine(vectors.select("vec_id", "v"), cent)
         resid = self._residuals(assigned, cent)
-        codes = encode_pq(resid, self.dim, self.m, books)
-        stored = codes.join(assigned.select("vec_id", "cid"), "vec_id").select(
-            "vec_id", "cid", "codes"
-        )
+        stored = encode_pq(
+            resid, self.dim, self.m, books, carry=["cid"]
+        ).select("vec_id", "cid", "codes")
         return self.cells.write(stored, mode="append", partition_by=["cid"])
 
     # ---------- maintenance ----------
@@ -267,7 +268,7 @@ class IvfPqIndex:
             # lookup map and evaluating M map-lookups per row is the
             # dominant cost of exact-mode searches, for zero effect on
             # the result (the exact rerank re-scores the same set).
-            qlit0 = F.array(*[F.lit(x) for x in q_orig])
+            qlit0 = double_array_lit(q_orig)
             return (
                 rerank_vectors.join(
                     F.broadcast(probed.select("vec_id")), "vec_id"
@@ -329,7 +330,7 @@ class IvfPqIndex:
             .limit(candidates)
             .select("vec_id")
         )
-        qlit = F.array(*[F.lit(x) for x in q_orig])
+        qlit = double_array_lit(q_orig)
         exact = _sq_l2(F.col("v"), qlit)
         return (
             rerank_vectors.join(F.broadcast(cand), "vec_id")

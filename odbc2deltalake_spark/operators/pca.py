@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 
 _PARTIAL_SCHEMA = T.StructType(
     [
@@ -110,7 +111,7 @@ def project_pca(
     per component (dot(x−μ, c) = dot(x, c) − dot(μ, c))."""
     out = vectors
     for i, comp in enumerate(components):
-        carr = F.array(*[F.lit(float(c)) for c in comp])
+        carr = double_array_lit(comp)
         const = float(np.dot(mean, comp))
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), carr, lambda x, c: x * c),

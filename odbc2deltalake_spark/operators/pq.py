@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 
 
 def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
@@ -60,11 +61,16 @@ def _subvectors(vectors: DataFrame, dim: int, m: int) -> DataFrame:
     return vectors.select("vec_id", F.inline(parts))
 
 
-def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): argmin L2 of each subvector against ITS
+def _assign_codes(
+    subs: DataFrame, codebooks: DataFrame, keep_sv: bool = False
+) -> DataFrame:
+    """(vec_id, sub, cid[, sv]): argmin L2 of each subvector against ITS
     subspace's centroids. All M codebooks ride in one broadcast row; the
     per-row transform filters to the matching subspace — still a pure
-    map over the corpus."""
+    map over the corpus. ``keep_sv`` carries the subvector through so
+    the k-means update can aggregate directly — without it the fit paid
+    a (vec_id, sub)-keyed shuffle join per iteration just to re-attach
+    the sv it had projected away (guide §2.4)."""
     packed = codebooks.agg(
         F.collect_list(F.struct("sub", "cid", "cv")).alias("books")
     )
@@ -76,9 +82,10 @@ def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
         )
 
     best = F.element_at(F.array_sort(F.transform(mine, score)), 1)
-    return subs.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "sub", best["cid"].alias("cid")
-    )
+    cols = ["vec_id", "sub", best["cid"].alias("cid")]
+    if keep_sv:
+        cols.append(F.col("sv"))
+    return subs.crossJoin(F.broadcast(packed)).select(*cols)
 
 
 def fit_pq_codebooks(
@@ -102,8 +109,11 @@ def fit_pq_codebooks(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        assigned = _assign_codes(subs, books)
-        dims = assigned.join(subs, ["vec_id", "sub"]).select(
+        # keep_sv: the assignment map carries its input subvector, so the
+        # update aggregates straight off the scan — one Exchange per
+        # round (the mean shuffle), no re-attach join
+        assigned = _assign_codes(subs, books, keep_sv=True)
+        dims = assigned.select(
             "sub", "cid", F.posexplode("sv").alias("d", "x")
         )
         books = (
@@ -121,16 +131,46 @@ def fit_pq_codebooks(
     return books
 
 
-def encode_pq(vectors: DataFrame, dim: int, m: int, codebooks: DataFrame) -> DataFrame:
-    """(vec_id, codes: array<int> of length m) — each vector compressed
-    to its per-subspace nearest-centroid ids. Pure map."""
-    subs = _subvectors(vectors, dim, m)
-    codes = _assign_codes(subs, codebooks)
-    return codes.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-            lambda s: s["cid"],
-        ).alias("codes")
+def encode_pq(
+    vectors: DataFrame,
+    dim: int,
+    m: int,
+    codebooks: DataFrame,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """(vec_id[, *carry], codes: array<int> of length m) — each vector
+    compressed to its per-subspace nearest-centroid ids. ``carry`` names
+    extra input columns to pass through (IvfPqIndex carries ``cid`` so
+    it never has to join codes back to assignments).
+
+    A genuinely pure map (r14): all m per-subspace argmins are computed
+    inside ONE projection over the vector row — the former
+    explode-to-m-rows + groupBy(vec_id) + collect_list shape shuffled
+    the whole corpus just to reassemble rows it had itself split
+    (guide §2.4: remove shuffles outright). Each subspace's argmin uses
+    the same _sq_l2 + array_sort((d, cid)) expression as _assign_codes,
+    so the codes are identical."""
+    packed = codebooks.agg(
+        F.collect_list(F.struct("sub", "cid", "cv")).alias("books")
+    )
+    slices = _sub_slices(dim, m)
+
+    def code_for(s: int, start: int, ln: int):
+        mine = F.filter(F.col("books"), lambda c: c["sub"] == F.lit(s))
+        sv = F.slice("v", start, ln)
+
+        def score(c):
+            return F.struct(
+                _sq_l2(sv, c["cv"]).alias("d"), c["cid"].alias("cid")
+            )
+
+        return F.element_at(F.array_sort(F.transform(mine, score)), 1)["cid"]
+
+    codes = F.array(
+        *[code_for(s, start, ln) for s, (start, ln) in enumerate(slices)]
+    )
+    return vectors.crossJoin(F.broadcast(packed)).select(
+        "vec_id", *(carry or []), codes.alias("codes")
     )
 
 
@@ -187,9 +227,7 @@ def adc_topk(
     # under a pre-transform (OPQ) the ADC ranking runs in rotated space
     # while rerank_vectors may be ORIGINAL-space rows — rerank_query
     # carries the matching-space query (defaults to the ADC query)
-    qlit = F.array(
-        *[F.lit(float(x)) for x in (rerank_query or query)]
-    )
+    qlit = double_array_lit(rerank_query or query)
     exact = _sq_l2(F.col("v"), qlit)
     return (
         rerank_vectors.join(F.broadcast(cand), "vec_id")

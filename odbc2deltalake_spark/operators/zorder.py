@@ -35,6 +35,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 
 _DEFAULT_BUCKETS = 64  # 6 bits per dimension
 
@@ -65,7 +66,7 @@ def _bucket_expr(c: Column, boundaries: list[float]) -> Column:
     list: the count of boundaries <= value — a fold over a literal
     array, evaluated JVM-side per row. NULLs sort to bucket 0 (first,
     like NULLS FIRST)."""
-    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    arr = double_array_lit(boundaries)
     return F.when(c.isNull(), F.lit(0)).otherwise(
         F.aggregate(
             arr,

@@ -381,9 +381,21 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
 
     old_pk_version = dest.latest_pk_version.version() if not simple else None
 
-    wm, local_count = _local_value_and_count(ctx)
+    # the local and source watermark probes are independent scalar
+    # aggregates over different tables — overlap them so the second
+    # job's tasks back-fill the first's tail (guide §2.6; on a cluster
+    # the source probe is remote-RDBMS latency the local job need not
+    # wait behind)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_local = pool.submit(_local_value_and_count, ctx)
+        f_src = pool.submit(
+            ctx.source.max_and_count, ctx.spark, _source_delta_name(ctx)
+        )
+        wm, local_count = f_local.result()
+        src_wm, src_count = f_src.result()
     res.starting_local_state = (wm, local_count)
-    src_wm, src_count = ctx.source.max_and_count(ctx.spark, _source_delta_name(ctx))
     src_wm = _normalize_wm(src_wm)
     res.starting_source_state = (src_wm, src_count)
     if wm is not None and src_wm is not None and (wm, local_count) == (src_wm, src_count):
@@ -395,7 +407,7 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
     delta_load_value = wm
 
     # step 1 — source key snapshot (reference:db_to_delta.py:575-579,862-890)
-    if not simple:
+    def _step1() -> None:
         logger.info("Delta step 1: snapshot source PK/TS")
         keys = ctx.source.read_keys(
             ctx.spark, [_source_name(ctx, n) for n in ctx.pk_names + [ctx.delta_name]]
@@ -409,45 +421,77 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
         dest.primary_keys_ts.write(keys, mode="overwrite")
 
     # step 2 — changed rows past the watermark (reference:db_to_delta.py:584-610)
-    logger.info(f"Delta step 2: load updates WHERE {ctx.delta_name} > {delta_load_value}")
-    changed = ctx.source.read_where_gt(ctx.spark, _source_delta_name(ctx), delta_load_value)
-    d1_rows = with_system_cols(
-        ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
-    )
-    # count + exact delta-col bounds observed during the write — no
-    # read-back emptiness job, and the bounds become commit-log skipping
-    # stats on the history append (read_current_rows prunes with them)
-    _, n1, mm = dest.delta_1.write_counted_minmax(
-        d1_rows, [ctx.delta_name], mode="overwrite"
-    )
-    if n1:
-        ctx.append_history(
-            dest.delta_1.read(ctx.spark), delta_interval=mm.get(ctx.delta_name)
+    def _step2() -> int:
+        logger.info(
+            f"Delta step 2: load updates WHERE {ctx.delta_name} > {delta_load_value}"
         )
+        changed = ctx.source.read_where_gt(
+            ctx.spark, _source_delta_name(ctx), delta_load_value
+        )
+        d1_rows = with_system_cols(
+            ctx.extract(changed), ctx.load_ts, is_deleted=False, is_full_load=False
+        )
+        # count + exact delta-col bounds observed during the write — no
+        # read-back emptiness job, and the bounds become commit-log skipping
+        # stats on the history append (read_current_rows prunes with them)
+        _, n1, mm = dest.delta_1.write_counted_minmax(
+            d1_rows, [ctx.delta_name], mode="overwrite"
+        )
+        if n1:
+            ctx.append_history(
+                dest.delta_1.read(ctx.spark), delta_interval=mm.get(ctx.delta_name)
+            )
+        return n1
 
     if simple:
+        n1 = _step2()
         return _finish_simple(ctx, res, src_count, simple_check, delta_rows=n1)
+
+    # steps 1 and 2 touch disjoint tables (primary_keys_ts vs delta_1 +
+    # history) and only step 3 reads both — overlap them (guide §2.6).
+    # Failure-mode note: a step-1 failure after step 2's history append
+    # leaves the same on-disk state as a sequential crash between steps
+    # 2 and 4 — a state the watermark contract already tolerates
+    # (_local_value_and_count reads the COMMITTED latest_pk_version, so
+    # orphan staging rows are invisible until a later load re-indexes
+    # them).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(_step1)
+        f2 = pool.submit(_step2)
+        f1.result()
+        n1 = f2.result()
 
     # step 3 — strange updates (reference:db_to_delta.py:995-1184)
     assert old_pk_version is not None
     new_wm = _handle_additional_updates(ctx, old_pk_version)
     delta_load_value = new_wm if new_wm is not None else delta_load_value
 
-    # step 3.5 — deletes (reference:db_to_delta.py:749-859)
+    # steps 3.5 (deletes) and 4 (current-rows index) are also
+    # data-independent: the new index excludes deleted keys because the
+    # pk_ts snapshot no longer contains them — _do_deletes only appends
+    # tombstones to the HISTORY table, which step 4 never reads. Overlap
+    # them the same way (guide §2.6); both must complete before the
+    # reconcile.
     logger.info("Delta step 3.5: write deletes")
-    _do_deletes(ctx, old_pk_version)
 
-    # step 4 — persist the new current-rows index (reference:db_to_delta.py:631-639)
-    logger.info("Delta step 4: write latest_pk_version")
-    latest = latest_pk_union(
-        dest.delta_2.read(ctx.spark) if dest.delta_2.exists() else None,
-        dest.delta_1.read(ctx.spark),
-        dest.primary_keys_ts.read(ctx.spark),
-        ctx.pk_names,
-        ctx.delta_name,
-        delta_load_value=delta_load_value,
-    )
-    _, target_count = dest.latest_pk_version.write_counted(latest, mode="overwrite")
+    def _step4() -> int:
+        logger.info("Delta step 4: write latest_pk_version")
+        latest = latest_pk_union(
+            dest.delta_2.read(ctx.spark) if dest.delta_2.exists() else None,
+            dest.delta_1.read(ctx.spark),
+            dest.primary_keys_ts.read(ctx.spark),
+            ctx.pk_names,
+            ctx.delta_name,
+            delta_load_value=delta_load_value,
+        )
+        _, n = dest.latest_pk_version.write_counted(latest, mode="overwrite")
+        return n
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_del = pool.submit(_do_deletes, ctx, old_pk_version)
+        f4 = pool.submit(_step4)
+        f_del.result()
+        target_count = f4.result()
 
     # reconcile (reference:db_to_delta.py:641-658) — the target count is
     # observed during the write itself, no second scan

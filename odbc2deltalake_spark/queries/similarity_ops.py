@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from odbc2deltalake_spark.functions.litarray import double_array_lit
 from odbc2deltalake_spark.queries.registry import load_table, register
 
 _QUERY_VEC_ID = 0  # the fixed probe vector for deterministic oracles
@@ -200,7 +201,7 @@ def _plane_dot_col(vcol, p: int):
     pattern — bit-matches :func:`_plane_dot_sql` (index-ordered ± chain;
     x * ±1.0 is an exact IEEE sign flip). The patterns are Walsh
     functions: mutually orthogonal, each with squared norm 64."""
-    signs = F.array(*[F.lit(1.0 if (d >> p) & 1 else -1.0) for d in range(64)])
+    signs = double_array_lit([1.0 if (d >> p) & 1 else -1.0 for d in range(64)])
     return F.aggregate(
         F.zip_with(vcol, signs, lambda x, s: x * s),
         F.lit(0.0),
@@ -553,7 +554,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus, persisted as the index); the probe side is a
     {nprobe}-row broadcast semi-join, so a query reads only its cells'
     partitions (partition the stored index by cell id) and finishes with
-    TakeOrdered — no global shuffle of the corpus at query time."""
+    TakeOrdered — no global shuffle of the corpus at query time.
+
+    r14 optimization A/B (kept for the record, guide §1.1): three
+    window-free argmax variants were measured against this plan at sf0.1
+    — (a) collected-centroid LITERAL arrays + aggregate-fold argmax,
+    (b) the same with a one-string F.expr array and driver-side centroid
+    norms, (c) the assign_cosine broadcast-pack + array_sort argmin (no
+    literals, no extra jobs). All three produced bit-identical results;
+    the ASSIGNMENT stage alone is ~2x faster map-side (noop-isolated
+    0.83 s vs 1.6 s), but end-to-end every variant lost by 1-1.5 s:
+    interpreted higher-order-function evaluation of the K-struct score
+    array per row costs more than the codegen'd window over the
+    Kx-exploded frame, and (a)/(b) additionally pay control-plane
+    collects / literal-forest plan optimization per invocation. At real
+    corpus scale the window's corpus-wide Exchange would dominate and
+    the map-side shape wins — that path is exactly what
+    operators/clustering.assign_cosine + IvfIndex/IvfPqIndex implement;
+    this small oracle-pinned variant keeps the empirically fastest plan
+    for its size."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
