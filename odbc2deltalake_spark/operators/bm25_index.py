@@ -94,7 +94,14 @@ class Bm25Index:
             ).alias("w"),
         ).localCheckpoint(eager=False)
         tf = toks.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-        dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        # lazy checkpoint: the docstats write materializes dl once; the
+        # batch-counter aggregate below then reads the cached rows
+        # instead of re-running the token scan + dl shuffle a second time
+        dl = (
+            toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .localCheckpoint(eager=False)
+        )
         self.postings.write(
             tf.repartition(_POSTING_SLICES, "w"),
             mode="append",
@@ -158,27 +165,23 @@ class Bm25Index:
         # then broadcast: a rare-term query touches a few docstats files
         # instead of one-row-per-corpus-doc. Past the cap the query is
         # corpus-proportional anyway — plain shuffle join.
-        # ADVICE r13: for stop-word-like queries the 100k-row candidate
-        # collect is pure overhead preceding the inevitable fallback —
-        # a one-row approx_count_distinct over the (checkpointed) pruned
-        # postings decides first. 1.2x margin over the ±5% HLL rsd: an
-        # over-estimate only costs taking the shuffle path a query that
-        # is already near-corpus-proportional; never a wrong result.
-        approx = post.agg(
-            F.approx_count_distinct("doc_id").alias("a")
-        ).collect()[0]["a"]
-        cands = (
-            [
-                r[0]
-                for r in post.select("doc_id")
-                .distinct()
-                .limit(_CAND_CAP + 1)
-                .collect()
-            ]
-            if approx <= _CAND_CAP * 1.2
-            else None
-        )
-        if cands is not None and len(cands) <= _CAND_CAP:
+        # r14 (closes ADVICE r13 by measurement): ONE bounded job decides
+        # — limit(_CAND_CAP + 1) collects at most cap+1 distinct ids, so
+        # the collect IS the cap check. The r13 draft ran an
+        # approx_count_distinct pre-check first, which charged every
+        # SELECTIVE query (the common case, and the benched one) a whole
+        # extra action to sometimes save a bounded ≤cap+1-id transfer on
+        # stop-word queries; the limit already bounds that transfer to a
+        # few MB, so the pre-check bought nothing the cap didn't.
+        # (docstats_files_touched has always used this exact shape.)
+        cands = [
+            r[0]
+            for r in post.select("doc_id")
+            .distinct()
+            .limit(_CAND_CAP + 1)
+            .collect()
+        ]
+        if len(cands) <= _CAND_CAP:
             dl = F.broadcast(
                 self.docstats.read(spark, skip_where=("doc_id", "in", cands))
             )

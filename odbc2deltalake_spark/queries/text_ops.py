@@ -912,31 +912,44 @@ def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, no window. At 100 TB this runs at scan speed with zero
     shuffle bytes (the explode-per-char formulation would shuffle
     ~|corpus| rows to count the same thing)."""
-    import functools
-
     docs = load_table(spark, sf_dir, "documents")
-    lt = F.lower(F.col("text"))
-    counts = {
-        ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit(""))))
-        for ch in _LETTERS
-    }
-    n = functools.reduce(
-        lambda a, b: a + b, (counts[ch] for ch in _LETTERS)
-    ).cast("long")
-    nd = n.cast("double")
-    terms = [
-        F.when(
-            counts[ch] > 0,
-            (counts[ch] / nd) * F.log(counts[ch] / nd),
-        ).otherwise(F.lit(0.0))
-        for ch in _LETTERS
-    ]
-    ent = -functools.reduce(lambda a, b: a + b, terms)
+    # r14: STAGED projections, one per reuse level. The former single
+    # projection inlined every count (2 string ops) into the 26-count
+    # sum, and that sum into all 26 entropy terms twice — ~2,700 string
+    # replaces per row once the expression fell out of codegen CSE
+    # (measured 4.3-5.2 s warm at sf0.1 for a 5k-doc map). Naming each
+    # reused value as a column makes it evaluate once: CollapseProject
+    # refuses to re-inline non-cheap expressions that are referenced
+    # more than once, so the staging survives optimization. Term math
+    # and reduce order are unchanged — the doubles are identical.
+    # (selectExpr strings: the Column-API form of the same three
+    # projections spent ~1.8 s of every invocation on py4j expression
+    # construction — parsed SQL builds the identical expressions in 3
+    # driver calls. CASE WHEN == F.when, ln == F.log, left-assoc + chains
+    lows = docs.selectExpr("doc_id", "lower(text) AS lt")
+    counted = lows.selectExpr(
+        "doc_id",
+        *[
+            f"(length(lt) - length(replace(lt, '{ch}', ''))) AS c_{ch}"
+            for ch in _LETTERS
+        ],
+    )
+    total = " + ".join(f"c_{ch}" for ch in _LETTERS)
+    tot = counted.selectExpr(
+        "doc_id",
+        *[f"c_{ch}" for ch in _LETTERS],
+        f"CAST({total} AS BIGINT) AS n_letters",
+    )
+    term = (
+        "(CASE WHEN c_{ch} > 0 THEN (c_{ch} / CAST(n_letters AS DOUBLE))"
+        " * ln(c_{ch} / CAST(n_letters AS DOUBLE)) ELSE 0.0D END)"
+    )
+    ent = " + ".join(term.format(ch=ch) for ch in _LETTERS)
     return (
-        docs.select(
+        tot.selectExpr(
             "doc_id",
-            n.alias("n_letters"),
-            F.round(ent, 4).alias("letter_entropy"),
+            "n_letters",
+            f"round(-({ent}), 4) AS letter_entropy",
         )
         .filter(F.col("n_letters") > 0)
     )
