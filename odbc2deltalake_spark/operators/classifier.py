@@ -286,7 +286,9 @@ def margin_expr(weights: list[float], n_buckets: int, text_col: str = "text"):
     arithmetic on n and the alpha ratio. Identical (to float addition
     order) to `predict` over `featurize`; tests pin the equivalence at
     1e-9."""
-    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    # one parsed expr, not len(weights) py4j round trips (wave-1 litarray
+    # sweep — this site was missed; plan-identical folded literal)
+    wlit = double_array_lit([float(x) for x in weights])
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
     n_tok = F.size(ws)
     hashed_sum = F.aggregate(

@@ -57,6 +57,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r14 (guide §2.2/§2.5, measured): AQE's partition-merge floor.
+        # Spark's default 1 MB floor coalesces any sub-MB shuffle to ONE
+        # partition, which serializes CPU-heavy small stages onto one
+        # core (measured here: the minhash signature stage — md5 + conv
+        # per shingle — ran 1-partition; dedup_minhash_lsh 3.8 s → 2.2 s
+        # and corpus_decontaminate_fuzzy 5.2 s → 2.3 s at sf0.1 with a
+        # 16 KB floor; 4 KB showed no further gain). Scale-safe by
+        # construction: the floor only *limits merging* — on production
+        # inputs coalesced partitions are sized by
+        # advisoryPartitionSizeInBytes (64 MB default), far above any
+        # floor, so a 16 KB floor is a no-op at scale and only matters
+        # exactly where it should: tiny shuffles whose per-row compute
+        # is the cost. Parameterised for cluster overrides.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # straggler mitigation: re-launch tasks that run far beyond their
