@@ -421,7 +421,7 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
         dest.primary_keys_ts.write(keys, mode="overwrite")
 
     # step 2 — changed rows past the watermark (reference:db_to_delta.py:584-610)
-    def _step2() -> int:
+    def _step2_write() -> tuple[int, dict]:
         logger.info(
             f"Delta step 2: load updates WHERE {ctx.delta_name} > {delta_load_value}"
         )
@@ -437,14 +437,17 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
         _, n1, mm = dest.delta_1.write_counted_minmax(
             d1_rows, [ctx.delta_name], mode="overwrite"
         )
+        return n1, mm
+
+    def _step2_append(n1: int, mm: dict) -> None:
         if n1:
             ctx.append_history(
                 dest.delta_1.read(ctx.spark), delta_interval=mm.get(ctx.delta_name)
             )
-        return n1
 
     if simple:
-        n1 = _step2()
+        n1, mm = _step2_write()
+        _step2_append(n1, mm)
         return _finish_simple(ctx, res, src_count, simple_check, delta_rows=n1)
 
     # steps 1 and 2 touch disjoint tables (primary_keys_ts vs delta_1 +
@@ -457,13 +460,30 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
     # them).
     with ThreadPoolExecutor(max_workers=2) as pool:
         f1 = pool.submit(_step1)
-        f2 = pool.submit(_step2)
+        f2 = pool.submit(_step2_write)
         f1.result()
-        n1 = f2.result()
+        n1, mm = f2.result()
 
-    # step 3 — strange updates (reference:db_to_delta.py:995-1184)
+    # step 3 — strange updates (reference:db_to_delta.py:995-1184).
+    # r14: the step-2 HISTORY append and the step-3 PROBE are also
+    # data-independent — the probe reads primary_keys_ts, delta_1 (both
+    # committed above) and latest_pk@old, never the history — so they
+    # overlap too (guide §2.6). Only the RARE strange-update branches
+    # append history themselves; _probe_additional_updates therefore
+    # returns the decision without acting on it, and the branch work
+    # (which must serialize after step 2's append for the +1µs ordering
+    # contract) runs after both futures complete. Crash interleavings:
+    # history-appended-but-no-delta_2 equals a sequential crash inside
+    # step 3; probe-done-but-history-missing equals a sequential crash
+    # between steps 2 and 3 — both states the restore path already
+    # tolerates.
     assert old_pk_version is not None
-    new_wm = _handle_additional_updates(ctx, old_pk_version)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_hist = pool.submit(_step2_append, n1, mm)
+        f_probe = pool.submit(_probe_additional_updates, ctx, old_pk_version)
+        probe = f_probe.result()
+        f_hist.result()
+    new_wm = _act_additional_updates(ctx, probe)
     delta_load_value = new_wm if new_wm is not None else delta_load_value
 
     # steps 3.5 (deletes) and 4 (current-rows index) are also
@@ -572,19 +592,14 @@ def _finish_simple(
 # -------------------------------------------------------- strange updates --
 
 
-def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
-    """Timestamp-inconsistent updates — e.g. a restore-from-backup rewound
-    rows below the watermark (reference:odbc2deltalake/db_to_delta.py:995-1184).
-
-    additional = (pk, ts) in primary_keys_ts EXCEPT (pk, ts) in latest_pk@old
-    real_additional = additional.pks EXCEPT delta_1.pks
-
-    - 0 keys → empty delta_2
-    - > max_complex_entries (or no_complex_entries_load) → rewind: new
-      watermark = MIN(ts of additional); re-extract WHERE ts > that value
-      into the history; return the rewound watermark (it caps step 4)
-    - else → fetch exactly those rows via broadcast semi join → delta_2
-    """
+def _probe_additional_updates(ctx: _Ctx, old_pk_version: int):
+    """Decision half of step 3 (r14 split): compute the strange-update
+    count and the checkpointed frames the branches need, and handle the
+    common 0-strange case inline (the empty delta_2 overwrite touches
+    neither the history nor delta_1, so it is safe while step 2's
+    history append is still in flight). Returns None when fully handled,
+    else ``(additional, real_additional, update_count)`` for
+    ``_act_additional_updates`` to act on after the append completes."""
     dest = ctx.dest
     assert ctx.delta_name is not None
     sel = ctx.pk_names + [ctx.delta_name]
@@ -600,11 +615,41 @@ def _handle_additional_updates(ctx: _Ctx, old_pk_version: int) -> Optional[Any]:
     real_additional = real_additional.localCheckpoint(eager=False)
     update_count = real_additional.count()
 
-    d1_schema = dest.delta_1.schema()
     if update_count == 0:
+        d1_schema = dest.delta_1.schema()
         dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
         return None
+    return additional, real_additional, update_count
 
+
+def _act_additional_updates(ctx: _Ctx, probe) -> Optional[Any]:
+    """Branch half of step 3 — runs strictly after step 2's history
+    append (its own appends carry the +1µs later stamp and assume step
+    2's rows already landed)."""
+    if probe is None:
+        return None
+    additional, real_additional, update_count = probe
+    return _handle_additional_updates(ctx, additional, real_additional, update_count)
+
+
+def _handle_additional_updates(
+    ctx: _Ctx, additional, real_additional, update_count: int
+) -> Optional[Any]:
+    """Timestamp-inconsistent updates — e.g. a restore-from-backup rewound
+    rows below the watermark (reference:odbc2deltalake/db_to_delta.py:995-1184).
+
+    additional = (pk, ts) in primary_keys_ts EXCEPT (pk, ts) in latest_pk@old
+    real_additional = additional.pks EXCEPT delta_1.pks
+
+    - 0 keys → empty delta_2 (handled in _probe_additional_updates)
+    - > max_complex_entries (or no_complex_entries_load) → rewind: new
+      watermark = MIN(ts of additional); re-extract WHERE ts > that value
+      into the history; return the rewound watermark (it caps step 4)
+    - else → fetch exactly those rows via broadcast semi join → delta_2
+    """
+    dest = ctx.dest
+    assert ctx.delta_name is not None
+    d1_schema = dest.delta_1.schema()
     if update_count > ctx.cfg.max_complex_entries or ctx.cfg.no_complex_entries_load:
         dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
         ctx.logger.warning(

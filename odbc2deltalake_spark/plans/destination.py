@@ -140,13 +140,18 @@ class DeltaDestination:
         rewritten every load, exactly the churn profile the window is
         for. Stores without the window (DeltaTableStore delegates
         OPTIMIZE/VACUUM to the Delta runtime) fall back to plain
-        vacuum. Returns {table: outcome} for the ops log."""
-        out: dict[str, dict] = {}
-        for name in ("latest_pk_version", "delta_1", "delta_2",
-                     "primary_keys_ts"):
+        vacuum. Returns {table: outcome} for the ops log.
+
+        r14: the four side tables live in disjoint directories and their
+        maintenance never crosses tables, so the per-table passes run
+        from a small thread pool (guide §2.6) — post-load wall for the
+        window drops to the slowest table instead of the sum."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(name: str) -> tuple[str, dict] | None:
             t = getattr(self, name)
             if not t.exists():
-                continue
+                return None
             maintain = getattr(t, "auto_maintain", None)
             if maintain is not None:
                 # DeltaTableStore defines auto_maintain as a loud refusal
@@ -156,12 +161,16 @@ class DeltaDestination:
                 # and fail every Delta-backed load post-write (ADVICE
                 # r10, high).
                 try:
-                    out[name] = maintain(spark, vacuum_now=True)
+                    return name, maintain(spark, vacuum_now=True)
                 except NotImplementedError:
-                    out[name] = {"vacuum_removed": len(t.vacuum())}
-            else:
-                out[name] = {"vacuum_removed": len(t.vacuum())}
-        return out
+                    return name, {"vacuum_removed": len(t.vacuum())}
+            return name, {"vacuum_removed": len(t.vacuum())}
+
+        names = ("latest_pk_version", "delta_1", "delta_2",
+                 "primary_keys_ts")
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(_one, names))
+        return {name: outcome for r in results if r for name, outcome in [r]}
 
 
 _LOG_SCHEMA = T.StructType(
