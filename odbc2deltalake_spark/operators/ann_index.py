@@ -91,17 +91,26 @@ class IvfIndex:
         one scan; the centroid array (~sqrt(N) entries) stays a broadcast
         until ~100k centroids, where assignment itself goes IVF-style
         (coarse-quantize the centroids) — out of scope here."""
+        # r14 (guide §1.2 per-task work): centroid norms ride the packed
+        # broadcast (one eval per centroid), the vector norm is projected
+        # once per row — the lambda no longer re-derives either, cutting
+        # the per-row HOF work ~3x with bit-identical scores (same ops on
+        # the same values, results reused instead of recomputed)
         cent_packed = cent.agg(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv"), _norm(F.col("cv")).alias("nrm"))
+            ).alias("cents")
         )
 
         def score(c):
-            neg = -(_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"])))
+            neg = -(_dot(F.col("v"), c["cv"]) / (F.col("_vn") * c["nrm"]))
             return F.struct(neg.alias("neg"), c["cid"].alias("cid"))
 
         best = F.element_at(F.array_sort(F.transform(F.col("cents"), score)), 1)
-        return vectors.crossJoin(F.broadcast(cent_packed)).select(
-            "vec_id", "label", "v", best["cid"].alias("cid")
+        return (
+            vectors.withColumn("_vn", _norm(F.col("v")))
+            .crossJoin(F.broadcast(cent_packed))
+            .select("vec_id", "label", "v", best["cid"].alias("cid"))
         )
 
     def build(

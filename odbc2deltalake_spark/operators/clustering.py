@@ -47,18 +47,31 @@ def assign_cosine(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     ``vectors``: (vec_id, v: array<double>); ``centroids``: (cid, cv).
     Returns (vec_id, v, cid). Ties break to the lowest cid via the
     struct sort order of (-cos, cid).
+
+    r14 (guide §1.2 per-task work): the centroid norm is computed once
+    per CENTROID inside the packed broadcast and the vector norm once
+    per ROW before the score loop — the previous form re-evaluated both
+    inside the per-centroid lambda, tripling the interpreted
+    higher-order-function work per row (k*(dot+2 norms) -> k*dot +
+    1 norm). Bit-identical scores: the retained expressions evaluate
+    the same operations on the same values in the same order, only
+    their (deterministic) results are reused instead of recomputed.
     """
     packed = centroids.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
+        F.collect_list(
+            F.struct(F.col("cid"), F.col("cv"), _norm(F.col("cv")).alias("nrm"))
+        ).alias("cents")
     )
 
     def score(c):
-        neg = -(_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"])))
+        neg = -(_dot(F.col("v"), c["cv"]) / (F.col("_vn") * c["nrm"]))
         return F.struct(neg.alias("neg"), c["cid"].alias("cid"))
 
     best = F.element_at(F.array_sort(F.transform(F.col("cents"), score)), 1)
-    return vectors.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "v", best["cid"].alias("cid")
+    return (
+        vectors.withColumn("_vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", "v", best["cid"].alias("cid"))
     )
 
 
@@ -112,11 +125,17 @@ def kmeans_summary(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     counts and mean member-to-centroid cosine (rounded for cross-run
     stability). One map (assignment) + one shuffle (per-cid agg)."""
     assigned = assign_cosine(vectors.select("vec_id", "v"), centroids)
-    cos = assigned.join(F.broadcast(centroids), "cid").select(
-        "cid",
-        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
-            "c"
-        ),
+    # r14: same norm hoisting as assign_cosine — the centroid norm rides
+    # the broadcast join row (one eval per centroid), the vector norm is
+    # projected once per row; identical doubles, ~3x less HOF work
+    cents_n = centroids.withColumn("_cn", _norm(F.col("cv")))
+    cos = (
+        assigned.withColumn("_vn", _norm(F.col("v")))
+        .join(F.broadcast(cents_n), "cid")
+        .select(
+            "cid",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn"))).alias("c"),
+        )
     )
     return cos.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -67,10 +67,13 @@ def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", "label", dbl.alias("v"))
+    # r14: the query norm is a per-row CONSTANT — evaluate it once in
+    # the broadcast row instead of 64-mult+sqrt per corpus row
+    # (bit-identical: same expression over the same values, reused)
     q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("_qn")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("_qn"))
     return (
         corpus.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -578,14 +581,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", "label", dbl.alias("v"))
+    # r14 norm hoisting (bit-identical, see assign_cosine): the centroid
+    # norm is evaluated once per centroid in the broadcast row and the
+    # vector norm once per row — the K-way crossJoin previously paid
+    # both per (row, centroid) pair
     cent = corpus.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("_cn"),
     )
-    cos_c = _dot(F.col("v"), F.col("cv")) / (
-        _norm(F.col("v")) * _norm(F.col("cv"))
-    )
-    scored = corpus.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "label", "v", "cid", cos_c.alias("cos")
+    cos_c = _dot(F.col("v"), F.col("cv")) / (F.col("_vn") * F.col("_cn"))
+    scored = (
+        corpus.withColumn("_vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "v", "cid", cos_c.alias("cos"))
     )
     rn = F.row_number().over(
         W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -601,11 +609,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("_qn")
     )
-    cos_q = _dot(F.col("v"), F.col("qv")) / (
-        _norm(F.col("v")) * _norm(F.col("qv"))
-    )
+    cos_q = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("_qn"))
     return (
         assigned.join(F.broadcast(probe), "cid")
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -675,12 +681,23 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus = base.filter(F.col("vec_id") % _EVAL_MOD != 0).unionByName(
         ev.select((F.col("vec_id") + 50000).alias("vec_id"), "v")
     )
+    # r14 norm hoisting (bit-identical, see assign_cosine): eval norms
+    # ride the broadcast (one eval per eval-vector), the corpus norm is
+    # projected once per row — previously both re-evaluated per
+    # (corpus x eval) pair
     scored = (
-        corpus.crossJoin(F.broadcast(ev.select(F.col("v").alias("ev"))))
+        corpus.withColumn("_vn", _norm(F.col("v")))
+        .crossJoin(
+            F.broadcast(
+                ev.select(
+                    F.col("v").alias("ev"), _norm(F.col("v")).alias("_en")
+                )
+            )
+        )
         .select(
             "vec_id",
             (_dot(F.col("v"), F.col("ev"))
-             / (_norm(F.col("v")) * _norm(F.col("ev")))).alias("c"),
+             / (F.col("_vn") * F.col("_en"))).alias("c"),
         )
         .groupBy("vec_id")
         .agg(F.max("c").alias("m"))
@@ -918,9 +935,10 @@ def corpus_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("cv")
     )
-    cos = _dot(F.col("v"), F.col("cv")) / (
-        _norm(F.col("v")) * _norm(F.col("cv"))
-    )
+    # r14: the centroid norm is a per-row constant — one eval in the
+    # broadcast row (bit-identical, see assign_cosine)
+    cent = cent.withColumn("_cn", _norm(F.col("cv")))
+    cos = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * F.col("_cn"))
     scored = base.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", F.round(cos, 4).alias("cosine")
     )

@@ -454,10 +454,12 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id").alias("doc_id"), dbl.alias("v"))
+    # r14: query norm evaluated once in the broadcast row, not per
+    # corpus row (bit-identical — same expression, result reused)
     q = vecs.filter(F.col("doc_id") == _HYBRID_QUERY_VEC).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("_qn")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("_qn"))
     fused_raw = F.lit(0.5) * F.col("lex_norm") + F.lit(0.5) * cos
     return (
         lexn.join(vecs, "doc_id")
@@ -590,10 +592,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     vecs = emb.select(F.col("vec_id").alias("doc_id"), dbl.alias("v"))
+    # r14: query norm evaluated once in the broadcast row, not per
+    # corpus row (bit-identical — same expression, result reused)
     q = vecs.filter(F.col("doc_id") == _HYBRID_QUERY_VEC).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("_qn")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("_qn"))
     sem = vecs.crossJoin(F.broadcast(q)).select(
         "doc_id", F.round(cos, 6).alias("cos_sim")
     )
