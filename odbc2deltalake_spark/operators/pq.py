@@ -61,20 +61,39 @@ def _subvectors(vectors: DataFrame, dim: int, m: int) -> DataFrame:
     return vectors.select("vec_id", F.inline(parts))
 
 
+def _pack_books_by_sub(codebooks: DataFrame) -> DataFrame:
+    """One-row broadcast frame: ``books`` = array (indexed by sub) of
+    arrays of (cid, cv), each inner list sorted by cid.
+
+    r14 (guide §1.2 per-task work): the former flat (sub, cid, cv) pack
+    made every row FILTER all M*K structs to find its subspace's K; the
+    by-sub nesting makes that an O(1) ``element_at``. Values unchanged —
+    the same (cid, cv) pairs reach the same argmin, and the (d, cid)
+    struct sort is total, so inner list order cannot affect the pick."""
+    per_sub = codebooks.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("bk")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "bk"))),
+            lambda s: s["bk"],
+        ).alias("books")
+    )
+
+
 def _assign_codes(
     subs: DataFrame, codebooks: DataFrame, keep_sv: bool = False
 ) -> DataFrame:
     """(vec_id, sub, cid[, sv]): argmin L2 of each subvector against ITS
-    subspace's centroids. All M codebooks ride in one broadcast row; the
-    per-row transform filters to the matching subspace — still a pure
-    map over the corpus. ``keep_sv`` carries the subvector through so
-    the k-means update can aggregate directly — without it the fit paid
-    a (vec_id, sub)-keyed shuffle join per iteration just to re-attach
+    subspace's centroids. All M codebooks ride in one broadcast row,
+    nested by sub (``_pack_books_by_sub``) so the per-row lookup is an
+    ``element_at``, not an M*K filter — still a pure map over the
+    corpus. ``keep_sv`` carries the subvector through so the k-means
+    update can aggregate directly — without it the fit paid a
+    (vec_id, sub)-keyed shuffle join per iteration just to re-attach
     the sv it had projected away (guide §2.4)."""
-    packed = codebooks.agg(
-        F.collect_list(F.struct("sub", "cid", "cv")).alias("books")
-    )
-    mine = F.filter(F.col("books"), lambda c: c["sub"] == F.col("sub"))
+    packed = _pack_books_by_sub(codebooks)
+    mine = F.element_at(F.col("books"), F.col("sub").cast("int") + 1)
 
     def score(c):
         return F.struct(
@@ -150,13 +169,13 @@ def encode_pq(
     (guide §2.4: remove shuffles outright). Each subspace's argmin uses
     the same _sq_l2 + array_sort((d, cid)) expression as _assign_codes,
     so the codes are identical."""
-    packed = codebooks.agg(
-        F.collect_list(F.struct("sub", "cid", "cv")).alias("books")
-    )
+    packed = _pack_books_by_sub(codebooks)
     slices = _sub_slices(dim, m)
 
     def code_for(s: int, start: int, ln: int):
-        mine = F.filter(F.col("books"), lambda c: c["sub"] == F.lit(s))
+        # by-sub nested pack: O(1) element_at, not an M*K filter per
+        # subspace per row (values identical — see _pack_books_by_sub)
+        mine = F.element_at(F.col("books"), s + 1)
         sv = F.slice("v", start, ln)
 
         def score(c):
