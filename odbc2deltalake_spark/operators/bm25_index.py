@@ -102,21 +102,40 @@ class Bm25Index:
             .agg(F.count(F.lit(1)).alias("dl"))
             .localCheckpoint(eager=False)
         )
-        self.postings.write(
-            tf.repartition(_POSTING_SLICES, "w"),
-            mode="append",
-            per_file_stats=True,
-            bloom_cols=["w"],
-        )
-        self.docstats.write(
-            dl.repartition(_DOCSTAT_SLICES, "doc_id"),
-            mode="append",
-            per_file_stats=True,
-            bloom_cols=["doc_id"],
-        )
-        row = dl.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
-        ).collect()[0]
+        # r14 (guide §2.6): postings and docstats are disjoint tables —
+        # write them concurrently; the batch-size aggregate rides the
+        # docstats thread (it reads dl's checkpoint, which that write
+        # materializes). The counters row — the batch's commit record —
+        # still lands strictly last, so a crash mid-update leaves an
+        # uncommitted torn batch exactly as the sequential order did
+        # (ordering BETWEEN the two side tables was never part of the
+        # read contract; only counters gates batch visibility in idf).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_postings() -> None:
+            self.postings.write(
+                tf.repartition(_POSTING_SLICES, "w"),
+                mode="append",
+                per_file_stats=True,
+                bloom_cols=["w"],
+            )
+
+        def _write_docstats_and_count():
+            self.docstats.write(
+                dl.repartition(_DOCSTAT_SLICES, "doc_id"),
+                mode="append",
+                per_file_stats=True,
+                bloom_cols=["doc_id"],
+            )
+            return dl.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+            ).collect()[0]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_post = pool.submit(_write_postings)
+            f_stats = pool.submit(_write_docstats_and_count)
+            row = f_stats.result()
+            f_post.result()
         batch_id = (
             self.counters.count_rows(spark) if self.counters.exists() else 0
         )

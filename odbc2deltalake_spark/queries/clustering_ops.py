@@ -133,8 +133,15 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = encode_pq(vectors, _PQ_DIM, _PQ_M, books).localCheckpoint(
         eager=False
     )
-    q = vectors.filter(F.col("vec_id") == _PQ_QUERY_VEC).first()["v"]
-    n = vectors.count()
+    # r14: corpus size and the query vector in ONE control-plane job
+    # (was a count() job + a first() job — guide §2.4, fewer passes)
+    meta = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(
+            F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")), True
+        ).alias("qv"),
+    ).first()
+    q, n = meta["qv"], meta["n"]
     return adc_topk(
         q,
         codes.filter(F.col("vec_id") != _PQ_QUERY_VEC),
@@ -188,9 +195,16 @@ def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = encode_pq(rot, _PQ_DIM, _PQ_M, books).localCheckpoint(
         eager=False
     )
-    q = vectors.filter(F.col("vec_id") == _PQ_QUERY_VEC).first()["v"]
+    # r14: corpus size + query vector in one control-plane job (see
+    # sim_ann_pq)
+    meta = vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(
+            F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")), True
+        ).alias("qv"),
+    ).first()
+    q, n = meta["qv"], meta["n"]
     q_rot = [float(x) for x in (np.asarray(r) @ np.asarray(q))]
-    n = vectors.count()
     return adc_topk(
         q_rot,
         codes.filter(F.col("vec_id") != _PQ_QUERY_VEC),

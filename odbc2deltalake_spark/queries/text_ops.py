@@ -1092,7 +1092,15 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
-    n = corpus.count()
+    # r14: corpus size, dim, and the query vector in ONE control-plane
+    # job (was count() + first() + filtered first() — three jobs)
+    _meta = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(
+            F.when(F.col("vec_id") == _HYBRID_QUERY_VEC, F.col("v")), True
+        ).alias("qv"),
+    ).first()
+    n = _meta["n"]
     # r13 (VERDICT r12 #3): this row proves FUSION over persisted
     # indexes, not quantizer quality — and in the exact-equivalence
     # configuration (nprobe=ncent, full-slice rerank) the result is
@@ -1105,8 +1113,8 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity), sim_ann_ivfpq_search / sim_ann_opq (trained builds with
     # recall floors).
     ncent = max(4, min(int(n ** 0.5), 16))
-    dim = len(corpus.first()["v"])
-    qv = corpus.filter(F.col("vec_id") == _HYBRID_QUERY_VEC).first()["v"]
+    qv = _meta["qv"]
+    dim = len(qv)
 
     # r13 (VERDICT r12 #3): the point of this row is FUSION over
     # persisted indexes — production indexes exist before the query;
