@@ -115,11 +115,24 @@ class DedupIndex:
         self.sigs = VersionedParquetTable(root / "sigs")
 
     def build(self, docs: DataFrame) -> int:
+        # r14 (guide §2.6): the two tables are disjoint directories and
+        # both read the eagerly checkpointed signatures — write them
+        # concurrently; crash states equal the sequential torn pairs
+        # check_consistent() already detects
+        from concurrent.futures import ThreadPoolExecutor
+
         sigs = signature_df(docs).localCheckpoint(eager=True)
-        self.sigs.write(sigs, mode="overwrite")
-        return self.bands.write(
-            band_df(sigs), mode="overwrite", partition_by=["band"]
-        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_sigs = pool.submit(self.sigs.write, sigs, mode="overwrite")
+            f_bands = pool.submit(
+                self.bands.write,
+                band_df(sigs),
+                mode="overwrite",
+                partition_by=["band"],
+            )
+            version = f_bands.result()
+            f_sigs.result()
+        return version
 
     def append_and_find_pairs(
         self, docs: DataFrame, threshold: float = 0.5
@@ -185,8 +198,22 @@ class DedupIndex:
         # re-run the batch (append is idempotent at the pair level:
         # duplicate sig/band rows only widen candidate generation, never
         # lose pairs) or detect the skew with check_consistent().
-        self.sigs.write(new_sigs, mode="append")
-        self.bands.write(new_bands, mode="append", partition_by=["band"])
+        # r14: the two commit appends are disjoint tables — run them
+        # concurrently; the documented skew window (crash between the
+        # two commits, reconciled by re-run / check_consistent) is
+        # unchanged in kind, only its ordering is no longer fixed
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_s = pool.submit(self.sigs.write, new_sigs, mode="append")
+            f_b = pool.submit(
+                self.bands.write,
+                new_bands,
+                mode="append",
+                partition_by=["band"],
+            )
+            f_s.result()
+            f_b.result()
         return pairs
 
     def check_consistent(self, spark: SparkSession) -> bool:

@@ -94,44 +94,48 @@ class SubstringIndex:
 
     # ------------------------------------------------------------ build --
 
+    def _write_both(self, docs: DataFrame, mode: str) -> int:
+        """One gram scan, then the grams and counts writes run
+        concurrently (r14, guide §2.6): the tables are disjoint
+        directories and both read the EAGERLY checkpointed gram blocks,
+        so neither write recomputes the scan. The counts write (whose
+        version is the return value, as before) is the caller-visible
+        commit either way; a crash mid-call leaves the same
+        torn-two-table states the sequential order could."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        g = positional_grams(docs, self.k).localCheckpoint(eager=True)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_grams = pool.submit(
+                self.grams.write,
+                g.repartition(_GRAM_SLICES, "doc_id"),
+                mode=mode,
+                per_file_stats=True,
+                bloom_cols=["doc_id"],
+            )
+            f_counts = pool.submit(
+                self.counts.write,
+                g.groupBy("gk")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .repartition(_COUNT_SLICES, "gk"),
+                mode=mode,
+                per_file_stats=True,
+                bloom_cols=["gk"],
+            )
+            version = f_counts.result()
+            f_grams.result()
+        return version
+
     def build(self, docs: DataFrame) -> int:
         """Index the initial corpus (doc_id, text) — overwrite both
         tables."""
-        g = positional_grams(docs, self.k).localCheckpoint(eager=False)
-        self.grams.write(
-            g.repartition(_GRAM_SLICES, "doc_id"),
-            mode="overwrite",
-            per_file_stats=True,
-            bloom_cols=["doc_id"],
-        )
-        return self.counts.write(
-            g.groupBy("gk")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .repartition(_COUNT_SLICES, "gk"),
-            mode="overwrite",
-            per_file_stats=True,
-            bloom_cols=["gk"],
-        )
+        return self._write_both(docs, "overwrite")
 
     def append(self, docs: DataFrame) -> int:
         """Index one batch of NEW documents (disjoint doc set from all
         prior batches — the append-only-corpus contract). One gram scan
         per batch; everything appended, nothing rewritten."""
-        g = positional_grams(docs, self.k).localCheckpoint(eager=False)
-        self.grams.write(
-            g.repartition(_GRAM_SLICES, "doc_id"),
-            mode="append",
-            per_file_stats=True,
-            bloom_cols=["doc_id"],
-        )
-        return self.counts.write(
-            g.groupBy("gk")
-            .agg(F.countDistinct("doc_id").alias("nd"))
-            .repartition(_COUNT_SLICES, "gk"),
-            mode="append",
-            per_file_stats=True,
-            bloom_cols=["gk"],
-        )
+        return self._write_both(docs, "append")
 
     # ----------------------------------------------------------- query --
 
