@@ -447,8 +447,25 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
 
     if simple:
         n1, mm = _step2_write()
-        _step2_append(n1, mm)
-        return _finish_simple(ctx, res, src_count, simple_check, delta_rows=n1)
+        # r14 (guide §2.6): the HISTORY append and _finish_simple's
+        # housekeeping prefix (empty delta_2 overwrite + pk_ts drop —
+        # other tables entirely) are data-independent; overlap them.
+        # The latest_pk merge — the load's effective watermark commit —
+        # stays strictly AFTER the append: advancing the watermark
+        # before the history rows land would make a crash drop those
+        # keys from the current-rows read. Housekeeping-done-but-
+        # history-missing equals a sequential crash before step 2's
+        # append: the unchanged index keeps the old watermark and the
+        # next load re-extracts.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_hist = pool.submit(_step2_append, n1, mm)
+            f_pre = pool.submit(_finish_simple_prefix, ctx)
+            f_pre.result()
+            f_hist.result()
+        return _finish_simple(
+            ctx, res, src_count, simple_check, delta_rows=n1,
+            prefix_done=True,
+        )
 
     # steps 1 and 2 touch disjoint tables (primary_keys_ts vs delta_1 +
     # history) and only step 3 reads both — overlap them (guide §2.6).
@@ -531,18 +548,11 @@ def do_delta_load(ctx: _Ctx, simple: bool = False, simple_check: bool = False) -
     return res
 
 
-def _finish_simple(
-    ctx: _Ctx,
-    res: DeltaLoadResult,
-    src_count: int,
-    simple_check: bool,
-    delta_rows: Optional[int] = None,
-) -> LoadResult:
-    """Simple-delta tail: merge delta_1 keys into latest_pk, drop the
-    snapshot, count-check, optionally escalate
-    (reference:odbc2deltalake/db_to_delta.py:659-691)."""
+def _finish_simple_prefix(ctx: _Ctx) -> None:
+    """Housekeeping half of the simple-delta tail (r14 split): reset
+    delta_2 to empty and drop the pk snapshot — tables the history
+    append never touches, so the caller may overlap the two."""
     dest = ctx.dest
-    assert ctx.delta_name is not None
     if not dest.delta_2.exists():
         dest.delta_2.write_empty(ctx.spark, dest.delta_1.schema())
     else:
@@ -551,6 +561,24 @@ def _finish_simple(
         )
     if dest.primary_keys_ts.exists():
         dest.primary_keys_ts.delete_table()
+
+
+def _finish_simple(
+    ctx: _Ctx,
+    res: DeltaLoadResult,
+    src_count: int,
+    simple_check: bool,
+    delta_rows: Optional[int] = None,
+    prefix_done: bool = False,
+) -> LoadResult:
+    """Simple-delta tail: merge delta_1 keys into latest_pk, drop the
+    snapshot, count-check, optionally escalate
+    (reference:odbc2deltalake/db_to_delta.py:659-691). ``prefix_done``:
+    the caller already ran _finish_simple_prefix (r14 overlap)."""
+    dest = ctx.dest
+    assert ctx.delta_name is not None
+    if not prefix_done:
+        _finish_simple_prefix(ctx)
     merged = latest_pk_union(
         None,
         dest.delta_1.read(ctx.spark),
