@@ -1130,33 +1130,52 @@ def hybrid_index_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fresh:
         root = tempfile.mkdtemp(prefix="hybrid_idx_")
     try:
-        bm25 = Bm25Index(f"{root}/bm25")
-        if fresh:
-            # one-shot build: batch-split invariance is bm25_index_
-            # search's own oracle; paying it twice here doubled the
-            # build for zero additional coverage
-            bm25.update(spark, docs)
-        lex_rank = bm25.search(
-            spark, _HYBRID_QUERY_TERMS, _RRF_CAND, with_rank=True
-        ).select("doc_id", F.col("rank").alias("lex_rank"))
+        # r14 (guide §2.6): the lexical pipeline (BM25 build + search)
+        # and the semantic pipeline (IVF-PQ build + search) are fully
+        # independent — disjoint index dirs under root, disjoint inputs
+        # (docs vs corpus), joined only at the RRF fusion below — so
+        # they run from a 2-thread pool. Both the builds (fresh path)
+        # and the searches' driver-side control-plane work (bounded
+        # candidate collect / centroid collect + probe count) overlap;
+        # the fusion plan is constructed after both futures resolve, so
+        # the result is the same frame as the sequential order.
+        def _lex_pipeline() -> DataFrame:
+            bm25 = Bm25Index(f"{root}/bm25")
+            if fresh:
+                # one-shot build: batch-split invariance is bm25_index_
+                # search's own oracle; paying it twice here doubled the
+                # build for zero additional coverage
+                bm25.update(spark, docs)
+            return bm25.search(
+                spark, _HYBRID_QUERY_TERMS, _RRF_CAND, with_rank=True
+            ).select("doc_id", F.col("rank").alias("lex_rank"))
 
-        ivf = IvfPqIndex(f"{root}/ivfpq", dim, 8, 16)
-        if fresh:
-            ivf.build(
-                corpus, fit_kmeans_centroids(corpus, ncent, 0),
-                iterations=0,
+        def _sem_pipeline() -> DataFrame:
+            ivf = IvfPqIndex(f"{root}/ivfpq", dim, 8, 16)
+            if fresh:
+                ivf.build(
+                    corpus, fit_kmeans_centroids(corpus, ncent, 0),
+                    iterations=0,
+                )
+            sem = ivf.search(
+                spark, qv, nprobe=ncent, k=_RRF_CAND, candidates=n,
+                rerank_vectors=corpus,
             )
-        sem = ivf.search(
-            spark, qv, nprobe=ncent, k=_RRF_CAND, candidates=n,
-            rerank_vectors=corpus,
-        )
-        sem_rank = sem.select(
-            F.col("vec_id").alias("doc_id"),
-            F.row_number()
-            .over(W.orderBy("exact_dist", "vec_id"))
-            .cast("long")
-            .alias("sem_rank"),
-        )
+            return sem.select(
+                F.col("vec_id").alias("doc_id"),
+                F.row_number()
+                .over(W.orderBy("exact_dist", "vec_id"))
+                .cast("long")
+                .alias("sem_rank"),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_lex = pool.submit(_lex_pipeline)
+            f_sem = pool.submit(_sem_pipeline)
+            lex_rank = f_lex.result()
+            sem_rank = f_sem.result()
 
         contrib = F.coalesce(
             F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
