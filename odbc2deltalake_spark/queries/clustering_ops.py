@@ -129,18 +129,28 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vectors = _corpus(spark, sf_dir)
-    books = fit_pq_codebooks(vectors, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
-    codes = encode_pq(vectors, _PQ_DIM, _PQ_M, books).localCheckpoint(
-        eager=False
-    )
     # r14: corpus size and the query vector in ONE control-plane job
-    # (was a count() job + a first() job — guide §2.4, fewer passes)
-    meta = vectors.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.first(
-            F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")), True
-        ).alias("qv"),
-    ).first()
+    # (was a count() job + a first() job — guide §2.4, fewer passes);
+    # wave 11: that job is data-independent of the codebook fit, so it
+    # rides the fit chain from a thread (guide §2.6) instead of
+    # serializing after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_meta = _pool.submit(
+            vectors.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(
+                    F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")),
+                    True,
+                ).alias("qv"),
+            ).first
+        )
+        books = fit_pq_codebooks(vectors, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
+        codes = encode_pq(vectors, _PQ_DIM, _PQ_M, books).localCheckpoint(
+            eager=False
+        )
+        meta = _f_meta.result()
     q, n = meta["qv"], meta["n"]
     return adc_topk(
         q,
@@ -189,20 +199,29 @@ def sim_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     vectors = _corpus(spark, sf_dir)
-    r = opq_rotation(vectors, "v", _PQ_DIM, _PQ_M)
-    rot = rotate_vectors(vectors, "v", r).localCheckpoint(eager=False)
-    books = fit_pq_codebooks(rot, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
-    codes = encode_pq(rot, _PQ_DIM, _PQ_M, books).localCheckpoint(
-        eager=False
-    )
     # r14: corpus size + query vector in one control-plane job (see
-    # sim_ann_pq)
-    meta = vectors.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.first(
-            F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")), True
-        ).alias("qv"),
-    ).first()
+    # sim_ann_pq); wave 11: the job is data-independent of the
+    # rotation fit and the codebook fit, so it rides that chain from a
+    # thread (guide §2.6) — q is only consumed after the fit anyway.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _f_meta = _pool.submit(
+            vectors.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(
+                    F.when(F.col("vec_id") == _PQ_QUERY_VEC, F.col("v")),
+                    True,
+                ).alias("qv"),
+            ).first
+        )
+        r = opq_rotation(vectors, "v", _PQ_DIM, _PQ_M)
+        rot = rotate_vectors(vectors, "v", r).localCheckpoint(eager=False)
+        books = fit_pq_codebooks(rot, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITERS)
+        codes = encode_pq(rot, _PQ_DIM, _PQ_M, books).localCheckpoint(
+            eager=False
+        )
+        meta = _f_meta.result()
     q, n = meta["qv"], meta["n"]
     q_rot = [float(x) for x in (np.asarray(r) @ np.asarray(q))]
     return adc_topk(

@@ -750,7 +750,19 @@ def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
-    n = corpus.count()  # control-plane scalar (sizes ncent/candidates)
+    # r14 wave 11: corpus size and the query vector in ONE control-plane
+    # job (was count() + first() + filtered first() — three sequential
+    # scheduling round trips over the same checkpointed frame); dim
+    # falls out of the query vector's length. Scalars identical: count
+    # is count, and F.first(when(vec_id==q), ignorenulls) is
+    # deterministic — exactly one row matches.
+    _meta = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(
+            F.when(F.col("vec_id") == _QUERY_VEC_ID, F.col("v")), True
+        ).alias("qv"),
+    ).first()
+    n = _meta["n"]  # control-plane scalar (sizes ncent/candidates)
     # r13: in exact mode the hash is provably independent of quantizer
     # training (every probed row is a candidate, the exact rerank
     # re-scores it), so the in-query build uses seed-initialized cells
@@ -761,8 +773,8 @@ def sim_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned by tests/test_ivfpq.py and the sim_ann_opq row.
     # 51.2s -> ~12s at the sf0.1 sweep.
     ncent = max(4, min(int(n ** 0.5), 16))
-    dim = len(corpus.first()["v"])
-    q = corpus.filter(F.col("vec_id") == _QUERY_VEC_ID).first()["v"]
+    q = _meta["qv"]
+    dim = len(q)
     root = tempfile.mkdtemp(prefix="ivfpq_query_")
     try:
         idx = IvfPqIndex(root, dim, 8, 16)
@@ -972,6 +984,13 @@ def sim_ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     corpus = emb.select("vec_id", dbl.alias("v")).localCheckpoint(eager=True)
+    # r14 wave 11 note: the fused count+half-count+query-vector agg
+    # (as landed in sim_ann_ivfpq_search) was tried here too and
+    # REVERTED — three interleaved same-host A/Bs read it 0.5-1 s
+    # slower for this query (the fused agg deserializes the full `v`
+    # column for every row where count() prunes it and the two takes
+    # short-circuit; this query's build/append dominates, so the saved
+    # scheduling round trips don't pay for the extra column scan).
     n = corpus.count()
     ncent = max(4, min(int(n ** 0.5), 16))
     dim = len(corpus.first()["v"])
