@@ -854,10 +854,28 @@ def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
     ordering — partition i's keys all sort before partition i+1's;
     (2) ``row_number`` WITHIN each range partition — parallel windows;
     (3) global position = local position + the partition's starting
-    offset, from a ≤``buckets``-row histogram (driver-tiny, broadcast —
-    the same two-level rank as ``corpus_shuffle_order``); (4) SQL ntile
-    arithmetic from (position, N): the first N%n tiles get ⌈N/n⌉ rows,
-    the rest ⌊N/n⌋ — bit-identical to the engines' ntile.
+    offset, from a ≤``buckets``-row histogram; (4) ntile arithmetic
+    from (position, N): the first N%n tiles get ⌈N/n⌉ rows, the rest
+    ⌊N/n⌋ — bit-identical to the engines' ntile.
+
+    r14 wave 12 shape (guide §2.4 — fewer passes, §5 — bounded driver
+    work): the range-partitioned frame is EAGERLY localCheckpoint-ed —
+    mandatory for correctness, not a tuning choice: the histogram and
+    the returned plan must observe the SAME materialized partition
+    boundaries (each re-execution of a ``repartitionByRange`` re-draws
+    its sampling and may place boundaries differently), and it also
+    truncates lineage so chained ntile passes (ev_rfm_segments runs
+    three) stop re-executing every earlier pass inside their sampling
+    and broadcast-build jobs — the job-count blowup measured at 48
+    jobs for 3 logical passes. The histogram itself is a ≤``buckets``-
+    row collect (control-plane bounded, the same budget class as the
+    repo's centroid/bucket-id collects; ``buckets`` is the session's
+    shuffle parallelism, i.e. cluster-sized, never data-sized), and
+    the partition offsets enter the plan as ONE parsed map literal
+    (litarray pattern) — replacing the former broadcast self-join +
+    crossJoin(N) subtree and its three broadcast-build jobs per pass.
+    Measured (same-session interleaved A/B, sf0.1, results identical):
+    ev_rfm_segments 48 jobs / 5.5-5.8 s → 23 jobs / 2.4-3.4 s.
 
     ``order_cols`` must be a total order (include a unique tiebreak):
     equal keys land in one range partition, so ordering is well-defined
@@ -869,39 +887,45 @@ def _dist_ntile(df: DataFrame, order_cols, out_col: str, n: int = 5,
 
         buckets = shuffle_parallelism(df.sparkSession)
     part = df.repartitionByRange(buckets, *order_cols)
-    keyed = part.withColumn("_pid", F.spark_partition_id())
+    keyed = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     local = keyed.withColumn(
         "_rn", F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
     )
-    hist = keyed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    # offsets WITHOUT a window (keeps the plan free of SinglePartition
-    # exchanges feeding Windows — the exact shape the plan gate bans):
-    # a ≤ buckets × buckets broadcast self-join computes each
-    # partition's running start, constant-sized by construction
-    prior = hist.select(
-        F.col("_pid").alias("_p2"), F.col("_c").alias("_c2")
-    )
-    offs = (
-        hist.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-        .crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_N"))))
-    )
-    g = local.join(F.broadcast(offs), "_pid")
-    pos = F.col("_off") + F.col("_rn")
-    q = F.floor(F.col("_N") / n)
-    r = F.col("_N") % n
+    # ≤ buckets rows: every non-empty partition id with its row count.
+    # Range partition ids are assigned in key-range order, so sorted-pid
+    # prefix sums ARE the global starting offsets (empty partitions
+    # contribute no rows and need no entry).
+    hist = {
+        row["_pid"]: row["_c"]
+        for row in keyed.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    total = sum(hist.values())
+    offs: dict[int, int] = {}
+    running = 0
+    for pid in sorted(hist):
+        offs[pid] = running
+        running += hist[pid]
+    if offs:
+        pairs = ", ".join(f"{pid}, {off}L" for pid, off in sorted(offs.items()))
+        off_expr = F.expr(f"element_at(map({pairs}), _pid)")
+    else:  # empty input: no rows evaluate this, but the expr must parse
+        off_expr = F.lit(0).cast("long")
+    pos = off_expr + F.col("_rn")
+    q = total // n
+    r = total % n
     head = r * (q + 1)  # rows covered by the first r (larger) tiles
     tile = (
-        F.when(pos <= head, F.floor((pos - 1) / (q + 1)))
-        # greatest(q,1): q=0 only when N<n, where every row is in `head`
+        F.when(pos <= F.lit(head), F.floor((pos - 1) / F.lit(q + 1)))
+        # max(q,1): q=0 only when N<n, where every row is in `head`
         # and this branch is never taken — guard keeps ANSI div happy
-        .otherwise(r + F.floor((pos - head - 1) / F.greatest(q, F.lit(1))))
+        .otherwise(r + F.floor((pos - F.lit(head) - 1) / F.lit(max(q, 1))))
         + 1
     )
-    return g.withColumn(out_col, tile.cast("int")).drop(
-        "_pid", "_rn", "_off", "_N"
-    )
+    return local.withColumn(out_col, tile.cast("int")).drop("_pid", "_rn")
 
 _RFM_ORACLE = """
 WITH mx AS (SELECT max(ts) AS mts FROM events),

@@ -52,6 +52,30 @@ def test_dist_helpers_empty_input(spark):
     )
 
 
+def test_ntile_offsets_match_frozen_partitioning(spark):
+    """r14 wave 12 internals pin: the driver-computed offsets describe
+    the SAME materialized range partitioning the returned plan reads
+    (the eager localCheckpoint guarantee). Two independent collects of
+    one _dist_ntile frame must agree exactly — if the returned plan
+    re-drew the range shuffle's sampling instead of reading the frozen
+    checkpoint, per-partition local ranks would pair with stale offsets
+    and tiles would drift between collects. Also pins completeness:
+    every input row gets a tile in 1..n."""
+    rows = [(i, (i * 17) % 7) for i in range(83)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(6)
+    out = _dist_ntile(df, [F.col("v").asc(), F.col("k").asc()], "t", buckets=5)
+    first = sorted(out.collect())
+    second = sorted(out.collect())
+    assert first == second
+    assert len(first) == 83
+    assert {r["t"] for r in first} == {1, 2, 3, 4, 5}
+    # exact ntile sizes: the first N%n tiles carry one extra row
+    from collections import Counter
+
+    sizes = Counter(r["t"] for r in first)
+    assert sorted(sizes.values(), reverse=True) == [17, 17, 17, 16, 16]
+
+
 def test_shuffle_parallelism_non_numeric_conf_falls_back():
     """ADVICE r7: platforms where spark.sql.shuffle.partitions is 'auto'
     (AQE-managed) must not crash the bucket-count default — fall back to
