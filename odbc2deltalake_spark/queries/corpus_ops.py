@@ -390,22 +390,32 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "local_pos",
         F.row_number().over(W.partitionBy("bucket").orderBy("k", "doc_id")),
     )
-    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    # offsets via a 64x64 broadcast self-join instead of a window — zero
-    # single-partition exchanges anywhere in the plan (r7 gate tightening)
-    prior = counts.select(
-        F.col("bucket").alias("b2"), F.col("n").alias("n2")
-    )
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("b2") < F.col("bucket"), "left")
-        .groupBy("bucket")
-        .agg(F.coalesce(F.sum("n2"), F.lit(0)).alias("offset"))
-    )
+    # r14 wave 12: bucket offsets from a ≤64-row driver collect + one
+    # parsed map literal instead of the former 64x64 broadcast
+    # self-join (still zero single-partition exchanges — r7 gate — and
+    # now zero joins). No checkpoint needed, unlike the range-shuffle
+    # helpers: the bucket is DETERMINISTIC (md5-derived), so the counts
+    # collect and the returned plan always derive identical buckets.
+    counts = {
+        r["bucket"]: r["n"]
+        for r in keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offs: dict[int, int] = {}
+    running = 0
+    for b in sorted(counts):
+        offs[b] = running
+        running += counts[b]
+    if offs:
+        pairs = ", ".join(f"{b}, {o}L" for b, o in sorted(offs.items()))
+        off_expr = F.expr(f"element_at(map({pairs}), bucket)")
+    else:  # empty corpus: no rows evaluate this, but the expr must parse
+        off_expr = F.lit(0).cast("long")
     return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
+        local.select(
             "doc_id",
-            (F.col("offset") + F.col("local_pos")).cast("long").alias("pos"),
+            (off_expr + F.col("local_pos")).cast("long").alias("pos"),
         )
         # no trailing sort: `pos` IS the order — materializing the frame
         # pos-sorted would re-introduce the exact global range shuffle
@@ -869,14 +879,30 @@ def _dist_exclusive_prefix(
 
     ``buckets`` defaults to the session's shuffle parallelism so the
     per-task slice shrinks as the cluster grows (a fixed 32 would cap
-    parallelism at 32 tasks on a 1000-executor cluster); the offsets
-    self-join stays broadcast-tiny (buckets^2 rows of two longs)."""
+    parallelism at 32 tasks on a 1000-executor cluster).
+
+    r14 wave 12 shape (same recipe as events_ext._dist_ntile, guide
+    §2.4 + §5): the range-partitioned frame is EAGERLY
+    localCheckpoint-ed — required so the per-partition sum histogram
+    and the returned plan observe the SAME materialized partition
+    boundaries (re-executing a ``repartitionByRange`` re-draws its
+    sampling) — and the ≤``buckets``-row histogram is collected to the
+    driver (control-plane bounded: buckets is cluster-sized, never
+    data-sized), prefix-summed in Python, and folded into the plan as
+    ONE parsed map literal. This deletes the former broadcast
+    self-join + offsets-join subtree and its broadcast-build jobs
+    (measured on corpus_token_budget_select's shape: 11 → 8 jobs,
+    interleaved results identical). ``value_col`` must be integral
+    (every caller passes token/row counts); the sum is cast to long
+    before the collect so driver arithmetic is exact."""
     if buckets is None:
         from odbc2deltalake_spark.session import shuffle_parallelism
 
         buckets = shuffle_parallelism(df.sparkSession)
     part = df.repartitionByRange(buckets, *order_cols)
-    keyed = part.withColumn("_pid", F.spark_partition_id())
+    keyed = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     w_in = (
         W.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -885,17 +911,25 @@ def _dist_exclusive_prefix(
     local = keyed.withColumn(
         "_loc", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
     )
-    hist = keyed.groupBy("_pid").agg(F.sum(value_col).alias("_c"))
-    prior = hist.select(F.col("_pid").alias("_p2"), F.col("_c").alias("_c2"))
-    offs = (
-        hist.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
-    )
+    hist = {
+        row["_pid"]: row["_c"]
+        for row in keyed.groupBy("_pid")
+        .agg(F.sum(value_col).cast("long").alias("_c"))
+        .collect()
+    }
+    offs: dict[int, int] = {}
+    running = 0
+    for pid in sorted(hist):
+        offs[pid] = running
+        running += hist[pid]
+    if offs:
+        pairs = ", ".join(f"{p}, {o}L" for p, o in sorted(offs.items()))
+        off_expr = F.expr(f"element_at(map({pairs}), _pid)")
+    else:  # empty input: no rows evaluate this, but the expr must parse
+        off_expr = F.lit(0).cast("long")
     return (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_loc")).cast("long"))
-        .drop("_pid", "_loc", "_off")
+        local.withColumn(out_col, (off_expr + F.col("_loc")).cast("long"))
+        .drop("_pid", "_loc")
     )
 
 
