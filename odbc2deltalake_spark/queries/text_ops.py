@@ -431,8 +431,22 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    # r14 wave 12c (guide §2.3 — aggregate/filter before the exchange):
+    # the lexical join only ever looks up the QUERY TERMS' document
+    # frequencies, so df is filtered to them BEFORE its aggregation —
+    # the full-vocabulary groupBy (Zipf-heavy shuffle + broadcast of
+    # every distinct word) becomes a ≤|terms|-group aggregate. Inner
+    # join on w: non-term df rows could never match, values identical.
+    df = (
+        toks.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    # n = count of distinct doc_ids IN THE TOKEN STREAM — equal to the
+    # document count, because split(trim(text)) never returns an empty
+    # array (empty text yields [""]), so explode emits ≥1 row per doc;
+    # counting docs directly skips a second full explode pass.
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
     lex = (
         tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
         .join(F.broadcast(df), "w")
@@ -566,8 +580,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    nd = toks.agg(F.countDistinct("doc_id").alias("n"))
+    # r14 wave 12c: df filtered to the query terms BEFORE aggregation,
+    # n counted from docs directly — see hybrid_search for the
+    # equivalence argument (inner join on w; split never empty).
+    dfq = (
+        toks.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
     lex = (
         tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
         .join(F.broadcast(dfq), "w")
@@ -689,7 +710,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfq = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    # r14 wave 12c: df filtered to the query terms BEFORE aggregation
+    # (guide §2.3 — see hybrid_search; inner join on w, values
+    # identical). nd stays derived from dl: avgdl needs every doc's
+    # length regardless.
+    dfq = (
+        toks.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
     nd = dl.agg(
         F.countDistinct("doc_id").alias("n"), F.avg("dl").alias("avgdl")
     )
