@@ -373,6 +373,18 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, a 64-row cumulative count computed on the driver-side-tiny
     bucket histogram and broadcast back. Wall-clock scales with the
     largest bucket (uniform by construction), not the corpus.
+
+    Snapshot-consistency assumption (ADVICE r14): the bucket offsets are
+    collected at plan-construction time and baked into the returned lazy
+    plan as a map literal. The buckets themselves are md5-derived
+    (deterministic), so re-executing the plan against the SAME source
+    rows always reproduces the same positions — but if the underlying
+    documents table mutates between collect and execution, fresh local
+    ranks would pair with stale offsets (and element_at returns NULL for
+    a bucket absent at collect time). Fine for immutable snapshots —
+    which is what every table in this engine's read path is (versioned
+    parquet); a caller running this over a mutable view should
+    localCheckpoint the source first.
     """
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")))
@@ -911,10 +923,14 @@ def _dist_exclusive_prefix(
     local = keyed.withColumn(
         "_loc", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
     )
+    # coalesce(sum, 0): a range partition whose value_col is all-NULL
+    # sums to NULL, and a None histogram entry would TypeError the
+    # driver prefix loop (ADVICE r14 — the replaced broadcast-join path
+    # coalesced this to 0; keep that edge-case behavior)
     hist = {
         row["_pid"]: row["_c"]
         for row in keyed.groupBy("_pid")
-        .agg(F.sum(value_col).cast("long").alias("_c"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("_c"))
         .collect()
     }
     offs: dict[int, int] = {}

@@ -443,10 +443,15 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("df"))
     )
     # n = count of distinct doc_ids IN THE TOKEN STREAM — equal to the
-    # document count, because split(trim(text)) never returns an empty
-    # array (empty text yields [""]), so explode emits ≥1 row per doc;
-    # counting docs directly skips a second full explode pass.
-    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    # NON-NULL-text document count, because split(trim(text)) never
+    # returns an empty array (empty text yields [""]) so explode emits
+    # ≥1 row per doc, while a NULL text explodes to ZERO rows (ADVICE
+    # r14: the isNotNull filter keeps the equivalence exact even if a
+    # future corpus carries NULL text); counting docs directly skips a
+    # second full explode pass.
+    nd = docs.filter(F.col("text").isNotNull()).agg(
+        F.countDistinct("doc_id").alias("n")
+    )
     lex = (
         tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
         .join(F.broadcast(df), "w")
@@ -582,13 +587,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     # r14 wave 12c: df filtered to the query terms BEFORE aggregation,
     # n counted from docs directly — see hybrid_search for the
-    # equivalence argument (inner join on w; split never empty).
+    # equivalence argument (inner join on w; split never empty; NULL
+    # text filtered out to mirror explode's zero rows, ADVICE r14).
     dfq = (
         toks.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
         .groupBy("w")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    nd = docs.filter(F.col("text").isNotNull()).agg(
+        F.countDistinct("doc_id").alias("n")
+    )
     lex = (
         tf.filter(F.col("w").isin(_HYBRID_QUERY_TERMS))
         .join(F.broadcast(dfq), "w")
