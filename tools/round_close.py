@@ -431,6 +431,52 @@ def main() -> int:
     if before != after:
         rc = 1
 
+    # 3b. evicted-row verification (VERDICT r14 #7): every query that was
+    # green in the LATEST driver CORRECTNESS round but now sits OUTSIDE
+    # the 50-entry window (i.e. evicted by a rotation this round) gets
+    # one committed sf0.01 comparator run, so "still green after
+    # eviction" is an in-tree artifact rather than the builder's word.
+    # Runs Spark only under --full/--sf01; plain mode audits the file.
+    evicted_path = REPO / "docs" / "evicted_verification.json"
+    corr = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if corr:
+        from odbc2deltalake_spark.queries import registry as _reg2
+
+        _reg2.load_all()
+        window_now = {s.name for s in _reg2.ordered_specs()[:50]}
+        last_round = json.loads(corr[-1].read_text())
+        evicted = sorted(set(last_round) - window_now)
+        if evicted and ("--full" in sys.argv or "--sf01" in sys.argv):
+            r = subprocess.run(
+                [sys.executable, "tools/check_correctness.py",
+                 "/root/testdata/sf0.01", *evicted,
+                 f"--json={evicted_path}"],
+                cwd=REPO,
+            )
+            rc = rc or r.returncode
+        if evicted:
+            if evicted_path.exists():
+                ev = json.loads(evicted_path.read_text())
+                missing = [n for n in evicted if n not in ev.get("results", {})]
+                bad = [n for n, row in ev.get("results", {}).items()
+                       if row.get("status") == "fail"]
+                if missing or bad:
+                    print(f"EVICTED: STALE/FAILING — missing {missing}, "
+                          f"failing {bad} (re-run --sf01)")
+                    rc = 1
+                else:
+                    print(f"EVICTED: {evicted} verified green at sf0.01 "
+                          "(docs/evicted_verification.json)")
+            else:
+                print(f"EVICTED: {evicted} have NO committed verification — "
+                      "run tools/round_close.py --sf01")
+                rc = 1
+        else:
+            print("EVICTED: none (window superset of last driver round)")
+
     # 4. sf0.1 window sweep (VERDICT r9 #5): the driver gate runs sf0.01
     # and bench runs sf0.1 WITHOUT an oracle — spill paths, partial-agg
     # thresholds and AQE decisions differ at 10×, so once per round the
