@@ -343,6 +343,8 @@ AUDIT = [
     # r13: incremental build + append + exact-mode search — same
     # post-build search plan as sim_ann_ivfpq_search
     "sim_ann_ivfpq_incremental",
+    # r15: bounded ADC search (candidates < n) — the LUT-scored variant
+    "sim_ann_ivfpq_adc",
     "text_fingerprint",
     "text_lang_id",
     "text_token_count",

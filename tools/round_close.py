@@ -250,7 +250,13 @@ def main() -> int:
         print("LEDGER: current")
 
     # 2. headline from the newest committed bench artifact
-    benches = sorted(REPO.glob("BENCH_r*.json"))
+    # canonical per-round artifacts only: BENCH_r<NN>.json — side
+    # artifacts like BENCH_r14_c8.json (the driver's low-core-count run)
+    # must not create duplicate trend rows or steal the "newest" slot
+    benches = sorted(
+        p for p in REPO.glob("BENCH_r*.json")
+        if re.fullmatch(r"BENCH_r\d+\.json", p.name)
+    )
     if benches:
         latest = benches[-1]
         d = json.loads(latest.read_text())
