@@ -134,6 +134,58 @@ def _margin(weights: list[float]):
 
 _ADAGRAD_EPS = 1e-8
 
+# Driver fast-path bound (r15, the dedup_cluster/Bm25 strategy-by-size
+# pattern): when the feature table is small enough that n_docs*(D+3)
+# cells fit comfortably on the driver (~100 MB at the default), ONE
+# bounded collect replaces `steps` sequential gradient jobs — the
+# trajectory is computed in vectorized numpy with the same per-step
+# update rule. Past the cap the distributed loop below runs unchanged
+# (the 100 TB path; tests pin fast == loop via driver_cell_cap=0).
+_FIT_DRIVER_CELL_CAP = 4_000_000
+
+
+def _fit_logreg_driver(
+    rows, n_buckets: int, steps: int, lr: float, tol: float, optimizer: str,
+    n: int,
+) -> list[float]:
+    """Vectorized driver-side trajectory over collected sparse features.
+
+    Same math as the distributed loop, same update code shape: the
+    per-bucket gradient is a sum of c*r terms (bincount — double
+    precision over <= cap addends, within ~1e-12 of any summation
+    order; the repo pins fit_logreg against the independently-ordered
+    numpy reference_fit at 1e-9, so summation-order robustness at this
+    tolerance is an existing, tested property of the fit)."""
+    import numpy as np
+
+    d = n_buckets + 3
+    row_idx = np.concatenate(
+        [np.full(len(r["feats"]), i, dtype=np.int64) for i, r in enumerate(rows)]
+    )
+    b_idx = np.concatenate(
+        [np.asarray([s["b"] for s in r["feats"]], dtype=np.int64) for r in rows]
+    )
+    c_val = np.concatenate(
+        [np.asarray([s["c"] for s in r["feats"]], dtype=np.float64) for r in rows]
+    )
+    y = np.asarray([float(r["label"]) for r in rows], dtype=np.float64)
+    w = np.zeros(d)
+    gsq = np.zeros(d)
+    for _ in range(steps):
+        m = np.zeros(len(rows))
+        np.add.at(m, row_idx, c_val * w[b_idx])
+        r = 1.0 / (1.0 + np.exp(-m)) - y
+        g = np.bincount(b_idx, weights=c_val * r[row_idx], minlength=d)
+        if optimizer == "adagrad":
+            gi = g / n
+            gsq += gi * gi
+            w -= lr * gi / (np.sqrt(gsq) + _ADAGRAD_EPS)
+        else:
+            w -= lr * g / n
+        if tol > 0.0 and float(np.sqrt((g * g).sum())) / n < tol:
+            break
+    return [float(x) for x in w]
+
 
 def fit_logreg(
     features: DataFrame,
@@ -142,6 +194,7 @@ def fit_logreg(
     lr: float = 2.0,
     tol: float = 0.0,
     optimizer: str = "gd",
+    driver_cell_cap: int | None = None,
 ) -> list[float]:
     """Full-batch fit of the logistic loss; returns D+3 weights (bias
     last). Deterministic either way: zero init, seedless featurization,
@@ -169,10 +222,24 @@ def fit_logreg(
 
     ``features`` should be cached by the caller — every step scans it
     twice (margin map + gradient shuffle share one scan via the exploded
-    residual plan)."""
+    residual plan).
+
+    ``driver_cell_cap`` overrides the driver fast-path bound (see
+    ``_FIT_DRIVER_CELL_CAP``); 0 forces the distributed loop (the scale
+    path, pinned equal by tests/test_classifier.py)."""
     if optimizer not in ("gd", "adagrad"):
         raise ValueError(f"unknown optimizer {optimizer!r}")
     n = features.count()
+    # r15 driver fast path (guide §2.4 fewer passes + §5 bounded driver
+    # work): `steps` sequential one-job gradient rounds collapse into
+    # ONE bounded collect when the upper-bound cell count fits the cap;
+    # the distributed loop below is the unchanged at-scale path.
+    cap = _FIT_DRIVER_CELL_CAP if driver_cell_cap is None else driver_cell_cap
+    if n and n * (n_buckets + 3) <= cap:
+        rows = features.select("label", "feats").collect()
+        return _fit_logreg_driver(
+            rows, n_buckets, steps, lr, tol, optimizer, n
+        )
     w = [0.0] * (n_buckets + 3)  # D hashed + log-len + alpha + bias
     gsq = [0.0] * (n_buckets + 3)  # adagrad accumulator
     for _ in range(steps):

@@ -553,12 +553,9 @@ def _finish_simple_prefix(ctx: _Ctx) -> None:
     delta_2 to empty and drop the pk snapshot — tables the history
     append never touches, so the caller may overlap the two."""
     dest = ctx.dest
-    if not dest.delta_2.exists():
-        dest.delta_2.write_empty(ctx.spark, dest.delta_1.schema())
-    else:
-        dest.delta_2.write(
-            ctx.spark.createDataFrame([], dest.delta_1.schema()), mode="overwrite"
-        )
+    # write_empty either way (r15): identical semantics (0-row overwrite,
+    # schema pinned) and the empty frame is 1-slice, not 32 tasks
+    dest.delta_2.write_empty(ctx.spark, dest.delta_1.schema())
     if dest.primary_keys_ts.exists():
         dest.primary_keys_ts.delete_table()
 
@@ -644,8 +641,7 @@ def _probe_additional_updates(ctx: _Ctx, old_pk_version: int):
     update_count = real_additional.count()
 
     if update_count == 0:
-        d1_schema = dest.delta_1.schema()
-        dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
+        dest.delta_2.write_empty(ctx.spark, dest.delta_1.schema())
         return None
     return additional, real_additional, update_count
 
@@ -679,7 +675,7 @@ def _handle_additional_updates(
     assert ctx.delta_name is not None
     d1_schema = dest.delta_1.schema()
     if update_count > ctx.cfg.max_complex_entries or ctx.cfg.no_complex_entries_load:
-        dest.delta_2.write(ctx.spark.createDataFrame([], d1_schema), mode="overwrite")
+        dest.delta_2.write_empty(ctx.spark, d1_schema)
         ctx.logger.warning(
             f"Delta step 3: load {update_count} strange updates via normal delta load"
         )

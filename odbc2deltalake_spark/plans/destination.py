@@ -227,6 +227,12 @@ class DeltaLogger:
     def flush(self) -> None:
         if not self._buf:
             return
-        df = self.spark.createDataFrame(self._buf, _LOG_SCHEMA)
+        # one slice, one task (r15, guide §1.2 per-task work): the default
+        # createDataFrame slices ~8 log rows into defaultParallelism
+        # partitions — a 32-task job on the load's critical path costing
+        # ~0.9-1.0 s idle vs ~0.3 s for the same write in one slice
+        from odbc2deltalake_spark.functions.localdf import one_slice_df
+
+        df = one_slice_df(self.spark, self._buf, _LOG_SCHEMA)
         self.dest.log_table.write(df, mode="append")
         self._buf = []

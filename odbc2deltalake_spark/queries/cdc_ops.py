@@ -1797,6 +1797,11 @@ def _stream_full_snapshots(spark: SparkSession, sf_dir: str):
     is_strange = F.col("user_id") % 11 == 5
 
     s1 = latest
+    # s2/s3 stay LAZY over the checkpointed `latest` (r15, guide §2.4):
+    # they are pure deterministic maps, each consumed a bounded number of
+    # times (one scalar agg + one parquet landing each), so the former
+    # eager checkpoints were two extra materialization jobs that saved
+    # only trivially-cheap map re-derivations.
     s2 = latest.filter(~is_del).select(
         "user_id",
         "event_type",
@@ -1804,15 +1809,26 @@ def _stream_full_snapshots(spark: SparkSession, sf_dir: str):
          ).alias("value"),
         (F.col("rv") + F.when(is_upd, F.lit(10_000_000)).otherwise(F.lit(0))
          ).alias("rv"),
-    ).localCheckpoint(eager=True)
+    )
 
     # The inserted key is max(user_id)+1 over LATEST (pre-delete), not s2:
     # if the corpus max happens to be a deleted user (%10 == 3), max(s2)+1
     # would REUSE that tombstoned key (an update-after-delete, a different
     # scenario) and diverge from the oracle's `max(user_id)+1 FROM latest`.
     # max(latest)+1 is fresh by construction under every fixture.
-    mu = latest.agg(F.max("user_id")).collect()[0][0]
-    mr = s2.agg(F.max("rv")).collect()[0][0]
+    # r15 (guide §2.4 control-plane fusion): the four setup scalars were
+    # four sequential jobs (mu collect, mr collect, n_strange count,
+    # n_deleted count); each table's pair now rides ONE aggregate.
+    row_l = latest.agg(
+        F.max("user_id").alias("mu"),
+        F.sum(F.when(is_del, 1).otherwise(0)).alias("nd"),
+    ).first()
+    mu, n_deleted = row_l["mu"], int(row_l["nd"] or 0)
+    row_s2 = s2.agg(
+        F.max("rv").alias("mr"),
+        F.sum(F.when(is_strange, 1).otherwise(0)).alias("ns"),
+    ).first()
+    mr, n_strange = row_s2["mr"], int(row_s2["ns"] or 0)
     ins = spark.createDataFrame(
         [(int(mu) + 1, "inserted", 1.0, int(mr) + 1)],
         schema=s2.schema,
@@ -1824,10 +1840,7 @@ def _stream_full_snapshots(spark: SparkSession, sf_dir: str):
          ).alias("value"),
         (F.col("rv") - F.when(is_strange, F.lit(1)).otherwise(F.lit(0))
          ).alias("rv"),
-    ).unionByName(ins).localCheckpoint(eager=True)
-
-    n_strange = s2.filter(is_strange).count()
-    n_deleted = latest.filter(is_del).count()
+    ).unionByName(ins)
     return s1, s2, s3, n_strange, n_deleted
 
 
@@ -1917,20 +1930,36 @@ def stream_cdc_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         dest = _run_snapshot_stream(spark, [s1, s2, s3], root)
 
         # the strange path must have taken the key-set branch: delta_2
-        # holds exactly the strange keys (empty/overwritten otherwise)
-        d2 = dest.delta_2.read(spark)
-        got_strange = d2.count()
-        assert got_strange == n_strange, (got_strange, n_strange)
+        # holds exactly the strange keys (empty/overwritten otherwise).
+        # r15 (guide §2.4+§2.6): the three assertion scalars were three
+        # sequential jobs — the two tombstone counts now ride ONE
+        # aggregate over the history scan, overlapped with the delta_2
+        # count (disjoint tables) from a 2-thread pool.
+        from concurrent.futures import ThreadPoolExecutor
 
         hist = dest.delta.read(spark)
         tombs = hist.filter(F.col("__is_deleted"))
-        bad_tombs = tombs.filter(
-            F.col("rv").isNotNull()
-            | F.col("event_type").isNotNull()
-            | F.col("value").isNotNull()
-        ).count()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_d2 = pool.submit(dest.delta_2.read(spark).count)
+            f_tomb = pool.submit(
+                tombs.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(
+                            F.col("rv").isNotNull()
+                            | F.col("event_type").isNotNull()
+                            | F.col("value").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ).alias("bad"),
+                ).first
+            )
+            got_strange = f_d2.result()
+            trow = f_tomb.result()
+        assert got_strange == n_strange, (got_strange, n_strange)
+        bad_tombs = int(trow["bad"] or 0)
         assert bad_tombs == 0, f"{bad_tombs} tombstones with non-NULL data"
-        got_deleted = tombs.count()
+        got_deleted = int(trow["n"])
         assert got_deleted == n_deleted, (got_deleted, n_deleted)
 
         cur = read_current_rows(spark, dest, ["user_id"], "rv").select(

@@ -2644,8 +2644,14 @@ class VersionedParquetTable(TableStore):
         return out
 
     def write_empty(self, spark: SparkSession, schema: T.StructType) -> int:
-        """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322)."""
-        return self.write(spark.createDataFrame([], schema), mode="overwrite")
+        """Create a 0-row table (reference:odbc2deltalake/reader/odbc_reader.py:306-322).
+
+        One slice (r15): an empty local relation defaults to
+        defaultParallelism partitions — a 32-task zero-row job; the
+        simple-delta path resets delta_2 this way every load."""
+        from odbc2deltalake_spark.functions.localdf import one_slice_df
+
+        return self.write(one_slice_df(spark, [], schema), mode="overwrite")
 
     def restore(self, version: Optional[int] = None, timestamp=None) -> int:
         """Point the table back at an old version's file set as a NEW commit

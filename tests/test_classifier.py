@@ -194,3 +194,31 @@ def test_score_documents_streams(spark, fixture, tmp_path):
         for r in score_documents(docs, weights, D).select("doc_id", "prob").collect()
     }
     assert got == want
+
+
+def test_driver_fast_path_matches_distributed_loop(fixture):
+    """r15 driver fast path (bounded collect + vectorized trajectory)
+    must reproduce the distributed loop's weights: driver_cell_cap=0
+    pins the loop, the default cap takes the fast path on this fixture."""
+    features, weights_fast, _, _ = fixture  # default cap -> fast path
+    weights_loop = fit_logreg(
+        features, D, steps=STEPS, lr=LR, optimizer=OPT, driver_cell_cap=0
+    )
+    for got, want in zip(weights_fast, weights_loop):
+        assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_driver_cap_is_a_hard_bound(fixture):
+    """One cell past the cap must take the distributed loop (the 100 TB
+    path): capping at exactly n*(D+3)-1 falls back, n*(D+3) does not."""
+    features, _, _, _ = fixture
+    n = features.count()
+    cells = n * (D + 3)
+    w_loop = fit_logreg(
+        features, D, steps=2, lr=LR, optimizer=OPT, driver_cell_cap=cells - 1
+    )
+    w_fast = fit_logreg(
+        features, D, steps=2, lr=LR, optimizer=OPT, driver_cell_cap=cells
+    )
+    for got, want in zip(w_fast, w_loop):
+        assert got == pytest.approx(want, abs=1e-9)
