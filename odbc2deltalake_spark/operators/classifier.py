@@ -59,6 +59,13 @@ def featurize(docs: DataFrame, n_buckets: int) -> DataFrame:
 
     ``feats`` is array<struct<b int, c double>>, sorted by bucket for
     deterministic iteration order."""
+    from odbc2deltalake_spark.functions.spread import spread_small_scan
+
+    # r15: tokenize + crc32 + the alpha regex are the featurization CPU;
+    # a 1-partition source scan serializes them — spread conditionally
+    # (no-op at scale). Per-doc outputs are unchanged: every downstream
+    # aggregate is per-doc and the feats array is array_sort-ed.
+    docs = spread_small_scan(docs)
     # dense scalars are computed BEFORE the explode so the two token
     # shuffles carry 8-byte doubles, never the document text
     n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))

@@ -26,6 +26,7 @@ from typing import Iterator, Optional
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -68,8 +68,14 @@ def positional_grams(ext: DataFrame, k: int) -> DataFrame:
       (only positions leave the operator), so the oracle's md5 keys
       don't need to match it; a 64-bit collision mislabels one gram in
       ~2^64/N — negligible against near-dup noise at any corpus size."""
+    from odbc2deltalake_spark.functions.spread import spread_small_scan
+
     a = F.split(F.trim(F.col("text")), r"\s+")
-    arr = ext.select("doc_id", a.alias("a"))
+    # r15: the gram build is the pipeline's CPU (split + per-position
+    # xxhash64); a single-row-group source scans as ONE partition and
+    # serializes it onto one core — spread conditionally (no-op at
+    # scale). Measured: grams noop 1.61 -> 0.43 s at sf0.1.
+    arr = spread_small_scan(ext).select("doc_id", a.alias("a"))
     idx = F.when(
         F.size("a") >= k, F.sequence(F.lit(1), F.size("a") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))

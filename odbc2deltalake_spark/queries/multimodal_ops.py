@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
 from odbc2deltalake_spark.operators.multimodal import (
     decode_images,
     extract_features,

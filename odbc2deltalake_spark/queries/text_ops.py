@@ -967,7 +967,12 @@ def text_letter_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projections spent ~1.8 s of every invocation on py4j expression
     # construction — parsed SQL builds the identical expressions in 3
     # driver calls. CASE WHEN == F.when, ln == F.log, left-assoc + chains
-    lows = docs.selectExpr("doc_id", "lower(text) AS lt")
+    # r15: the 26-replace count forest is pure per-row CPU; a
+    # 1-partition fixture scan serializes it — spread conditionally
+    # (no-op at scale; values per doc unchanged)
+    from odbc2deltalake_spark.functions.spread import spread_small_scan
+
+    lows = spread_small_scan(docs).selectExpr("doc_id", "lower(text) AS lt")
     counted = lows.selectExpr(
         "doc_id",
         *[
