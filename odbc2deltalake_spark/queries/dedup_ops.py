@@ -106,6 +106,12 @@ def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluates it per gram, 5x worse — materialize the array first).
     For long-document corpora where the word-stream shuffle dominates,
     the array-side form is the right swap."""
+    # r15: spreading the 1-partition fixture scan before the explode was
+    # measured (interleaved on/off x3, warm): dedup_minhash_lsh 2.4 off
+    # vs 2.5 on, corpus_decontaminate_fuzzy ~5.0 both — FLAT, so the
+    # site stays unspread (the window shuffle dominates, not the
+    # pre-shuffle explode; cf. functions/spread.py for the sites where
+    # the same device measurably wins).
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
