@@ -1727,7 +1727,9 @@ def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.filter(
                     (F.col("rv") >= cuts[i]) & (F.col("rv") < cuts[i + 1])
                 )
-                .coalesce(1)
+                # repartition(1): parallel filter, one landed file (see
+                # _run_snapshot_stream for the coalesce(1) pathology)
+                .repartition(1)
                 .write.mode("append")
                 .parquet(src_dir)
             )
@@ -1860,7 +1862,12 @@ def _run_snapshot_stream(spark: SparkSession, snapshots, root: str):
     cfg = WriteConfig(primary_keys=["user_id"], delta_col="rv")
     schema = snapshots[0].schema
     for snap in snapshots:
-        snap.coalesce(1).write.mode("append").parquet(src_dir)
+        # repartition(1), not coalesce(1) (r15): coalesce pulls the whole
+        # snapshot derivation into ONE task (measured 5s-class
+        # serialization on local-relation/coalesce plans); a 1-partition
+        # round-robin exchange keeps the upstream map parallel and still
+        # lands exactly one file per pass (the file-source contract)
+        snap.repartition(1).write.mode("append").parquet(src_dir)
         stream = spark.readStream.schema(schema).parquet(src_dir)
         q = stream_db_to_delta(
             spark, stream, dest, ["user_id"], "rv", ckpt,
